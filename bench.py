@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "v_consume_interleave",
+    "v_peek_all",
+    "v_sequence_validate",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation_year",
+    "q13_order_distribution",
+    "q18_large_volume_customer",
+    "w_topk_suppliers_per_nation",
+    "w_sessionize",
+    "w_asof_purchase_click",
+    "w_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from streams_spark.registry import load_all
+    from streams_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("pystreams-bench")
+
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1000).count()
+
+    names = [n for n in HEADLINE if n in registry]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        # count() executes the full plan without driver-side materialization
+        # of the result set (write-free, collect-free)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

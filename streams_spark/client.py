@@ -1,0 +1,230 @@
+"""The verb surface of the reference, as pure DataFrame transformations.
+
+Mirrors /root/reference/client.go:24-58 (Produce, Publish, Peek, Consume,
+ConsumeSpace, ConsumeSegment, GetSpaces, GetSegments) with the bounds
+semantics of SURVEY.md §2.2: every declared bound is `(min, max]` —
+exclusive lower, inclusive upper (the intended AND-joined semantics of
+/root/reference/server/azure/service.go:197-202). Offsets are exclusive
+resume points over the space order (timestamp, segment, sequence)
+(/root/reference/server/messages.go:119-123).
+
+All functions take an event-log DataFrame (schema of
+`streams_spark.sources.event_log`) and return DataFrames — Catalyst does
+the key-range pruning the reference hand-codes into LSM iterator bounds
+(/root/reference/server/pebble/service.go:270-280).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Inventory verbs (GetSpaces / GetSegments)
+# ---------------------------------------------------------------------------
+
+
+def get_spaces(log: DataFrame) -> DataFrame:
+    """Ordered list of space names.
+
+    Reference: materialized inventory scan (INV, SPACES, space) —
+    /root/reference/server/pebble/service.go:143-146,858-864.
+    """
+    return log.select("space").distinct().orderBy("space")
+
+
+def get_segments(log: DataFrame, space: str) -> DataFrame:
+    """Ordered segment names of one space.
+
+    Reference: /root/reference/server/pebble/service.go:201-207.
+    """
+    return (
+        log.where(F.col("space") == space)
+        .select("segment")
+        .distinct()
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point lookups (Peek / offsets)
+# ---------------------------------------------------------------------------
+
+
+def peek(log: DataFrame, space: str, segment: str) -> DataFrame:
+    """Last entry of a segment (reverse seek to max key, decode one row).
+
+    Reference: /root/reference/server/pebble/service.go:214-219,820-840.
+    """
+    return (
+        log.where((F.col("space") == space) & (F.col("segment") == segment))
+        .orderBy(F.desc("sequence"))
+        .limit(1)
+    )
+
+
+def peek_all(log: DataFrame) -> DataFrame:
+    """Last entry of every (space, segment) — the Azure backend's
+    denormalized LAST_ENTRY rows (/root/reference/server/azure/service.go:399-413)
+    as one aggregation: max_by over sequence, no window shuffle needed."""
+    cols = [c for c in log.columns if c not in ("space", "segment")]
+    return log.groupBy("space", "segment").agg(
+        *[F.max_by(c, "sequence").alias(c) for c in cols]
+    )
+
+
+def get_segment_offset(log: DataFrame, space: str, segment: str) -> DataFrame:
+    """Max sequence in a segment (offset key, not row) —
+    /root/reference/server/pebble/service.go:209-212."""
+    return (
+        log.where((F.col("space") == space) & (F.col("segment") == segment))
+        .agg(F.max("sequence").alias("offset_sequence"))
+    )
+
+
+def get_space_offset(log: DataFrame, space: str) -> DataFrame:
+    """Max (timestamp, segment, sequence) key of a space —
+    /root/reference/server/pebble/service.go:148-151,842-856."""
+    m = (
+        log.where(F.col("space") == space)
+        .agg(
+            F.max(F.struct("timestamp", "segment", "sequence")).alias("k")
+        )
+    )
+    return m.select(
+        F.col("k.timestamp").alias("offset_timestamp"),
+        F.col("k.segment").alias("offset_segment"),
+        F.col("k.sequence").alias("offset_sequence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range scans (ConsumeSegment / ConsumeSpace / Consume)
+# ---------------------------------------------------------------------------
+
+
+def _ts_bounds(col: str, min_ts, max_ts):
+    pred = F.lit(True)
+    if min_ts is not None:
+        pred = pred & (F.col(col) > F.lit(min_ts))
+    if max_ts is not None:
+        pred = pred & (F.col(col) <= F.lit(max_ts))
+    return pred
+
+
+def consume_segment(
+    log: DataFrame,
+    space: str,
+    segment: str,
+    min_sequence: int | None = None,
+    max_sequence: int | None = None,
+    min_timestamp: _dt.datetime | None = None,
+    max_timestamp: _dt.datetime | None = None,
+) -> DataFrame:
+    """Ordered scan of one segment, sequence & ts bounds `(min, max]`.
+
+    Reference: EnumerateSegment — /root/reference/server/pebble/service.go:235-294
+    (seq bounds become LSM key range, ts bounds are the residual TakeWhile
+    filter; here both are one pushed-down predicate).
+    """
+    pred = (F.col("space") == space) & (F.col("segment") == segment)
+    if min_sequence is not None:
+        pred = pred & (F.col("sequence") > min_sequence)
+    if max_sequence is not None:
+        pred = pred & (F.col("sequence") <= max_sequence)
+    pred = pred & _ts_bounds("timestamp", min_timestamp, max_timestamp)
+    return log.where(pred).orderBy("sequence")
+
+
+def consume_space(
+    log: DataFrame,
+    space: str,
+    min_timestamp: _dt.datetime | None = None,
+    max_timestamp: _dt.datetime | None = None,
+    offset: tuple | None = None,
+) -> DataFrame:
+    """All entries of a space in (timestamp, segment, sequence) order,
+    optionally resuming exclusively after `offset`.
+
+    Reference: EnumerateSpace — /root/reference/server/pebble/service.go:165-198;
+    offset resume via EncodeFirst(offset) at :185-190 becomes a tuple
+    comparison predicate.
+    """
+    pred = (F.col("space") == space) & _ts_bounds(
+        "timestamp", min_timestamp, max_timestamp
+    )
+    df = log.where(pred)
+    if offset is not None:
+        ts, seg, seq = offset
+        df = df.where(
+            F.struct("timestamp", "segment", "sequence")
+            > F.struct(
+                F.lit(ts).alias("timestamp"),
+                F.lit(seg).alias("segment"),
+                F.lit(seq).cast("long").alias("sequence"),
+            )
+        )
+    return df.orderBy("timestamp", "segment", "sequence")
+
+
+def consume(
+    log: DataFrame,
+    offsets: dict[str, tuple | None],
+    min_timestamp: _dt.datetime | None = None,
+    max_timestamp: _dt.datetime | None = None,
+) -> DataFrame:
+    """K-way time-interleaved merge of several spaces — the reference's only
+    join-like operator (enumerators.Interleave by Timestamp —
+    /root/reference/server/pebble/service.go:394-407).
+
+    In Spark the per-space scans union and a single sort produces the
+    interleaved order; Catalyst turns the OR-of-space-predicates into one
+    scan with partition pruning.
+    """
+    pred = F.lit(False)
+    for space, offset in offsets.items():
+        p = F.col("space") == space
+        if offset is not None:
+            ts, seg, seq = offset
+            p = p & (
+                F.struct("timestamp", "segment", "sequence")
+                > F.struct(
+                    F.lit(ts).alias("timestamp"),
+                    F.lit(seg).alias("segment"),
+                    F.lit(seq).cast("long").alias("sequence"),
+                )
+            )
+        pred = pred | p
+    df = log.where(pred & _ts_bounds("timestamp", min_timestamp, max_timestamp))
+    return df.orderBy("timestamp", "space", "segment", "sequence")
+
+
+# ---------------------------------------------------------------------------
+# Produce-path validation
+# ---------------------------------------------------------------------------
+
+
+def sequence_violations(log: DataFrame) -> DataFrame:
+    """Per-segment gapless-sequence conformance (batch form of the produce
+    validation `record.Sequence == lastSequence+1` —
+    /root/reference/server/pebble/service.go:345-363).
+
+    Returns one row per (space, segment) with the max sequence, entry count
+    and number of contiguity violations (0 == valid gapless stream starting
+    at 1).
+    """
+    w = Window.partitionBy("space", "segment").orderBy("sequence")
+    lagged = log.withColumn("prev_seq", F.lag("sequence").over(w))
+    return lagged.groupBy("space", "segment").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.max("sequence").alias("max_sequence"),
+        F.sum(
+            F.when(
+                F.col("sequence")
+                != F.coalesce(F.col("prev_seq"), F.lit(0)) + F.lit(1),
+                1,
+            ).otherwise(0)
+        ).alias("violations"),
+    )

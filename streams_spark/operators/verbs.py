@@ -1,0 +1,179 @@
+"""Registry entries for the reference verb surface (SURVEY.md §2.2-2.4).
+
+Each query pairs the DataFrame implementation in `streams_spark.client`
+with a DuckDB oracle over the identical event-log mapping (EVENT_LOG_CTE).
+Bounds are fixed constants chosen inside the events table's Jan-2024 span
+so the queries are deterministic at every scale factor.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_spark import client
+from streams_spark.registry import register
+from streams_spark.sources.event_log import EVENT_LOG_CTE, event_log
+
+MIN_TS = dt.datetime(2024, 1, 8)
+MAX_TS = dt.datetime(2024, 1, 22)
+OFFSET_TS = dt.datetime(2024, 1, 15)
+
+
+@register(
+    "v_get_spaces",
+    oracle=EVENT_LOG_CTE
+    + "SELECT space FROM events_log GROUP BY space ORDER BY space",
+)
+def v_get_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.get_spaces(event_log(spark, sf_dir))
+
+
+@register(
+    "v_get_segments",
+    oracle=EVENT_LOG_CTE
+    + "SELECT segment FROM events_log WHERE space = 'click' "
+    "GROUP BY segment ORDER BY segment",
+)
+def v_get_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.get_segments(event_log(spark, sf_dir), "click")
+
+
+@register(
+    "v_peek_all",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       arg_max(sequence, sequence)  AS sequence,
+       arg_max(timestamp, sequence) AS timestamp,
+       arg_max(event_id, sequence)  AS event_id,
+       arg_max(user_id, sequence)   AS user_id,
+       arg_max(value, sequence)     AS value,
+       arg_max(payload, sequence)   AS payload
+FROM events_log GROUP BY space, segment
+""",
+)
+def v_peek_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.peek_all(event_log(spark, sf_dir))
+
+
+@register(
+    "v_consume_segment",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment, sequence, timestamp, event_id, user_id, value, payload
+FROM events_log
+WHERE space = 'click' AND segment = 'seg3'
+  AND sequence > 10 AND sequence <= 200
+  AND timestamp > TIMESTAMP '2024-01-08 00:00:00'
+  AND timestamp <= TIMESTAMP '2024-01-22 00:00:00'
+""",
+)
+def v_consume_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.consume_segment(
+        event_log(spark, sf_dir),
+        "click",
+        "seg3",
+        min_sequence=10,
+        max_sequence=200,
+        min_timestamp=MIN_TS,
+        max_timestamp=MAX_TS,
+    )
+
+
+@register(
+    "v_consume_space",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment, sequence, timestamp, event_id, user_id, value, payload
+FROM events_log
+WHERE space = 'view'
+  AND timestamp > TIMESTAMP '2024-01-08 00:00:00'
+  AND timestamp <= TIMESTAMP '2024-01-22 00:00:00'
+  AND (timestamp, segment, sequence) > (TIMESTAMP '2024-01-15 00:00:00', 'seg2', 5)
+""",
+)
+def v_consume_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.consume_space(
+        event_log(spark, sf_dir),
+        "view",
+        min_timestamp=MIN_TS,
+        max_timestamp=MAX_TS,
+        offset=(OFFSET_TS, "seg2", 5),
+    )
+
+
+@register(
+    "v_consume_interleave",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment, sequence, timestamp, event_id, user_id, value, payload
+FROM events_log
+WHERE (
+        (space = 'click' AND (timestamp, segment, sequence) >
+            (TIMESTAMP '2024-01-15 00:00:00', 'seg0', 0))
+     OR (space = 'purchase')
+     OR (space = 'error')
+  )
+  AND timestamp <= TIMESTAMP '2024-01-22 00:00:00'
+""",
+)
+def v_consume_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.consume(
+        event_log(spark, sf_dir),
+        offsets={
+            "click": (OFFSET_TS, "seg0", 0),
+            "purchase": None,
+            "error": None,
+        },
+        max_timestamp=MAX_TS,
+    )
+
+
+@register(
+    "v_space_offset",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT timestamp AS offset_timestamp,
+       segment   AS offset_segment,
+       sequence  AS offset_sequence
+FROM events_log WHERE space = 'signup'
+ORDER BY timestamp DESC, segment DESC, sequence DESC LIMIT 1
+""",
+)
+def v_space_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.get_space_offset(event_log(spark, sf_dir), "signup")
+
+
+@register(
+    "v_segment_offset",
+    oracle=EVENT_LOG_CTE
+    + "SELECT max(sequence) AS offset_sequence FROM events_log "
+    "WHERE space = 'purchase' AND segment = 'seg5'",
+)
+def v_segment_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.get_segment_offset(event_log(spark, sf_dir), "purchase", "seg5")
+
+
+@register(
+    "v_sequence_validate",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       count(*) AS n_entries,
+       max(sequence) AS max_sequence,
+       CAST(sum(CASE WHEN sequence != coalesce(prev_seq, 0) + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM (
+  SELECT space, segment, sequence,
+         lag(sequence) OVER (PARTITION BY space, segment ORDER BY sequence)
+             AS prev_seq
+  FROM events_log
+)
+GROUP BY space, segment
+""",
+)
+def v_sequence_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return client.sequence_violations(event_log(spark, sf_dir))

@@ -1,0 +1,304 @@
+"""Window functions, top-k per group, sessionization, as-of join.
+
+All ABSENT in the reference (SURVEY.md §2.7 — its k-way Interleave merge
+and SeekLT top-1 are the closest relatives); required analytics surface.
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id, nation, suppkey) so state per partition is small and the single
+shuffle is well-spread; the as-of join uses the union+window trick (one
+shuffle on user_id) instead of a per-row lookup join, which is the
+scalable formulation — no broadcast of a fact table, no skew beyond the
+key distribution itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Ranking + frames: top-3 suppliers by revenue within each nation
+# ---------------------------------------------------------------------------
+
+_TOPK = """
+WITH supp_rev AS (
+  SELECT s_suppkey, s_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  GROUP BY s_suppkey, s_name, n_name
+)
+SELECT n_name, s_suppkey, s_name, revenue, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY revenue DESC, s_suppkey) AS rnk
+  FROM supp_rev
+)
+WHERE rnk <= 3
+"""
+
+
+@register("w_topk_suppliers_per_nation", oracle=_TOPK)
+def w_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_rev = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("s_suppkey"))
+    return (
+        supp_rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "revenue", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frames + lag/lead: running revenue and deltas per customer's order history
+# ---------------------------------------------------------------------------
+
+_RUNNING = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(coalesce(lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2)
+           AS prev_price,
+       round(coalesce(lead(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2)
+           AS next_price,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+           AS order_seq,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+WHERE o_custkey <= 200
+"""
+
+
+@register("w_running_totals", oracle=_RUNNING)
+def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            "prev_price"
+        ),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            "next_price"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank / dense_rank / ntile over aggregated revenue
+# ---------------------------------------------------------------------------
+
+_RANKS = """
+WITH cust_rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spent,
+       CAST(rank() OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER)
+           AS drnk,
+       CAST(ntile(10) OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER)
+           AS decile
+FROM cust_rev
+WHERE o_custkey <= 500
+"""
+
+
+@register("w_customer_ranks", oracle=_RANKS)
+def w_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust_rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .where(F.col("o_custkey") <= 500)
+    )
+    w = Window.orderBy(F.desc("total_spent"), F.col("o_custkey"))
+    return cust_rev.select(
+        "o_custkey",
+        "total_spent",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap per user over the events table
+# ---------------------------------------------------------------------------
+
+_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       round(avg(n_events), 4) AS avg_session_events,
+       CAST(max(span_us) AS BIGINT) AS max_session_span_us
+FROM sessions GROUP BY user_id
+"""
+
+
+@register("w_sessionize", oracle=_SESSIONS)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.max("span_us").alias("max_session_span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the latest strictly-prior click of the user
+# ---------------------------------------------------------------------------
+
+_ASOF = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), enriched AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       last_click_id, last_click_ts,
+       CAST(epoch_us(ts) - epoch_us(last_click_ts) AS BIGINT) AS gap_us
+FROM enriched WHERE event_type = 'purchase'
+"""
+
+
+@register("w_asof_purchase_click", oracle=_ASOF)
+def w_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + last-ignoring-nulls window: the scalable
+    formulation (single shuffle on user_id) of `pd.merge_asof` semantics."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    enriched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return enriched.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_click_id",
+        "last_click_ts",
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window aggregation (batch form; streaming twin in
+# streams_spark.streaming)
+# ---------------------------------------------------------------------------
+
+_TUMBLING = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum("value"), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("w_tumbling_hourly", oracle=_TUMBLING)
+def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )

@@ -1,0 +1,36 @@
+"""Parquet table source for the driver's synthetic star schema.
+
+Reads are plain `spark.read.parquet` so Catalyst predicate pushdown and
+column pruning reach the scan (the reference hand-codes key-range pruning
+into its LSM iterator — /root/reference/server/pebble/service.go:270-280;
+here the same job is done by Parquet row-group stats + pushed filters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streams_spark.schema import TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
+        # long. The data is micro-precision (verified: ns % 1000 == 0), so
+        # integer-dividing to micros is lossless and matches DuckDB.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (name == table name)."""
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
