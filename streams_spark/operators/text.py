@@ -1,1 +1,247 @@
-"""Filled in later this round."""
+"""Text analysis over the documents table (SURVEY.md §7 M4): quality
+scoring, token counting, language-ID heuristic, document fingerprinting.
+
+Everything is built-in-function Spark (split/filter/transform/aggregate),
+fully codegen'd — and every query has a DuckDB oracle because the
+primitives (md5, string ops, list lambdas) are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_spark.functions.text_funcs import (
+    STOPWORDS,
+    avg_token_len,
+    stopword_ratio,
+    tokens,
+    word_shingles,
+)
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Per-document quality statistics (tokens, lengths, ratios)
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+           AS distinct_ratio,
+       round(list_sum(list_transform(w, t -> CAST(length(t) AS DOUBLE)))
+             / len(w), 6) AS avg_token_len,
+       round(CAST(len(list_filter(w, t -> t IN ({_SW}))) AS DOUBLE) / len(w), 6)
+           AS stopword_ratio
+FROM d
+"""
+
+
+@register("t_text_stats", oracle=_TEXT_STATS)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_ratio"),
+        F.round(avg_token_len(toks), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality rollup per (lang, source): filter gate for a data pipeline
+# ---------------------------------------------------------------------------
+
+_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w
+  FROM documents
+), q AS (
+  SELECT lang, source, n_chars, len(w) AS n_tokens,
+         CAST(len(list_filter(w, t -> t IN ({_SW}))) AS DOUBLE) / len(w) AS swr
+  FROM d
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(swr), 6) AS avg_stopword_ratio,
+       count(*) FILTER (WHERE n_tokens >= 30 AND swr <= 0.5) AS n_quality_pass
+FROM q GROUP BY lang, source
+"""
+
+
+@register("t_quality_rollup", oracle=_QUALITY)
+def t_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        stopword_ratio(toks).alias("swr"),
+    )
+    return q.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+        F.count(F.when((F.col("n_tokens") >= 30) & (F.col("swr") <= 0.5), 1)).alias(
+            "n_quality_pass"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-token voting with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"CAST(len(list_filter(w, t -> t IN ({lst}))) AS DOUBLE) / len(w)"
+
+
+_LANG_ID = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS score_en,
+         {_marker_sql('de')} AS score_de,
+         {_marker_sql('fr')} AS score_fr,
+         {_marker_sql('es')} AS score_es,
+         {_marker_sql('zh')} AS score_zh
+  FROM d
+)
+SELECT doc_id, lang AS actual_lang,
+       round(score_en, 6) AS score_en,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_fr
+              AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+         WHEN score_de >= score_fr AND score_de >= score_es
+              AND score_de >= score_zh THEN 'de'
+         WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+         WHEN score_es >= score_zh THEN 'es'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM s
+"""
+
+
+@register("t_lang_id", oracle=_LANG_ID)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-token language ID. On this synthetic corpus (shared
+    vocabulary across langs) the prediction collapses to the tiebreak
+    order — the operator's plumbing (per-language scoring + argmax) is
+    what's exercised; real marker lists drop in unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
+        return (
+            F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast(
+                "double"
+            )
+            / F.size(toks)
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        score("en").alias("score_en"),
+        score("de").alias("score_de"),
+        score("fr").alias("score_fr"),
+        score("es").alias("score_es"),
+        score("zh").alias("score_zh"),
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_zh")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_fr"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_zh")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("score_fr") >= F.col("score_es"))
+            & (F.col("score_fr") >= F.col("score_zh")),
+            F.lit("fr"),
+        )
+        .when(F.col("score_es") >= F.col("score_zh"), F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        F.round("score_en", 6).alias("score_en"),
+        pred.alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: min-k of shingle md5s (winnowing-style)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+             i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))
+             AS hashes
+  FROM d
+)
+SELECT doc_id,
+       array_to_string(list_sort(hashes)[1:4], ',') AS fingerprint
+FROM sh
+"""
+
+
+@register("t_fingerprint", oracle=_FINGERPRINT)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-4 fingerprint over 5-gram shingle md5s: a compact, deterministic,
+    engine-independent document signature (two docs sharing a fingerprint
+    share content with high probability — the winnowing idea)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hashes = F.transform(word_shingles(toks, 5), lambda s: F.md5(s))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 4)).alias("fingerprint"),
+    )

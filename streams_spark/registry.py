@@ -43,6 +43,7 @@ def load_all() -> dict[str, QuerySpec]:
     import streams_spark.operators.dedup  # noqa: F401
     import streams_spark.operators.similarity  # noqa: F401
     import streams_spark.operators.text  # noqa: F401
+    import streams_spark.operators.multimodal  # noqa: F401
     import streams_spark.operators.streaming_queries  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,130 @@
+"""Transactional produce path: validated, idempotent, exactly-once appends.
+
+Reproduces the observable guarantees of the reference's 2-phase commit
+produce pipeline (/root/reference/server/pebble/service.go:296-335,
+410-523): sequence contiguity per (space, segment), atomic chunk commit,
+and duplicate-transaction rejection — using the Structured Streaming sink
+contract instead of a WAL + quorum: an idempotent foreachBatch keyed by
+batchId (a committed-batch ledger) gives the same exactly-once result
+from the consumer's viewpoint (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class SequenceError(ValueError):
+    """ERR_SEQUENCE_MISMATCH analog (/root/reference/server/pebble/service.go:349)."""
+
+
+def stamp_records(
+    records: DataFrame,
+    last_sequences: DataFrame | None = None,
+    node_id: str | None = None,
+) -> DataFrame:
+    """Server-side stamping of a produce batch: assign timestamp (arrival
+    time), trx identity, and validate per-segment sequence contiguity
+    against the current log tails.
+
+    records: (space, segment, sequence, payload[, metadata])
+    last_sequences: (space, segment, last_sequence) — from peek_all; None
+    means empty log (all segments start at 1).
+    """
+    trx_id = str(uuid.uuid4())
+    node = node_id or str(uuid.uuid4())
+    df = records
+    if last_sequences is None:
+        df = df.withColumn("last_sequence", F.lit(0).cast("long"))
+    else:
+        df = df.join(
+            F.broadcast(last_sequences), ["space", "segment"], "left"
+        ).withColumn(
+            "last_sequence", F.coalesce(F.col("last_sequence"), F.lit(0))
+        )
+    w = Window.partitionBy("space", "segment").orderBy("sequence")
+    df = df.withColumn(
+        "expected",
+        F.coalesce(F.lag("sequence").over(w), F.col("last_sequence")) + 1,
+    )
+    return (
+        df.withColumn("valid", F.col("sequence") == F.col("expected"))
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("trx_id", F.lit(trx_id))
+        .withColumn("trx_node", F.lit(node))
+        .withColumn("trx_number", F.dense_rank().over(
+            Window.orderBy("space", "segment")
+        ).cast("long"))
+    )
+
+
+def validate_batch(stamped: DataFrame) -> None:
+    """Reject the whole chunk on any contiguity violation, like the
+    reference rejects the transaction (service.go:345-363)."""
+    bad = stamped.where(~F.col("valid")).limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise SequenceError(
+            f"sequence mismatch in ({r.space}, {r.segment}): "
+            f"got {r.sequence}, expected {r.expected}"
+        )
+
+
+class IdempotentLogSink:
+    """foreachBatch sink with a committed-batch ledger.
+
+    Phase 1 (write) / phase 2 (commit) of the reference's 2PC become:
+    check ledger → write parquet → record batchId. Re-delivery of a batch
+    after failure is a no-op — the same duplicate-write guard as the
+    reference's pending-transaction window (service.go:722-758).
+    """
+
+    def __init__(self, log_dir: str, ledger_dir: str) -> None:
+        self.log_dir = log_dir
+        self.ledger_dir = ledger_dir
+        os.makedirs(ledger_dir, exist_ok=True)
+
+    def _ledger_path(self, batch_id: int) -> str:
+        return os.path.join(self.ledger_dir, f"batch-{batch_id}.json")
+
+    def committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._ledger_path(batch_id))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.committed(batch_id):
+            return  # duplicate delivery — exactly-once no-op
+        batch_df.write.mode("append").partitionBy("space").parquet(self.log_dir)
+        status = (
+            batch_df.groupBy("space", "segment")
+            .agg(
+                F.min("sequence").alias("first_sequence"),
+                F.max("sequence").alias("last_sequence"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        # SegmentStatus notification analog (server/messages.go:38-45)
+        tmp = self._ledger_path(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "segments": [r.asDict() for r in status],
+                },
+                f,
+                default=str,
+            )
+        os.rename(tmp, self._ledger_path(batch_id))
+
+    def statuses(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.ledger_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.ledger_dir, name)) as f:
+                    out.append(json.load(f))
+        return out

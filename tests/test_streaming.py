@@ -1,0 +1,181 @@
+"""Streaming runtime tests: consumer-context resume, idempotent produce,
+stateful sequence validation — the SURVEY.md §2.5/§2.4 semantics on
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from streams_spark.streaming.consumer import (
+    ConsumerContext,
+    read_event_log,
+    write_event_log,
+)
+from streams_spark.streaming.produce import (
+    IdempotentLogSink,
+    SequenceError,
+    stamp_records,
+    validate_batch,
+)
+
+BASE_TS = dt.datetime(2024, 1, 1)
+
+
+def _entries(spark, space, segment, seqs):
+    rows = [
+        (
+            space,
+            segment,
+            s,
+            BASE_TS + dt.timedelta(seconds=s),
+            "trx",
+            "node",
+            1,
+            f"p{s}".encode(),
+            {},
+        )
+        for s in seqs
+    ]
+    from streams_spark.schema import EVENT_LOG_SCHEMA
+
+    return spark.createDataFrame(rows, EVENT_LOG_SCHEMA)
+
+
+def test_consumer_context_resume(spark, tmp_path):
+    """AvailableNow drains what exists; a second drain after more files
+    appear delivers only the delta (checkpoint offset resume —
+    consumer_context.go:166-183 semantics)."""
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    write_event_log(_entries(spark, "s0", "g0", range(1, 51)), log_dir)
+
+    seen: list[int] = []
+
+    def handler(df, batch_id):
+        seen.append(df.count())
+
+    ctx = ConsumerContext.for_space(spark, log_dir, ckpt, "s0")
+    ctx.consume_available(handler)
+    assert sum(seen) == 50
+
+    write_event_log(_entries(spark, "s0", "g0", range(51, 76)), log_dir)
+    ctx.consume_available(handler)
+    assert sum(seen) == 75  # only the 25 new entries delivered
+
+
+def test_consumer_context_space_filter(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    write_event_log(_entries(spark, "a", "g0", range(1, 11)), log_dir)
+    write_event_log(_entries(spark, "b", "g0", range(1, 21)), log_dir)
+
+    total = []
+    ctx = ConsumerContext.for_space(spark, log_dir, ckpt, "b")
+    ctx.consume_available(lambda df, bid: total.append(df.count()))
+    assert sum(total) == 20
+
+
+def test_stamp_records_valid_and_contiguous(spark):
+    recs = spark.createDataFrame(
+        [("s", "g", i, b"x") for i in range(1, 6)],
+        "space string, segment string, sequence long, payload binary",
+    )
+    stamped = stamp_records(recs)
+    assert stamped.where(~F.col("valid")).count() == 0
+    validate_batch(stamped)  # no raise
+
+
+def test_stamp_records_rejects_gap(spark):
+    recs = spark.createDataFrame(
+        [("s", "g", i, b"x") for i in [1, 2, 4]],
+        "space string, segment string, sequence long, payload binary",
+    )
+    stamped = stamp_records(recs)
+    with pytest.raises(SequenceError):
+        validate_batch(stamped)
+
+
+def test_stamp_records_resumes_from_tail(spark):
+    recs = spark.createDataFrame(
+        [("s", "g", i, b"x") for i in [101, 102]],
+        "space string, segment string, sequence long, payload binary",
+    )
+    tails = spark.createDataFrame(
+        [("s", "g", 100)], "space string, segment string, last_sequence long"
+    )
+    validate_batch(stamp_records(recs, last_sequences=tails))
+    # wrong tail → reject
+    bad_tails = spark.createDataFrame(
+        [("s", "g", 50)], "space string, segment string, last_sequence long"
+    )
+    with pytest.raises(SequenceError):
+        validate_batch(stamp_records(recs, last_sequences=bad_tails))
+
+
+def test_idempotent_sink_skips_duplicate_batch(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    ledger = str(tmp_path / "ledger")
+    sink = IdempotentLogSink(log_dir, ledger)
+    df = _entries(spark, "s0", "g0", range(1, 11))
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # duplicate delivery — must be a no-op
+    assert read_event_log(spark, log_dir).count() == 10
+    statuses = sink.statuses()
+    assert len(statuses) == 1
+    assert statuses[0]["segments"][0]["last_sequence"] == 10
+
+
+def test_streaming_sequence_validation_state(spark, tmp_path):
+    """applyInPandasWithState carries last_sequence across micro-batches."""
+    from streams_spark.schema import EVENT_LOG_SCHEMA
+    from streams_spark.streaming.state import streaming_sequence_validation
+
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    # one ordered file per produce chunk (the reference commits chunks in
+    # sequence order — service.go:308); sequences 1..20 then 21..30
+    write_event_log(
+        _entries(spark, "s0", "g0", range(1, 21)).coalesce(1), log_dir
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    out = streaming_sequence_validation(stream)
+    collected: list = []
+
+    def drain():
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ok = sum(r.n_ok for r in collected)
+    bad = sum(r.n_violations for r in collected)
+    last = max(r.last_sequence for r in collected)
+    assert (ok, bad, last) == (20, 0, 20)
+
+    # second drain: continues from state (21 is valid only because the
+    # state store remembers last=20)
+    write_event_log(
+        _entries(spark, "s0", "g0", range(21, 31)).coalesce(1), log_dir
+    )
+    collected.clear()
+    drain()
+    ok = sum(r.n_ok for r in collected)
+    bad = sum(r.n_violations for r in collected)
+    last = max(r.last_sequence for r in collected)
+    assert (ok, bad, last) == (10, 0, 30)
