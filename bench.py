@@ -26,6 +26,15 @@ HEADLINE = [
     "w_sessionize",
     "w_asof_purchase_click",
     "w_tumbling_hourly",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "d_simhash",
+    "s_cosine_topk",
+    "s_ann_lsh_topk",
+    "t_text_stats",
+    "t_fingerprint",
+    "m_decode_media",
+    "st_tumbling_stream",
 ]
 
 

@@ -18,7 +18,7 @@ O(sum bucket²) not O(n²). Hot buckets (stopword shingles) are capped.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark.functions.text_funcs import tokens, word_shingles
@@ -104,39 +104,86 @@ WHERE CAST(p.n_common AS DOUBLE)
 """
 
 
+JACCARD_T = 0.5
+
+
+def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs) where hs = sorted xxhash64s of the distinct n-gram
+    shingles. Hashing shrinks every downstream shuffle (8-byte longs
+    instead of strings); sorting fixes the global order prefix filtering
+    needs. Collision risk at 64 bits is negligible for dedup.
+
+    Built row-wise (posexplode + lead window + collect_set) rather than
+    with array higher-order functions: HOF lambdas evaluate interpreted
+    per element, ~3x slower; the window and the re-aggregation share the
+    doc_id partitioning so this costs one shuffle.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w0"))
+    grams = ex.select(
+        "doc_id",
+        "pos",
+        *[F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)],
+        "w0",
+    ).where(F.col(f"w{n-1}").isNotNull())
+    hashed = grams.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", *[f"w{k}" for k in range(n)])).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("hs")
+    )
+
+
 @register("d_ngram_jaccard", oracle=_NGRAM_JACCARD)
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram Jaccard >= 0.5, exactly.
+    """All pairs with 3-gram Jaccard >= 0.5, exactly — with prefix
+    filtering (PPJoin-style): under any global element order, two sets
+    with J >= t must share an element within their first
+    |S| - ceil(t*|S|) + 1 elements, so only that prefix is exploded into
+    the candidate join. Halves the join input at t=0.5 (quarter the
+    candidate pairs); exactness is preserved.
 
-    Complete by construction: any pair with jaccard > 0 shares a shingle,
-    so the shingle equi-join (one shuffle) generates every candidate.
+    Scale path: one shuffle on shingle-hash for candidates (prefix-pruned),
+    one shuffle on doc_id pairs for the exact array_intersect verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-    ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    sh = hashed_shingle_sets(docs).withColumn("n", F.size("hs"))
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1).cast(
+        "int"
+    )
+    ex = sh.select(
+        "doc_id", F.explode(F.slice("hs", 1, prefix_len)).alias("h")
+    )
     a = ex.alias("a")
     b = ex.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # broadcast the per-doc arrays (tiny relative to the pair set) and keep
+    # the pair set spread out — AQE would otherwise coalesce the small
+    # distinct output to one partition and serialize the verify stage
+    verified = (
+        cand.repartition("doc_a")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    return pairs.where(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    return verified.where(F.col("jaccard") >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -158,13 +205,11 @@ def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
     then min-aggregate per doc. Partial (map-side) aggregation makes the
     shuffle carry only 64 longs per doc regardless of document size.
     """
-    sh = docs.select(
-        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
-    )
+    sh = hashed_shingle_sets(docs)
     ex = sh.select(
         "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+        F.size("hs").alias("n_shingles"),
+        F.explode("hs").alias("shingle"),
     )
     hashed = ex.select(
         "doc_id",
@@ -222,26 +267,19 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact jaccard over shingle sets
-    sh = docs.select(
-        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
-    )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    # verify candidates with exact jaccard over hashed shingle sets
+    sh = hashed_shingle_sets(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
-        )
+        cand.repartition("doc_a")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+            / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")),
         )
     )
     return verified.where(F.col("jaccard") >= 0.5).select(
@@ -264,62 +302,63 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band by pigeonhole), then filtered by true hamming distance.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
-    hashes = toks.select(
-        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+    # row-wise formulation (explode + 64 codegen'd bit-vote columns +
+    # partial-agg sums): HOF folds are interpreted per element and were
+    # ~2x the whole query's cost. The shuffle carries 64 ints per doc.
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    # bit i of simhash = 1 if sum over tokens of sign(bit i) > 0;
-    # the 64 bit positions unroll Python-side (shift amounts must be ints),
-    # producing one wide codegen'd projection — still a single pass.
-    def vote(i: int):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    simhash = F.array(
-        *[F.when(vote(i) > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(64)]
-    )
-    sigs = hashes.select("doc_id", simhash.alias("bits"))
-    # 4 bands of 16 bits each, encoded as a long
-    band_val = lambda b: F.aggregate(
-        F.slice(F.col("bits"), b * 16 + 1, 16),
+    bit = lambda i: F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+    # signature as 4 x 16-bit longs (band values double as the signature;
+    # hamming distance is then bit_count(xor) — all codegen, no arrays)
+    band_val = lambda b: sum(
+        (bit(16 * b + k) * (1 << (15 - k)) for k in range(16)),
         F.lit(0).cast("long"),
-        lambda acc, x: acc * 2 + x,
     )
-    bands = sigs.select(
+    sig = votes.select(
+        "doc_id", *[band_val(b).alias(f"b{b}") for b in range(4)]
+    )
+    bands = sig.select(
         "doc_id",
-        "bits",
-        F.posexplode(F.array(*[band_val(b) for b in range(4)])).alias(
-            "band", "band_hash"
-        ),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "band_hash"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+            )
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.bits").alias("bits_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.bits").alias("bits_b"),
+            "hamming",
         )
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return pairs
