@@ -39,6 +39,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     import streams_spark.operators.verbs  # noqa: F401
     import streams_spark.operators.relational  # noqa: F401
+    import streams_spark.operators.tpch_extra  # noqa: F401
     import streams_spark.operators.windowed  # noqa: F401
     import streams_spark.operators.dedup  # noqa: F401
     import streams_spark.operators.similarity  # noqa: F401
