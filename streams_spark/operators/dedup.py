@@ -8,7 +8,8 @@ Five families, as a 100 TB training-data pipeline needs them:
   xxhash64 seeds are engine-specific; verified in tests against the exact
   Jaccard result instead)
 - SimHash (64-bit, banded hamming)        → d_simhash        (no oracle)
-- embedding near-dup                      → lives in similarity.py
+- embedding-cosine near-dup (exact)       → d_embedding_cosine (oracle);
+  the ANN scale path lives in similarity.py
 
 Scale design: everything is shingle-explode → shuffle on shingle/bucket →
 pair-generation → verify. No driver-side loops, no cross join of the full
@@ -362,3 +363,96 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact all-pairs above threshold
+# ---------------------------------------------------------------------------
+
+COSINE_T = 0.4  # synthetic embeddings are near-random; 0.4 is the
+# discriminating tail (real corpora use ~0.95 — the plan is unchanged)
+
+_EMB_COSINE = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v),
+                        p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= {COSINE_T}
+"""
+
+
+N_BLOCKS = 8
+
+
+@register("d_embedding_cosine", oracle=_EMB_COSINE)
+def d_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (every unordered pair
+    with cosine >= threshold), as a block-nested-loop over the upper
+    triangle of the block matrix: vectors hash into N_BLOCKS blocks, each
+    block PAIR (i <= j) becomes one cogroup, and the group computes its
+    cross-similarities as ONE numpy/BLAS matmul via applyInPandas.
+
+    Why not a row-pair self-join: per-pair zip_with/aggregate folds are
+    interpreted per element (~64 lambda evals per pair) — a dense matmul
+    over Arrow-shipped batches is orders of magnitude faster and carries
+    the same exactness. Why not a driver-side collect: blocks stream
+    through the shuffle (replication factor ~N_BLOCKS/2), so the plan is
+    identical on a 1000-executor cluster — N_BLOCKS scales with
+    sqrt(cluster cores), partition = one tile of the distance matrix.
+    The approximate scale path (LSH blocking) is s_ann_lsh_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int")
+    # left side owns block bi and visits every group (bi, j>=bi);
+    # right side owns block bj and visits every group (i<=bj, bj).
+    # The right side's data columns are renamed: a self-cogroup with shared
+    # attribute ids gets its right side pruned to the grouping keys by the
+    # analyzer — distinct names keep both sides intact.
+    left = emb.select("vec_id", "embedding", blk.alias("bi")).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(N_BLOCKS - 1)))
+    )
+    right = emb.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.col("embedding").alias("r_embedding"),
+        blk.alias("bj"),
+    ).withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+
+    def tile(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_sim": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos_sim": "float64"}
+            )
+        A = np.stack(l["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(r["r_embedding"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = np.round(A @ B.T, 6)
+        ia, ib = np.where(S >= COSINE_T)
+        la = l["vec_id"].to_numpy()[ia]
+        rb = r["r_vec_id"].to_numpy()[ib]
+        # off-diagonal tiles see each unordered pair once (canonicalize);
+        # the diagonal tile sees both orders (keep a < b only)
+        if key[0] == key[1]:
+            keep = la < rb
+            la, rb, sim = la[keep], rb[keep], S[ia[keep], ib[keep]]
+        else:
+            sim = S[ia, ib]
+            la, rb = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"doc_a": la, "doc_b": rb, "cos_sim": sim})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(tile, "doc_a long, doc_b long, cos_sim double")
+    )

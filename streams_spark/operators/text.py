@@ -245,3 +245,58 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 4)).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace vs BPE-style pre-tokenizer regex
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape: contractions | letter runs (with leading
+# space) | digit runs | punctuation runs | residual whitespace. Both engines
+# (Java regex / RE2) agree on this subset: leftmost-first alternation,
+# identical character classes.
+_BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT)
+           AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT)
+           AS n_digit_runs,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 1), 4)
+           AS chars_per_token
+FROM documents
+"""
+
+
+@register("t_token_count", oracle=_TOKEN_COUNT)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split (the cheap estimate) and a
+    BPE-style pre-tokenizer regex (the LLM-budget estimate), plus
+    chars-per-token — the standard proxy for BPE token cost when the real
+    tokenizer isn't on the cluster. Pure codegen'd regexp_extract_all; at
+    100 TB this is an embarrassingly parallel scan with no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r" ?[A-Za-z]+"), 0))
+        .cast("long")
+        .alias("n_alpha_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r" ?[0-9]+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(F.size(bpe), F.lit(1)),
+            4,
+        ).alias("chars_per_token"),
+    )
