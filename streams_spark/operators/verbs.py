@@ -38,7 +38,7 @@ def v_get_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GROUP BY segment ORDER BY segment",
 )
 def v_get_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return client.get_segments(event_log(spark, sf_dir), "click")
+    return client.get_segments(event_log(spark, sf_dir, spaces=["click"]), "click")
 
 
 @register(
@@ -73,7 +73,9 @@ WHERE space = 'click' AND segment = 'seg3'
 )
 def v_consume_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return client.consume_segment(
-        event_log(spark, sf_dir),
+        event_log(
+            spark, sf_dir, spaces=["click"], segments=["seg3"], max_timestamp=MAX_TS
+        ),
         "click",
         "seg3",
         min_sequence=10,
@@ -97,7 +99,7 @@ WHERE space = 'view'
 )
 def v_consume_space(spark: SparkSession, sf_dir: str) -> DataFrame:
     return client.consume_space(
-        event_log(spark, sf_dir),
+        event_log(spark, sf_dir, spaces=["view"], max_timestamp=MAX_TS),
         "view",
         min_timestamp=MIN_TS,
         max_timestamp=MAX_TS,
@@ -122,7 +124,12 @@ WHERE (
 )
 def v_consume_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return client.consume(
-        event_log(spark, sf_dir),
+        event_log(
+            spark,
+            sf_dir,
+            spaces=["click", "purchase", "error"],
+            max_timestamp=MAX_TS,
+        ),
         offsets={
             "click": (OFFSET_TS, "seg0", 0),
             "purchase": None,
@@ -144,7 +151,7 @@ ORDER BY timestamp DESC, segment DESC, sequence DESC LIMIT 1
 """,
 )
 def v_space_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return client.get_space_offset(event_log(spark, sf_dir), "signup")
+    return client.get_space_offset(event_log(spark, sf_dir, spaces=["signup"]), "signup")
 
 
 @register(
@@ -154,7 +161,11 @@ def v_space_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE space = 'purchase' AND segment = 'seg5'",
 )
 def v_segment_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return client.get_segment_offset(event_log(spark, sf_dir), "purchase", "seg5")
+    return client.get_segment_offset(
+        event_log(spark, sf_dir, spaces=["purchase"], segments=["seg5"]),
+        "purchase",
+        "seg5",
+    )
 
 
 @register(

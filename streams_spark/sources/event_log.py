@@ -50,8 +50,36 @@ WITH events_log AS (
 """
 
 
-def event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_log(
+    spark: SparkSession,
+    sf_dir: str,
+    spaces: list[str] | None = None,
+    segments: list[str] | None = None,
+    max_timestamp=None,
+) -> DataFrame:
+    """Canonical event log, with explicit predicate pushdown BELOW the
+    sequence-assignment window (the analog of the reference turning
+    predicates into LSM key bounds — /root/reference/server/pebble/
+    service.go:270-280):
+
+    - `spaces` / `segments` restrict the window's own partition keys, so
+      numbering is unaffected; at 100 TB these are partition-pruned reads.
+    - `max_timestamp` drops a SUFFIX of each segment's (ts, event_id)
+      order; row_number counts only preceding rows, so surviving sequence
+      values are identical — prefix-safe pushdown Catalyst can't infer.
+
+    Min-bounds (offsets, min_sequence, min_timestamp) would renumber and
+    MUST stay residual filters above the window — callers pass only the
+    safe bounds here and keep the rest in streams_spark.client.
+    """
     ev = load_table(spark, sf_dir, "events")
+    if spaces is not None:
+        ev = ev.where(F.col("event_type").isin(list(spaces)))
+    if segments is not None:
+        segs = [int(s.removeprefix("seg")) for s in segments]
+        ev = ev.where((F.col("user_id") % NUM_SEGMENTS).isin(segs))
+    if max_timestamp is not None:
+        ev = ev.where(F.col("ts") <= F.lit(max_timestamp))
     w = Window.partitionBy("space", "segment").orderBy("ts", "event_id")
     return (
         ev.withColumn("space", F.col("event_type"))

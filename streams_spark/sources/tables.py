@@ -25,6 +25,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE on partitioning: each testdata file is one unsplittable row
+    # group, so scans are single-task at harness scale. A measured A/B of
+    # an eager round-robin fan-out (repartition(cores) after read) made
+    # the bench ~2x SLOWER overall: the shuffle of raw rows plus the loss
+    # of partial-aggregation locality (32 partitions each holding agg
+    # state for every key instead of one perfect-locality pass) outweigh
+    # the extra scan parallelism at MB-scale inputs. On a real cluster the
+    # many splittable files parallelize the scan without any of this.
     return df
 
 
