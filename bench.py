@@ -17,11 +17,15 @@ HEADLINE = [
     "v_peek_all",
     "v_sequence_validate",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
     "q9_profit_by_nation_year",
     "q13_order_distribution",
+    "q16_supplier_part_count",
     "q18_large_volume_customer",
+    "q21_waiting_suppliers",
     "w_topk_suppliers_per_nation",
     "w_sessionize",
     "w_asof_purchase_click",
@@ -29,9 +33,11 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "d_simhash",
+    "d_embedding_cosine",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "t_text_stats",
+    "t_token_count",
     "t_fingerprint",
     "m_decode_media",
     "st_tumbling_stream",

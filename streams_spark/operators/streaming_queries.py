@@ -142,3 +142,60 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_WATERMARK_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n_events,
+       round(avg("value"), 4) AS avg_value
+FROM events
+GROUP BY window_start
+HAVING window_start + INTERVAL 1 HOUR
+       <= (SELECT max(ts) - INTERVAL 15 MINUTE FROM events)
+"""
+
+
+@register("st_watermark_late", oracle=_WATERMARK_ORACLE)
+def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time aggregation (withWatermark + append mode) —
+    the late-data semantics the reference lacks entirely (SURVEY.md §2.5:
+    its space index keys on server-assigned arrival time; disorder is
+    bounded only by write latency).
+
+    With Trigger.AvailableNow over one bounded input, no row arrives
+    late, and append mode emits exactly the windows the final watermark
+    (max event time - 15 min) has closed — the last open window stays in
+    state. The oracle asserts precisely that: batch aggregation minus
+    windows ending after max(ts) - 15 min. In continuous operation the
+    same query drops rows later than the watermark and evicts state for
+    closed windows, keeping the state store bounded regardless of stream
+    length (the 100 TB concern for any infinite aggregation).
+    """
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("win.start").alias("window_start"), "n_events", "avg_value"
+    )
