@@ -285,8 +285,8 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = (
         cand.repartition("doc_a")
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",

@@ -10,8 +10,10 @@ but exactly): every double aggregate is rounded (2dp for money sums, 4dp
 for averages/ratios) in BOTH engines; every top-k has a unique-key
 tiebreak; DuckDB integer sums are cast to BIGINT to match Spark's LongType.
 
-Scale notes: joins to region/nation/supplier/customer are broadcast (dims
-are tiny relative to fact tables at any SF); fact-fact joins
+Scale notes: explicit broadcasts only on scale-invariant frames
+(nation/region, 1-row aggregates); supplier/customer/part joins are left
+to Parquet-stats + AQE, which broadcast them at harness scale and fall
+back to shuffle joins when they outgrow the threshold; fact-fact joins
 (orders⋈lineitem) shuffle on the join key, which AQE re-plans at runtime;
 aggregations are partial (map-side combine) by construction in Spark.
 """
@@ -100,7 +102,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -142,7 +144,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    # dims broadcast; the fact-fact join (lineitem ⋈ orders) shuffles on orderkey
+    # stats/AQE broadcast the dim sides at this SF; the fact-fact join
+    # (lineitem ⋈ orders) shuffles on orderkey
     dim = (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -150,9 +153,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(dim),
+            dim,
             (li.l_suppkey == dim.s_suppkey)
             & (customer.c_nationkey == dim.s_nationkey),
         )
@@ -233,8 +236,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -285,9 +288,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation_name"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("nation_name", "o_year")
         .agg(
@@ -328,7 +331,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(
@@ -405,7 +408,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -439,7 +442,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("raw_qty"))
         .where(F.col("raw_qty") > 300)

@@ -13,8 +13,12 @@ This module completes the classic TPC-H query-shape suite (Q2,4,8,11,12,
   (Q4/Q12/Q21);
 - no c_phone -> c_nationkey % 10 is the country code (Q22).
 
-Every query is expressed declaratively (Catalyst plans the joins) with
-dimension sides broadcast explicitly; correlated subqueries become
+Every query is expressed declaratively (Catalyst plans the joins).
+Broadcast policy: explicit `F.broadcast` ONLY on frames whose size is
+scale-invariant (nation=25, region=5 rows, single-row aggregates);
+everything that grows with SF (customer/supplier/part and frames keyed
+by them) is left to stats + AQE, which broadcast them at harness scale
+and fall back to shuffle joins at 100 TB. Correlated subqueries become
 window-min / broadcast-scalar joins, EXISTS/NOT EXISTS become
 left_semi/left_anti joins — the idiomatic Spark rewrites of each shape.
 Determinism rules follow operators/relational.py (round doubles in both
@@ -83,8 +87,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    joined = ps.join(F.broadcast(eu), ps.suppkey == eu.s_suppkey).join(
-        F.broadcast(part), ps.partkey == part.p_partkey
+    joined = ps.join(eu, ps.suppkey == eu.s_suppkey).join(
+        part, ps.partkey == part.p_partkey
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -188,10 +192,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "nation")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
-        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+        .join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             volume.alias("volume"),
@@ -236,7 +240,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
     ps = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("l_extendedprice").alias("value"))
     )
@@ -321,7 +325,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
         )
@@ -359,8 +363,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     psl = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        psl.join(F.broadcast(bad_supp), psl.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), psl.l_partkey == part.p_partkey)
+        psl.join(bad_supp, psl.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, psl.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -388,13 +392,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand") == "Brand#3"
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        li.join(thr, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -430,7 +434,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(
             bundle("Brand#1", 15, 1, 11)
             | bundle("Brand#2", 25, 10, 20)
@@ -471,14 +475,14 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     qualified = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 350)
         .select("l_suppkey")
     )
     return supplier.join(
-        F.broadcast(qualified), supplier.s_suppkey == qualified.l_suppkey, "left_semi"
+        qualified, supplier.s_suppkey == qualified.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -540,7 +544,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        waiting.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
