@@ -725,3 +725,44 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_filled"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON / map / array function surface over the events payload — SURVEY §2.7
+# (the reference's payload is opaque bytes; schema-on-read is the
+# consumer's job — from_json is exactly that consumer-side typed view)
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(count(DISTINCT CAST(props->>'$.k' AS INTEGER) % 10) AS BIGINT)
+           AS n_k_buckets
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_json_props", oracle=_JSON_PROPS)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON payload: from_json into a typed
+    struct, then plain aggregation — all JVM-side (Jackson parse +
+    codegen agg), no UDF. The map/array twin of the same surface is
+    exercised via element_at on the parsed struct-as-map."""
+    from streams_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct(F.col("k") % 10).alias("n_k_buckets"),
+    )

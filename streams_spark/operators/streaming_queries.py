@@ -199,3 +199,67 @@ def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("win.start").alias("window_start"), "n_events", "avg_value"
     )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+"""
+
+
+@register("st_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks within 10 min before a purchase by
+    the same user), both sides watermarked — Structured Streaming buffers
+    each side in the state store and the time-interval condition bounds
+    how long: click state older than (watermark - 10 min) is evicted, so
+    state stays proportional to the interval x rate, not the stream
+    length. With AvailableNow over bounded input nothing is late, so the
+    result equals the batch interval join the oracle states.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+    )

@@ -188,3 +188,40 @@ GROUP BY space, segment
 )
 def v_sequence_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return client.sequence_violations(event_log(spark, sf_dir))
+
+
+@register(
+    "v_produce_status",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       min(sequence) AS first_sequence,
+       max(sequence) AS last_sequence,
+       min(timestamp) AS first_timestamp,
+       max(timestamp) AS last_timestamp,
+       count(*) AS n_entries
+FROM events_log
+WHERE timestamp > TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY space, segment
+""",
+)
+def v_produce_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentStatus for a produce window: first/last sequence and
+    timestamp per segment of the batch — the reference's produce result
+    and notification payload (SegmentStatus —
+    /root/reference/server/messages.go:38-45, notify at
+    server/pebble/service.go:388-392). One partial-agg'd groupBy; the
+    min-timestamp bound stays a residual filter above sequence
+    assignment (it would renumber if pushed below)."""
+    log = event_log(spark, sf_dir)
+    return (
+        log.where(F.col("timestamp") > F.lit(OFFSET_TS))
+        .groupBy("space", "segment")
+        .agg(
+            F.min("sequence").alias("first_sequence"),
+            F.max("sequence").alias("last_sequence"),
+            F.min("timestamp").alias("first_timestamp"),
+            F.max("timestamp").alias("last_timestamp"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )

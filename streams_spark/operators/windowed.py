@@ -302,3 +302,51 @@ def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(c.event_id) AS n_clicks_before,
+       round(coalesce(sum(c."value"), 0), 2) AS click_value
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register("w_range_join", oracle=_RANGE_JOIN)
+def w_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: clicks in the 30 minutes before each purchase
+    by the same user. The equi key (user_id) hashes; the time band is the
+    join residual — the plan every range join wants (never a pure
+    non-equi cross product). At 100 TB add time bucketing to the equi key
+    (join on (user_id, hour) x adjacent buckets) to bound the per-key
+    candidate window."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id", F.col("p_user").alias("user_id")
+    ).agg(
+        F.count("c_id").alias("n_clicks_before"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
+    )
