@@ -1,0 +1,66 @@
+"""Skew-mitigation helpers: salted two-stage aggregation.
+
+AQE (enabled in session.py) re-plans skewed JOINS at runtime, but a
+skewed GROUP BY key still funnels every row of a hot key through one
+reducer in the final aggregate. Salting splits each key into
+`n_salts` sub-keys so the heavy partial aggregation spreads over the
+cluster, then merges the partials in a second (tiny) aggregate.
+
+Only algebraically decomposable aggregates can be salted this way:
+  sum   -> sum of partial sums        count -> sum of partial counts
+  min   -> min of partial mins        max   -> max of partial maxes
+  avg   -> sum(partial sum)/sum(partial count)  (rewritten explicitly)
+Spark's own partial aggregation does the same map-side — salting matters
+when the MERGE side skews, i.e. one key's partials dominate a reducer:
+with salt, the merge key space is |keys| x n_salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STAGE1 = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+_STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str | Column | None, str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation over `keys` with a random salt.
+
+    aggs: [(column_or_name_or_None, fn, alias)] with fn in
+    {'sum', 'count', 'min', 'max'}. Returns one row per key combination,
+    identical to ``df.groupBy(keys).agg(...)``.
+
+    The salt is `pmod(xxhash64(all columns referenced), n_salts)`-free:
+    a uniform random int per row (monotonically_increasing_id pmod) would
+    be non-deterministic under retries; instead we hash the row's key
+    columns PLUS a fast row discriminator (spark_partition_id,
+    monotonically_increasing_id) — determinism per task attempt is not
+    required for decomposable aggregates, only uniformity.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("__salt")
+    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[
+            _STAGE1[fn](col).alias(f"__p_{alias}")
+            for col, fn, alias in aggs
+        ]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            _STAGE2[fn](f"__p_{alias}").alias(alias)
+            for _, fn, alias in aggs
+        ]
+    )

@@ -766,3 +766,50 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct(F.col("k") % 10).alias("n_k_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation (skew mitigation) — proven equivalent to the
+# plain groupBy by sharing its oracle shape
+# ---------------------------------------------------------------------------
+
+_SALTED = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_salted_agg", oracle=_SALTED)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q1 aggregate computed through salted_agg (functions/skew.py):
+    each key splits into 16 salt sub-keys for the heavy partial stage,
+    then a tiny merge aggregate — the standard fix when one GROUP BY key
+    dominates (l_returnflag has 3 values over 600M rows at SF 100:
+    without salt, 3 reducers do all the merge work). The oracle proves
+    the rewrite is result-identical to the plain groupBy."""
+    from streams_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_quantity", "sum", "raw_sum_qty"),
+            (None, "count", "n_rows"),
+            ("l_extendedprice", "min", "raw_min_price"),
+            ("l_extendedprice", "max", "raw_max_price"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("raw_sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        F.round("raw_min_price", 2).alias("min_price"),
+        F.round("raw_max_price", 2).alias("max_price"),
+    )

@@ -179,3 +179,30 @@ def test_streaming_sequence_validation_state(spark, tmp_path):
     bad = sum(r.n_violations for r in collected)
     last = max(r.last_sequence for r in collected)
     assert (ok, bad, last) == (10, 0, 30)
+
+
+def test_produce_layout_partition_prunes(spark, tmp_path):
+    """The canonical log layout (partitionBy space) must turn a space
+    predicate into partition pruning, the Spark analog of the reference's
+    LSM key-range bounds (SURVEY.md §1.2): a consume of one space reads
+    only that space's files."""
+    import io
+    import contextlib
+
+    log_dir = str(tmp_path / "log")
+    ledger = str(tmp_path / "ledger")
+    sink = IdempotentLogSink(log_dir, ledger)
+    for i, sp in enumerate(["alpha", "beta", "gamma"]):
+        sink(_entries(spark, sp, "g0", range(1, 6)), batch_id=i)
+    log = read_event_log(spark, log_dir)
+    one_space = log.where(F.col("space") == "beta")
+    assert one_space.count() == 5
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_space.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the space predicate must appear as a partition filter on the scan,
+    # not (only) as a post-scan data filter
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("beta" in l or "space" in l for l in pf), pf
