@@ -84,9 +84,10 @@ class IdempotentLogSink:
     reference's pending-transaction window (service.go:722-758).
     """
 
-    def __init__(self, log_dir: str, ledger_dir: str) -> None:
+    def __init__(self, log_dir: str, ledger_dir: str, hub=None) -> None:
         self.log_dir = log_dir
         self.ledger_dir = ledger_dir
+        self.hub = hub  # optional SubscriptionHub for post-commit notify
         os.makedirs(ledger_dir, exist_ok=True)
 
     def _ledger_path(self, batch_id: int) -> str:
@@ -120,6 +121,11 @@ class IdempotentLogSink:
                 default=str,
             )
         os.rename(tmp, self._ledger_path(batch_id))
+        if self.hub is not None:
+            # post-commit notification, like the reference's
+            # notifySupervisor(SegmentStatus) after a committed chunk
+            # (/root/reference/server/pebble/service.go:388-392)
+            self.hub.notify_batch(batch_id, [r.asDict() for r in status])
 
     def statuses(self) -> list[dict]:
         out = []

@@ -206,3 +206,28 @@ def test_produce_layout_partition_prunes(spark, tmp_path):
     # not (only) as a post-scan data filter
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("beta" in l or "space" in l for l in pf), pf
+
+
+def test_subscriptions_route_keyed_dispatch(spark, tmp_path):
+    """SubscribeToSpace/SubscribeToSegment analog: post-commit
+    SegmentStatus notifications reach exactly the matching routes
+    (/root/reference/client.go:188-206)."""
+    from streams_spark.streaming.subscriptions import SubscriptionHub
+
+    hub = SubscriptionHub()
+    space_hits, seg_hits, other_hits = [], [], []
+    hub.subscribe_to_space("alpha", space_hits.append)
+    hub.subscribe_to_segment("alpha", "g0", seg_hits.append)
+    hub.subscribe_to_space("beta", other_hits.append)
+
+    sink = IdempotentLogSink(
+        str(tmp_path / "log"), str(tmp_path / "ledger"), hub=hub
+    )
+    sink(_entries(spark, "alpha", "g0", range(1, 6)), batch_id=0)
+    sink(_entries(spark, "alpha", "g1", range(1, 4)), batch_id=1)
+    sink(_entries(spark, "alpha", "g1", range(1, 4)), batch_id=1)  # dup: no-op
+
+    assert len(space_hits) == 2  # both alpha batches
+    assert len(seg_hits) == 1 and seg_hits[0].segment == "g0"
+    assert seg_hits[0].last_sequence == 5 and seg_hits[0].n_entries == 5
+    assert other_hits == []  # beta never produced
