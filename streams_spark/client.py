@@ -228,3 +228,82 @@ def sequence_violations(log: DataFrame) -> DataFrame:
             ).otherwise(0)
         ).alias("violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Write verbs (Produce / Publish)
+# ---------------------------------------------------------------------------
+
+
+def produce(
+    records: DataFrame,
+    log_dir: str,
+    last_sequences: DataFrame | None = None,
+    hub=None,
+) -> list:
+    """Validated, transactional bulk append; returns SegmentStatus rows.
+
+    Reference: Produce — /root/reference/client.go:126-147 with the server
+    pipeline of server/pebble/service.go:296-335 (peek tails → validate
+    `seq == last+1` → commit batch → notify). Here: stamp + validate
+    (streaming/produce.py), one atomic `partitionBy('space')` parquet
+    append (the durable commit), then post-commit hub notification.
+    Rejects the WHOLE batch on any contiguity violation, like
+    ERR_SEQUENCE_MISMATCH aborts the reference's transaction.
+
+    records: (space, segment, sequence, payload). last_sequences:
+    (space, segment, last_sequence) — pass `peek_all` output of the
+    current log, or None for an empty log.
+    """
+    from streams_spark.streaming.produce import stamp_records, validate_batch
+
+    stamped = stamp_records(records, last_sequences=last_sequences)
+    validate_batch(stamped)
+    out = stamped.drop("last_sequence", "expected", "valid")
+    out.write.mode("append").partitionBy("space").parquet(log_dir)
+    status = (
+        out.groupBy("space", "segment")
+        .agg(
+            F.min("sequence").alias("first_sequence"),
+            F.max("sequence").alias("last_sequence"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if hub is not None:
+        hub.notify_batch(-1, [r.asDict() for r in status])
+    return status
+
+
+def publish(
+    spark,
+    log_dir: str,
+    space: str,
+    segment: str,
+    payload: bytes,
+    log: DataFrame | None = None,
+    hub=None,
+) -> list:
+    """Single-event append with auto-assigned next sequence.
+
+    Reference: Publish — /root/reference/client.go:149-178 (peek last →
+    Sequence+1 → one-record Produce).
+    """
+    if log is not None:
+        tail = (
+            log.where((F.col("space") == space) & (F.col("segment") == segment))
+            .agg(F.max("sequence").alias("last_sequence"))
+            .collect()[0]
+        )
+        last = tail.last_sequence or 0
+    else:
+        last = 0
+    rec = spark.createDataFrame(
+        [(space, segment, last + 1, payload)],
+        "space string, segment string, sequence long, payload binary",
+    )
+    tails = spark.createDataFrame(
+        [(space, segment, last)],
+        "space string, segment string, last_sequence long",
+    )
+    return produce(rec, log_dir, last_sequences=tails, hub=hub)

@@ -231,3 +231,34 @@ def test_subscriptions_route_keyed_dispatch(spark, tmp_path):
     assert len(seg_hits) == 1 and seg_hits[0].segment == "g0"
     assert seg_hits[0].last_sequence == 5 and seg_hits[0].n_entries == 5
     assert other_hits == []  # beta never produced
+
+
+def test_client_produce_publish_roundtrip(spark, tmp_path):
+    """Produce/Publish parity: bulk append, auto-sequenced single event,
+    whole-batch rejection on a gap (client.go:126-178 semantics)."""
+    from streams_spark import client
+
+    log_dir = str(tmp_path / "plog")
+    recs = spark.createDataFrame(
+        [("s0", "g0", i, b"x") for i in range(1, 11)],
+        "space string, segment string, sequence long, payload binary",
+    )
+    status = client.produce(recs, log_dir)
+    assert status[0].first_sequence == 1 and status[0].last_sequence == 10
+
+    log = read_event_log(spark, log_dir)
+    st = client.publish(spark, log_dir, "s0", "g0", b"one-more", log=log)
+    assert st[0].first_sequence == 11 and st[0].last_sequence == 11
+    assert read_event_log(spark, log_dir).count() == 11
+
+    gap = spark.createDataFrame(
+        [("s0", "g0", 13, b"x")],
+        "space string, segment string, sequence long, payload binary",
+    )
+    tails = spark.createDataFrame(
+        [("s0", "g0", 11)], "space string, segment string, last_sequence long"
+    )
+    with pytest.raises(SequenceError):
+        client.produce(gap, log_dir, last_sequences=tails)
+    # rejected batch must not have written anything
+    assert read_event_log(spark, log_dir).count() == 11
