@@ -1,0 +1,213 @@
+"""Property-based tests (hypothesis) for operator laws.
+
+The reference has no property testing (SURVEY.md §5); these cover the
+invariants the oracle can't: laws that must hold for EVERY input, not
+just the fixture. Example counts are kept small — each example pays a
+Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streams_spark import client
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# small event logs: up to 3 spaces x 2 segments, sequences 1..n
+log_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["sp0", "sp1", "sp2"]),
+        st.sampled_from(["g0", "g1"]),
+        st.integers(min_value=0, max_value=500),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _mk_log(spark, rows):
+    # sequences assigned per (space, segment) in ts order — gapless by
+    # construction, mirroring event_log's mapping
+    from collections import defaultdict
+
+    counters: dict = defaultdict(int)
+    data = []
+    for sp, seg, off in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        counters[(sp, seg)] += 1
+        data.append(
+            (sp, seg, counters[(sp, seg)], BASE + dt.timedelta(seconds=off), b"x")
+        )
+    return spark.createDataFrame(
+        data,
+        "space string, segment string, sequence long, timestamp timestamp, "
+        "payload binary",
+    )
+
+
+@_SETTINGS
+@given(rows=log_strategy, lo=st.integers(0, 30), hi=st.integers(0, 30))
+def test_consume_segment_bounds_are_exclusive_inclusive(spark, rows, lo, hi):
+    """(min, max] on sequence bounds: count == #{seq : lo < seq <= hi}."""
+    log = _mk_log(spark, rows)
+    sp, seg = "sp0", "g0"
+    got = client.consume_segment(
+        log, sp, seg, min_sequence=lo, max_sequence=hi
+    ).count()
+    want = log.where(
+        (F.col("space") == sp)
+        & (F.col("segment") == seg)
+        & (F.col("sequence") > lo)
+        & (F.col("sequence") <= hi)
+    ).count()
+    assert got == want
+
+
+@_SETTINGS
+@given(rows=log_strategy)
+def test_consume_interleave_is_union_of_spaces(spark, rows):
+    """Multi-space consume == sum of per-space consumes (same bounds),
+    and its output is globally time-ordered."""
+    log = _mk_log(spark, rows)
+    spaces = [r.space for r in log.select("space").distinct().collect()]
+    inter = client.consume(log, offsets={s: None for s in spaces})
+    per_space = sum(
+        client.consume_space(log, s).count() for s in spaces
+    )
+    assert inter.count() == per_space
+    ts = [r.timestamp for r in inter.collect()]
+    assert ts == sorted(ts)
+
+
+@_SETTINGS
+@given(rows=log_strategy)
+def test_offset_resume_partitions_the_stream(spark, rows):
+    """For any offset taken from the stream itself: rows before it plus
+    rows after it == all rows, with no overlap (exclusive resume —
+    /root/reference/server/messages.go:119-123)."""
+    log = _mk_log(spark, rows)
+    space = "sp0"
+    all_rows = client.consume_space(log, space).collect()
+    if not all_rows:
+        return
+    mid = all_rows[len(all_rows) // 2]
+    offset = (mid.timestamp, mid.segment, mid.sequence)
+    after = client.consume_space(log, space, offset=offset).collect()
+    # rows strictly after the offset in (ts, segment, seq) order
+    key = lambda r: (r.timestamp, r.segment, r.sequence)
+    want = [r for r in all_rows if key(r) > key(mid)]
+    assert [key(r) for r in after] == [key(r) for r in want]
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(2, 8),
+)
+def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
+    """salted_agg is result-identical to groupBy().agg() for decomposable
+    aggregates, for any salt count (sums compared at 6dp — float
+    reassociation only)."""
+    from streams_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r.k: (round(r.s, 6), r.c, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (round(r.s, 6), r.c, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            [
+                ("v", "sum", "s"),
+                (None, "count", "c"),
+                ("v", "min", "mn"),
+                ("v", "max", "mx"),
+            ],
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert plain == salted
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_operator_matches_python_bruteforce(spark, texts):
+    """d_ngram_jaccard's join formulation == a literal python computation
+    of 3-gram Jaccard on any corpus (empty/short docs included)."""
+    from streams_spark.operators.dedup import JACCARD_T, hashed_shingle_sets
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # python truth
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    truth = set()
+    ss = [shingles(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(ss[i] & ss[j])
+            union = len(ss[i] | ss[j])
+            if union and inter / union >= JACCARD_T:
+                truth.add((i, j))
+
+    sh = hashed_shingle_sets(docs).withColumn("n", F.size("hs"))
+    ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    got = {
+        (r.da, r.db) for r in pairs.where(jac >= JACCARD_T).collect()
+    }
+    assert got == truth
