@@ -813,3 +813,26 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_min_price", 2).alias("min_price"),
         F.round("raw_max_price", 2).alias("max_price"),
     )
+
+
+_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS ((flag), (status)) — the shape
+    rollup/cube can't express (rollup is the prefix chain, cube the
+    power set). One pass, Expand + partial agg underneath."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

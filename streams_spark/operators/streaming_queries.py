@@ -263,3 +263,53 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").alias("click_ts"),
         F.col("p_ts").alias("purchase_ts"),
     )
+
+
+from streams_spark.sources.event_log import EVENT_LOG_CTE, event_log  # noqa: E402
+
+_SEQ_STATE_ORACLE = (
+    EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       count(*) AS n_ok,
+       CAST(0 AS BIGINT) AS n_violations,
+       max(sequence) AS last_sequence
+FROM events_log
+GROUP BY space, segment
+"""
+)
+
+
+@register("st_sequence_state", oracle=_SEQ_STATE_ORACLE)
+def st_sequence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: per-segment gapless-sequence
+    validation with applyInPandasWithState (the reference's produce-time
+    `seq == last+1` check, with last_sequence living in the state store
+    across micro-batches — SURVEY.md §2.5 'Stateful ops').
+
+    The event log (gapless by construction) is staged to parquet, then
+    re-read as a stream and validated under AvailableNow: every row must
+    be accepted (n_ok == segment count, zero violations, last == max) —
+    which is what the oracle asserts relationally.
+    """
+    import tempfile
+
+    from streams_spark.streaming.state import streaming_sequence_validation
+
+    log = event_log(spark, sf_dir).select(
+        "space", "segment", "sequence", "timestamp"
+    )
+    stage_dir = tempfile.mkdtemp(prefix="seqstate_")
+    log.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(log.schema).parquet(stage_dir)
+    validated = streaming_sequence_validation(stream)
+    sink = f"seqstate_{uuid.uuid4().hex[:8]}"
+    q = (
+        validated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
