@@ -262,3 +262,40 @@ def test_client_produce_publish_roundtrip(spark, tmp_path):
         client.produce(gap, log_dir, last_sequences=tails)
     # rejected batch must not have written anything
     assert read_event_log(spark, log_dir).count() == 11
+
+
+def test_store_compact_preserves_data_and_reduces_files(spark, tmp_path):
+    """compact() is the LSM-compaction analog: many small produce files
+    per space collapse to one sorted file, data and layout contract
+    (partitionBy space, ordered (segment, sequence)) preserved; spaces
+    outside the compaction set keep their files."""
+    from streams_spark import store
+
+    log_dir = str(tmp_path / "clog")
+    for b in range(5):  # 5 small appends per space
+        for sp in ["alpha", "beta"]:
+            store.write_event_log(
+                _entries(spark, sp, f"g{b % 2}", range(b * 10 + 1, b * 10 + 11)),
+                log_dir,
+            )
+    before = store.log_file_stats(spark, log_dir)
+    assert before["alpha"] == 5 and before["beta"] == 5
+    total_before = store.read_event_log(spark, log_dir).count()
+
+    store.compact(spark, log_dir, spaces=["alpha"])
+    after = store.log_file_stats(spark, log_dir)
+    assert after["alpha"] == 1        # compacted
+    assert after["beta"] == 5         # untouched
+    df = store.read_event_log(spark, log_dir)
+    assert df.count() == total_before
+    # layout contract: the compacted file is internally ordered by
+    # (segment, sequence) — read the single file directly, no sort
+    import os as _os
+
+    part_dir = _os.path.join(log_dir, "space=alpha")
+    [fname] = [f for f in _os.listdir(part_dir) if f.endswith(".parquet")]
+    raw = spark.read.parquet(_os.path.join(part_dir, fname)).select(
+        "segment", "sequence"
+    )
+    rows = [(r.segment, r.sequence) for r in raw.collect()]
+    assert rows == sorted(rows)
