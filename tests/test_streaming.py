@@ -299,3 +299,42 @@ def test_store_compact_preserves_data_and_reduces_files(spark, tmp_path):
     )
     rows = [(r.segment, r.sequence) for r in raw.collect()]
     assert rows == sorted(rows)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with ZERO shuffle — the
+    write-once/co-located-forever layout for repeatedly joined facts."""
+    import contextlib
+    import io
+
+    from streams_spark import store
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path / 'warehouse'}'"
+    )
+    li = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v1")
+    )
+    orders = spark.range(0, 500).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v2")
+    )
+    store.write_bucketed(li, "bktest.t_left", ["k"], n_buckets=8)
+    store.write_bucketed(orders, "bktest.t_right", ["k"], n_buckets=8)
+    # disable broadcast so the join strategy is decided by layout alone
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bktest.t_left").join(
+            spark.table("bktest.t_right"), "k"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(True)
+        plan = buf.getvalue()
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in physical, physical
+        assert joined.count() == 5000  # 10 left x 5 right per key x 100 keys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktest.t_left")
+        spark.sql("DROP TABLE IF EXISTS bktest.t_right")
