@@ -134,3 +134,59 @@ class IdempotentLogSink:
                 with open(os.path.join(self.ledger_dir, name)) as f:
                     out.append(json.load(f))
         return out
+
+
+def streaming_produce(
+    spark,
+    records_dir: str,
+    log_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    hub=None,
+    max_files_per_trigger: int = 1,
+):
+    """The full reference produce pipeline as one streaming query:
+    records stream in → per chunk: peek current tails → stamp + validate
+    contiguity → idempotent commit → SegmentStatus notification.
+
+    Mirrors /root/reference/server/pebble/service.go:296-335 end to end:
+    ChunkByCount becomes maxFilesPerTrigger micro-batching, the WAL+2PC
+    becomes the batchId ledger, notifySupervisor becomes the hub. A chunk
+    with a sequence gap aborts the query (the transaction), leaving the
+    log exactly as it was — rejection is all-or-nothing per chunk.
+
+    Returns the StreamingQuery (AvailableNow: drains existing records and
+    stops; re-run after new records arrive for ConsumerContext-style
+    tailing).
+    """
+    from streams_spark import client
+
+    sink = IdempotentLogSink(log_dir, ledger_dir, hub=hub)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if sink.committed(batch_id):
+            return
+        try:
+            log = batch_df.sparkSession.read.parquet(log_dir)
+            tails = client.peek_all(log).select(
+                "space", "segment", F.col("sequence").alias("last_sequence")
+            )
+        except Exception:  # first batch: no log yet
+            tails = None
+        stamped = stamp_records(batch_df, last_sequences=tails)
+        validate_batch(stamped)
+        sink(stamped.drop("last_sequence", "expected", "valid"), batch_id)
+
+    stream = (
+        spark.readStream.schema(
+            "space string, segment string, sequence long, payload binary"
+        )
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(records_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -338,3 +338,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bktest.t_left")
         spark.sql("DROP TABLE IF EXISTS bktest.t_right")
+
+
+def test_streaming_produce_end_to_end(spark, tmp_path):
+    """readStream(records) → chunk → peek tails → stamp/validate →
+    idempotent commit → notifications: the whole reference produce
+    pipeline (service.go:296-335) as one streaming query."""
+    from streams_spark.streaming.produce import streaming_produce
+    from streams_spark.streaming.subscriptions import SubscriptionHub
+
+    records_dir = str(tmp_path / "records")
+    log_dir = str(tmp_path / "log")
+
+    def stage(seqs):
+        spark.createDataFrame(
+            [("s0", "g0", i, b"x") for i in seqs],
+            "space string, segment string, sequence long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(records_dir)
+
+    hub = SubscriptionHub()
+    statuses = []
+    hub.subscribe_to_space("s0", statuses.append)
+
+    stage(range(1, 11))
+    q = streaming_produce(
+        spark, records_dir, log_dir,
+        str(tmp_path / "ledger"), str(tmp_path / "ckpt"), hub=hub,
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(log_dir)
+    assert log.count() == 10
+    assert [s.last_sequence for s in statuses] == [10]
+
+    # second drain resumes from the committed tail (11 valid after 10)
+    stage(range(11, 16))
+    q = streaming_produce(
+        spark, records_dir, log_dir,
+        str(tmp_path / "ledger"), str(tmp_path / "ckpt"), hub=hub,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(log_dir).count() == 15
+    assert statuses[-1].last_sequence == 15
+    # the committed log is gapless end to end
+    seqs = sorted(
+        r.sequence for r in spark.read.parquet(log_dir).collect()
+    )
+    assert seqs == list(range(1, 16))
