@@ -151,3 +151,95 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         sample, schema="doc_id long, frame_no int, payload_len long"
     )
+
+
+_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         64 + octet_length(encode(text)) % 577 AS w,
+         64 + (octet_length(encode(text)) * 31) % 419 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(floor(w * least(224.0 / w, 224.0 / h)) AS INTEGER) AS out_width,
+       CAST(floor(h * least(224.0 / w, 224.0 / h)) AS INTEGER) AS out_height
+FROM m
+"""
+
+
+@register("m_resize", oracle=_RESIZE_ORACLE)
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit (224x224, aspect preserved) for every image blob:
+    decode dims (fake codec) + the exact scaling arithmetic a real
+    PIL.thumbnail/torchvision.Resize step performs, in one mapInPandas
+    pass — at scale this is the canonical image-preprocessing stage
+    (decode -> resize -> re-encode) with only the codec call faked."""
+    media = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, _ = _fake_decode(payload)
+                scale = min(224.0 / w, 224.0 / h)
+                rows.append((doc_id, w, h, int(w * scale), int(h * scale)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height"],
+            )
+
+    return media.mapInPandas(
+        resize,
+        schema="doc_id long, width int, height int, out_width int, out_height int",
+    )
+
+
+_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ascii(substr(text, i, 1)))) AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       round(CAST(byte_sum AS DOUBLE) / n, 4) AS mean_byte,
+       CAST(byte_sum % 256 AS INTEGER) AS hash_bucket
+FROM m
+"""
+
+
+@register("m_feature_extract", oracle=_FEATURES_ORACLE)
+def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over raw blobs (size, mean byte value, content
+    bucket) — the shape of a real embed-the-bytes stage (CLIP/wav2vec
+    would replace the arithmetic; the Arrow batch plumbing, schema, and
+    fan-in are what this verifies)."""
+    media = media_table(spark, sf_dir)
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                s = sum(payload)
+                rows.append((doc_id, n, (s / n) if n else 0.0, s % 256))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "mean_byte", "hash_bucket"]
+            )
+
+    out = media.mapInPandas(
+        feats,
+        schema="doc_id long, n_bytes long, mean_byte double, hash_bucket int",
+    )
+    # round JVM-side: python round() is banker's (half-even) and diverges
+    # from SQL half-away-from-zero on exact .00005 boundaries
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        "hash_bucket",
+    )
