@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streams_spark.functions.text_funcs import tokens, word_shingles
+from streams_spark.functions.text_funcs import tokens
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 

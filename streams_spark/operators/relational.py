@@ -20,7 +20,7 @@ aggregations are partial (map-side combine) by construction in Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_spark.registry import register

@@ -14,7 +14,6 @@ from-time / from-offset), expressed as filters on the streamed log.
 from __future__ import annotations
 
 import datetime as _dt
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
