@@ -313,3 +313,51 @@ def st_sequence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+_STREAM_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+       round(e."value", 4) AS value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id % 1000
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("st_stream_enrich", oracle=_STREAM_ENRICH_ORACLE)
+def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming side joins a static
+    dimension snapshot per micro-batch — no state store involved (only
+    stream-stream joins buffer), so this scales as a plain broadcast/
+    shuffle join per batch. The canonical 'attach user profile to each
+    event' pipeline stage.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("event_type") == "purchase")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        customer, customer.c_custkey == stream.user_id % 1000
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "c_mktsegment",
+        F.round("value", 4).alias("value"),
+    )
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -300,3 +300,53 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash (Karp-Rabin) document fingerprint
+# ---------------------------------------------------------------------------
+
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+
+_ROLLING_HASH = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}) AS full_hash,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       full_hash,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(full_hash % 997 AS INTEGER) AS shard
+FROM h
+"""
+
+
+@register("t_rolling_hash", oracle=_ROLLING_HASH)
+def t_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin polynomial rolling hash of the full document
+    (h = fold(h*B + c mod M) over the character stream) — the incremental
+    fingerprint primitive behind content-defined chunking and winnowing
+    (t_fingerprint holds the min-k winnowed variant). Exact integer mod
+    arithmetic, so the fold is engine-independent; one linear pass per
+    doc, no shuffle. The derived shard (hash mod 997) is the routing key
+    a content-addressed dedup store would partition by.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    full_hash = F.expr(
+        f"aggregate(transform(sequence(1, length(text)), "
+        f"i -> cast(ascii(substr(text, i, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})"
+    )
+    return docs.select(
+        "doc_id",
+        full_hash.alias("full_hash"),
+        F.length("text").alias("n_chars"),
+        (full_hash % 997).cast("int").alias("shard"),
+    )

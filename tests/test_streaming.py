@@ -186,26 +186,20 @@ def test_produce_layout_partition_prunes(spark, tmp_path):
     predicate into partition pruning, the Spark analog of the reference's
     LSM key-range bounds (SURVEY.md §1.2): a consume of one space reads
     only that space's files."""
-    import io
-    import contextlib
-
     log_dir = str(tmp_path / "log")
     ledger = str(tmp_path / "ledger")
     sink = IdempotentLogSink(log_dir, ledger)
     for i, sp in enumerate(["alpha", "beta", "gamma"]):
         sink(_entries(spark, sp, "g0", range(1, 6)), batch_id=i)
+    from streams_spark.plans.inspect import partition_filters
+
     log = read_event_log(spark, log_dir)
     one_space = log.where(F.col("space") == "beta")
     assert one_space.count() == 5
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        one_space.explain(True)
-    plan = buf.getvalue()
-    assert "PartitionFilters" in plan
     # the space predicate must appear as a partition filter on the scan,
     # not (only) as a post-scan data filter
-    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert any("beta" in l or "space" in l for l in pf), pf
+    pf = partition_filters(one_space)
+    assert pf and any("beta" in l or "space" in l for l in pf), pf
 
 
 def test_subscriptions_route_keyed_dispatch(spark, tmp_path):
@@ -304,10 +298,8 @@ def test_store_compact_preserves_data_and_reduces_files(spark, tmp_path):
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key join with ZERO shuffle — the
     write-once/co-located-forever layout for repeatedly joined facts."""
-    import contextlib
-    import io
-
     from streams_spark import store
+    from streams_spark.plans.inspect import assert_no_shuffle
 
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path / 'warehouse'}'"
@@ -327,12 +319,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         joined = spark.table("bktest.t_left").join(
             spark.table("bktest.t_right"), "k"
         )
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            joined.explain(True)
-        plan = buf.getvalue()
-        physical = plan.split("== Physical Plan ==")[-1]
-        assert "Exchange" not in physical, physical
+        assert_no_shuffle(joined)
         assert joined.count() == 5000  # 10 left x 5 right per key x 100 keys
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
