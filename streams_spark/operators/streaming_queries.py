@@ -361,3 +361,45 @@ def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), ':', event_type))
+    AS content_hash
+FROM events
+"""
+
+
+@register("st_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on a content hash with a
+    watermark bounding the dedup state — the exactly-once ingestion gate
+    of a training-data pipeline (same key arriving within the watermark
+    horizon is dropped; state for expired keys is evicted, so the store
+    does not grow with the stream). Output is the distinct key set, which
+    is order-independent and equals the batch DISTINCT the oracle states.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn(
+            "content_hash",
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"), "event_type")),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["content_hash"])
+        .select("content_hash")
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
