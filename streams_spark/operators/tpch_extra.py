@@ -77,15 +77,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
     )
-    ps = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     eu = (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # prune BEFORE the wide (partkey, suppkey) aggregate: the correlated
+    # min only ranges over EU suppliers, and only filtered parts are ever
+    # output — both semi-joins shrink the aggregate's input and group
+    # count by the joint selectivity (semantics-preserving)
+    li_pruned = li.join(
+        eu.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    ).join(
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    ps = li_pruned.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
     joined = ps.join(eu, ps.suppkey == eu.s_suppkey).join(
         part, ps.partkey == part.p_partkey
