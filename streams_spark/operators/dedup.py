@@ -467,3 +467,42 @@ def d_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(tile, "doc_a long, doc_b long, cos_sim double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling (training-data pipelines subsample constantly)
+# ---------------------------------------------------------------------------
+
+_SYSTEMATIC = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 20 = 7
+"""
+
+
+@register("d_sample_systematic", oracle=_SYSTEMATIC)
+def d_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample keyed on doc_id — deterministic,
+    engine-independent, join-stable (the same docs are sampled in every
+    table that carries doc_id). The right sampling mode when reproducible
+    subsets matter more than statistical independence; pushes to the scan
+    as a filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 20 == 7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register("d_sample_stratified", oracle=None)  # seeded RNG is engine-specific
+def d_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: fixed per-language fractions via sampleBy with a
+    fixed seed (deterministic within Spark; no oracle because seeded RNG
+    streams are engine-specific). The balance check in tests verifies the
+    per-stratum rates land near the targets."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    return (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

@@ -836,3 +836,39 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_ARRAY_MAP = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       w[1] AS first_token,
+       w[len(w)] AS last_token,
+       array_to_string(list_sort(w[1:3]), ',') AS first3_sorted,
+       CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS n_long,
+       CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
+       array_to_string(list_reverse(w[1:2]), ',') AS rev2
+FROM d
+"""
+
+
+@register("q_array_functions", oracle=_ARRAY_MAP)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY §2.7: absent in the reference,
+    Spark built-ins here): element access, slice, sort, filter,
+    contains, reverse — all codegen'd, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.element_at(w, 1).alias("first_token"),
+        F.element_at(w, -1).alias("last_token"),
+        F.concat_ws(",", F.array_sort(F.slice(w, 1, 3))).alias("first3_sorted"),
+        F.size(F.filter(w, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.concat_ws(",", F.reverse(F.slice(w, 1, 2))).alias("rev2"),
+    )

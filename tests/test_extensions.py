@@ -74,3 +74,32 @@ def test_exact_dedup_consistency(spark, sf_dir):
     groups = _rows(spark, sf_dir, "d_exact_dup_groups")
     dup_rows = sum(r.n_copies - 1 for r in groups)
     assert stats.n_dup_rows == dup_rows
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """sampleBy hits the requested per-stratum fractions within
+    binomial noise (3 sigma)."""
+    from streams_spark.registry import load_all
+
+    sampled = {
+        r.lang: r.n_sampled
+        for r in load_all()["d_sample_stratified"].fn(spark, sf_dir).collect()
+    }
+    from streams_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    for lang, frac in fractions.items():
+        n = totals.get(lang, 0)
+        if n < 20:
+            continue
+        got = sampled.get(lang, 0)
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got - n * frac) <= 3 * sigma + 1, (lang, got, n * frac)

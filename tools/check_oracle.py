@@ -55,6 +55,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
+    # dtype parity (the driver records schema, not just names): flag
+    # int-width / float-vs-int drift that string comparison would hide
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok and {sk, ok} != {"O"}:
+            problems.append(f"col {c}: dtype kind differs spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    if problems:
+        return problems
     if len(sdf) != len(odf):
         problems.append(f"rowcount differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
