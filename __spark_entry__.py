@@ -23,12 +23,34 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Uses the event-log verb surface (consume interleaved across spaces) —
-    the reference's signature operation (SURVEY.md §3.3) — fused with a
-    relational aggregation the reference cannot do.
+    The reference's signature operation (multi-space time-interleaved
+    consume — SURVEY.md §3.3) fused with what it cannot do: enrich each
+    consumed event with a dimension (customer segment) and aggregate
+    revenue per (space, hour, market segment) — one declarative plan,
+    pruned and broadcast by Catalyst.
     """
+    from pyspark.sql import functions as F
+
+    from streams_spark.sources.tables import load_table
+
     registry = load_all()
-    return registry["v_consume_interleave"].fn(spark, SF0001)
+    consumed = registry["v_consume_interleave"].fn(spark, SF0001)
+    customer = load_table(spark, SF0001, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        consumed.join(customer, consumed.user_id % 1000 == customer.c_custkey)
+        .groupBy(
+            "space",
+            F.date_trunc("hour", "timestamp").alias("hour"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("sequence").alias("max_sequence"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
