@@ -506,3 +506,99 @@ def d_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster formation: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), near AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles) - p.n_common) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM near
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("d_dup_clusters", oracle=_DUP_CLUSTERS)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    cluster-formation step a dedup pipeline needs before survivor
+    selection (keep min doc_id per cluster, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; fixpoint when no label
+    changes. Rounds = graph diameter (near-dup clusters are near-cliques,
+    so 1-3 rounds in practice); each round is ONE shuffle-join + ONE
+    aggregate, all DataFrame ops — the driver loop only checks the
+    convergence count, never touches row data. The oracle is the same
+    fixpoint expressed as a DuckDB recursive CTE.
+
+    At 100 TB: this is the standard MapReduce CC algorithm (min-label;
+    see also large-star/small-star for skewed degree distributions) —
+    every round is an edges ⋈ labels hash join partitioned on node id.
+    localCheckpoint() truncates the growing lineage each round.
+    """
+    pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # >= any real dup-cluster diameter; loop exits early
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("label") != F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                )).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
