@@ -350,3 +350,53 @@ def w_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_id").alias("n_clicks_before"),
         F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
     )
+
+
+@register("w_range_join_bucketed", oracle=_RANGE_JOIN)
+def w_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval join with the 100 TB formulation w_range_join's
+    docstring promises: the probe side fans out to its own and the next
+    30-minute bucket, so the equi key becomes (user_id, bucket) and each
+    hash group holds at most one interval-width of candidates per user —
+    per-key work is bounded by the interval x event rate, not the user's
+    whole history. Proven result-identical by sharing w_range_join's
+    oracle.
+    """
+    bucket_s = 30 * 60  # bucket width == interval width
+    ev = load_table(spark, sf_dir, "events")
+    # clicks land in their own bucket; purchases probe their bucket and
+    # the previous one (a click up to 30 min earlier can be 1 bucket back)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
+        (F.unix_seconds("ts") / bucket_s).cast("long").alias("bucket"),
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            (F.unix_seconds("ts") / bucket_s).cast("long").alias("pb"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (p.bucket == c.bucket)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    # a click can match the same purchase through only one bucket, so no
+    # dedup is needed; purchases with no match in either bucket still
+    # appear once per probed bucket -> aggregate over purchase_id collapses
+    return joined.groupBy(
+        "purchase_id", F.col("p_user").alias("user_id")
+    ).agg(
+        F.count("c_id").alias("n_clicks_before"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
+    )
