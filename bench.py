@@ -29,11 +29,14 @@ HEADLINE = [
     "w_topk_suppliers_per_nation",
     "w_sessionize",
     "w_asof_purchase_click",
+    "w_range_join_bucketed",
     "w_tumbling_hourly",
+    "q_json_props",
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "d_simhash",
     "d_embedding_cosine",
+    "d_dup_clusters",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "t_text_stats",
