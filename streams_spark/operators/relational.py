@@ -872,3 +872,45 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(w, "the").alias("has_the"),
         F.concat_ws(",", F.reverse(F.slice(w, 1, 2))).alias("rev2"),
     )
+
+
+_MAP_FUNCS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_k,
+       CAST(min(map_size) AS INTEGER) AS min_map_size,
+       CAST(max(map_size) AS INTEGER) AS max_map_size
+FROM (
+  SELECT event_type,
+         CAST(props->>'$.k' AS INTEGER) AS k_val,
+         len(json_keys(props)) AS map_size
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("q_map_functions", oracle=_MAP_FUNCS)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface over the payload (the reference's metadata is
+    map<string,string> — server/messages.go:66): parse JSON to a map,
+    then element_at / map_keys / size — all JVM built-ins."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(
+            "event_type",
+            F.element_at(m, "k").alias("k_val"),
+            F.size(F.map_keys(m)).alias("map_size"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k_val").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_k"
+            ),
+            F.min("map_size").alias("min_map_size"),
+            F.max("map_size").alias("max_map_size"),
+        )
+    )
