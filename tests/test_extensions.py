@@ -103,3 +103,40 @@ def test_stratified_sample_rates(spark, sf_dir):
         got = sampled.get(lang, 0)
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(got - n * frac) <= 3 * sigma + 1, (lang, got, n * frac)
+
+
+def test_dup_cluster_label_propagation_on_chain(spark, tmp_path):
+    """Min-label propagation must converge on a CHAIN (worst-case
+    diameter), not just on cliques: docs 0-1-2-3-4 pairwise-similar only
+    to neighbors all land in cluster 0, and a separate pair lands in its
+    own cluster."""
+    import streams_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    # build texts so consecutive docs share >50% 3-gram overlap but
+    # non-neighbors don't: sliding windows over a long word sequence
+    # stride-2 windows of width 12: neighbors share 10 tokens (J≈0.67),
+    # skip-neighbors share 8 (J≈0.43 < 0.5) — a true chain of diameter 4
+    words = [f"w{i}" for i in range(40)]
+    texts = {i: " ".join(words[i * 2 : i * 2 + 12]) for i in range(5)}
+    texts[10] = "zz aa bb cc dd ee ff gg"
+    texts[11] = "zz aa bb cc dd ee ff hh"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    import streams_spark.sources.tables as T
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, name: docs  # only documents is read
+        D.load_table = T.load_table
+        out = {
+            r.doc_id: r.cluster_id
+            for r in D.d_dup_clusters(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+        D.load_table = orig
+    chain = {d: c for d, c in out.items() if d < 5}
+    assert set(chain.values()) == {0}, out  # whole chain collapses to min id
+    assert out.get(10) == 10 and out.get(11) == 10, out
