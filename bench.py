@@ -42,6 +42,7 @@ HEADLINE = [
     "t_text_stats",
     "t_token_count",
     "t_fingerprint",
+    "t_contamination",
     "m_decode_media",
     "st_tumbling_stream",
 ]

@@ -21,12 +21,17 @@ def tokens(text: Column | str) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles: one array per document, built with
-    sequence+transform (codegen'd, no explode until the caller wants one)."""
+    sequence+transform (codegen'd, no explode until the caller wants one).
+
+    try_element_at (not element_at): docs shorter than n tokens produce
+    one truncated shingle — NULL positions are skipped by concat_ws,
+    matching the SQL oracle's out-of-range list index → NULL behavior
+    (ANSI element_at would throw instead)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
+                " ", *[F.try_element_at(toks, i + k) for k in range(n)]
             ),
         )
     )

@@ -107,6 +107,30 @@ WHERE CAST(p.n_common AS DOUBLE)
 
 JACCARD_T = 0.5
 
+# One cached signature table per (session, sf_dir) feeds every dedup stage
+# (Jaccard join, MinHash sigs, LSH verify, cluster formation): the
+# in-memory analog of the materialized signature table a 100 TB pipeline
+# maintains next to the corpus — computed once, reused by every consumer.
+_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def clear_shingle_cache() -> None:
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_CACHE.clear()
+
+
+def shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = hashed_shingle_sets(load_table(spark, sf_dir, "documents"), n).cache()
+        _SHINGLE_CACHE[key] = df
+    return df
+
 
 def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, hs) where hs = sorted xxhash64s of the distinct n-gram
@@ -156,12 +180,11 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping hashes above HOT_SHINGLE_CAP docs (a standard SimHash/PPJoin
     concession — such shingles carry ~zero Jaccard signal).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # cache: the signature table feeds BOTH sides of the self-join, and a
-    # self-join re-plans (and re-executes) each side after attribute
-    # dedup — without this the builder runs twice. ~8 B x shingles x docs;
-    # at 100 TB scale this is the materialized signature table instead.
-    sh = hashed_shingle_sets(docs).withColumn("n", F.size("hs")).cache()
+    # cached signature table (shared session-wide — see shingle_table):
+    # the self-join re-plans (and would re-execute) each side after
+    # attribute dedup — the cache makes the builder run once. ~8 B x
+    # shingles x docs; at 100 TB this is the materialized signature table.
+    sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
     ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -246,9 +269,9 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # one cached signature-set table feeds signature building, both sides
-    # of the band self-join, and the verify stage
-    sh_cached = hashed_shingle_sets(docs).cache()
+    # one cached signature-set table (shared session-wide) feeds signature
+    # building, both sides of the band self-join, and the verify stage
+    sh_cached = shingle_table(spark, sf_dir)
     sigs = minhash_signatures(docs, sh=sh_cached)
     # band hash: one row per (doc, band) — 16 rows/doc
     bands = sigs.select(

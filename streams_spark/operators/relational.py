@@ -558,6 +558,68 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_percentile", oracle=None)  # t-digest/GK sketches differ
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy 10000) — no
+    oracle: quantile sketches are engine-specific (DuckDB uses t-digest).
+    Rows-only check here; tests/ bounds it against the exact
+    q_percentiles twin. The sketch is the 100 TB path: exact percentile
+    materializes the full sorted group, GK merges bounded-size summaries
+    map-side and ships one small state per group through the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 4
+        ).alias("median_qty"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
+        ).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide measures → long metric/value rows)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT = """
+WITH w AS (
+  SELECT l_returnflag,
+         round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_extendedprice * l_discount), 2) AS sum_disc_value
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_disc_value' AS metric, sum_disc_value AS value FROM w
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-flag measure columns into long
+    (metric, value) rows — the inverse of q_pivot_linestatus, and the
+    shape feature stores and metric sinks want. DataFrame.unpivot is a
+    zero-shuffle Expand (each input row fans out to k metric rows
+    map-side); the only exchange is the upstream aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "sum_disc_value"
+        ),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc_value"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -303,6 +303,153 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus n-gram document frequency (memorization / boilerplate analysis)
+# ---------------------------------------------------------------------------
+
+NGRAM_FREQ_N = 3
+NGRAM_FREQ_MIN_DF = 5
+
+_NGRAM_FREQ = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - {NGRAM_FREQ_N - 1}, 1) + 1),
+             i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(NGRAM_FREQ_N))})))
+             AS shingle
+  FROM d
+)
+SELECT shingle,
+       count(DISTINCT doc_id) AS doc_freq,
+       count(*) AS total_count
+FROM ex GROUP BY shingle
+HAVING count(DISTINCT doc_id) >= {NGRAM_FREQ_MIN_DF}
+"""
+
+
+@register("t_ngram_freq", oracle=_NGRAM_FREQ)
+def t_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram document frequency: every 3-gram appearing in
+    >= NGRAM_FREQ_MIN_DF distinct documents, with occurrence totals — the
+    boilerplate/memorization census a training pipeline runs to find
+    over-represented spans (license headers, nav chrome, chain letters)
+    before they skew the model.
+
+    Scale path: ONE logical shuffle on the shingle key with map-side
+    partial aggregation; a threshold (not top-k) keeps the result
+    deterministic and the plan limit-free. At 100 TB the long tail of
+    df=1 shingles never survives the partial aggregate's combiner."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (NGRAM_FREQ_N - 1), F.lit(1))
+        ),
+        lambda i: F.array_join(F.slice(toks, i, NGRAM_FREQ_N), " "),
+    )
+    ex = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    return (
+        ex.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+        .where(F.col("doc_freq") >= NGRAM_FREQ_MIN_DF)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: 13-gram overlap against a probe set
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 13  # the standard decontamination n-gram size (GPT-3 appendix C)
+
+_CONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - {CONTAM_N - 1}, 1) + 1),
+             i -> md5(concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(CONTAM_N))}))))
+             AS g
+  FROM d
+), probe AS (
+  SELECT DISTINCT unnest(g) AS h FROM sh WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT doc_id, len(g) AS n_ngrams, unnest(g) AS h FROM sh WHERE doc_id % 10 <> 0
+)
+SELECT doc_id,
+       count(*) AS n_overlap,
+       CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
+       round(CAST(count(*) AS DOUBLE) / min(n_ngrams), 6) AS contaminated_frac
+FROM corpus JOIN probe USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("t_contamination", oracle=_CONTAMINATION)
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    13-gram with a probe set (here a deterministic 10% id-slice standing
+    in for an eval benchmark). Returns contaminated docs with overlap
+    counts and the contaminated fraction of their distinct 13-grams.
+
+    Scale design: shingles are hashed so the join key is a fixed-width
+    long, not an ~80-char string — and hashed AFTER the explode, as a
+    codegen'd column (hash calls inside a higher-order-function lambda
+    are interpreted per element: measured 3x the whole query). The hash
+    is an internal join key only — the output is counts — so Spark uses
+    xxhash64 while the oracle uses md5; both are collision-free here, so
+    the counts agree. The shingle builder is slice+array_join (one
+    interpreted call per position) rather than n element_at calls.
+    In production the probe side is a fixed benchmark suite — tiny and
+    scale-invariant — so it gets F.broadcast and the whole check is a
+    map-only scan over the corpus; here the probe grows with the corpus
+    (an id-slice), so the join is left to AQE rather than
+    force-broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(toks) - (CONTAM_N - 1), F.lit(1)),
+            ),
+            lambda i: F.array_join(F.slice(toks, i, CONTAM_N), " "),
+        )
+    )
+    # one pass builds the exploded+hashed signature stream; cached because
+    # the probe and corpus branches both consume it
+    sig = (
+        docs.select(
+            "doc_id",
+            F.size(grams).alias("n_ngrams"),
+            F.explode(grams).alias("s"),
+        )
+        .select("doc_id", "n_ngrams", F.xxhash64("s").alias("h"))
+        .cache()
+    )
+    probe = sig.where(F.col("doc_id") % 10 == 0).select("h").distinct()
+    corpus = sig.where(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(probe, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.min("n_ngrams").cast("long").alias("n_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_ngrams",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_ngrams"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash (Karp-Rabin) document fingerprint
 # ---------------------------------------------------------------------------
 

@@ -127,6 +127,7 @@ def test_dup_cluster_label_propagation_on_chain(spark, tmp_path):
 
     import streams_spark.sources.tables as T
     orig = T.load_table
+    D.clear_shingle_cache()  # don't reuse real-corpus signatures
     try:
         T.load_table = lambda _s, _d, name: docs  # only documents is read
         D.load_table = T.load_table
@@ -137,6 +138,52 @@ def test_dup_cluster_label_propagation_on_chain(spark, tmp_path):
     finally:
         T.load_table = orig
         D.load_table = orig
+        D.clear_shingle_cache()  # drop the fake-corpus signatures
     chain = {d: c for d, c in out.items() if d < 5}
     assert set(chain.values()) == {0}, out  # whole chain collapses to min id
     assert out.get(10) == 10 and out.get(11) == 10, out
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """GK sketch at accuracy=10000 must land within 1% of the exact
+    percentile on the test corpus (it is exact up to rank error n/10000,
+    which is sub-row here — allow 1% for interpolation differences:
+    percentile() interpolates between ranks, the sketch returns a real
+    element)."""
+    exact = {r.l_returnflag: r for r in _rows(spark, sf_dir, "q_percentiles")}
+    approx = {
+        r.l_returnflag: r for r in _rows(spark, sf_dir, "q_approx_percentile")
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.median_qty - e.median_qty) <= 0.01 * max(e.median_qty, 1)
+        assert abs(a.p90_price - e.p90_price) <= 0.01 * max(e.p90_price, 1)
+
+
+def test_contamination_flags_constructed_overlap(spark):
+    """A corpus doc sharing exactly one 13-gram with a probe doc is
+    flagged with n_overlap=1; a disjoint doc is not flagged."""
+    import streams_spark.operators.text as X
+
+    shared = " ".join(f"s{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (10, "a b " + shared),            # probe (id % 10 == 0)
+            (7, shared + " x y"),             # corpus: 3 13-grams, 1 shared
+            (8, " ".join(f"u{i}" for i in range(20))),  # corpus: disjoint
+        ],
+        "doc_id long, text string",
+    )
+    import streams_spark.sources.tables as T
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, name: docs
+        X.load_table = T.load_table
+        out = {r.doc_id: r for r in X.t_contamination(spark, "ignored").collect()}
+    finally:
+        T.load_table = orig
+        X.load_table = orig
+    assert set(out) == {7}, out
+    assert out[7].n_overlap == 1 and out[7].n_ngrams == 3
+    assert abs(out[7].contaminated_frac - round(1 / 3, 6)) < 1e-9
