@@ -31,6 +31,8 @@ HEADLINE = [
     "w_asof_purchase_click",
     "w_range_join_bucketed",
     "w_tumbling_hourly",
+    "w_funnel",
+    "w_retention",
     "q_json_props",
     "d_ngram_jaccard",
     "d_minhash_lsh",

@@ -400,3 +400,118 @@ def w_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_id").alias("n_clicks_before"),
         F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: view -> click -> purchase, strictly ordered per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+"""
+
+
+@register("w_funnel", oracle=_FUNNEL)
+def w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: users who viewed, then clicked
+    AFTER their first view, then purchased AFTER that first qualifying
+    click. The ordering constraint is what makes this a funnel and not
+    three independent counts.
+
+    Scale path: ONE shuffle total. The naive three-CTE formulation (the
+    oracle's shape) recomputes shared subtrees — Spark plans it as 6
+    scans because branches aren't common-subexpression-shared. Instead:
+    three chained unbounded-window mins over the SAME user_id
+    partitioning (one exchange, windows stack without re-shuffling),
+    then a single-row conditional distinct-count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev = ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return staged.agg(
+        F.countDistinct(
+            F.when(F.col("t_view").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("t_click").isNotNull(), F.col("user_id"))
+        ).alias("n_click_after_view"),
+        F.countDistinct(
+            F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_purchase_after_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention (first-seen week x weeks-since-first activity)
+# ---------------------------------------------------------------------------
+
+_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT date_trunc('week', f.first_ts) AS cohort_week,
+       CAST(floor(epoch(e.ts - f.first_ts) / 604800) AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("w_retention", oracle=_RETENTION)
+def w_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as active per whole-week offset since their own first event — the
+    standard triangle retention matrix.
+
+    Scale path: one shuffle on user_id for first-seen (map-side partial
+    min), a co-partitioned join back to events on the same key, then one
+    shuffle for the (cohort, offset) distinct-count. The offset is
+    computed from each user's OWN first event (not a calendar diff), so
+    the cohort matrix is timezone-stable."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+            F.floor(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("first_ts")))
+                / (604800 * 1_000_000)
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
