@@ -33,6 +33,7 @@ HEADLINE = [
     "w_tumbling_hourly",
     "w_funnel",
     "w_retention",
+    "w_hypertable_rollup",
     "q_json_props",
     "d_ngram_jaccard",
     "d_minhash_lsh",

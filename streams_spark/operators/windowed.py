@@ -515,3 +515,63 @@ def w_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup: multi-resolution time-grain aggregates in one pass
+# ---------------------------------------------------------------------------
+
+_HYPERTABLE = """
+SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+            WHEN grouping(h) = 0 THEN 'hour'
+            WHEN grouping(d) = 0 THEN 'day'
+            ELSE 'all' END AS grain,
+       coalesce(m, h, d) AS bucket_ts,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM (
+  SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+         date_trunc('minute', ts) AS m, value
+  FROM events
+)
+GROUP BY ROLLUP (d, h, m)
+"""
+
+
+@register("w_hypertable_rollup", oracle=_HYPERTABLE)
+def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-grain rollup (the hypertable /
+    continuous-aggregate query shape): minute, hour, day, and grand-total
+    aggregates of the event stream, computed in ONE pass with ROLLUP —
+    Spark expands each row to its 4 grouping sets map-side and
+    partial-aggregates before the single shuffle, so the cost is one
+    scan + one exchange regardless of how many grains are materialized.
+    The incremental-maintenance variant of the same shape is the
+    streaming tumbling aggregate (st_tumbling_stream)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("m") == 0, F.lit("minute"))
+        .when(F.grouping("h") == 0, F.lit("hour"))
+        .when(F.grouping("d") == 0, F.lit("day"))
+        .otherwise(F.lit("all"))
+    )
+    return (
+        ev.rollup("d", "h", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+            # grouping() is only resolvable inside the aggregate
+            grain.alias("grain"),
+        )
+        .select(
+            "grain",
+            F.coalesce("m", "h", "d").alias("bucket_ts"),
+            "n_events",
+            "sum_value",
+        )
+    )
