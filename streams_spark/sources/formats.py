@@ -1,0 +1,108 @@
+"""Interchange-format connectors (JSONL / CSV) for the canonical event log.
+
+The reference speaks exactly one wire shape: a JSON envelope around a
+snappy-compressed binary Entry (/root/reference/server/encoders.go:17-123,
+/root/reference/server/messages.go:314-342). Parquet replaces the binary
+codec (store.py); these connectors replace the JSON envelope — the
+import/export surface for moving event logs in and out of other systems.
+
+Design rules, applied at any scale:
+
+- **Explicit schema on read, always.** Schema inference is a full extra
+  pass over the data (100 TB read twice) and can silently change types
+  between files; both readers bind EVENT_LOG_SCHEMA up front.
+- **Deterministic codecs for non-native types.** JSON has no binary and
+  CSV has neither binary nor maps, so payload travels as base64 and
+  metadata (CSV only) as a JSON string — encoded/decoded explicitly with
+  built-in functions rather than relying on datasource-specific coercion.
+- **Same layout contract as the Parquet store.** Writes partition by
+  `space`, so partition pruning works on the interchange copies too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streams_spark.schema import EVENT_LOG_SCHEMA
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # ISO-8601, micros, explicit zone
+
+
+def _wire_schema(metadata_as_json: bool) -> T.StructType:
+    """EVENT_LOG_SCHEMA with payload as base64 string (and, for CSV,
+    metadata as a JSON string)."""
+    fields = []
+    for f in EVENT_LOG_SCHEMA.fields:
+        if f.name == "payload":
+            fields.append(T.StructField("payload_b64", T.StringType(), True))
+        elif f.name == "metadata" and metadata_as_json:
+            fields.append(T.StructField("metadata_json", T.StringType(), True))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def _encode(df: DataFrame, metadata_as_json: bool) -> DataFrame:
+    out = df.withColumn("payload_b64", F.base64("payload")).drop("payload")
+    if metadata_as_json:
+        out = out.withColumn("metadata_json", F.to_json("metadata")).drop(
+            "metadata"
+        )
+    return out
+
+
+def _decode(df: DataFrame, metadata_as_json: bool) -> DataFrame:
+    out = df.withColumn("payload", F.unbase64("payload_b64")).drop("payload_b64")
+    if metadata_as_json:
+        out = out.withColumn(
+            "metadata",
+            F.from_json("metadata_json", "map<string,string>"),
+        ).drop("metadata_json")
+    # restore canonical column order
+    return out.select(*[f.name for f in EVENT_LOG_SCHEMA.fields])
+
+
+def write_event_log_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export the event log as space-partitioned JSON lines."""
+    (
+        _encode(df, metadata_as_json=False)
+        .write.mode(mode)
+        .partitionBy("space")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def read_event_log_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    return _decode(
+        spark.read.schema(_wire_schema(metadata_as_json=False))
+        .option("timestampFormat", _TS_FMT)
+        .json(path),
+        metadata_as_json=False,
+    )
+
+
+def write_event_log_csv(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export the event log as space-partitioned CSV with a header row.
+    CSV carries neither maps nor binary, so metadata travels as a JSON
+    string and payload as base64."""
+    (
+        _encode(df, metadata_as_json=True)
+        .write.mode(mode)
+        .partitionBy("space")
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def read_event_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    return _decode(
+        spark.read.schema(_wire_schema(metadata_as_json=True))
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path),
+        metadata_as_json=True,
+    )

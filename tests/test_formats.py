@@ -1,0 +1,96 @@
+"""Round-trip guarantees for the JSONL / CSV interchange connectors:
+write → read must reproduce the canonical event-log rows exactly,
+including binary payloads, string-map metadata, and micro-precision
+timestamps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from streams_spark.schema import EVENT_LOG_SCHEMA
+from streams_spark.sources import formats
+
+
+def _sample_log(spark):
+    rows = [
+        (
+            "space0",
+            "seg1",
+            1,
+            dt.datetime(2024, 1, 1, 0, 0, 7, 179575),
+            "trx-a",
+            "node-a",
+            1,
+            b"\x00binary\xffpayload",
+            {"k1": "v1", "k2": "v,2 with comma"},
+        ),
+        (
+            "space0",
+            "seg1",
+            2,
+            dt.datetime(2024, 1, 1, 0, 0, 8, 500000),
+            "trx-a",
+            "node-a",
+            1,
+            None,
+            None,
+        ),
+        (
+            "space1",
+            "seg2",
+            1,
+            dt.datetime(2024, 2, 29, 23, 59, 59, 999999),
+            "trx-b",
+            None,
+            2,
+            b"plain",
+            {},
+        ),
+    ]
+    return spark.createDataFrame(rows, EVENT_LOG_SCHEMA)
+
+
+def _canon(df):
+    return sorted(
+        (
+            r.space,
+            r.segment,
+            r.sequence,
+            r.timestamp,
+            r.trx_id,
+            r.trx_node,
+            r.trx_number,
+            bytes(r.payload) if r.payload is not None else None,
+            dict(r.metadata) if r.metadata is not None else None,
+        )
+        for r in df.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    log = _sample_log(spark)
+    path = str(tmp_path / "log_jsonl")
+    formats.write_event_log_jsonl(log, path)
+    back = formats.read_event_log_jsonl(spark, path)
+    assert back.schema == EVENT_LOG_SCHEMA or [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in EVENT_LOG_SCHEMA.fields]
+    assert _canon(back) == _canon(log)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    log = _sample_log(spark)
+    path = str(tmp_path / "log_csv")
+    formats.write_event_log_csv(log, path)
+    back = formats.read_event_log_csv(spark, path)
+    assert _canon(back) == _canon(log)
+
+
+def test_partitioned_by_space(spark, tmp_path):
+    log = _sample_log(spark)
+    path = str(tmp_path / "log_parts")
+    formats.write_event_log_jsonl(log, path)
+    import os
+
+    parts = {e for e in os.listdir(path) if e.startswith("space=")}
+    assert parts == {"space=space0", "space=space1"}
