@@ -48,6 +48,20 @@ def get_segments(log: DataFrame, space: str) -> DataFrame:
     )
 
 
+def get_cluster_status(spark) -> DataFrame:
+    """Informational node count — GetClusterStatus
+    (/root/reference/server/pebble/service.go:136-140,
+    messages.go:89: `ClusterStatus{NodeCount}`).
+
+    The Spark analog of "active nodes" is the set of distinct executor
+    hosts; in local mode that is exactly 1 (the driver), matching a
+    single-node reference deployment.
+    """
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    hosts = {info.host() for info in tracker.getExecutorInfos()}
+    return spark.createDataFrame([(len(hosts),)], "node_count int")
+
+
 # ---------------------------------------------------------------------------
 # Point lookups (Peek / offsets)
 # ---------------------------------------------------------------------------
@@ -57,11 +71,25 @@ def peek(log: DataFrame, space: str, segment: str) -> DataFrame:
     """Last entry of a segment (reverse seek to max key, decode one row).
 
     Reference: /root/reference/server/pebble/service.go:214-219,820-840.
+    An empty/new segment yields the reference's zero-value Entry
+    (`&Entry{}` at service.go:832 — sequence 0, null timestamp/payload);
+    we keep the queried space/segment keys in the row rather than empty
+    strings, which is the only divergence (documented in SURVEY §8.1).
+    Implemented as a max_by aggregation so the "no rows" case still
+    produces exactly one (all-null) row to coalesce defaults onto.
     """
-    return (
+    cols = [c for c in log.columns if c not in ("space", "segment")]
+    agg = (
         log.where((F.col("space") == space) & (F.col("segment") == segment))
-        .orderBy(F.desc("sequence"))
-        .limit(1)
+        .agg(*[F.max_by(c, "sequence").alias(c) for c in cols])
+    )
+    return agg.select(
+        F.lit(space).alias("space"),
+        F.lit(segment).alias("segment"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c) if c == "sequence" else F.col(c)
+            for c in cols
+        ],
     )
 
 

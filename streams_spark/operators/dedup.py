@@ -153,7 +153,14 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
         "pos",
         *[F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)],
         "w0",
-    ).where(F.col(f"w{n-1}").isNotNull())
+    ).where(
+        # keep pos==0 even when the doc has < n tokens: concat_ws below
+        # skips the NULL leads, yielding ONE truncated shingle — the same
+        # short-doc semantics as word_shingles (text_funcs.py) and the
+        # DuckDB oracles (_NGRAM_JACCARD/_DUP_CLUSTERS), which emit a
+        # truncated shingle rather than dropping the document.
+        F.col(f"w{n-1}").isNotNull() | (F.col("pos") == 0)
+    )
     hashed = grams.select(
         "doc_id",
         F.xxhash64(F.concat_ws(" ", *[f"w{k}" for k in range(n)])).alias("h"),
@@ -337,23 +344,41 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band by pigeonhole), then filtered by true hamming distance.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # row-wise formulation (explode + 64 codegen'd bit-vote columns +
-    # partial-agg sums): HOF folds are interpreted per element and were
-    # ~2x the whole query's cost. The shuffle carries 64 ints per doc.
+    # SWAR packed-counter formulation. Naive shape is 64 per-bit ±1 vote
+    # sums (64 agg buffers, ~4 codegen ops per token per bit — measured
+    # 3.4 s at sf0.1, the worst headline query in round 1). Instead sum 16
+    # packed longs: (h >> j) & MASK accumulates the counts of bits
+    # {j, j+16, j+32, j+48} in four 16-bit-spaced slots of one long —
+    # 2 ops per row per column, 17 agg buffers, and the doc_id shuffle
+    # carries 16 longs instead of 64. Slot overflow is impossible while
+    # n_tokens <= 8192 (slice cap below; max packed sum 8192 * (1+2^16+
+    # 2^32+2^48) ~= 2.3e18 < Long.MAX, so ANSI arithmetic never throws).
+    # Capping simhash features at 8k distinct tokens is standard practice
+    # and a no-op on this corpus (max distinct tokens << 8k).
+    mask = 1 | (1 << 16) | (1 << 32) | (1 << 48)
     ex = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        "doc_id",
+        F.explode(F.slice(F.array_distinct(tokens("text")), 1, 8192)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
+            F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(mask))).alias(
+                f"p{j}"
+            )
+            for j in range(16)
+        ],
     )
-    bit = lambda i: F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+    # unpack: count of bit i (= j + 16*k) is slot k of packed column j;
+    # majority vote sets the bit iff 2*count > n
+    cnt = lambda i: F.shiftrightunsigned(f"p{i % 16}", 16 * (i // 16)).bitwiseAND(
+        F.lit(0xFFFF)
+    )
+    bit = lambda i: F.when(cnt(i) * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
     # signature as 4 x 16-bit longs (band values double as the signature;
-    # hamming distance is then bit_count(xor) — all codegen, no arrays)
+    # hamming distance is then bit_count(xor) — all codegen, no arrays).
+    # The unpack runs on ONE row per doc post-agg, so its op count is
+    # irrelevant next to the per-token loop above.
     band_val = lambda b: sum(
         (bit(16 * b + k) * (1 << (15 - k)) for k in range(16)),
         F.lit(0).cast("long"),
@@ -600,6 +625,7 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(20):  # >= any real dup-cluster diameter; loop exits early
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -622,6 +648,15 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # A silent non-converged return would assign wrong clusters to any
+        # chain with diameter > 20 (and diverge from the recursive-CTE
+        # oracle); fail loudly instead — no real dup corpus gets here.
+        raise RuntimeError(
+            f"dup-cluster label propagation did not converge in 20 rounds "
+            f"({n_changed} labels still changing); raise the round cap or "
+            f"switch to the O(log d) doubling variant"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -24,12 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_spark.registry import register
-from streams_spark.sources.tables import load_table, register_views
-
-
-def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(sql)
+from streams_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------

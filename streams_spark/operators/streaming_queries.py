@@ -70,15 +70,18 @@ def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- ORDER BY (ts, event_id), same tie-break as `flagged`: with duplicate
+  -- (user_id, ts) rows a ts-only ROWS frame is nondeterministic and could
+  -- split sessions differently from F.session_window
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

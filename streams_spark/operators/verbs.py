@@ -191,6 +191,53 @@ def v_sequence_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v_cluster_status",
+    oracle="SELECT CAST(1 AS INTEGER) AS node_count",
+)
+def v_cluster_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetClusterStatus analog (/root/reference/server/pebble/
+    service.go:136-140): active node count. Exactly 1 in any local-mode
+    session (single host = single-node deployment), hence the constant
+    oracle; on a real cluster the same code reports the executor-host
+    count."""
+    return client.get_cluster_status(spark)
+
+
+@register(
+    "v_metadata_filter",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space,
+       count(*) AS n_entries,
+       CAST(min(CAST(payload->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(payload->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events_log
+WHERE CAST(payload->>'k' AS BIGINT) > 90
+GROUP BY space
+""",
+)
+def v_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over the canonical Entry metadata map — the reference's only
+    user-queryable payload field (`Metadata map[string]string`,
+    /root/reference/server/messages.go:66). The event-log mapping parses
+    the props JSON into a real MapType column (`with_metadata=True` in
+    sources/event_log.py); filtering and extracting stay JVM-side
+    (from_json + element access, no Python)."""
+    log = event_log(spark, sf_dir, with_metadata=True)
+    k = F.try_element_at(F.col("metadata"), F.lit("k")).cast("long")
+    return (
+        log.withColumn("k", k)
+        .where(F.col("k") > 90)
+        .groupBy("space")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "v_produce_status",
     oracle=EVENT_LOG_CTE
     + """

@@ -56,6 +56,7 @@ def event_log(
     spaces: list[str] | None = None,
     segments: list[str] | None = None,
     max_timestamp=None,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Canonical event log, with explicit predicate pushdown BELOW the
     sequence-assignment window (the analog of the reference turning
@@ -67,6 +68,15 @@ def event_log(
     - `max_timestamp` drops a SUFFIX of each segment's (ts, event_id)
       order; row_number counts only preceding rows, so surviving sequence
       values are identical — prefix-safe pushdown Catalyst can't infer.
+
+    `with_metadata=True` additionally projects the canonical Entry fields
+    the reference carries on every record (/root/reference/server/
+    messages.go:61-69): `metadata map<string,string>` (the only
+    user-queryable payload field, parsed from the props JSON) and the
+    transaction identity `trx_id`/`trx_node`/`trx_number` (derived
+    deterministically; the reference stamps these server-side at produce
+    time — server/pebble/service.go:345-363). Off by default so the core
+    verb schema stays the reference's wire Entry shape.
 
     Min-bounds (offsets, min_sequence, min_timestamp) would renumber and
     MUST stay residual filters above the window — callers pass only the
@@ -81,6 +91,25 @@ def event_log(
     if max_timestamp is not None:
         ev = ev.where(F.col("ts") <= F.lit(max_timestamp))
     w = Window.partitionBy("space", "segment").orderBy("ts", "event_id")
+    cols = [
+        F.col("space"),
+        F.col("segment"),
+        F.col("sequence"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("value"),
+        F.col("props").alias("payload"),
+    ]
+    if with_metadata:
+        cols += [
+            F.from_json(F.col("props"), "map<string,string>").alias("metadata"),
+            F.md5(F.concat_ws(":", "event_type", "event_id")).alias("trx_id"),
+            F.concat(F.lit("node"), (F.col("event_id") % 4).cast("string")).alias(
+                "trx_node"
+            ),
+            F.col("event_id").alias("trx_number"),
+        ]
     return (
         ev.withColumn("space", F.col("event_type"))
         .withColumn(
@@ -88,14 +117,5 @@ def event_log(
             F.concat(F.lit("seg"), (F.col("user_id") % NUM_SEGMENTS).cast("string")),
         )
         .withColumn("sequence", F.row_number().over(w))
-        .select(
-            "space",
-            "segment",
-            "sequence",
-            F.col("ts").alias("timestamp"),
-            "event_id",
-            "user_id",
-            "value",
-            F.col("props").alias("payload"),
-        )
+        .select(*cols)
     )

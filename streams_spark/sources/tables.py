@@ -16,11 +16,16 @@ from streams_spark.schema import TABLE_NAMES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, which Spark 4 rejects
+        # outright (PARQUET_TYPE_ILLEGAL) unless the legacy conf maps it
+        # to epoch-nanos long. The conf is runtime-settable SQL conf, so
+        # set it here rather than at session build time — callers (the
+        # test harness, external drivers) may hand us a bare session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
-        # long. The data is micro-precision (verified: ns % 1000 == 0), so
+        # The data is micro-precision (verified: ns % 1000 == 0), so
         # integer-dividing to micros is lossless and matches DuckDB.
         from pyspark.sql import functions as F
 
@@ -37,8 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (name == table name)."""
+    """Register every testdata table as a temp view (name == table name).
+
+    Routed through ``load_table`` so the `events` view carries the same
+    converted micro-precision timestamp column as the DataFrame path —
+    a raw view would silently expose `ts` as epoch-nanos BIGINT.
+    """
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

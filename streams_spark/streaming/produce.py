@@ -166,12 +166,19 @@ def streaming_produce(
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if sink.committed(batch_id):
             return
-        try:
+        # Empty-log detection is EXPLICIT (path check), not
+        # exception-driven: a transient read error on a NON-empty log must
+        # abort the batch, not silently validate against last_sequence=0
+        # and append duplicate sequences. Only genuinely-absent logs take
+        # the tails=None path.
+        if os.path.isdir(log_dir) and any(
+            not n.startswith((".", "_")) for n in os.listdir(log_dir)
+        ):
             log = batch_df.sparkSession.read.parquet(log_dir)
             tails = client.peek_all(log).select(
                 "space", "segment", F.col("sequence").alias("last_sequence")
             )
-        except Exception:  # first batch: no log yet
+        else:  # first batch: no log yet
             tails = None
         stamped = stamp_records(batch_df, last_sequences=tails)
         validate_batch(stamped)

@@ -176,10 +176,11 @@ def test_jaccard_operator_matches_python_bruteforce(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    # python truth
+    # python truth — short docs (< 3 tokens) yield ONE truncated shingle,
+    # matching word_shingles / hashed_shingle_sets / the DuckDB oracles
     def shingles(t):
         w = t.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
 
     truth = set()
     ss = [shingles(t) for t in texts]

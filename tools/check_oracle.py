@@ -93,11 +93,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main() -> None:
     from streams_spark.registry import load_all
-    from streams_spark.session import get_spark
 
     registry = load_all()
     only = set(sys.argv[1:])
-    spark = get_spark("check_oracle")
+    # BARE session on purpose — the driver does not use our session
+    # factory, so any conf we need must be applied at runtime inside the
+    # queries themselves (round-1 lesson: the nanos-timestamp conf lived
+    # only in session.py and every events query was red in the harness).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle_bare")
+        .getOrCreate()
+    )
     con = duck_connect()
     n_pass = n_fail = n_noracle = 0
     for name, spec in registry.items():
