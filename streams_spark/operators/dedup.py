@@ -386,6 +386,12 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = votes.select(
         "doc_id", *[band_val(b).alias(f"b{b}") for b in range(4)]
     )
+    # materialize the (tiny: 5 longs/doc) signature table before the
+    # self-join — otherwise both join sides recompute the whole
+    # explode+vote lineage (measured: the join stage cost ~2x the vote
+    # stage purely from that duplication). The 100 TB analog is writing
+    # signatures next to the corpus and joining the materialized table.
+    sig = sig.localCheckpoint()
     bands = sig.select(
         "doc_id",
         "b0",
