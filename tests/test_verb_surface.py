@@ -59,6 +59,18 @@ def test_peek(fixture_log):
     assert bytes(row[0].payload) == b"test data 253"
 
 
+def test_peek_empty_segment_returns_zero_value_entry(fixture_log):
+    # Reference getLastEntry returns &Entry{} for a new/empty segment
+    # (/root/reference/server/pebble/service.go:820-840): exactly one row,
+    # sequence 0, null timestamp/payload (we keep the queried keys).
+    rows = client.peek(fixture_log, "space0", "no_such_segment").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.space == "space0" and r.segment == "no_such_segment"
+    assert r.sequence == 0
+    assert r.timestamp is None and r.payload is None
+
+
 def test_peek_all(fixture_log):
     rows = client.peek_all(fixture_log).collect()
     assert len(rows) == 25
