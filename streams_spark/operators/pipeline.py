@@ -1,0 +1,265 @@
+"""Training-data pipeline operators: packing, splitting, mixing.
+
+The reference engine stops at the event-log/query surface; these are the
+operations a 100 TB LLM training-data pipeline runs downstream of dedup +
+quality filtering (SURVEY.md §8.3 extension). All are deterministic so
+every one carries a DuckDB oracle.
+
+Scale designs (the interesting part of each op is the shuffle shape):
+
+- `p_pack_sequences`: concat-and-chunk packing needs a GLOBAL running
+  token total — a naive `Window.orderBy(doc_id)` collapses to one task.
+  Implemented as a two-level distributed prefix sum: per-group cumsums
+  partitioned by `doc_id div G` (parallel), plus a group-offset table
+  (one row per group — n_docs/G rows, tiny) prefix-summed and
+  broadcast-joined back. At 1e9 docs and G=10k that middle table is 1e5
+  rows: driver-trivial, and the pattern nests to three levels if it ever
+  isn't.
+- `p_train_val_split` / `p_source_mix`: pure map-side hashing — zero
+  shuffle before the final per-split/per-source aggregate.
+- `t` histogramming: single partial-agg'd groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_spark.functions.text_funcs import tokens
+from streams_spark.registry import register
+from streams_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into fixed context windows)
+# ---------------------------------------------------------------------------
+
+CONTEXT_TOKENS = 256  # context-window budget per packed sequence
+PREFIX_GROUP = 100  # docs per prefix-sum group
+
+_PACK = f"""
+WITH sized AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM sized
+)
+SELECT CAST(start_tok // {CONTEXT_TOKENS} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1
+"""
+
+
+@register("p_pack_sequences", oracle=_PACK)
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    doc_id order and cut into fixed CONTEXT_TOKENS windows; a doc belongs
+    to the bin where it STARTS (the standard pre-tokenized LLM packing
+    layout). Returns per-bin doc/token counts and doc-id span.
+
+    The global running total is a two-level distributed prefix sum (see
+    module docstring) — no single-task global window anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        (F.col("doc_id") / PREFIX_GROUP).cast("long").alias("g"),
+    )
+    # level 1: cumsum within each group (parallel across groups)
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn(
+        "local_cum", F.sum("n_tokens").over(wg) - F.col("n_tokens")
+    )
+    # level 2: per-group totals, prefix-summed over the tiny group table
+    wo = (
+        Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sized.groupBy("g")
+        .agg(F.sum("n_tokens").alias("g_total"))
+        .withColumn("g_offset", F.coalesce(F.sum("g_total").over(wo), F.lit(0)))
+        .select("g", "g_offset")
+    )
+    placed = local.join(F.broadcast(offsets), "g").withColumn(
+        "start_tok", F.col("g_offset") + F.col("local_cum")
+    )
+    return (
+        placed.withColumn(
+            "bin_id", (F.col("start_tok") / CONTEXT_TOKENS).cast("long")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash bucketing)
+# ---------------------------------------------------------------------------
+
+_SPLIT = """
+WITH bucketed AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM bucketed
+GROUP BY 1
+"""
+
+
+@register("p_train_val_split", oracle=_SPLIT)
+def p_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split keyed on md5(doc_id) — deterministic,
+    engine-independent (the md5 hex prefix is the portable analog of the
+    usual `hash(id) % 100`, which Spark and DuckDB would compute
+    differently), stable under corpus growth (a doc never changes split
+    when new docs arrive). Pure map-side: zero shuffle before the 3-row
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing (per-domain sampling rates)
+# ---------------------------------------------------------------------------
+
+# sampling rate per source tier — the "data mixture" a training run
+# declares (e.g. upsample curated sources, downsample crawl)
+_TIER_RATE = {0: 0.8, 1: 0.5, 2: 0.2}
+
+
+def _tier(source_col):
+    # src0-src4 -> tier 0, src5-src9 -> tier 1, rest -> tier 2
+    n = F.regexp_extract(source_col, r"(\d+)", 1).cast("int")
+    return F.when(n < 5, 0).when(n < 10, 1).otherwise(2)
+
+
+_MIX = """
+WITH tiered AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
+              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
+              ELSE 2 END AS tier,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+              AS INTEGER) % 10 AS r
+  FROM documents
+)
+SELECT source, tier,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE r < CASE tier WHEN 0 THEN 8
+                                                 WHEN 1 THEN 5
+                                                 ELSE 2 END) AS BIGINT)
+           AS n_sampled
+FROM tiered
+GROUP BY source, tier
+"""
+
+
+@register("p_source_mix", oracle=_MIX)
+def p_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: each source tier gets a target rate
+    (curated 0.8 / mid 0.5 / crawl 0.2) and docs are kept by a
+    deterministic hash draw — reproducible across runs and engines,
+    unlike `rand()`. Returns per-source kept/total so the achieved
+    mixture is auditable. Map-side only; the aggregate is one shuffle of
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tier = _tier(F.col("source"))
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    rate10 = (
+        F.when(tier == 0, 8).when(tier == 1, 5).otherwise(2)
+    )
+    return (
+        docs.select(
+            "source",
+            tier.alias("tier"),
+            (draw < rate10).cast("long").alias("keep"),
+        )
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram
+# ---------------------------------------------------------------------------
+
+_HIST = """
+WITH sized AS (
+  SELECT len(str_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT CAST(n_tokens // 10 AS BIGINT) * 10 AS bucket_lo,
+       count(*) AS n_docs,
+       round(count(*) * 100.0 / (SELECT count(*) FROM sized), 4) AS pct
+FROM sized
+GROUP BY 1
+"""
+
+
+@register("t_length_histogram", oracle=_HIST)
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (width-10 buckets) with corpus share — the
+    standard pre-training length-distribution audit. One partial-agg'd
+    groupBy; the corpus total rides along as a scale-invariant broadcast
+    scalar (cross-joined 1-row frame), not a second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(F.size(tokens("text")).alias("n_tokens"))
+    hist = sized.groupBy(
+        ((F.col("n_tokens") / 10).cast("long") * 10).alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = sized.agg(F.count(F.lit(1)).alias("total"))
+    return hist.join(F.broadcast(total)).select(
+        "bucket_lo",
+        "n_docs",
+        F.round(F.col("n_docs") * 100.0 / F.col("total"), 4).alias("pct"),
+    )

@@ -22,6 +22,8 @@ bucket/centroid id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -243,6 +245,123 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-style: centroid routing by label partitions
 # ---------------------------------------------------------------------------
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_pairs_sql(cent_cte: str) -> str:
+    """One Lloyd assignment step as SQL: squared-L2 to every centroid,
+    keep the nearest (ties to the lowest cluster id)."""
+    return f"""
+  SELECT vec_id, cluster, dist FROM (
+    SELECT e.vec_id, c.cluster,
+           list_sum(list_transform(list_zip(e.v, c.cv),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_sum(list_transform(
+                                  list_zip(e.v, c.cv),
+                                  p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                              c.cluster) AS rn
+    FROM e CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1
+"""
+
+
+def _kmeans_update_sql(assign_cte: str) -> str:
+    return f"""
+  SELECT cluster, list(m ORDER BY i) AS cv FROM (
+    SELECT a.cluster, t.i, avg(e.v[t.i]) AS m
+    FROM {assign_cte} a JOIN e USING (vec_id)
+    CROSS JOIN generate_series(1, 64) AS t(i)
+    GROUP BY a.cluster, t.i
+  ) GROUP BY cluster
+"""
+
+
+_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
+), a0 AS ({_kmeans_pairs_sql('c0')}
+), c1 AS ({_kmeans_update_sql('a0')}
+), a1 AS ({_kmeans_pairs_sql('c1')}
+), c2 AS ({_kmeans_update_sql('a1')}
+), a2 AS ({_kmeans_pairs_sql('c2')}
+), c3 AS ({_kmeans_update_sql('a2')}
+), final AS ({_kmeans_pairs_sql('c3')}
+)
+SELECT cluster, count(*) AS n_vecs,
+       round(sum(dist), 2) AS inertia
+FROM final GROUP BY cluster
+"""
+
+
+@register("s_kmeans_train", oracle=_KMEANS)
+def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training: 3 Lloyd iterations of k-means
+    (k=8, init = the first k vectors — deterministic, no RNG), then the
+    final assignment's per-cluster sizes and inertia. This is the
+    training step s_centroid_search presupposes (its label partitions
+    stand in for learned clusters).
+
+    Spark-first split of the algorithm's two halves:
+    - assignment is embarrassingly parallel — an Arrow-batched pandas UDF
+      computes argmin over the broadcast (k × dim) centroid matrix with
+      one BLAS-backed numpy broadcast per batch (the k·dim·n multiply is
+      the hot loop; per-row JVM HOF folds were ~10x slower);
+    - update is a partial-agg'd groupBy mean over posexploded dims (one
+      shuffle of k × dim rows per iteration).
+    Centroids (k × dim doubles) are driver-side model state between
+    iterations — the one legitimate collect() in this module; at 100 TB
+    they'd live in a broadcast variable exactly the same way.
+    The DuckDB oracle unrolls the 3 iterations as CTE pairs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    corpus = _corpus(spark, sf_dir).select("vec_id", "v").cache()
+    cents: dict[int, list[float]] = {
+        r.vec_id: list(r.v)
+        for r in corpus.where(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+
+    def assigner(cent_map):
+        ids = np.array(sorted(cent_map))
+        C = np.array([cent_map[c] for c in sorted(cent_map)])
+
+        @pandas_udf("struct<cluster: int, dist: double>")
+        def assign(v: pd.Series) -> pd.DataFrame:
+            M = np.vstack(v.to_numpy())
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d.argmin(axis=1)  # first min -> lowest cluster id
+            return pd.DataFrame(
+                {"cluster": ids[best], "dist": d[np.arange(len(best)), best]}
+            )
+
+        return assign
+
+    for _ in range(KMEANS_ITERS):
+        assigned = corpus.withColumn("a", assigner(cents)("v"))
+        new_rows = (
+            assigned.select(F.col("a.cluster").alias("cluster"),
+                            F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        updated: dict[int, list[float]] = {}
+        for r in new_rows:
+            updated.setdefault(r.cluster, [0.0] * 64)[r.dim] = r.m
+        # an emptied cluster keeps its previous centroid
+        cents = {**cents, **updated}
+
+    final = corpus.withColumn("a", assigner(cents)("v"))
+    return final.groupBy(F.col("a.cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("a.dist"), 2).alias("inertia"),
+    )
 
 
 @register("s_centroid_search", oracle=None)  # verified in tests vs brute force

@@ -117,6 +117,7 @@ def load_all() -> dict[str, QuerySpec]:
     import streams_spark.operators.text  # noqa: F401
     import streams_spark.operators.multimodal  # noqa: F401
     import streams_spark.operators.streaming_queries  # noqa: F401
+    import streams_spark.operators.pipeline  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in ROUND_PRIORITY if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
