@@ -685,3 +685,53 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix dedup (first-k-token fingerprint, the URL/boilerplate analog)
+# ---------------------------------------------------------------------------
+
+PREFIX_TOKENS = 8
+
+_PREFIX_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}], ' '))
+             AS prefix_key
+  FROM documents
+)
+SELECT prefix_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS survivor_id,
+       max(doc_id) AS max_doc_id
+FROM d GROUP BY prefix_key HAVING count(*) > 1
+"""
+
+
+@register("d_prefix_dedup", oracle=_PREFIX_DEDUP)
+def d_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first {PREFIX_TOKENS}-token
+    prefix collapse to one survivor (min doc_id) — the cheap first pass a
+    crawl pipeline runs before MinHash (near-identical boilerplate pages,
+    mirrored URLs, retries differ only in their tails). Returns every
+    duplicate group with its survivor.
+
+    md5 of the joined prefix (engine-portable, unlike xxhash64) keys ONE
+    hash groupBy with map-side partial agg — the whole op is a single
+    shuffle of (16-byte key, doc_id) pairs regardless of document length,
+    because the prefix slice happens in the scan projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+    )
+    return (
+        docs.select(key.alias("prefix_key"), "doc_id")
+        .groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -434,3 +434,78 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 compression + reconstruction error audit)
+# ---------------------------------------------------------------------------
+
+_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+  FROM e
+), stats AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim
+), q AS (
+  SELECT ex.vec_id, ex.label, ex.x, s.lo,
+         (s.hi - s.lo) / 255.0 AS scale,
+         round((ex.x - s.lo) / ((s.hi - s.lo) / 255.0)) AS code
+  FROM ex JOIN stats s USING (dim)
+), err AS (
+  SELECT vec_id, label,
+         sum(pow(x - (lo + code * scale), 2)) AS sq_err,
+         count(*) AS dims
+  FROM q GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sq_err / dims) * 1e6, 4) AS mse_e6,
+       round(max(sq_err / dims) * 1e6, 4) AS max_mse_e6
+FROM err GROUP BY label
+"""
+
+
+@register("s_vector_quantize", oracle=_QUANTIZE)
+def s_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x index-compression step before ANN serving — with a per-label
+    reconstruction-error audit (mean/max MSE, scaled 1e6 for stable 4dp
+    comparison). Per-dim (min, max) ranges come from one
+    posexplode->groupBy(dim) pass (64 groups, map-side partial agg); the
+    64-row range table broadcast-joins back onto the element stream —
+    scale-invariant (it is dim-sized, not corpus-sized), so the forced
+    broadcast is safe at any corpus size. Everything stays codegen:
+    explode, join, two aggregates; no Python, no collect.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    q = ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "label",
+        F.pow(
+            F.col("x")
+            - (
+                F.col("lo")
+                + F.round((F.col("x") - F.col("lo")) / scale) * scale
+            ),
+            2,
+        ).alias("sq"),
+    )
+    err = q.groupBy("vec_id", "label").agg(
+        (F.sum("sq") / F.count(F.lit(1))).alias("mse")
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse") * 1e6, 4).alias("mse_e6"),
+        F.round(F.max("mse") * 1e6, 4).alias("max_mse_e6"),
+    )

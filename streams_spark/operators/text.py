@@ -497,3 +497,236 @@ def t_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         (full_hash % 997).cast("int").alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (corpus-weighted per-doc top terms)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+_TFIDF = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id, len(w) AS n_tokens, unnest(w) AS term FROM d
+), tfd AS (
+  SELECT doc_id, term,
+         CAST(count(*) AS DOUBLE) / any_value(n_tokens) AS tf
+  FROM ex GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tfd GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM d
+), scored AS (
+  SELECT tfd.doc_id, tfd.term,
+         round(tfd.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tfd JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf
+FROM ranked WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+@register("t_tfidf_keywords", oracle=_TFIDF)
+def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document — the classic corpus-weighted
+    keyword extractor (tf = term freq / doc len, idf = ln(N/df)).
+
+    Shuffle shape: one explode->groupBy on (doc_id, term) for tf (map-side
+    partial agg), one groupBy on term for df, then the df table joins back
+    onto the term stream. The df table is |vocabulary| rows — orders of
+    magnitude smaller than the corpus (Heaps' law) but NOT scale-invariant,
+    so it is left to AQE rather than force-broadcast (commit 0e3acb0
+    policy). Ranking rounds to 6dp BEFORE the row_number so the
+    (tfidf DESC, term) order is engine-stable; ties beyond 6dp break on
+    the term string in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        (F.count(F.lit(1)).cast("double") / F.first("n_tokens")).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+TOP_TOKEN_MAX_FRAC = 0.2  # Gopher: docs where one token dominates
+DUP_2GRAM_MAX_FRAC = 0.2  # docs whose 2-grams mostly repeat
+
+_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), top_tok AS (
+  SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, CAST(greatest(len(w) - 1, 1) AS INTEGER) + 1),
+             i -> concat_ws(' ', w[i], w[i + 1])) AS g2
+  FROM d
+), rep AS (
+  SELECT t.doc_id,
+         round(CAST(t.top_cnt AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+         round(1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2), 6)
+             AS dup_2gram_frac
+  FROM top_tok t JOIN grams g USING (doc_id)
+)
+SELECT doc_id, top_token_frac, dup_2gram_frac,
+       (top_token_frac > {TOP_TOKEN_MAX_FRAC}
+        OR dup_2gram_frac > {DUP_2GRAM_MAX_FRAC}) AS is_repetitive
+FROM rep
+"""
+
+
+@register("t_repetition", oracle=_REPETITION)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher/MassiveText quality
+    rules a pretraining filter applies before dedup: fraction of the doc
+    covered by its single most frequent token, and the fraction of
+    duplicate word 2-grams.
+
+    Top-token count rides the exploded (doc_id, token) aggregate
+    (map-side partial agg, same shuffle shape as tf above); the 2-gram
+    duplicate fraction is computed entirely inside the row (sequence +
+    try_element_at transform — array indexing only, no hashing, so the
+    interpreted-HOF tax is negligible) and never explodes. The two
+    per-doc frames meet in one doc_id join that AQE plans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_cnt"),
+            F.sum("count").alias("n_tokens"),
+        )
+    )
+    g2 = F.expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), "
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"
+    )
+    grams = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        (1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)).alias(
+            "raw_dup"
+        ),
+    )
+    rep = top.join(grams, "doc_id").select(
+        "doc_id",
+        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(F.col("raw_dup"), 6).alias("dup_2gram_frac"),
+    )
+    return rep.withColumn(
+        "is_repetitive",
+        (F.col("top_token_frac") > TOP_TOKEN_MAX_FRAC)
+        | (F.col("dup_2gram_frac") > DUP_2GRAM_MAX_FRAC),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (Zipf audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+), tops AS (
+  SELECT tok AS top_token, cnt AS top_token_freq
+  FROM freq ORDER BY cnt DESC, tok LIMIT 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*), 6)
+           AS hapax_ratio,
+       any_value(t.top_token) AS top_token,
+       CAST(any_value(t.top_token_freq) AS BIGINT) AS top_token_freq
+FROM freq CROSS JOIN tops t
+"""
+
+
+@register("t_vocab_stats", oracle=_VOCAB)
+def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary audit: token/type counts, hapax-legomenon
+    ratio (the Zipf tail a tokenizer trainer sizes against), and the
+    modal token. One explode->groupBy(token) with map-side partial agg —
+    the frequency table is |vocabulary| rows; every downstream aggregate
+    runs on that, not the corpus. The single-row result is the broadcast
+    scalar shape (no collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tops = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(1).select(
+        F.col("tok").alias("top_token"), F.col("cnt").alias("top_token_freq")
+    )
+    return (
+        freq.agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+            F.round(
+                F.sum((F.col("cnt") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .join(F.broadcast(tops))
+        .select(
+            "n_tokens",
+            "n_distinct",
+            "n_hapax",
+            "hapax_ratio",
+            "top_token",
+            "top_token_freq",
+        )
+    )

@@ -575,3 +575,58 @@ def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS streak_len,
+         min(d) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(min(streak_start) AS TIMESTAMP) AS first_active_day
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("w_user_streaks", oracle=_STREAKS)
+def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (date minus row_number is constant within an
+    island). Retention/engagement pipelines run this daily at full-corpus
+    scale.
+
+    One shuffle: the distinct (user, day) reduction and the row_number
+    window both partition by user_id (high-cardinality, well-spread), so
+    the window reuses the dedup exchange; per-user state is <= days, not
+    events. The island aggregate and final rollup are partial-agg'd on
+    the same key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.min("streak_start").cast("timestamp").alias("first_active_day"),
+    )
