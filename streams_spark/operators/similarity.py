@@ -3,8 +3,10 @@
 - s_cosine_topk      brute-force cosine top-k (oracle) — the correctness
                      baseline every ANN variant is measured against
 - s_nearest_neighbor 1-NN per probe vector (oracle)
-- s_ann_lsh_topk     random-hyperplane LSH bucketed top-k (no oracle:
-                     approximate by design; recall measured in tests)
+- s_ann_lsh_topk     random-hyperplane LSH bucketed top-k (oracle: the
+                     md5-derived plane coefficients are Python-computed
+                     literals shared by both engines; recall vs exact is
+                     additionally measured in tests)
 - s_centroid_search  IVF-style: per-label centroids → probe nearest
                      centroids → search those partitions only (oracle,
                      since label partitions are exact here)
@@ -171,36 +173,88 @@ def s_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8  # 256 buckets
 
 
-def _bucket(v_col, dim: int = 64):
-    """Sign-bit bucket from N_PLANES pseudo-random hyperplanes.
-
-    Plane coefficients are deterministic JVM-side values derived from
-    xxhash64(plane, dim_index) mapped to [-1, 1] — no Python, no RNG state,
-    reproducible across runs and executors.
+def _plane_coeffs(p: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane: coefficient i of plane p is
+    md5(f"{p},{i}") mapped to [-1, 1]. Computed ONCE in plain Python and
+    embedded as double literals in BOTH the Spark plan and the DuckDB
+    oracle — no per-row hashing (the old xxhash64-in-HOF variant paid the
+    interpreted-lambda tax on every element), no RNG state, bit-identical
+    constants in every engine (repr round-trips IEEE doubles exactly).
     """
-    plane_dot = lambda p: F.aggregate(
-        F.zip_with(
-            v_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)).cast("double")
-                    / 1000.0
-                    - 1.0
-                ),
-            ),
-            lambda x, c: x * c,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        bucket = bucket * 2 + F.when(plane_dot(p) > 0, 1).otherwise(0)
-    return bucket
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[:4], 16) % 2000)
+        / 1000.0
+        - 1.0
+        for i in range(dim)
+    ]
 
 
-@register("s_ann_lsh_topk", oracle=None)  # approximate by design
+_PLANES = [_plane_coeffs(p) for p in range(N_PLANES)]
+
+
+def _bucket(name: str, dim: int = 64):
+    """Sign-bit bucket from N_PLANES fixed hyperplanes (literal coeffs).
+
+    One SQL-string expression (see d_simhash for the py4j rationale);
+    the plane dot is a zip_with multiply + left-fold add, and the sign
+    test rounds to 6dp so it is stable across engines."""
+    terms = []
+    for p, coeffs in enumerate(_PLANES):
+        arr = "array(" + ",".join(f"{c!r}D" for c in coeffs) + ")"
+        dot_p = (
+            f"aggregate(zip_with({name}, {arr}, (x, c) -> x * c), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN round({dot_p}, 6) > 0 THEN "
+            f"{1 << (N_PLANES - 1 - p)}L ELSE 0L END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """The DuckDB twin of _bucket, from the same literal coefficients."""
+    terms = []
+    for p, coeffs in enumerate(_PLANES):
+        arr = "[" + ",".join(repr(c) for c in coeffs) + "]"
+        dot_p = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {arr}), "
+            f"q -> q[1] * q[2]))"
+        )
+        terms.append(
+            f"(CASE WHEN round({dot_p}, 6) > 0 THEN "
+            f"{1 << (N_PLANES - 1 - p)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_bucket_sql('v')} AS bucket
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.v, c.v),
+               p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_PROBES}
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("s_ann_lsh_topk", oracle=_ANN_LSH)
 def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: probes search only their own
     hyperplane bucket. Recall vs s_cosine_topk is measured in tests.
@@ -209,7 +263,7 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB); probe fan-out is a co-partitioned equi-join on bucket, not a
     broadcast of the corpus.
     """
-    corpus = _corpus(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", _bucket("v"))
     probes = corpus.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -364,7 +418,50 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_centroid_search", oracle=None)  # verified in tests vs brute force
+_CENTROID_SEARCH = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS c_label, list(m ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim)
+  GROUP BY label
+), cn AS (
+  SELECT c_label, cv,
+         sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
+  FROM cent
+), routed AS (
+  SELECT query_id, qv, qnrm, c_label FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.cv),
+                            p -> p[1] * p[2])) / (q.nrm * c.c_nrm), 6) DESC,
+                      c.c_label) AS c_rnk
+    FROM n q CROSS JOIN cn c
+    WHERE q.vec_id < {N_PROBES}
+  ) WHERE c_rnk <= 2
+), scored AS (
+  SELECT r.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(r.qv, c.v),
+               p -> p[1] * p[2])) / (r.qnrm * c.nrm), 6) AS cos_sim
+  FROM routed r JOIN n c ON c.label = r.c_label AND c.vec_id != r.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("s_centroid_search", oracle=_CENTROID_SEARCH)
 def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat shape: (1) mean centroid per label partition, (2) route each
     probe to its 2 nearest centroids, (3) exact search within those
@@ -398,7 +495,14 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = (
         probes.join(F.broadcast(cent))
         .withColumn(
-            "c_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("c_nrm"))
+            # rounded to 6dp BEFORE ranking so the centroid order is
+            # engine-stable (same convention as the final top-k below and
+            # t_tfidf_keywords); ties beyond 6dp break on c_label
+            "c_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("c_nrm")),
+                6,
+            ),
         )
         .withColumn(
             "c_rnk",
