@@ -263,3 +263,63 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") * 100.0 / F.col("total"), 4).alias("pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget source selection (prioritized mixture fill)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 30_000
+
+_BUDGET = f"""
+WITH sized AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
+              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
+              ELSE 2 END AS tier,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), ordered AS (
+  SELECT source, tier, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY tier, source
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+  FROM sized
+)
+SELECT source, tier, n_tokens, cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET} AS included
+FROM ordered
+"""
+
+
+@register("p_token_budget", oracle=_BUDGET)
+def p_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prioritized token-budget fill: sources are ranked by tier (curated
+    first) and greedily admitted until the training-token budget is
+    exhausted — how a run manifest pins its mixture to a compute budget.
+
+    The cumulative sum runs over the per-SOURCE aggregate (|sources|
+    rows, already reduced by a partial-agg'd shuffle), so the
+    single-partition window is driver-trivial at any corpus size — the
+    giant input never sees a global window (contrast p_pack_sequences,
+    where the prefix sum is over docs and must be two-level).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.select(
+            "source",
+            _tier(F.col("source")).alias("tier"),
+            F.size(tokens("text")).alias("toks"),
+        )
+        .groupBy("source", "tier")
+        .agg(F.sum("toks").alias("n_tokens"))
+    )
+    w = (
+        Window.orderBy("tier", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("included", F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("source", "tier", "n_tokens", "cum_tokens", "included")
+    )

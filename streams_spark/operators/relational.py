@@ -971,3 +971,66 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("map_size").alias("max_map_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate surface (moments, correlation)
+# ---------------------------------------------------------------------------
+
+# DuckDB's skewness/kurtosis are SAMPLE-corrected; Spark's are POPULATION
+# moments. The oracle therefore builds the population statistics from raw
+# power sums (central moments via the binomial expansion) — exact double
+# arithmetic on l_quantity/l_discount (small magnitudes, so the power
+# sums stay far below 2^53 and both engines compute identical doubles).
+_STATS_FUNCS = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         avg(l_quantity) AS mq,
+         avg(l_quantity * l_quantity) AS mq2,
+         avg(l_quantity * l_quantity * l_quantity) AS mq3,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS mq4,
+         corr(l_quantity, l_extendedprice) AS r,
+         covar_samp(l_discount, l_extendedprice) AS cv,
+         stddev_samp(l_quantity) AS sd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(r, 6) AS corr_qty_price,
+       round(cv, 6) AS covar_disc_price,
+       round(sd, 6) AS stddev_qty,
+       round((mq3 - 3 * mq * mq2 + 2 * mq * mq * mq)
+             / pow(mq2 - mq * mq, 1.5), 6) AS skew_qty,
+       round((mq4 - 4 * mq * mq3 + 6 * mq * mq * mq2 - 3 * pow(mq, 4))
+             / pow(mq2 - mq * mq, 2) - 3, 6) AS kurt_qty
+FROM s
+"""
+
+
+@register("q_stats_functions", oracle=_STATS_FUNCS)
+def q_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: Pearson correlation, sample
+    covariance/stddev, and population skewness / excess kurtosis per
+    return flag — the moment sketches a data-quality profiler runs per
+    column. All built-in JVM aggregates (one partial-agg'd shuffle of 3
+    groups); the oracle reproduces Spark's population moment convention
+    from raw power sums since DuckDB's skewness/kurtosis are
+    sample-corrected.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_discount", "l_extendedprice"), 6).alias(
+                "covar_disc_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+    )
