@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from streams_spark.functions.text_funcs import tokens as tokens_fn
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -1034,3 +1036,159 @@ def q_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-frame surface: RANGE frames, ntile, percent_rank, cume_dist
+# ---------------------------------------------------------------------------
+
+# ntile needs a total order to be deterministic: (o_totalprice, o_orderkey)
+# is unique. percent_rank/cume_dist depend only on the ordering VALUE, so
+# ties are harmless; both round to 6dp.
+_WINDOW_FRAMES = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+           AS trailing_7d_spend,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+           AS price_quartile,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 6) AS price_pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice), 6) AS price_cume_dist
+FROM orders
+"""
+
+
+@register("q_window_frames", oracle=_WINDOW_FRAMES)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface the reference lacks entirely (§2.7 ABSENT):
+    a time-RANGE frame (trailing-7-day spend per customer) plus the rank
+    family (ntile / percent_rank / cume_dist) partitioned by priority.
+
+    Spark's rangeBetween needs a numeric ordering column, so the time
+    frame orders on epoch seconds with an inclusive [-7d, 0] range —
+    identical inclusion semantics to the oracle's RANGE INTERVAL frame.
+    Scale: every window is keyed (customer / priority), so WindowExec
+    sorts within hash partitions — no single-partition global window. A
+    truly global quantile assignment at 100 TB should instead broadcast
+    approx-quantile cutpoints (see q_approx_percentile) rather than
+    total-sort; the priority-partitioned ntile here is the honest keyed
+    formulation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    w_tile = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_val = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias(
+            "trailing_7d_spend"
+        ),
+        F.ntile(4).over(w_tile).alias("price_quartile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("price_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode (generator functions): per-position token frequency
+# ---------------------------------------------------------------------------
+
+# DuckDB zips multiple unnests in one SELECT positionally, giving
+# (pos, token) pairs for the first-5-token slice — the lateral-view shape.
+_LATERAL = """
+WITH d AS (
+  SELECT doc_id, (string_split(text, ' '))[1:5] AS w5 FROM documents
+), ex AS (
+  SELECT doc_id, unnest(range(len(w5))) AS pos, unnest(w5) AS token FROM d
+), counted AS (
+  SELECT CAST(pos AS INTEGER) AS pos, token, count(*) AS cnt FROM ex
+  GROUP BY pos, token
+)
+SELECT pos, token, cnt, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT pos, token, cnt,
+         row_number() OVER (PARTITION BY pos ORDER BY cnt DESC, token) AS rnk
+  FROM counted
+) WHERE rnk <= 3
+"""
+
+
+@register("q_lateral_explode", oracle=_LATERAL)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function surface (LATERAL VIEW posexplode): top-3 tokens
+    at each of the first 5 token positions across the corpus — the
+    row-to-rows fan-out the reference's FlatMap enumerator provides
+    (/root/reference/server/pebble/observer.go:303-312), here as a
+    declarative posexplode the optimizer can prune through.
+
+    Scale: the slice happens BEFORE the explode, so the fan-out is a
+    bounded 5 rows/doc regardless of document length; one partial-agg'd
+    shuffle on (pos, token), then the rank window runs over the
+    position-sized aggregate (5 groups x vocab), not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(tokens_fn("text"), 1, 5)).alias("pos", "token"),
+    )
+    counted = ex.groupBy("pos", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("pos").orderBy(F.desc("cnt"), "token")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("pos", "token", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS with a correlated aggregate subquery (decorrelated)
+# ---------------------------------------------------------------------------
+
+_CORR_EXISTS = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = c.c_custkey)
+)
+"""
+
+
+@register("q_correlated_exists", oracle=_CORR_EXISTS)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS whose inner predicate itself contains a
+    correlated aggregate subquery (customers with at least one order over
+    2x their own average) — the doubly-nested shape optimizers must
+    decorrelate. Expressed decorrelated by hand: the per-customer average
+    is a window over the orders scan (one shuffle, no orders re-scan),
+    the EXISTS collapses to a distinct-key semi join against customer.
+    Scale: single shuffle of orders on o_custkey serves both the window
+    and the semi-join build side; customer never shuffles (AQE broadcasts
+    the distinct qualifying-key frame, which only shrinks).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    qualifying = (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(
+        qualifying, c.c_custkey == qualifying.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")

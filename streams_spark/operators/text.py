@@ -730,3 +730,61 @@ def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_freq",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_LM = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id, unnest(w) AS term FROM d
+), freq AS (
+  SELECT term, count(*) AS c FROM ex GROUP BY term
+), tot AS (
+  SELECT count(*) AS n FROM ex
+)
+SELECT ex.doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(CAST(freq.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+FROM ex JOIN freq USING (term) CROSS JOIN tot
+GROUP BY ex.doc_id
+"""
+
+
+@register("t_unigram_lm", oracle=_UNIGRAM_LM)
+def t_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus unigram MLE —
+    the perplexity-style quality filter training pipelines run to drop
+    gibberish (a doc of rare tokens scores far below the corpus mode).
+    The reference computes nothing like this (§2.3: only min/max-key
+    lookups); standard corpus-LM scoring from the web-scale-filtering
+    literature (e.g. CCNet-style LM filtering), re-expressed as two
+    aggregations and a join.
+
+    Shuffle shape: one explode->groupBy(term) builds the vocab-sized
+    frequency table; the token stream then joins it on term. The freq
+    table follows Heaps' law (grows sublinearly, not scale-invariant) so
+    it rides AQE rather than a forced broadcast; at 100 TB one would
+    top-K-truncate it with an explicit smoothing floor for the tail.
+    avg(ln p) is rounded at 4dp — summands are O(-10) over at most a few
+    hundred tokens, so cross-engine float-sum drift (~1e-13) is far
+    below the rounding quantum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    freq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = ex.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ex.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -187,3 +187,26 @@ def test_contamination_flags_constructed_overlap(spark):
     assert set(out) == {7}, out
     assert out[7].n_overlap == 1 and out[7].n_ngrams == 3
     assert abs(out[7].contaminated_frac - round(1 / 3, 6)) < 1e-9
+
+
+def test_window_frames_semantics(spark, sf_dir):
+    from streams_spark.registry import load_all
+
+    df = load_all()["q_window_frames"].fn(spark, sf_dir).toPandas()
+    # trailing-7d spend includes the current order, so it is >= 0 and the
+    # quartile labels cover 1..4; percent_rank/cume_dist are in [0, 1]
+    assert (df.trailing_7d_spend > 0).all()
+    assert set(df.price_quartile.unique()) == {1, 2, 3, 4}
+    assert df.price_pct_rank.between(0, 1).all()
+    assert df.price_cume_dist.between(0, 1).all()
+
+
+def test_unigram_lm_scores_rare_docs_lower(spark, sf_dir):
+    from streams_spark.registry import load_all
+
+    df = load_all()["t_unigram_lm"].fn(spark, sf_dir).toPandas()
+    # log-probabilities are strictly negative and finite
+    assert (df.avg_logprob < 0).all()
+    assert df.avg_logprob.notna().all()
+    # every document is scored exactly once
+    assert df.doc_id.is_unique
