@@ -323,3 +323,49 @@ def p_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("included", F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("source", "tier", "n_tokens", "cum_tokens", "included")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (sharded training order)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('shuf-', CAST(doc_id AS VARCHAR))) AS k,
+         CAST(concat('0x', substr(md5(concat('shuf-', CAST(doc_id AS VARCHAR))),
+                                  1, 4)) AS INTEGER) % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS INTEGER) AS pos,
+       doc_id
+FROM keyed
+"""
+
+
+@register("p_corpus_shuffle", oracle=_SHUFFLE)
+def p_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into N_SHARDS shards with a
+    pseudo-random within-shard order — how a training run materializes
+    its example order ONCE, reproducibly (seeded key, not rand()), so
+    every epoch and every restart reads the same sequence. The md5 keying
+    makes it engine-portable and stable under reruns.
+
+    Scale: the only shuffle is the hash partition on `shard`; each shard
+    sorts independently (no global orderBy, no single-task window). Shard
+    count scales with corpus size (fixed 16 here for the oracle) so
+    per-shard sorts stay memory-sized; writing shards as files then gives
+    sequential-read training order with random access per shard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(k, 1, 4), 16, 10).cast("int") % N_SHARDS
+    keyed = docs.select("doc_id", k.alias("k"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "shard", F.row_number().over(w).alias("pos"), "doc_id"
+    )

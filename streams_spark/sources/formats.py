@@ -106,3 +106,25 @@ def read_event_log_csv(spark: SparkSession, path: str) -> DataFrame:
         .csv(path),
         metadata_as_json=True,
     )
+
+
+def write_event_log_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export the event log as space-partitioned ORC.
+
+    ORC is Spark-native and carries the FULL canonical schema — binary
+    payload and map<string,string> metadata included — so no wire codec
+    is needed; it is the zero-loss interchange format for systems in the
+    Hive/Trino ecosystem (as Parquet is for ours). Same partition layout
+    as the Parquet store, so partition pruning holds on exported copies.
+    """
+    df.write.mode(mode).partitionBy("space").orc(path)
+
+
+def read_event_log_orc(spark: SparkSession, path: str) -> DataFrame:
+    # explicit schema, same rule as the other readers: never infer on a
+    # 100 TB read. ORC's native types round-trip binary + map exactly.
+    return (
+        spark.read.schema(EVENT_LOG_SCHEMA)
+        .orc(path)
+        .select(*[f.name for f in EVENT_LOG_SCHEMA.fields])
+    )

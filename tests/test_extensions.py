@@ -210,3 +210,19 @@ def test_unigram_lm_scores_rare_docs_lower(spark, sf_dir):
     assert df.avg_logprob.notna().all()
     # every document is scored exactly once
     assert df.doc_id.is_unique
+
+
+def test_corpus_shuffle_is_deterministic_and_contiguous(spark, sf_dir):
+    from streams_spark.registry import load_all
+
+    fn = load_all()["p_corpus_shuffle"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values(["shard", "pos"])
+    b = fn(spark, sf_dir).toPandas().sort_values(["shard", "pos"])
+    # same order on rerun (seeded key, not rand())
+    assert (a.doc_id.values == b.doc_id.values).all()
+    # every doc appears exactly once; positions are 1..n per shard
+    assert a.doc_id.is_unique
+    for _, grp in a.groupby("shard"):
+        assert list(grp.pos) == list(range(1, len(grp) + 1))
+    # the order is actually shuffled, not doc_id order
+    assert list(a.doc_id) != sorted(a.doc_id)

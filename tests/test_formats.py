@@ -94,3 +94,12 @@ def test_partitioned_by_space(spark, tmp_path):
 
     parts = {e for e in os.listdir(path) if e.startswith("space=")}
     assert parts == {"space=space0", "space=space1"}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    log = _sample_log(spark)
+    path = str(tmp_path / "log_orc")
+    formats.write_event_log_orc(log, path)
+    back = formats.read_event_log_orc(spark, path)
+    # ORC is zero-loss: binary payload and map metadata round-trip natively
+    assert _canon(back) == _canon(log)
