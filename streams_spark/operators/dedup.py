@@ -740,3 +740,140 @@ def d_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplicate detection (repeated passages, merged intervals)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 10  # shingle length for a "passage"
+
+_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), starts AS (
+  SELECT doc_id, len(w) AS n_tokens, w,
+         unnest(range(len(w) - {SPAN_TOKENS - 1})) AS start
+  FROM d WHERE len(w) >= {SPAN_TOKENS}
+), g AS (
+  SELECT doc_id, n_tokens, start,
+         md5(array_to_string(w[start + 1 : start + {SPAN_TOKENS}], ' ')) AS h
+  FROM starts
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sp AS (
+  SELECT g.doc_id, g.n_tokens, g.start,
+         g.start + {SPAN_TOKENS - 1} AS e
+  FROM g JOIN dup USING (h)
+), m AS (
+  SELECT doc_id, n_tokens, start, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+  FROM sp
+), fl AS (
+  SELECT doc_id, n_tokens, start, e,
+         CASE WHEN prev_max_e IS NULL OR start > prev_max_e + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM m
+), isl AS (
+  SELECT doc_id, n_tokens, start, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM fl
+), merged AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, island_id,
+         min(start) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island_id
+)
+SELECT doc_id,
+       count(*) AS n_dup_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens), 4)
+           AS dup_frac
+FROM merged GROUP BY doc_id
+"""
+
+
+@register("d_dup_spans", oracle=_DUP_SPANS)
+def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection: find every {SPAN_TOKENS}-token
+    passage that recurs across documents, merge overlapping/adjacent
+    flagged spans per document, and report how much of each document is
+    duplicated text (the exact-substring-dedup signal of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better", at
+    shingle granularity — doc-level dedups above cannot see a copied
+    paragraph inside an otherwise-unique page).
+
+    Scale shape: gram construction is SHUFFLE-FREE — transform over a
+    sequence builds (start, md5(slice)) pairs inside the scan projection,
+    so the only corpus-sized shuffle is the groupBy(h) that counts
+    cross-document occurrences. The flagged-span stream (dup passages
+    only, typically a small fraction) then does one keyed window pass for
+    interval merging (gaps-and-islands, partitioned by doc — no global
+    sort). At 100 TB the dup-hash table would be bloom-filtered back
+    onto the gram stream instead of equi-joined; semantics identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = (
+        docs.where(F.size(toks) >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - SPAN_TOKENS),
+                    lambda s: F.struct(
+                        s.alias("start"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(toks, s + 1, SPAN_TOKENS), " "
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_tokens", "g.start", "g.h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    spans = grams.join(dup, "h").select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        (F.col("start") + SPAN_TOKENS - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("start") > prev_max_e + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("doc_id", "island_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("start").alias("s"),
+        F.max("e").alias("e"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s") + 1).cast("double")
+            / F.first("n_tokens"),
+            4,
+        ).alias("dup_frac"),
+    )

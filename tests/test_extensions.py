@@ -226,3 +226,28 @@ def test_corpus_shuffle_is_deterministic_and_contiguous(spark, sf_dir):
         assert list(grp.pos) == list(range(1, len(grp) + 1))
     # the order is actually shuffled, not doc_id order
     assert list(a.doc_id) != sorted(a.doc_id)
+
+
+def test_dup_spans_finds_planted_passage(spark):
+    """Two docs sharing a 12-token passage inside otherwise-unique text
+    must both be flagged with a merged span covering the shared run."""
+    from streams_spark.operators.dedup import d_dup_spans
+
+    shared = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta eta theta"),
+        (2, "one two three four " + shared + " five six seven eight nine"),
+        (3, " ".join(f"unique{i}" for i in range(30))),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in d_dup_spans(spark, td).collect()}
+    assert set(out) == {1, 2}
+    # the 12-token shared run yields 3 overlapping 10-gram spans that must
+    # merge into ONE island of exactly 12 tokens in each doc
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_tokens == 12
