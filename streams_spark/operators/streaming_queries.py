@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    """Raw events schema for building a readStream, safe in a BARE
+    session: events.parquet is TIMESTAMP(NANOS), which Spark rejects
+    unless the nanosAsLong conf is set before the first raw read
+    (the round-1 lesson from sources/tables.py — do not rely on an
+    earlier load_table call having set it session-wide)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,
@@ -40,7 +51,7 @@ def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter selecting only the events table.
     stream = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            _events_schema(spark, sf_dir)
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -176,7 +187,7 @@ def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stream = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            _events_schema(spark, sf_dir)
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
@@ -225,7 +236,7 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     length. With AvailableNow over bounded input nothing is late, so the
     result equals the batch interval join the oracle states.
     """
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _events_schema(spark, sf_dir)
 
     def side(event_type: str, prefix: str):
         return (
@@ -335,7 +346,7 @@ def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join per batch. The canonical 'attach user profile to each
     event' pipeline stage.
     """
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -382,7 +393,7 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not grow with the stream). Output is the distinct key set, which
     is order-independent and equals the batch DISTINCT the oracle states.
     """
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -406,3 +417,87 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+_STREAM_TOPK_ORACLE = """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum("value"), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, total_value,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY total_value DESC, event_type) AS rnk
+  FROM agg
+) WHERE rnk <= 3
+"""
+
+
+@register("st_stream_topk", oracle=_STREAM_TOPK_ORACLE)
+def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour by revenue, computed by a streaming
+    query. Ranking windows are UNSUPPORTED on streaming DataFrames
+    (Spark raises on row_number over a stream), so this demonstrates the
+    canonical pattern: stream the aggregation (complete mode), rank
+    inside the foreachBatch sink where the micro-batch is a plain batch
+    DataFrame. The reference's closest relative is Peek's per-segment
+    top-1 (/root/reference/server/pebble/service.go:820-840) recomputed
+    on every notification; here the incremental engine maintains the agg
+    state and the sink re-ranks the (windows x event_types)-sized
+    aggregate — NOT the event stream — each trigger.
+
+    Scale: state is bounded by (n_windows x n_event_types); the ranked
+    frame the sink sorts is aggregate-sized, so the collect is k-bounded
+    metadata, not data. total_value is rounded BEFORE ranking so the
+    (value DESC, event_type) order is engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(
+            _events_schema(spark, sf_dir)
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    holder: dict[str, list] = {}
+
+    def rank_sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("total_value"), "event_type"
+        )
+        ranked = (
+            batch_df.select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+        )
+        # complete mode: each trigger carries the full aggregate, so the
+        # last batch's ranking IS the answer; rows are k-bounded.
+        holder["rows"] = ranked.collect()
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        holder["rows"],
+        "window_start timestamp, event_type string, n_events long, "
+        "total_value double, rnk int",
+    )
