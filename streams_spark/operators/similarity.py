@@ -613,3 +613,69 @@ def s_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mse") * 1e6, 4).alias("mse_e6"),
         F.round(F.max("mse") * 1e6, 4).alias("max_mse_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine ANN quality evaluation: recall@k of LSH vs exact top-k
+# ---------------------------------------------------------------------------
+
+_RECALL_EVAL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ( {_COSINE_TOPK} ) t
+), approx AS (
+  SELECT query_id, neighbor_id FROM ( {_ANN_LSH} ) t
+), hits AS (
+  SELECT e.query_id,
+         sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS n_hit
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+), retr AS (
+  SELECT query_id, count(*) AS n_retrieved FROM approx GROUP BY query_id
+)
+SELECT h.query_id,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CAST(coalesce(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       round(CAST(h.n_hit AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+FROM hits h LEFT JOIN retr r ON r.query_id = h.query_id
+"""
+
+
+@register("s_recall_eval", oracle=_RECALL_EVAL)
+def s_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH index against exact brute force,
+    computed inside the engine — the evaluation loop an ANN deployment
+    runs continuously (sample probes, compare index vs ground truth,
+    alert on recall drift). Both sides are this module's own registered
+    operators, so the eval is exactly the deployed plans, not a
+    reimplementation.
+
+    Scale: ground truth on a PROBE SAMPLE only (the standard practice —
+    exact top-k of a sample costs one broadcast-probe scan, not O(n²));
+    the comparison joins two k-bounded result sets, negligible at any
+    corpus size.
+    """
+    exact = s_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = s_ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+    )
+    retr = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved")
+    )
+    return (
+        hits.join(retr, "query_id", "left")
+        .select(
+            "query_id",
+            "n_hit",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.round(F.col("n_hit").cast("double") / TOP_K, 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )

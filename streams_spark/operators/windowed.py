@@ -630,3 +630,89 @@ def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.min("streak_start").cast("timestamp").alias("first_active_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill (hour spine, zero/carry-forward)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n, round(avg("value"), 4) AS av
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+), grid AS (
+  SELECT t.event_type, s.hour
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), j AS (
+  SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n_events, h.av
+  FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+)
+SELECT event_type, hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       last_value(av IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS UNBOUNDED PRECEDING) AS filled_avg_value
+FROM j
+"""
+
+
+@register("w_gap_fill", oracle=_GAP_FILL)
+def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: generate the full hour spine
+    between the data's bounds, zero-fill missing counts, and
+    carry-forward the last observed hourly average (the timeseries-DB
+    `time_bucket_gapfill` + `locf` pair, as one declarative plan). The
+    reference's space index can only return hours that HAVE entries
+    (/root/reference/server/pebble/service.go:165-198); dashboards and
+    downsampling jobs need the dense series.
+
+    Scale: the spine is sequence-exploded from ONE aggregate row (time
+    range / 1 hour rows, tiny at any corpus size) and cross-joined with
+    the distinct-type frame — both broadcast-sized; the data-sized work
+    is the hourly aggregate (one partial-agg'd shuffle) and the
+    forward-fill window keyed by event_type (spread across types; for a
+    single very long series, shard the fill by day and stitch).
+    avg rounds to 4dp BEFORE the fill so carried values are identical
+    cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("av"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    j = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "av",
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.last("av", ignorenulls=True).over(w).alias("filled_avg_value"),
+    )
