@@ -369,3 +369,100 @@ def p_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "shard", F.row_number().over(w).alias("pos"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline funnel: quality gate -> exact dedup -> prefix dedup
+# ---------------------------------------------------------------------------
+
+from streams_spark.functions.text_funcs import STOPWORDS as _STOPWORDS
+
+_SW_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+_FUNNEL_REPORT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         md5(text) AS content_key,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_key
+  FROM documents
+), attrs AS (
+  SELECT doc_id, content_key, prefix_key, len(w) AS n_tokens,
+         CAST(len(list_filter(w, t -> t IN ({_SW_LIST}))) AS DOUBLE) / len(w)
+             AS swr
+  FROM d
+), s1 AS (
+  SELECT * FROM attrs WHERE n_tokens >= 30 AND swr <= 0.5
+), s2 AS (
+  SELECT * FROM s1
+  WHERE doc_id = (SELECT min(doc_id) FROM s1 i
+                  WHERE i.content_key = s1.content_key)
+), s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id = (SELECT min(doc_id) FROM s2 i
+                  WHERE i.prefix_key = s2.prefix_key)
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'raw' AS stage_name,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM attrs
+  UNION ALL
+  SELECT 1, 'quality_gate', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'prefix_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s3
+)
+"""
+
+
+@register("p_funnel_report", oracle=_FUNNEL_REPORT)
+def p_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end cleaning funnel as ONE declarative plan: quality
+    gate (t_quality_rollup's rule), then exact dedup (min-doc_id
+    survivor per content hash), then prefix dedup — reporting surviving
+    docs/tokens after each stage, i.e. the per-stage attrition table
+    every training-data pipeline publishes. Stage composition follows
+    the measured guidance in SCALING.md (cheap map-side gates first so
+    the keyed dedup shuffles see the smallest possible stream).
+
+    Scale: one scan computes all per-doc attributes (hashes, token
+    stats); each dedup stage is a keyed window-min over its survivor
+    stream (hash-partitioned, no global sort); the four stage aggregates
+    are partial-agg'd counts unioned into a 4-row report.
+    """
+    from streams_spark.functions.text_funcs import stopword_ratio
+    from streams_spark.operators.dedup import PREFIX_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    attrs = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_key"),
+        F.md5(
+            F.array_join(F.slice(toks, 1, PREFIX_TOKENS), " ")
+        ).alias("prefix_key"),
+        F.size(toks).alias("n_tokens"),
+        stopword_ratio(toks).alias("swr"),
+    )
+    s1 = attrs.where((F.col("n_tokens") >= 30) & (F.col("swr") <= 0.5))
+    s2 = s1.withColumn(
+        "keep", F.min("doc_id").over(Window.partitionBy("content_key"))
+    ).where(F.col("doc_id") == F.col("keep")).drop("keep")
+    s3 = s2.withColumn(
+        "keep", F.min("doc_id").over(Window.partitionBy("prefix_key"))
+    ).where(F.col("doc_id") == F.col("keep")).drop("keep")
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select("stage", "stage_name", "n_docs", "n_tokens")
+
+    return (
+        stage(attrs, 0, "raw")
+        .unionAll(stage(s1, 1, "quality_gate"))
+        .unionAll(stage(s2, 2, "exact_dedup"))
+        .unionAll(stage(s3, 3, "prefix_dedup"))
+    )
