@@ -444,6 +444,12 @@ def p_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         stopword_ratio(toks).alias("swr"),
     )
+    # materialize the per-doc attribute table (2 hashes + 2 numbers per
+    # doc) so the four stage aggregates below reuse it instead of each
+    # union branch re-scanning the corpus — without this the physical
+    # plan shows 4 full scans. Same pattern as d_simhash's signature
+    # table; the 100 TB analog writes attrs next to the corpus.
+    attrs = attrs.localCheckpoint()
     s1 = attrs.where((F.col("n_tokens") >= 30) & (F.col("swr") <= 0.5))
     s2 = s1.withColumn(
         "keep", F.min("doc_id").over(Window.partitionBy("content_key"))
