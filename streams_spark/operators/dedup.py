@@ -877,3 +877,73 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (excerpt / subset duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_T = 0.8
+
+_CONTAINMENT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n) AS na, any_value(b.n) AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / least(na, nb), 6) AS containment
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= {CONTAINMENT_T}
+"""
+
+
+@register("d_containment", oracle=_CONTAINMENT)
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs where the smaller document's shingle set is >= 80%
+    contained in the other — the excerpt/quotation/boilerplate signal
+    Jaccard structurally misses: a 50-token excerpt inside a 5000-token
+    page has Jaccard ~0.01 but containment ~1.0. Standard companion
+    metric to d_ngram_jaccard in dedup literature (containment a.k.a.
+    Broder's "subset resemblance").
+
+    Same inverted-index shape as d_ngram_jaccard (two partial-agg'd
+    shuffles, shared cached shingle table) but WITHOUT the size-ratio
+    join prune — containment deliberately pairs documents of very
+    different sizes, so the only prune is the co-occurrence itself. At
+    100 TB the hot-shingle df cap bounds the join's skew exactly as in
+    the Jaccard op.
+    """
+    sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
+    ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return pairs.where(cont >= CONTAINMENT_T).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+    )

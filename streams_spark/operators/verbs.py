@@ -272,3 +272,45 @@ def v_produce_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_entries"),
         )
     )
+
+
+@register(
+    "v_chunked_produce",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       CAST((sequence - 1) // 100 AS BIGINT) AS chunk_id,
+       min(sequence) AS first_sequence,
+       max(sequence) AS last_sequence,
+       min(timestamp) AS first_timestamp,
+       max(timestamp) AS last_timestamp,
+       count(*) AS n_entries
+FROM events_log
+GROUP BY space, segment, chunk_id
+""",
+)
+def v_chunked_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChunkByCount analog: the reference re-batches an unbounded record
+    stream into fixed-size transactions and returns one SegmentStatus
+    per chunk (enumerators.ChunkByCount at
+    /root/reference/server/pebble/service.go:308 — 10,000 for Pebble,
+    100 for Azure Tables at server/azure/service.go:27,258). Batch
+    equivalent: chunk_id = (sequence-1) div 100 per segment (the Azure
+    chunk unit), aggregated to the per-chunk SegmentStatus the produce
+    stream would have emitted. One partial-agg'd groupBy; at scale
+    chunking is the micro-batch/commit-unit sizing knob, not a shuffle.
+    """
+    log = event_log(spark, sf_dir)
+    return (
+        log.withColumn(
+            "chunk_id", ((F.col("sequence") - 1) / 100).cast("long")
+        )
+        .groupBy("space", "segment", "chunk_id")
+        .agg(
+            F.min("sequence").alias("first_sequence"),
+            F.max("sequence").alias("last_sequence"),
+            F.min("timestamp").alias("first_timestamp"),
+            F.max("timestamp").alias("last_timestamp"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )

@@ -716,3 +716,67 @@ def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("av", ignorenulls=True).over(w).alias("filled_avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: for each click, the first strictly-later purchase
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), enriched AS (
+  SELECT user_id, ts, event_id, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS) OVER w AS next_purchase_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                     IGNORE NULLS) OVER w AS next_purchase_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       next_purchase_id, next_purchase_ts,
+       CAST(epoch_us(next_purchase_ts) - epoch_us(ts) AS BIGINT)
+           AS time_to_convert_us
+FROM enriched WHERE event_type = 'click'
+"""
+
+
+@register("w_asof_forward", oracle=_ASOF_FWD)
+def w_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the FIRST strictly-later
+    purchase of the same user (time-to-convert) — the mirror of
+    w_asof_purchase_click's backward lookup, via first-ignoring-nulls
+    over a FOLLOWING frame. Same scale shape: one shuffle on user_id,
+    no per-row lookup join, no broadcast of a fact table.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    enriched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(p_id, ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    return enriched.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "next_purchase_id",
+        "next_purchase_ts",
+        (
+            F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+        ).alias("time_to_convert_us"),
+    )
