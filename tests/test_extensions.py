@@ -251,3 +251,35 @@ def test_dup_spans_finds_planted_passage(spark):
     for d in (1, 2):
         assert out[d].n_dup_spans == 1
         assert out[d].dup_tokens == 12
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """A 15-token excerpt inside a 120-token page: containment ~1.0 but
+    Jaccard far below its 0.5 threshold — only d_containment reports it."""
+    from streams_spark.operators.dedup import (
+        clear_shingle_cache,
+        d_containment,
+        d_ngram_jaccard,
+    )
+
+    excerpt = " ".join(f"quote{i}" for i in range(15))
+    page = (
+        " ".join(f"body{i}" for i in range(60))
+        + " " + excerpt + " "
+        + " ".join(f"tail{i}" for i in range(45))
+    )
+    rows = [(1, excerpt), (2, page), (3, " ".join(f"x{i}" for i in range(30)))]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        clear_shingle_cache()
+        try:
+            cont = d_containment(spark, td).collect()
+            jac = d_ngram_jaccard(spark, td).collect()
+        finally:
+            clear_shingle_cache()
+    assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    assert jac == []
