@@ -64,3 +64,32 @@ def salted_agg(
             for _, fn, alias in aggs
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with explicit salt replication for a hot join key.
+
+    The big side gets a uniform per-row salt; the small side is
+    replicated once per salt value, so the hot key's rows spread over
+    `n_salts` reducers instead of one. Result-identical to
+    ``big.join(small, key)`` (inner). Use when BOTH sides are too large
+    to broadcast and one key dominates; AQE's skew-join split handles
+    oversized partitions after the fact, salting prevents them by
+    construction (and also spreads the build side, which AQE's split
+    cannot). The replication multiplies the small side n_salts x — keep
+    n_salts at the skew factor, not the cluster size.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    bs = big.withColumn("__salt", salt)
+    ss = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bs.join(ss, [key, "__salt"]).drop("__salt")

@@ -472,3 +472,53 @@ def p_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s2, 2, "exact_dedup"))
         .unionAll(stage(s3, 3, "prefix_dedup"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-copy selection: source-priority dedup
+# ---------------------------------------------------------------------------
+
+_SOURCE_PRIORITY = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY md5(text)
+           ORDER BY CAST(substr(source, 4) AS INT), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("p_source_priority", oracle=_SOURCE_PRIORITY)
+def p_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with SOURCE-PRIORITY canonical selection: when the
+    same content appears under several sources, keep the copy from the
+    most-trusted source (lowest numeric rank, doc_id tiebreak) instead
+    of an arbitrary min-doc_id winner. This is how real pipelines pick
+    the curated copy over the crawl copy; d_exact_dup_groups only
+    reports the groups, this op decides the keeper. Returns the
+    per-source canonical/shadowed census.
+
+    One shuffle: row_number over the content-hash partition (dup groups
+    are tiny, so windows are a few rows each — no skew), then an
+    O(sources) rollup. At 100 TB the hash partition count rides AQE;
+    the priority rank is a pure projection (no source dimension join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy(F.md5("text")).orderBy(prio, "doc_id")
+    ranked = docs.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_canonical"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_shadowed"),
+    )

@@ -1192,3 +1192,42 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         qualifying, c.c_custkey == qualifying.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+_SALTED_JOIN = """
+SELECT s_nationkey,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+@register("q_salted_join", oracle=_SALTED_JOIN)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation computed through salted_join
+    (functions/skew.py): the big side carries a uniform row salt, the
+    small side is replicated per salt, so a hot l_suppkey spreads over
+    n_salts reducers in a shuffle join. Companion to q_salted_agg —
+    that one salts the GROUP BY merge, this one the join build/probe.
+    The oracle proves the rewrite is result-identical to the plain
+    equi-join. (At this SF supplier would broadcast and no salt is
+    needed; the op exists to pin the rewrite's semantics, the docstring
+    of salted_join states when to reach for it.)
+    """
+    from streams_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    su = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    ).select("l_suppkey", "s_nationkey")
+    return (
+        salted_join(li, su, "l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

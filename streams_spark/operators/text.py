@@ -788,3 +788,65 @@ def t_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, lang, unnest(str_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), freq AS (
+  SELECT doc_id, lang, ch, count(*) AS cnt
+  FROM chars GROUP BY doc_id, lang, ch
+), ent AS (
+  SELECT doc_id, lang,
+         log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS h
+  FROM freq GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(h), 4) AS avg_entropy,
+       round(min(h), 4) AS min_entropy,
+       round(max(h), 4) AS max_entropy
+FROM ent
+GROUP BY lang
+"""
+
+
+@register("t_char_entropy", oracle=_CHAR_ENTROPY)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy, rolled up per
+    language. Low-entropy documents (repeated characters, boilerplate,
+    binary-ish junk) are a standard corpus-quality cut alongside the
+    length/stopword gates in t_quality_rollup.
+
+    H = log2(N) - sum(c*log2(c))/N from exact per-(doc,char) counts —
+    the algebraic form avoids a second per-doc total join/window. Two
+    shuffles, both collapsed by partial aggregation: the (doc, char)
+    count reduces each partition's explode output to ~|alphabet| rows
+    per doc before the exchange, and the per-doc merge reduces to one
+    row per doc. The lang rollup is O(langs). Nothing here is
+    corpus-skewed: keys are (doc, char) and doc, both uniform.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ent = freq.groupBy("doc_id", "lang").agg(
+        (
+            F.log2(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
+        ).alias("h")
+    )
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 4).alias("avg_entropy"),
+        F.round(F.min("h"), 4).alias("min_entropy"),
+        F.round(F.max("h"), 4).alias("max_entropy"),
+    )

@@ -780,3 +780,56 @@ def w_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
         ).alias("time_to_convert_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (DAU / WAU-style engagement)
+# ---------------------------------------------------------------------------
+
+_ROLLING_DAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day
+), rolled AS (
+  SELECT d.day AS day, count(DISTINCT du.user_id) AS dau7
+  FROM (SELECT DISTINCT day FROM du) d
+  JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(daily.day AS TIMESTAMP) AS day, dau, dau7
+FROM daily JOIN rolled ON daily.day = rolled.day
+"""
+
+
+@register("w_rolling_dau", oracle=_ROLLING_DAU)
+def w_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus the rolling 7-day distinct-user count —
+    the standard engagement pair (DAU / WAU). COUNT(DISTINCT) over a
+    sliding window has no direct window-function form (distinct is not
+    decomposable), so the scale-honest formulation replicates each
+    distinct (day, user) row to the <=7 future days it contributes to
+    (explode of a 7-element date sequence — bounded fan-out, unlike a
+    day-spine range join whose per-day input grows with the window) and
+    counts distinct per target day. The day spine is O(days) and
+    broadcast for the existence semi-join; both aggregates are
+    partial-agg'd shuffles on uniformly distributed keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    daily = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+        "user_id",
+    ).join(F.broadcast(days), "day", "semi")
+    rolled = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau7")
+    )
+    return daily.join(rolled, "day").select(
+        F.col("day").cast("timestamp").alias("day"), "dau", "dau7"
+    )

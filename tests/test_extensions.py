@@ -283,3 +283,86 @@ def test_containment_finds_excerpt_jaccard_misses(spark):
     assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 2)]
     assert cont[0].containment == 1.0
     assert jac == []
+
+
+def test_char_entropy_exact_value(spark):
+    """'aabb' has exactly 1 bit of character entropy; 'aaaa' zero."""
+    from streams_spark.operators.text import t_char_entropy
+
+    rows = [(1, "aabb", "en"), (2, "aaaa", "zz")]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.lang: r for r in t_char_entropy(spark, td).collect()}
+    assert out["en"].avg_entropy == 1.0
+    assert out["zz"].avg_entropy == 0.0
+
+
+def test_source_priority_keeps_lowest_source(spark):
+    """Identical content under src9/src2/src11 -> src2's copy is canonical
+    (numeric rank 2 < 9 < 11 — lexicographic order would pick src11 last
+    wrongly)."""
+    from streams_spark.operators.pipeline import p_source_priority
+
+    rows = [
+        (1, "same text", "src9"),
+        (2, "same text", "src2"),
+        (3, "same text", "src11"),
+        (4, "unique", "src9"),
+    ]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in p_source_priority(spark, td).collect()}
+    assert out["src2"].n_canonical == 1 and out["src2"].n_shadowed == 0
+    assert out["src9"].n_canonical == 1  # the unique doc
+    assert out["src9"].n_shadowed == 1
+    assert out["src11"].n_canonical == 0 and out["src11"].n_shadowed == 1
+
+
+def test_rolling_dau_window_semantics(spark):
+    """Day 8 must not count a user last seen on day 1 (outside the 7-day
+    window); day 7 must."""
+    from streams_spark.operators.windowed import w_rolling_dau
+
+    base = 1_700_000_000_000_000_000  # epoch nanos, midnight-ish anchor
+    day = 86_400 * 1_000_000_000
+
+    def ev(eid, d, user):
+        return (eid, base + d * day, user, "view", 1.0, "{}")
+
+    rows = [ev(1, 0, 100), ev(2, 0, 101), ev(3, 6, 101), ev(4, 7, 102)]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = sorted(w_rolling_dau(spark, td).collect(), key=lambda r: r.day)
+    assert [r.dau for r in out] == [2, 1, 1]
+    # day 6 window covers day 0: users 100,101 + 101 -> 2 distinct
+    assert out[1].dau7 == 2
+    # day 7 window covers days 1..7: only 101 (day 6) and 102 (day 7)
+    assert out[2].dau7 == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is result-identical to the plain inner equi-join,
+    including a hot key carrying most rows and a key with no match."""
+    from streams_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1), (3, 9)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, tag string")
+    got = sorted(
+        salted_join(big, small, "k", n_salts=4).collect(),
+        key=lambda r: (r.k, r.v),
+    )
+    want = sorted(big.join(small, "k").collect(), key=lambda r: (r.k, r.v))
+    assert got == want and len(got) == 501
