@@ -814,11 +814,20 @@ def w_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts distinct per target day. The day spine is O(days) and
     broadcast for the existence semi-join; both aggregates are
     partial-agg'd shuffles on uniformly distributed keys.
+
+    The distinct (day, user) frame feeds three consumers (spine, daily,
+    rolled) — without materialization the plan re-scans and re-shuffles
+    the corpus three times, so it is localCheckpoint'd after the one
+    corpus pass (days x users rows, typically orders of magnitude
+    smaller than events; the cluster analog persists it as the daily
+    activity table every engagement query starts from).
     """
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    du = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
     days = du.select("day").distinct()
     daily = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     contrib = du.select(
