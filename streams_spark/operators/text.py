@@ -850,3 +850,57 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("h"), 4).alias("min_entropy"),
         F.round(F.max("h"), 4).alias("max_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters (exact top-k terms)
+# ---------------------------------------------------------------------------
+
+HH_K = 20
+
+_HEAVY_HITTERS = f"""
+WITH tf AS (
+  SELECT unnest(str_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), counted AS (
+  SELECT term, count(*) AS cnt FROM tf WHERE term <> '' GROUP BY term
+)
+SELECT term, cnt,
+       round(cnt * 1.0 / (SELECT sum(cnt) FROM counted), 6) AS frac
+FROM counted
+ORDER BY cnt DESC, term
+LIMIT {HH_K}
+"""
+
+
+@register("t_heavy_hitters", oracle=_HEAVY_HITTERS)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{k} most frequent terms with corpus frequency share —
+    the heavy-hitters census run before building filter lists or
+    stopword tables. (cnt DESC, term) ordering makes ties
+    deterministic cross-engine.
+
+    One token shuffle partial-agg'd to the vocab-sized frequency
+    table; the top-k is a TakeOrdered over that table (no global sort
+    materialized) and the total is one scalar broadcast back over k
+    rows. At 100 TB the vocab table follows Heaps' law — still
+    reducer-friendly; the standard approximate swap-in is a count-min
+    sketch per partition merged on the driver, worth it only when even
+    the vocab table is too large to shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    counted = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counted.agg(F.sum("cnt").alias("tot"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("cnt"), "term")
+        .limit(HH_K)
+    )

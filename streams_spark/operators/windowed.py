@@ -842,3 +842,50 @@ def w_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.join(rolled, "day").select(
         F.col("day").cast("timestamp").alias("day"), "dau", "dau7"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact sliding percentile over a ROWS frame)
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN = """
+SELECT user_id, event_id,
+       round(median("value") OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM events
+"""
+
+
+@register("w_rolling_median", oracle=_ROLLING_MEDIAN)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the event value over the trailing
+    5-row frame per user — the robust-smoothing companion to
+    w_running_totals' mean-style aggregates (medians shrug off the
+    outlier spikes averages chase). Median is not decomposable, so
+    there is no native window form: the frame is collected
+    (bounded — 5 elements, O(frame) not O(partition) state), sorted
+    in-row, and interpolated exactly like DuckDB's median (mean of the
+    two middles on even counts).
+
+    One shuffle: the window partitions by user_id (high-cardinality,
+    uniform). The collect_list frame is safe ONLY because the frame is
+    constant-bounded; a RANGE frame over time would need the
+    sketch-based approx path instead (q_approx_percentile's twin).
+    Ordering is (ts, event_id) — deterministic under timestamp ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    lo = F.element_at(a, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(a, F.ceil((n + 1) / 2).cast("int"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round((lo + hi) / 2.0, 4).alias("med5"),
+    )

@@ -366,3 +366,41 @@ def test_salted_join_matches_plain_join(spark):
     )
     want = sorted(big.join(small, "k").collect(), key=lambda r: (r.k, r.v))
     assert got == want and len(got) == 501
+
+
+def test_rolling_median_even_frame_interpolates(spark):
+    """Two-element frame -> mean of the two middles, matching DuckDB's
+    interpolated median."""
+    from streams_spark.operators.windowed import w_rolling_median
+
+    base = 1_700_000_000_000_000_000
+    rows = [
+        (1, base, 7, "view", 10.0, "{}"),
+        (2, base + 60_000_000_000, 7, "view", 20.0, "{}"),
+        (3, base + 120_000_000_000, 7, "view", 30.0, "{}"),
+    ]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.event_id: r.med5 for r in w_rolling_median(spark, td).collect()}
+    assert out == {1: 10.0, 2: 15.0, 3: 20.0}
+
+
+def test_heavy_hitters_deterministic_ties(spark):
+    """Equal-count terms order by term lexicographically; frac sums the
+    whole corpus, not just the returned k."""
+    from streams_spark.operators.text import t_heavy_hitters
+
+    rows = [(1, "b b a a c"), (2, "d")]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = t_heavy_hitters(spark, td).collect()
+    assert [r.term for r in out] == ["a", "b", "c", "d"]
+    assert out[0].frac == round(2 / 6, 6)
