@@ -1231,3 +1231,99 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+_FULL_OUTER = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_customers
+  FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_suppliers
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@register("q_full_outer", oracle=_FULL_OUTER)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customer vs supplier census per nation via FULL
+    OUTER join — the join type the rest of the suite doesn't exercise
+    (inner/left/semi/anti/cross all appear elsewhere). The asymmetric
+    balance filters make one-sided nations possible, so the coalesce
+    null-handling is load-bearing, not decorative.
+
+    Both inputs are post-aggregate (|nations| rows) so the outer join
+    itself is trivial; the aggregates are partial-agg'd single
+    shuffles with the balance filters pushed to the scans.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         avg("value") AS mu,
+         stddev("value") AS sigma,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(any_value(n_events) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(("value" - mu) / sigma) > 2.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs(("value" - mu) / sigma)), 4) AS max_abs_z
+FROM events e JOIN stats USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("q_outliers", oracle=_OUTLIERS)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier census per event type: per-type mean/stddev
+    (sample stddev, both engines' default) joined back onto the
+    stream, values beyond 2.5 sigma counted. The anomaly-gate shape
+    every metrics pipeline runs; same two-pass join-back pattern as
+    t_unigram_lm.
+
+    The stats table is O(types) and broadcast; the corpus sees one
+    scan per pass (stats, then flag+count — both partial-agg'd on
+    event_type). A one-pass variant via decomposable moments exists
+    but the two-pass form keeps exact parity with the oracle's
+    stddev semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.sum(F.when(z > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )

@@ -404,3 +404,45 @@ def test_heavy_hitters_deterministic_ties(spark):
         out = t_heavy_hitters(spark, td).collect()
     assert [r.term for r in out] == ["a", "b", "c", "d"]
     assert out[0].frac == round(2 / 6, 6)
+
+
+def test_full_outer_keeps_one_sided_nations(spark):
+    """A nation with only customers and one with only suppliers both
+    survive with zero-filled counts."""
+    from streams_spark.operators.relational import q_full_outer
+
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, 10, 9000.0), (2, 10, 1.0), (3, 20, 8000.0)],
+            "c_custkey long, c_nationkey long, c_acctbal double",
+        ).write.parquet(os.path.join(td, "customer.parquet"))
+        spark.createDataFrame(
+            [(1, 20, 9000.0), (2, 30, 7000.0)],
+            "s_suppkey long, s_nationkey long, s_acctbal double",
+        ).write.parquet(os.path.join(td, "supplier.parquet"))
+        out = {r.nationkey: r for r in q_full_outer(spark, td).collect()}
+    assert out[10].n_customers == 1 and out[10].n_suppliers == 0
+    assert out[20].n_customers == 1 and out[20].n_suppliers == 1
+    assert out[30].n_customers == 0 and out[30].n_suppliers == 1
+
+
+def test_outliers_flags_planted_spike(spark):
+    """99 unit values + one huge spike -> exactly one >2.5-sigma outlier."""
+    from streams_spark.operators.relational import q_outliers
+
+    base = 1_700_000_000_000_000_000
+    rows = [
+        (i, base + i * 1_000_000_000, 1, "view", 1.0 + (i % 3) * 0.01, "{}")
+        for i in range(99)
+    ] + [(99, base, 1, "view", 1000.0, "{}")]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        out = q_outliers(spark, td).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 100 and out[0].n_outliers == 1
