@@ -947,3 +947,75 @@ def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(cont >= CONTAINMENT_T).select(
         "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (daily batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS ch, (doc_id % 10 = 9) AS inc FROM documents
+), exist AS (
+  SELECT DISTINCT ch FROM h WHERE NOT inc
+), b AS (
+  SELECT h.doc_id, h.ch, (e.ch IS NOT NULL) AS in_corpus,
+         row_number() OVER (PARTITION BY h.ch ORDER BY h.doc_id) AS rn
+  FROM h LEFT JOIN exist e ON h.ch = e.ch
+  WHERE inc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN NOT in_corpus AND rn > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_in_batch,
+       CAST(sum(CASE WHEN NOT in_corpus AND rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM b
+"""
+
+
+@register("d_incremental_dedup", oracle=_INCREMENTAL)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify an incoming batch (docs with
+    doc_id % 10 == 9 stand in for today's crawl — a deterministic,
+    SF-invariant 10% slice) against the already-ingested corpus:
+    duplicate-of-corpus, duplicate-within-batch (non-first copy), or
+    novel. This asymmetric shape — small batch vs huge corpus — is the
+    shape every RUNNING pipeline actually executes daily; the whole-
+    corpus ops (d_exact_*) are the backfill shape.
+
+    The corpus side reduces to distinct hashes before the join and the
+    batch side is grouped on the same key, so the join is
+    post-aggregate. At 100 TB the right physical strategy inverts:
+    broadcast the BATCH's hash set (or a bloom filter of it) into the
+    corpus scan so the corpus is never shuffled — one filtered pass,
+    same semantics; here AQE picks the direction since both sides are
+    tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5("text").alias("ch"),
+        (F.col("doc_id") % 10 == 9).alias("inc"),
+    )
+    exist = h.where(~F.col("inc")).select("ch").distinct()
+    w = Window.partitionBy("ch").orderBy("doc_id")
+    b = (
+        h.where("inc")
+        .withColumn("rn", F.row_number().over(w))
+        .join(exist.withColumn("in_corpus", F.lit(True)), "ch", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(
+            F.when(~F.col("in_corpus") & (F.col("rn") > 1), 1).otherwise(0)
+        ).alias("n_dup_in_batch"),
+        F.sum(
+            F.when(~F.col("in_corpus") & (F.col("rn") == 1), 1).otherwise(0)
+        ).alias("n_novel"),
+    )

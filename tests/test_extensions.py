@@ -446,3 +446,28 @@ def test_outliers_flags_planted_spike(spark):
         out = q_outliers(spark, td).collect()
     assert len(out) == 1
     assert out[0].n_events == 100 and out[0].n_outliers == 1
+
+
+def test_incremental_dedup_classification(spark):
+    """Incoming docs (id%10==9): one dup-of-corpus, one in-batch dup
+    pair (first copy novel, second flagged), one novel."""
+    from streams_spark.operators.dedup import d_incremental_dedup
+
+    rows = [
+        (0, "corpus text"),
+        (1, "other corpus text"),
+        (9, "corpus text"),        # dup vs corpus
+        (19, "fresh pair"),        # novel (first of pair)
+        (29, "fresh pair"),        # dup in batch
+        (39, "totally new"),       # novel
+    ]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = d_incremental_dedup(spark, td).collect()[0]
+    assert out.n_incoming == 4
+    assert out.n_dup_vs_corpus == 1
+    assert out.n_dup_in_batch == 1
+    assert out.n_novel == 2
