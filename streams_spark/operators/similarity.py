@@ -679,3 +679,140 @@ def s_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks (the 100 TB index path)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = 64 // PQ_M
+PQ_K = 16  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd iterations per codebook
+
+
+def _pq_assign_sql(cent_cte: str) -> str:
+    """One PQ assignment step: nearest code per (vector, subspace),
+    ties to the lowest code id. Subspace is DATA, not an unrolled CTE —
+    all M codebooks train in the same relational pass."""
+    d = (
+        "list_sum(list_transform(list_zip(b.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+  SELECT vec_id, s, code, dist FROM (
+    SELECT b.vec_id, b.s, c.code, {d} AS dist,
+           row_number() OVER (PARTITION BY b.vec_id, b.s
+                              ORDER BY {d}, c.code) AS rn
+    FROM sub b JOIN {cent_cte} c ON b.s = c.s
+  ) WHERE rn = 1
+"""
+
+
+def _pq_update_sql(assign_cte: str) -> str:
+    return f"""
+  SELECT s, code, list(m ORDER BY i) AS cv FROM (
+    SELECT a.s, a.code, t.i, avg(b.sv[t.i]) AS m
+    FROM {assign_cte} a
+    JOIN sub b ON a.vec_id = b.vec_id AND a.s = b.s
+    CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS t(i)
+    GROUP BY a.s, a.code, t.i
+  ) GROUP BY s, code
+"""
+
+
+_PQ = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, sp.s AS s,
+         v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
+), c0 AS (
+  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+), a0 AS ({_pq_assign_sql('c0')}
+), c1 AS ({_pq_update_sql('a0')}
+), a1 AS ({_pq_assign_sql('c1')}
+), c2 AS ({_pq_update_sql('a1')}
+), final AS ({_pq_assign_sql('c2')}
+)
+SELECT CAST(s AS INTEGER) AS subspace,
+       count(*) AS n_vecs,
+       count(DISTINCT code) AS used_codes,
+       round(sum(dist), 2) AS inertia
+FROM final GROUP BY s
+"""
+
+
+@register("s_pq_train", oracle=_PQ)
+def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: the embedding splits
+    into {PQ_M} subspaces of {PQ_SUBDIM} dims; each subspace learns a
+    {PQ_K}-code codebook via {PQ_ITERS} Lloyd iterations (deterministic
+    init: subvectors of the first {PQ_K} vectors). Reports per-subspace
+    code usage and final inertia. PQ is THE index-compression path at
+    100 TB embedding scale — 64 float32 dims become {PQ_M} byte codes
+    (32x) while scalar int8 (s_vector_quantize) only gives 4x.
+
+    Unlike s_kmeans_train (driver-side centroid state + BLAS pandas
+    UDF), this stays fully declarative with NO collect: the codebook is
+    a (M x K x subdim)-row frame — scale-INVARIANT, so its broadcast
+    into the element-stream join is safe at any corpus size. Per
+    iteration: one broadcast join (elements x K fan-out), two
+    partial-agg'd shuffles (per-(vec, subspace, code) distance, then
+    codebook mean update). Subspace is a column, so all M codebooks
+    train in the same passes; ties go to the lowest code id via
+    struct-min, matching the oracle's row_number order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select(
+            "vec_id",
+            F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("dim") / PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("dim") % PQ_SUBDIM).alias("i"),
+            "x",
+        )
+        .cache()
+    )
+    cb = ex.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("code"), "i", F.col("x").alias("cx")
+    )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        pairs = (
+            ex.join(F.broadcast(codebook), ["s", "i"])
+            .groupBy("vec_id", "s", "code")
+            .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("dist"))
+        )
+        best = pairs.groupBy("vec_id", "s").agg(
+            F.min(F.struct("dist", "code")).alias("m")
+        )
+        return best.select(
+            "vec_id", "s", F.col("m.code").alias("code"),
+            F.col("m.dist").alias("dist"),
+        )
+
+    for _ in range(PQ_ITERS):
+        a = assign(cb)
+        cb = (
+            a.select("vec_id", "s", "code")
+            .join(ex, ["vec_id", "s"])
+            .groupBy("s", "code", "i")
+            .agg(F.avg("x").alias("cx"))
+        )
+    final = assign(cb)
+    out = final.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("code").alias("used_codes"),
+        F.round(F.sum("dist"), 2).alias("inertia"),
+    )
+    return out.select(
+        F.col("s").cast("int").alias("subspace"),
+        "n_vecs",
+        "used_codes",
+        "inertia",
+    )

@@ -471,3 +471,24 @@ def test_incremental_dedup_classification(spark):
     assert out.n_dup_vs_corpus == 1
     assert out.n_dup_in_batch == 1
     assert out.n_novel == 2
+
+
+def test_pq_train_converges_on_two_point_corpus(spark):
+    """Vectors alternate between two exact patterns; both are in the
+    deterministic init window, so every subspace quantizes losslessly."""
+    from streams_spark.operators.similarity import s_pq_train
+
+    a = [float(i % 7) for i in range(64)]
+    b = [float((i * 3) % 5) + 10.0 for i in range(64)]
+    rows = [(i, a if i % 2 == 0 else b, i % 3) for i in range(20)]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = s_pq_train(spark, td).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.n_vecs == 20
+        assert r.inertia == 0.0
+        assert r.used_codes <= 2
