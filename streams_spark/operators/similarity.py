@@ -721,6 +721,59 @@ def _pq_update_sql(assign_cte: str) -> str:
 """
 
 
+def _pq_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding element stream keyed by (vec, subspace, in-subspace
+    dim) — the shared input of PQ training, assignment, and search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("dim") / PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("dim") % PQ_SUBDIM).alias("i"),
+            "x",
+        )
+        .cache()
+    )
+
+
+def _pq_assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest code per (vector, subspace); ties to the lowest code id
+    (struct-min), matching the oracle's row_number order."""
+    pairs = (
+        ex.join(F.broadcast(codebook), ["s", "i"])
+        .groupBy("vec_id", "s", "code")
+        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("dist"))
+    )
+    best = pairs.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "code")).alias("m")
+    )
+    return best.select(
+        "vec_id", "s", F.col("m.code").alias("code"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+def _pq_train_cb(ex: DataFrame) -> DataFrame:
+    """PQ_ITERS Lloyd iterations from the deterministic first-PQ_K
+    init; returns the trained codebook in element form (s, code, i, cx)."""
+    cb = ex.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("code"), "i", F.col("x").alias("cx")
+    )
+    for _ in range(PQ_ITERS):
+        a = _pq_assign(ex, cb)
+        cb = (
+            a.select("vec_id", "s", "code")
+            .join(ex, ["vec_id", "s"])
+            .groupBy("s", "code", "i")
+            .agg(F.avg("x").alias("cx"))
+        )
+    return cb
+
+
 _PQ = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -764,47 +817,9 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     train in the same passes; ties go to the lowest code id via
     struct-min, matching the oracle's row_number order.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select(
-            "vec_id",
-            F.posexplode(as_double_array("embedding")).alias("dim", "x"),
-        )
-        .select(
-            "vec_id",
-            (F.col("dim") / PQ_SUBDIM).cast("int").alias("s"),
-            (F.col("dim") % PQ_SUBDIM).alias("i"),
-            "x",
-        )
-        .cache()
-    )
-    cb = ex.where(F.col("vec_id") < PQ_K).select(
-        "s", F.col("vec_id").alias("code"), "i", F.col("x").alias("cx")
-    )
-
-    def assign(codebook: DataFrame) -> DataFrame:
-        pairs = (
-            ex.join(F.broadcast(codebook), ["s", "i"])
-            .groupBy("vec_id", "s", "code")
-            .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("dist"))
-        )
-        best = pairs.groupBy("vec_id", "s").agg(
-            F.min(F.struct("dist", "code")).alias("m")
-        )
-        return best.select(
-            "vec_id", "s", F.col("m.code").alias("code"),
-            F.col("m.dist").alias("dist"),
-        )
-
-    for _ in range(PQ_ITERS):
-        a = assign(cb)
-        cb = (
-            a.select("vec_id", "s", "code")
-            .join(ex, ["vec_id", "s"])
-            .groupBy("s", "code", "i")
-            .agg(F.avg("x").alias("cx"))
-        )
-    final = assign(cb)
+    ex = _pq_elements(spark, sf_dir)
+    cb = _pq_train_cb(ex)
+    final = _pq_assign(ex, cb)
     out = final.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("code").alias("used_codes"),
@@ -815,4 +830,85 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "used_codes",
         "inertia",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN search: asymmetric distance (ADC) via the per-probe lookup table
+# ---------------------------------------------------------------------------
+
+_PQ_SEARCH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, sp.s AS s,
+         v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
+), c0 AS (
+  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+), a0 AS ({_pq_assign_sql('c0')}
+), c1 AS ({_pq_update_sql('a0')}
+), a1 AS ({_pq_assign_sql('c1')}
+), c2 AS ({_pq_update_sql('a1')}
+), final AS ({_pq_assign_sql('c2')}
+), lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         list_sum(list_transform(list_zip(q.sv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM sub q JOIN c2 c ON q.s = c.s
+  WHERE q.vec_id < {N_PROBES}
+), adc AS (
+  SELECT l.query_id, f.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc6
+  FROM final f
+  JOIN lut l ON l.s = f.s AND l.code = f.code
+  WHERE f.vec_id != l.query_id
+  GROUP BY l.query_id, f.vec_id
+)
+SELECT query_id, neighbor_id, adc6, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc6, neighbor_id) AS rnk
+  FROM adc
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("s_pq_search", oracle=_PQ_SEARCH)
+def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN serving: top-{k} neighbors per probe by ASYMMETRIC
+    distance — the query stays full-precision, the corpus is its
+    {PQ_M}-byte code words, and each probe precomputes a
+    (M x K)-entry lookup table of subspace distances so scoring a
+    corpus vector is M table lookups + adds, never a float-vector
+    scan. This is the serving half s_pq_train exists for, and the
+    standard recall/compute trade against s_ann_lsh_topk's bucketing.
+
+    The LUT is probes x M x K rows — probe-set-bounded and
+    scale-invariant, so its broadcast onto the (vec, subspace, code)
+    assignment stream is safe at any corpus size; the per-probe sum
+    is one partial-agg'd shuffle on (query, vec) and the top-k a
+    keyed window over {k}-bounded groups. Ranking is on the
+    6dp-ROUNDED ADC (ties to the lowest neighbor id) so the order is
+    engine-stable, same trick as s_cosine_topk.
+    """
+    ex = _pq_elements(spark, sf_dir)
+    cb = _pq_train_cb(ex)
+    final = _pq_assign(ex, cb)
+    lut = (
+        ex.where(F.col("vec_id") < N_PROBES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), ["s", "i"])
+        .groupBy("query_id", "s", "code")
+        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("d"))
+    )
+    adc = (
+        final.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc6", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc6", "rnk")
     )

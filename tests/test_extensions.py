@@ -492,3 +492,28 @@ def test_pq_train_converges_on_two_point_corpus(spark):
         assert r.n_vecs == 20
         assert r.inertia == 0.0
         assert r.used_codes <= 2
+
+
+def test_pq_search_adc_ranks_same_pattern_first(spark):
+    """On the two-pattern corpus PQ is lossless, so every probe's ADC
+    top-5 is exactly the five lowest ids sharing its pattern (distance
+    zero), ranked by id."""
+    from streams_spark.operators.similarity import s_pq_search
+
+    a = [float(i % 7) for i in range(64)]
+    b = [float((i * 3) % 5) + 10.0 for i in range(64)]
+    rows = [(i, a if i % 2 == 0 else b, i % 3) for i in range(30)]
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = s_pq_search(spark, td).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rs in by_q.items():
+        same = [i for i in range(30) if i % 2 == q % 2 and i != q][:5]
+        assert [r.neighbor_id for r in sorted(rs, key=lambda r: r.rnk)] == same
+        assert all(r.adc6 == 0.0 for r in rs)
