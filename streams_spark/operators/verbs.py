@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark import client
@@ -271,6 +271,91 @@ def v_produce_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("timestamp").alias("last_timestamp"),
             F.count(F.lit(1)).alias("n_entries"),
         )
+    )
+
+
+@register(
+    "v_latest_entity_state",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, user_id, sequence, timestamp, event_id, value, payload
+FROM (
+  SELECT space, user_id, sequence, timestamp, event_id, value, payload,
+         row_number() OVER (PARTITION BY space, user_id
+                            ORDER BY timestamp DESC, event_id DESC) AS rn
+  FROM events_log
+)
+WHERE rn = 1
+""",
+)
+def v_latest_entity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourcing state reconstruction: the latest entry per
+    (space, entity) — the read-model analog of the reference's LSM
+    "newest record wins" compaction (Pebble keeps the highest sequence
+    per key; SeekLT serves Peek from it —
+    /root/reference/server/pebble/service.go:820-840). Where Peek is
+    per-SEGMENT head, this is per-ENTITY (user) current state: fold the
+    whole changelog down to one row per key.
+
+    One window on a high-cardinality composite key (space, user_id) —
+    a single well-spread shuffle; at 100 TB this is the standard
+    changelog→snapshot materialization and partitions by the same key
+    the snapshot table would be bucketed on. row_number (not max_by) so
+    tie-break on (timestamp, event_id) is total and deterministic.
+    """
+    log = event_log(spark, sf_dir)
+    w = (
+        Window.partitionBy("space", "user_id")
+        .orderBy(F.desc("timestamp"), F.desc("event_id"))
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "space", "user_id", "sequence", "timestamp", "event_id",
+            "value", "payload",
+        )
+    )
+
+
+@register(
+    "v_watermark_lag",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment, head_timestamp, space_head_timestamp,
+       CAST(date_diff('second', head_timestamp, space_head_timestamp)
+            AS BIGINT) AS lag_seconds
+FROM (
+  SELECT space, segment, max(timestamp) AS head_timestamp,
+         max(max(timestamp)) OVER (PARTITION BY space)
+             AS space_head_timestamp
+  FROM events_log
+  GROUP BY space, segment
+)
+""",
+)
+def v_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment staleness: how far each segment's head timestamp lags
+    behind its space's global head — the monitoring view a consumer of
+    the reference derives from SegmentStatus.LastTimestamp
+    (/root/reference/server/messages.go:38-45) to find stalled
+    producers. One partial-agg'd groupBy collapses the log to ~40 rows;
+    the window max runs on that aggregate, so the second pass is free at
+    any scale."""
+    log = event_log(spark, sf_dir)
+    heads = log.groupBy("space", "segment").agg(
+        F.max("timestamp").alias("head_timestamp")
+    )
+    w = Window.partitionBy("space")
+    return heads.select(
+        "space",
+        "segment",
+        "head_timestamp",
+        F.max("head_timestamp").over(w).alias("space_head_timestamp"),
+        (
+            F.unix_seconds(F.max("head_timestamp").over(w))
+            - F.unix_seconds(F.col("head_timestamp"))
+        ).alias("lag_seconds"),
     )
 
 

@@ -889,3 +889,203 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((lo + hi) / 2.0, 4).alias("med5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/high/low/close per (space, hour) — time-series rollup
+# ---------------------------------------------------------------------------
+
+_OHLC = """
+WITH e AS (
+  SELECT event_type AS space, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         "value",
+         first_value("value") OVER w AS open,
+         last_value("value")  OVER w AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+)
+SELECT space, hour,
+       any_value(open)  AS open,
+       max("value")     AS high,
+       min("value")     AS low,
+       any_value(close) AS close,
+       count(*)         AS n_ticks,
+       round(sum("value"), 2) AS volume
+FROM e
+GROUP BY space, hour
+"""
+
+
+@register("w_ohlc_bars", oracle=_OHLC)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: open/high/low/close of the event value per
+    (space, hour) — the financial-style time-series rollup the
+    reference's per-segment ordered reads make possible but never
+    aggregate (closest relative: SegmentStatus first/last timestamps,
+    /root/reference/server/messages.go:38-45, here generalized to
+    first/last VALUE in event-time order).
+
+    min_by/max_by over a (ts, event_id) struct keep this a single
+    partial-aggregable groupBy — each map task folds its slice to one
+    candidate row per bar, so unlike the window formulation (full sort
+    per partition, oracle side) nothing ever materializes the bar's tick
+    list. Struct ordering is lexicographic, so ties on ts break on
+    event_id — deterministic. At 100 TB this is the canonical
+    downsampling pass: one shuffle on (space, hour), output is
+    bars-sized, and AQE coalesces the tiny result partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("space"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: cumulative revenue share per customer
+# ---------------------------------------------------------------------------
+
+_PARETO = """
+WITH cust_rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+         round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+               / sum(revenue) OVER (), 6) AS cum_share
+  FROM cust_rev
+)
+SELECT o_custkey, revenue, CAST(rnk AS BIGINT) AS rnk, cum_share,
+       CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("w_pareto_customers", oracle=_PARETO)
+def w_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation: rank customers by revenue and classify
+    by cumulative revenue share (A = first 50% of revenue, B = to 80%,
+    C = tail). ABSENT in the reference (no aggregation surface); a
+    staple of warehouse analytics.
+
+    The global ORDER BY runs on the AGGREGATE (one row per customer),
+    never on raw orders — the groupBy shuffle does the heavy lifting
+    with map-side partial aggregation, then the rank/cumsum window sorts
+    the customer-sized frame. At 100 TB a single-partition window over
+    customers (~10^8 rows) is the one legitimate global sort in the
+    plan; Spark range-partitions the sort, and only the running-sum
+    stitch is sequential. revenue is rounded BEFORE the cumulative sum
+    so both engines fold identical addends in identical order —
+    float-sum order sensitivity is pinned by the total (rnk) order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_rank = Window.orderBy(F.desc("revenue"), F.col("o_custkey"))
+    total = Window.partitionBy()
+    cum = (
+        F.sum("revenue").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        / F.sum("revenue").over(total)
+    )
+    ranked = cust_rev.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.round(cum, 6).alias("cum_share"),
+    )
+    return ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchase revenue credited to the preceding click
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, "value"
+  FROM events WHERE event_type IN ('click', 'purchase')
+), enriched AS (
+  SELECT user_id, ts, event_id, event_type, "value",
+         max(CASE WHEN event_type = 'click' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_ts
+  FROM tagged
+)
+SELECT coalesce(CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                     THEN 'attributed' END,
+                'organic') AS attribution,
+       count(*) AS n_purchases,
+       round(sum("value"), 2) AS revenue
+FROM enriched
+WHERE event_type = 'purchase'
+GROUP BY attribution
+"""
+
+
+@register("w_attribution", oracle=_ATTRIBUTION)
+def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click if one happened within the 7-day lookback,
+    else counted as organic. The same union+window trick as
+    w_asof_purchase_click (one shuffle on user_id, no per-row lookup
+    join), but folded to the attribution report — the aggregate a
+    channel dashboard reads.
+
+    The running max(click ts) over (ts, event_id) order replaces an
+    as-of join; the frame excludes the current row so a purchase never
+    attributes to itself. Partitioned by user_id: high-cardinality,
+    scales flat."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    enriched = tagged.withColumn("last_click_ts", last_click)
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("last_click_ts")
+                    >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.lit("attributed"),
+                ),
+                F.lit("organic"),
+            ).alias("attribution"),
+            "value",
+        )
+        .groupBy("attribution")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )

@@ -517,3 +517,69 @@ def test_pq_search_adc_ranks_same_pattern_first(spark):
         same = [i for i in range(30) if i % 2 == q % 2 and i != q][:5]
         assert [r.neighbor_id for r in sorted(rs, key=lambda r: r.rnk)] == same
         assert all(r.adc6 == 0.0 for r in rs)
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    out = _rows(spark, sf_dir, "w_ohlc_bars")
+    assert out
+    for r in out:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_ticks >= 1
+        if r.n_ticks == 1:
+            assert r.open == r.close == r.high == r.low
+
+
+def test_pareto_cum_share_monotone_and_complete(spark, sf_dir):
+    out = sorted(_rows(spark, sf_dir, "w_pareto_customers"), key=lambda r: r.rnk)
+    assert out[0].abc_class == "A"
+    assert abs(out[-1].cum_share - 1.0) < 1e-6
+    shares = [r.cum_share for r in out]
+    assert shares == sorted(shares)
+    revs = [r.revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_latest_entity_state_one_row_per_entity(spark, sf_dir):
+    out = _rows(spark, sf_dir, "v_latest_entity_state")
+    keys = [(r.space, r.user_id) for r in out]
+    assert len(keys) == len(set(keys))
+    # the reconstructed state must carry each entity's maximal timestamp
+    from streams_spark.sources.event_log import event_log
+
+    heads = {
+        (r.space, r.user_id): r.head
+        for r in event_log(spark, sf_dir)
+        .groupBy("space", "user_id")
+        .agg({"timestamp": "max"})
+        .withColumnRenamed("max(timestamp)", "head")
+        .collect()
+    }
+    for r in out:
+        assert r.timestamp == heads[(r.space, r.user_id)]
+
+
+def test_watermark_lag_zero_for_head_segment(spark, sf_dir):
+    out = _rows(spark, sf_dir, "v_watermark_lag")
+    by_space = {}
+    for r in out:
+        by_space.setdefault(r.space, []).append(r)
+    for space, rows in by_space.items():
+        lags = [r.lag_seconds for r in rows]
+        assert min(lags) == 0, space
+        assert all(lag >= 0 for lag in lags)
+
+
+def test_attribution_partitions_all_purchases(spark, sf_dir):
+    out = _rows(spark, sf_dir, "w_attribution")
+    assert {r.attribution for r in out} <= {"attributed", "organic"}
+    n_purchases = sum(r.n_purchases for r in out)
+    from streams_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_purchases == expected
