@@ -25,12 +25,30 @@ from streams_spark.sources.tables import load_table
 
 def _events_schema(spark: SparkSession, sf_dir: str):
     """Raw events schema for building a readStream, safe in a BARE
-    session: events.parquet is TIMESTAMP(NANOS), which Spark rejects
-    unless the nanosAsLong conf is set before the first raw read
-    (the round-1 lesson from sources/tables.py — do not rely on an
-    earlier load_table call having set it session-wide)."""
+    session: nanos-vintage events.parquet is TIMESTAMP(NANOS), which
+    Spark rejects unless the nanosAsLong conf is set before the first
+    raw read (the round-1 lesson from sources/tables.py — do not rely
+    on an earlier load_table call having set it session-wide)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """File-streamed events table with `ts` normalized to a
+    micro-precision LTZ timestamp regardless of the file's vintage
+    (TIMESTAMP(NANOS) read as epoch-nanos long under the legacy conf,
+    or TIMESTAMP(MICROS) read as NTZ — see sources/tables.py; watermarks
+    and unix_micros require the LTZ TIMESTAMP type)."""
+    from streams_spark.sources.tables import _normalize_event_ts
+
+    if schema is None:
+        schema = _events_schema(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
 
 
 _TUMBLING_ORACLE = """
@@ -49,14 +67,7 @@ def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Trigger.AvailableNow, complete mode, memory sink)."""
     # FileStreamSource needs a directory: stream the sf dir with a glob
     # filter selecting only the events table.
-    stream = (
-        spark.readStream.schema(
-            _events_schema(spark, sf_dir)
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -185,14 +196,7 @@ def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed windows, keeping the state store bounded regardless of stream
     length (the 100 TB concern for any infinite aggregation).
     """
-    stream = (
-        spark.readStream.schema(
-            _events_schema(spark, sf_dir)
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "15 minutes")
         .groupBy(F.window("ts", "1 hour").alias("win"))
@@ -240,10 +244,7 @@ def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _events_stream(spark, sf_dir, schema)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
@@ -395,10 +396,7 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     schema = _events_schema(spark, sf_dir)
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream(spark, sf_dir, schema)
         .withColumn(
             "content_hash",
             F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"), "event_type")),
@@ -455,14 +453,7 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    stream = (
-        spark.readStream.schema(
-            _events_schema(spark, sf_dir)
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy(
         F.window("ts", "1 hour").alias("win"), "event_type"
     ).agg(

@@ -43,65 +43,66 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # reference verb surface (red in r1 from the bare-session nanos bug,
-    # fixed in sources/tables.py) + the two new verbs
-    "v_get_spaces",
-    "v_get_segments",
-    "v_peek_all",
-    "v_consume_segment",
-    "v_consume_space",
+    # --- round 3 window: the 49 queries with no r1/r2 oracle row yet ---
+    # verbs added in round 2
+    "v_latest_entity_state",
+    "v_watermark_lag",
+    "v_chunked_produce",
+    # relational additions
+    "q_stats_functions",
+    "q_window_frames",
+    "q_lateral_explode",
+    "q_correlated_exists",
+    "q_salted_join",
+    "q_full_outer",
+    "q_outliers",
+    # windowed analytics additions
+    "w_user_streaks",
+    "w_gap_fill",
+    "w_asof_forward",
+    "w_rolling_dau",
+    "w_rolling_median",
+    "w_ohlc_bars",
+    "w_pareto_customers",
+    "w_attribution",
+    # dedup (minhash/simhash/stratified are rows-only by design)
+    "d_minhash_lsh",
+    "d_simhash",
+    "d_sample_stratified",
+    "d_prefix_dedup",
+    "d_dup_spans",
+    "d_containment",
+    "d_incremental_dedup",
+    # similarity / vector
+    "s_ann_lsh_topk",
+    "s_kmeans_train",
+    "s_centroid_search",
+    "s_vector_quantize",
+    "s_recall_eval",
+    "s_pq_train",
+    "s_pq_search",
+    # text analysis additions
+    "t_tfidf_keywords",
+    "t_repetition",
+    "t_vocab_stats",
+    "t_unigram_lm",
+    "t_char_entropy",
+    "t_heavy_hitters",
+    "t_length_histogram",
+    # streaming additions
+    "st_stream_enrich",
+    "st_stream_dedup",
+    "st_stream_topk",
+    # pipeline operators
+    "p_pack_sequences",
+    "p_train_val_split",
+    "p_source_mix",
+    "p_token_budget",
+    "p_corpus_shuffle",
+    "p_funnel_report",
+    "p_source_priority",
+    # 50th slot: regression canary from the r2-green verb surface
     "v_consume_interleave",
-    "v_space_offset",
-    "v_segment_offset",
-    "v_sequence_validate",
-    "v_produce_status",
-    "v_cluster_status",
-    "v_metadata_filter",
-    # the two other events-reading queries red in r1
-    "q_json_props",
-    "q_map_functions",
-    # families with no r1 oracle evidence: windowed analytics
-    "w_running_totals",
-    "w_customer_ranks",
-    "w_sessionize",
-    "w_asof_purchase_click",
-    "w_tumbling_hourly",
-    "w_range_join",
-    "w_range_join_bucketed",
-    "w_funnel",
-    "w_retention",
-    "w_hypertable_rollup",
-    # dedup (oracle-paired members; LSH/simhash are rows-only by design)
-    "d_exact_stats",
-    "d_exact_dup_groups",
-    "d_ngram_jaccard",
-    "d_embedding_cosine",
-    "d_sample_systematic",
-    "d_dup_clusters",
-    # similarity (oracle-paired members)
-    "s_cosine_topk",
-    "s_nearest_neighbor",
-    # text analysis
-    "t_text_stats",
-    "t_quality_rollup",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_token_count",
-    "t_ngram_freq",
-    "t_contamination",
-    "t_rolling_hash",
-    # multimodal plumbing
-    "m_decode_media",
-    "m_frame_sample",
-    "m_resize",
-    "m_feature_extract",
-    # streaming semantics
-    "st_tumbling_stream",
-    "st_session_window",
-    "st_sliding_window",
-    "st_watermark_late",
-    "st_stream_join",
-    "st_sequence_state",
 ]
 
 

@@ -15,21 +15,42 @@ from pyspark.sql import DataFrame, SparkSession
 from streams_spark.schema import TABLE_NAMES
 
 
+def _normalize_event_ts(dtype):
+    """Column expression turning the events `ts` column — whatever the
+    file vintage stored — into a micro-precision TIMESTAMP (LTZ) holding
+    the same instant the file recorded:
+
+    - TIMESTAMP(NANOS) vintage: read as epoch-nanos BIGINT under the
+      legacy conf; data is micro-precision (ns % 1000 == 0), so the
+      integer division is lossless and matches DuckDB.
+    - TIMESTAMP(MICROS) vintage: read as TIMESTAMP_NTZ; the stored wall
+      clock is a UTC instant, so interpret it as UTC regardless of the
+      session timezone (event-time ops — withWatermark, unix_micros —
+      require the LTZ TIMESTAMP type).
+    - Already TIMESTAMP (LTZ): pass through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(dtype, LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, TimestampNTZType):
+        return F.to_utc_timestamp(F.col("ts"), "UTC")
+    return F.col("ts")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, which Spark 4 rejects
-        # outright (PARQUET_TYPE_ILLEGAL) unless the legacy conf maps it
-        # to epoch-nanos long. The conf is runtime-settable SQL conf, so
-        # set it here rather than at session build time — callers (the
-        # test harness, external drivers) may hand us a bare session.
+        # Generated events files have shipped with ts as TIMESTAMP(NANOS)
+        # (which Spark 4 rejects outright unless the legacy conf maps it
+        # to epoch-nanos long) and as TIMESTAMP(MICROS) (read natively).
+        # Set the conf unconditionally — runtime-settable, harmless for
+        # micros files — then convert based on what the read produced, so
+        # either vintage of the file yields a micro-precision timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # The data is micro-precision (verified: ns % 1000 == 0), so
-        # integer-dividing to micros is lossless and matches DuckDB.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", _normalize_event_ts(df.schema["ts"].dataType))
     # NOTE on partitioning: each testdata file is one unsplittable row
     # group, so scans are single-task at harness scale. A measured A/B of
     # an eager round-robin fan-out (repartition(cores) after read) made
