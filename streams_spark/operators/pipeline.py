@@ -522,3 +522,112 @@ def p_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_canonical"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_shadowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus sampling (A-ExpJ / exponential-key reservoir, exact top-k)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 500
+
+_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0)
+           / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed
+ORDER BY k, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+@register("p_weighted_sample", oracle=_WEIGHTED_SAMPLE)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (weight = n_chars): the
+    Efraimidis-Spirakis exponential-key scheme — key = -ln(u)/w with a
+    DETERMINISTIC per-doc uniform u from an md5 prefix, keep the K
+    smallest keys. Longer docs are proportionally more likely to be
+    drawn; md5 keying makes the draw reproducible across engines and
+    re-runs (no RNG state), which is what a training-mix rerun needs.
+
+    Map-only key computation; the top-K is a TakeOrderedAndProject
+    (per-partition heaps + driver merge of K rows), NOT a global sort —
+    the same plan shape at 100 TB, shuffling only K rows per partition.
+    The float key itself is excluded from the output so cross-engine
+    comparison rides on exact ints/strings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap (source-level dedup pressure valve)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 200
+
+_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn > {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("p_domain_cap", oracle=_DOMAIN_CAP)
+def p_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per source
+    (highest n_chars first, doc_id tie-break), report the kept/dropped
+    census per source. The standard anti-domination gate before training
+    mixes — one over-crawled domain must not swamp the corpus.
+
+    One shuffle on source for the row_number window, then a map-side
+    rollup of the SAME partitioning (no second exchange — Catalyst
+    reuses it). Skew note for 100 TB: a mega-domain makes one window
+    partition huge; the deployed variant pre-aggregates a per-source
+    count and only windows sources over the cap (filter pushed by the
+    count), or salts the ranking with a two-stage top-K — both keep
+    this exact output contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+    )

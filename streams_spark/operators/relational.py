@@ -1327,3 +1327,82 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (SCD Type-1 change-feed apply)
+# ---------------------------------------------------------------------------
+
+_MERGE_KEY_OFFSET = 1400  # shifts the change feed so it spans both
+# existing custkeys (update branch) and beyond the dim (insert branch)
+
+_MERGE = f"""
+WITH changes AS (
+  SELECT user_id + {_MERGE_KEY_OFFSET} AS custkey,
+         round(sum("value"), 2) AS delta,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1
+)
+SELECT coalesce(c.c_custkey, ch.custkey) AS custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN ch.custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       c.c_name AS name,
+       round(c.c_acctbal, 2) AS old_acctbal,
+       round(coalesce(c.c_acctbal, 0) + coalesce(ch.delta, 0), 2)
+         AS new_acctbal,
+       CAST(coalesce(ch.n_events, 0) AS BIGINT) AS n_change_events
+FROM customer c
+FULL OUTER JOIN changes ch ON c.c_custkey = ch.custkey
+"""
+
+
+@register("q_merge_upsert", oracle=_MERGE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD Type-1 upsert) as a full-outer join:
+    a change feed aggregated from events is applied onto the customer
+    dim — matched keys update the balance, unmatched feed keys insert,
+    untouched dim rows pass through, each row tagged with its action.
+    The engine analog of a warehouse CDC apply; the reference's closest
+    relative is its idempotent re-produce of an existing sequence
+    (server/pebble/service.go Produce upsert-by-sequence), generalized
+    to keyed column merges. (The key offset is synthetic, chosen so the
+    feed exercises all three branches.)
+
+    The change feed aggregates BEFORE the join (events-sized shuffle →
+    user-count-sized frame), so the merge join touches dim-sized + 
+    feed-sized inputs only. At 100 TB the dim side is bucketed on the
+    merge key (store.write_bucketed) making this exchange-free on the
+    big side; the feed, being post-aggregate, broadcasts when small.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    changes = (
+        ev.groupBy(
+            (F.col("user_id") + F.lit(_MERGE_KEY_OFFSET)).alias("custkey")
+        )
+        .agg(
+            F.round(F.sum("value"), 2).alias("delta"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    joined = customer.join(
+        changes, customer.c_custkey == changes.custkey, "full_outer"
+    )
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        action.alias("action"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("old_acctbal"),
+        F.round(
+            F.coalesce("c_acctbal", F.lit(0)) + F.coalesce("delta", F.lit(0)),
+            2,
+        ).alias("new_acctbal"),
+        F.coalesce("n_events", F.lit(0)).alias("n_change_events"),
+    )

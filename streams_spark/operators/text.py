@@ -904,3 +904,84 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "term")
         .limit(HH_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction audit
+# ---------------------------------------------------------------------------
+
+# Patterns chosen for the RE2 (DuckDB) / Java-regex (Spark) common subset:
+# character classes, bounded repeats, \b word boundaries — no lookarounds.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII = f"""
+WITH hits AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ipv4,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+         length(text)
+           - length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '[PII]', 'g'),
+               '{_IPV4_RE}', '[PII]', 'g'),
+               '{_PHONE_RE}', '[PII]', 'g')) AS chars_delta
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_email) AS BIGINT) AS total_emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS total_phones,
+       CAST(sum(chars_delta) AS BIGINT) AS chars_redacted_delta
+FROM hits
+GROUP BY source
+"""
+
+
+@register("t_pii_redact", oracle=_PII)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: per-source counts of email / IPv4 / phone
+    matches and the character delta a '[PII]' redaction pass would make.
+    The pre-training compliance gate every large corpus runs; the
+    reference has no text surface (its payloads are opaque bytes —
+    /root/reference/server/messages.go:61-69), so this extends §2.7.
+
+    Map-only scan: every regex evaluates inside whole-stage codegen and
+    the only shuffle is the final per-source partial-agg'd rollup. The
+    patterns stay in the RE2/Java common subset so the DuckDB oracle
+    states the same language. At 100 TB this is the shape you want:
+    no UDF, no second pass (counts and redacted length come from one
+    projection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[PII]"),
+            _IPV4_RE,
+            "[PII]",
+        ),
+        _PHONE_RE,
+        "[PII]",
+    )
+    hits = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("text", F.lit(_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phone"),
+        (F.length("text") - F.length(redacted)).alias("chars_delta"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0)
+            .cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("chars_delta").alias("chars_redacted_delta"),
+    )

@@ -1089,3 +1089,87 @@ def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 entity history (validity-interval reconstruction)
+# ---------------------------------------------------------------------------
+
+_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), intervals AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+)
+SELECT state,
+       (valid_to IS NULL) AS is_current,
+       count(*) AS n_intervals,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg((epoch_us(valid_to) - epoch_us(valid_from)) / 1e6), 2)
+         AS avg_duration_sec
+FROM intervals
+GROUP BY state, is_current
+"""
+
+
+@register("w_scd2_user_state", oracle=_SCD2)
+def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build: collapse each
+    user's event stream into validity intervals [valid_from, valid_to)
+    per state (event_type), open interval = current state. Generalizes
+    the reference's head-state reconstruction (Peek = current row only,
+    /root/reference/server/pebble/service.go:820-840) to FULL history —
+    the dimension-table build step of every warehouse ingest.
+
+    Two windows over the SAME (user_id × time) partitioning — Catalyst
+    plans them in one shuffle + one sort, then the interval table
+    aggregates map-side. (ts, event_id) tie-break keeps island edges
+    deterministic. At 100 TB: user_id is high-cardinality so window
+    state stays small; no broadcast, no skew beyond the user activity
+    distribution itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_type"),
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w_next = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    intervals = changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+    )
+    dur_sec = (
+        F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    ) / F.lit(1e6)
+    return intervals.groupBy(
+        "state", F.col("valid_to").isNull().alias("is_current")
+    ).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg(dur_sec), 2).alias("avg_duration_sec"),
+    )

@@ -103,6 +103,12 @@ ROUND_PRIORITY = [
     "p_source_priority",
     # 50th slot: regression canary from the r2-green verb surface
     "v_consume_interleave",
+    # round-3 additions — first in line for round 4's window
+    "t_pii_redact",
+    "w_scd2_user_state",
+    "p_weighted_sample",
+    "p_domain_cap",
+    "q_merge_upsert",
 ]
 
 

@@ -583,3 +583,83 @@ def test_attribution_partitions_all_purchases(spark, sf_dir):
         .count()
     )
     assert n_purchases == expected
+
+
+def test_pii_redact_census_consistent(spark, sf_dir):
+    out = _rows(spark, sf_dir, "t_pii_redact")
+    from streams_spark.sources.tables import load_table
+
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs_total
+    for r in out:
+        assert 0 <= r.docs_with_pii <= r.n_docs
+        hits = r.total_emails + r.total_ipv4 + r.total_phones
+        assert hits >= r.docs_with_pii or hits == 0
+        # redaction shrinks or grows by a bounded amount per hit, never
+        # touches a hit-free doc
+        if hits == 0:
+            assert r.chars_redacted_delta == 0
+
+
+def test_scd2_intervals_cover_all_users(spark, sf_dir):
+    out = _rows(spark, sf_dir, "w_scd2_user_state")
+    from streams_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user has exactly one open (current) interval
+    assert sum(r.n_intervals for r in out if r.is_current) == n_users
+    for r in out:
+        assert r.n_intervals >= r.n_users >= 1
+        if r.is_current:
+            assert r.avg_duration_sec is None
+        else:
+            assert r.avg_duration_sec >= 0
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    out = _rows(spark, sf_dir, "p_weighted_sample")
+    from streams_spark.operators.pipeline import SAMPLE_K
+    from streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    expect = min(SAMPLE_K, n_docs)
+    assert len(out) == expect
+    assert len({r.doc_id for r in out}) == expect  # without replacement
+    if n_docs > SAMPLE_K:
+        corpus_avg = docs.agg({"n_chars": "avg"}).collect()[0][0]
+        sample_avg = sum(r.n_chars for r in out) / len(out)
+        assert sample_avg > corpus_avg  # length-weighted draw
+
+
+def test_domain_cap_bounds(spark, sf_dir):
+    out = _rows(spark, sf_dir, "p_domain_cap")
+    from streams_spark.operators.pipeline import DOMAIN_CAP
+
+    for r in out:
+        assert r.n_kept <= DOMAIN_CAP
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept == min(r.n_docs, DOMAIN_CAP)
+
+
+def test_merge_upsert_branch_partition(spark, sf_dir):
+    out = _rows(spark, sf_dir, "q_merge_upsert")
+    from streams_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    by_action = {}
+    for r in out:
+        by_action.setdefault(r.action, []).append(r)
+    assert len(by_action.get("insert", [])) + len(
+        by_action.get("update", [])
+    ) + len(by_action.get("keep", [])) == len(out)
+    # every dim row survives the merge exactly once
+    assert len(by_action.get("update", [])) + len(by_action.get("keep", [])) == n_cust
+    for r in by_action.get("insert", []):
+        assert r.old_acctbal is None and r.n_change_events > 0
+    for r in by_action.get("keep", []):
+        assert r.n_change_events == 0 and r.new_acctbal == r.old_acctbal
+    for r in by_action.get("update", []):
+        assert r.n_change_events > 0
