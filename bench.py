@@ -71,12 +71,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the host shows 2-3x run-to-run noise under noisy
-        # neighbors; the min is the stable signal of what the plan costs.
+        # best-of-3: the host shows 2-3x run-to-run noise under noisy
+        # neighbors (r2 recorded d_minhash_lsh at 10.6s vs 2.1s measured
+        # solo); the min is the stable signal of what the plan costs.
         # count() executes the full plan without driver-side
         # materialization of the result set (write-free, collect-free).
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = registry[name].fn(spark, sf_dir)
             df.count()

@@ -1406,3 +1406,76 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("new_acctbal"),
         F.coalesce("n_events", F.lit(0)).alias("n_change_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode + median aggregates (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_MODE_MEDIAN = """
+WITH base AS (
+  SELECT n_name, o_orderpriority, o_totalprice
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+), counts AS (
+  SELECT n_name, o_orderpriority, count(*) AS cnt
+  FROM base GROUP BY 1, 2
+), modes AS (
+  SELECT n_name, o_orderpriority AS mode_priority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY n_name
+                                 ORDER BY cnt DESC, o_orderpriority) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.n_name,
+       any_value(m.mode_priority) AS mode_priority,
+       round(median(o_totalprice), 4) AS median_price,
+       count(*) AS n_orders
+FROM base b JOIN modes m ON b.n_name = m.n_name
+GROUP BY b.n_name
+"""
+
+
+@register("q_mode_median", oracle=_MODE_MEDIAN)
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modal order priority + exact interpolated median order
+    price (§2.3 ABSENT row: the reference's only aggregations are
+    min/max point lookups — service.go:409-447). Median rounds at 4dp,
+    not 2: an even-count median is the midpoint of two 2dp prices, i.e.
+    exactly 3 decimals, and a 2dp round of a trailing-5 value is
+    engine-dependent (half-away vs HALF_UP) — 4dp is below the boundary.
+
+    Mode is NOT Spark's `mode()` (tie order is engine-dependent): it is
+    count + min-by-(−cnt, value), which fixes ties to the smallest
+    priority string in both engines. Median is `F.median` — Spark and
+    DuckDB both compute the interpolated continuous quantile.
+
+    Scale: two shuffles on (nation, priority) then (nation) — both
+    partial-agg'd, both over group-count-bounded frames; the modes frame
+    is nation-sized and broadcast back onto the per-nation aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+    )
+    counts = base.groupBy("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modes = counts.groupBy("n_name").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"),
+                     F.col("o_orderpriority").alias("p"))
+        ).alias("m")
+    ).select("n_name", F.col("m.p").alias("mode_priority"))
+    stats = base.groupBy("n_name").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return stats.join(F.broadcast(modes), "n_name").select(
+        "n_name", "mode_priority", "median_price", "n_orders"
+    )

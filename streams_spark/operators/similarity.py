@@ -912,3 +912,57 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adc6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (radius) search: every corpus vector within a cosine radius
+# ---------------------------------------------------------------------------
+
+RANGE_T = 0.3  # synthetic embeddings are near-random; 0.3 is the
+# discriminating tail (a real retrieval radius would sit near 0.8+ —
+# the plan shape is threshold-invariant)
+
+_RANGE_SEARCH = (
+    _DUCK_VEC
+    + f"""
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+)
+WHERE cos_sim >= {RANGE_T}
+"""
+)
+
+
+@register("s_range_search", oracle=_RANGE_SEARCH)
+def s_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors with cosine >= RANGE_T of each probe (vec_id <
+    10) — the radius-query sibling of s_cosine_topk (reference has no
+    vector surface; §2.7 ABSENT row, required for the retrieval suite).
+
+    Scale path: identical to s_cosine_topk — the probe set is tiny and
+    scale-invariant, so broadcasting it onto the corpus scan is a
+    map-only pass (no shuffle at all: the filter replaces top-k's keyed
+    window). At cluster scale this is the cheapest exact vector query in
+    the suite; the LSH/IVF variants bound the scanned fraction when the
+    probe set itself grows.
+    """
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+        .where(F.col("cos_sim") >= RANGE_T)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )

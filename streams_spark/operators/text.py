@@ -985,3 +985,83 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").alias("total_phones"),
         F.sum("chars_delta").alias("chars_redacted_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style quality rules (per-doc heuristic gate flags)
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 30
+C4_MAX_WORDS = 100_000
+C4_MEAN_LEN_LO = 3.8
+C4_MEAN_LEN_HI = 5.2
+C4_MAX_WORD_LEN = 15
+
+_C4_RULES = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             / len(toks) AS mean_wlen,
+         list_contains(toks, 'the') OR list_contains(toks, 'a')
+             AS has_stopword,
+         list_max(list_transform(toks, x -> len(x))) <= {C4_MAX_WORD_LEN}
+             AS no_long_word
+  FROM t
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+       floor(mean_wlen * 10000 + 0.5) / 10000 AS mean_wlen,
+       (n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}) AS word_count_ok,
+       (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI})
+           AS mean_len_ok,
+       has_stopword, no_long_word,
+       ((n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS})
+        AND (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI})
+        AND has_stopword AND no_long_word) AS keep
+FROM m
+"""
+
+
+@register("t_c4_rules", oracle=_C4_RULES)
+def t_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality gate (Raffel et al. 2020 §2.2 rules,
+    re-cut for the synthetic corpus): word-count bounds, mean-word-length
+    band, stopword presence, and a max-word-length cap, each emitted as
+    an auditable flag plus the combined keep decision.
+
+    The threshold comparisons run on the RAW int/int ratio (integer
+    inputs make the IEEE division bit-identical across engines); only the
+    reported mean uses the floor(x*1e4+0.5) display rounding.
+
+    Scale: map-only single pass over the scan — flags are codegen'd
+    array-HOF expressions, no shuffle, no UDF; composes with
+    t_quality_rollup's aggregate as the corpus-level report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lens = F.transform(toks, lambda x: F.length(x))
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / n_words
+    )
+    has_stopword = F.array_contains(toks, "the") | F.array_contains(toks, "a")
+    no_long_word = F.array_max(lens) <= C4_MAX_WORD_LEN
+    word_count_ok = n_words.between(C4_MIN_WORDS, C4_MAX_WORDS)
+    mean_len_ok = mean_wlen.between(C4_MEAN_LEN_LO, C4_MEAN_LEN_HI)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.cast("long").alias("n_words"),
+        (F.floor(mean_wlen * 10000 + F.lit(0.5)) / 10000).alias("mean_wlen"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        has_stopword.alias("has_stopword"),
+        no_long_word.alias("no_long_word"),
+        (word_count_ok & mean_len_ok & has_stopword & no_long_word).alias(
+            "keep"
+        ),
+    )

@@ -399,3 +399,48 @@ def v_chunked_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_entries"),
         )
     )
+
+
+@register(
+    "v_segment_manifest",
+    oracle=EVENT_LOG_CTE
+    + """
+SELECT space, segment,
+       count(*) AS n_entries,
+       CAST(sum(octet_length(CAST(payload AS BLOB))) AS BIGINT)
+           AS payload_bytes,
+       min(sequence) AS first_sequence,
+       max(sequence) AS last_sequence,
+       min(timestamp) AS first_timestamp,
+       max(timestamp) AS last_timestamp,
+       count(DISTINCT user_id) AS n_producers
+FROM events_log
+GROUP BY space, segment
+""",
+)
+def v_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment storage manifest: entry count, payload bytes, sequence
+    and timestamp bounds, distinct producers — the batch analog of the
+    stats the reference's storage layer keeps per segment for pruning and
+    compaction decisions (the dual-index layout at
+    /root/reference/server/pebble/store.go keys everything by
+    (space, segment); GetSegments at server/pebble/service.go:172-186
+    exposes only the segment names — this is the introspection its
+    operators read off the LSM itself).
+
+    Scale: one partial-agg'd shuffle on (space, segment) — the layout key
+    the store is already partitioned by, so on the bucketed storage
+    layout (store.write_bucketed) this is exchange-free; the manifest is
+    segment-count-sized and drives partition pruning + compaction
+    planning (store.compact).
+    """
+    log = event_log(spark, sf_dir)
+    return log.groupBy("space", "segment").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.octet_length("payload")).alias("payload_bytes"),
+        F.min("sequence").alias("first_sequence"),
+        F.max("sequence").alias("last_sequence"),
+        F.min("timestamp").alias("first_timestamp"),
+        F.max("timestamp").alias("last_timestamp"),
+        F.countDistinct("user_id").alias("n_producers"),
+    )

@@ -1173,3 +1173,193 @@ def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.avg(dur_sec), 2).alias("avg_duration_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (bounded horizon, explode-to-target formulation)
+# ---------------------------------------------------------------------------
+
+EWMA_DECAY = 0.7  # weight for a day k back = 0.7^k
+EWMA_HORIZON = 13  # days of history folded into each point (14-day span)
+
+_EWMA = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, round(sum("value"), 4) AS rev
+  FROM events GROUP BY 1
+)
+SELECT a.day AS day, any_value(a.rev) AS rev,
+       round(sum(b.rev * pow({EWMA_DECAY}, date_diff('day', b.day, a.day)))
+             / sum(pow({EWMA_DECAY}, date_diff('day', b.day, a.day))), 4)
+           AS ewma_rev
+FROM daily a JOIN daily b
+  ON b.day <= a.day AND b.day >= a.day - INTERVAL {EWMA_HORIZON} DAY
+GROUP BY a.day
+"""
+
+
+@register("w_ewma", oracle=_EWMA)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with a
+    bounded 14-day horizon (§2.7 ABSENT row — time-series smoothing the
+    reference's consumers do client-side).
+
+    Scale path: NOT an inequality self-join (that plans as a
+    nested-loop). Each source day explodes into the <= 14 target days it
+    contributes to (`sequence` + explode, a 14x map-side fan-out of a
+    day-count-sized frame), then ONE hash aggregate on target day folds
+    weighted sums. Weights renormalize over the days actually present,
+    so gaps in the spine don't leak weight mass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("rev")
+    )
+    contrib = daily.select(
+        F.col("day").alias("s_day"),
+        "rev",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {EWMA_HORIZON} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).withColumn(
+        "w", F.pow(F.lit(EWMA_DECAY), F.datediff("day", "s_day"))
+    )
+    # inner join back to the real spine: EWMA is defined only on observed
+    # days, and fan-out days past the last observation drop here
+    spine = daily.select("day", F.col("rev").alias("rev_obs"))
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("rev") * F.col("w")) / F.sum("w"), 4).alias(
+                "ewma_rev"
+            )
+        )
+        .join(spine, "day")
+        .select("day", F.col("rev_obs").alias("rev"), "ewma_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of gaps (the interpolating sibling of w_gap_fill)
+# ---------------------------------------------------------------------------
+
+_INTERPOLATE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(avg("value"), 4) AS av
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+), grid AS (
+  SELECT t.event_type, s.hour
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), j AS (
+  SELECT g.event_type, g.hour, h.av
+  FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+), f AS (
+  SELECT event_type, hour, av,
+         last_value(av IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN av IS NOT NULL THEN hour END IGNORE NULLS)
+             OVER w_prev AS ph,
+         first_value(av IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN av IS NOT NULL THEN hour END IGNORE NULLS)
+             OVER w_next AS nh
+  FROM j
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                    ROWS UNBOUNDED PRECEDING),
+         w_next AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour, (av IS NULL) AS is_gap,
+       floor((CASE
+         WHEN av IS NOT NULL THEN av
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv)
+              * CAST(date_diff('second', ph, hour) AS DOUBLE)
+              / CAST(date_diff('second', ph, nh) AS DOUBLE)
+       END) * 10000 + 0.5) / 10000 AS value_interp
+FROM f
+"""
+
+
+@register("w_interpolate", oracle=_INTERPOLATE)
+def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type series with LINEAR interpolation across
+    spine gaps (w_gap_fill's locf sibling): a missing hour gets
+    prev + (next - prev) * elapsed/span; leading/trailing gaps fall back
+    to nearest-observation fill.
+
+    Scale path: same as w_gap_fill — the spine grid is
+    (hours x event_types), orders of magnitude smaller than events; both
+    direction-fills are the SAME single shuffle on event_type (two frames
+    over one sort), so interpolation costs exactly what locf costs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 4).alias("av"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    j = grid.join(hourly, ["event_type", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("av").isNotNull(), F.col("hour"))
+    f = j.select(
+        "event_type",
+        "hour",
+        "av",
+        F.last("av", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("av", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    span = F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    elapsed = F.unix_timestamp("hour") - F.unix_timestamp("ph")
+    interp = (
+        F.when(F.col("av").isNotNull(), F.col("av"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * elapsed.cast("double")
+            / span.cast("double")
+        )
+    )
+    # NOT F.round: a ratio has no exact decimal form, and engine round()
+    # implementations disagree on midpoint doubles (Spark: HALF_UP on the
+    # exact binary expansion; DuckDB: scale-by-1e4 then C round). floor(x
+    # * 1e4 + 0.5) / 1e4 is the same IEEE op sequence in both engines, so
+    # the oracle comparison is bit-for-bit stable.
+    return f.select(
+        "event_type",
+        "hour",
+        F.col("av").isNull().alias("is_gap"),
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000).alias("value_interp"),
+    )

