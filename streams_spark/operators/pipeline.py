@@ -631,3 +631,55 @@ def p_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phasing: percentile-cutoff buckets, no global sort
+# ---------------------------------------------------------------------------
+
+_CURRICULUM = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+  FROM documents
+), cuts AS (
+  SELECT quantile_cont(n_words, 1.0/3) AS c1,
+         quantile_cont(n_words, 2.0/3) AS c2
+  FROM t
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+       CAST(CASE WHEN n_words < c1 THEN 1
+                 WHEN n_words < c2 THEN 2
+                 ELSE 3 END AS INTEGER) AS phase
+FROM t, cuts
+"""
+
+
+@register("p_curriculum", oracle=_CURRICULUM)
+def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment: tertile buckets over document
+    word count (short->long training order), WITHOUT ntile — a global
+    ntile is a single-task sort at corpus scale. Instead: one aggregate
+    computes the two percentile cutoffs (continuous quantile — matches
+    DuckDB's quantile_cont bit-for-bit on integer inputs), broadcast onto
+    a map-only phase CASE. Same two-step shape as p_domain_cap's window:
+    aggregate the tiny frame, broadcast it back over the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_words")
+    )
+    cuts = t.agg(
+        F.percentile("n_words", 1.0 / 3).alias("c1"),
+        F.percentile("n_words", 2.0 / 3).alias("c2"),
+    )
+    phase = (
+        F.when(F.col("n_words") < F.col("c1"), 1)
+        .when(F.col("n_words") < F.col("c2"), 2)
+        .otherwise(3)
+    )
+    return t.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        phase.cast("int").alias("phase"),
+    )

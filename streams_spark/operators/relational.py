@@ -1479,3 +1479,47 @@ def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(modes), "n_name").select(
         "n_name", "mode_priority", "median_price", "n_orders"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+
+_STRING_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("q_string_agg", oracle=_STRING_AGG)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG): comma-joined sorted
+    nation names per region (§2.7 ABSENT row — the reference has no
+    aggregate surface at all).
+
+    Spark has no ordered string_agg; array_sort(collect_list()) +
+    array_join is the engine-stable equivalent — the sort happens
+    per-group AFTER collection, so the aggregation itself stays partial
+    (map-side combinable) and the ordering is deterministic regardless of
+    partitioning. Scale: group-bounded payloads only — a listagg whose
+    groups can grow unboundedly (e.g. per-customer order lists at 100 TB)
+    should instead persist the sorted array and explode on read.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

@@ -966,3 +966,70 @@ def s_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= RANGE_T)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction scoring (multi-vector documents)
+# ---------------------------------------------------------------------------
+
+N_QUERY_LABELS = 2  # labels 0..1 are the query "documents"
+
+_MAXSIM = (
+    _DUCK_VEC
+    + f"""
+, pairs AS (
+  SELECT q.label AS query_label, c.label AS cand_label, q.vec_id AS qvec,
+         max(round(list_sum(list_transform(list_zip(q.v, c.v),
+                   p -> p[1] * p[2])) / (q.nrm * c.nrm), 6)) AS best
+  FROM n q JOIN n c ON q.label < {N_QUERY_LABELS} AND c.label != q.label
+  GROUP BY 1, 2, 3
+)
+SELECT query_label, cand_label,
+       round(sum(best), 4) AS maxsim,
+       count(*) AS n_query_vecs
+FROM pairs GROUP BY 1, 2
+"""
+)
+
+
+@register("s_maxsim", oracle=_MAXSIM)
+def s_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim (the ColBERT scoring rule, Khattab &
+    Zaharia 2020): a multi-vector query document scores a candidate
+    document as the SUM over query vectors of each one's best cosine
+    against any candidate vector. Labels play the role of documents —
+    the engine-relevant part is the two-level aggregation shape, not the
+    grouping key.
+
+    Plan: one label-blocked pair join (query side is label-pruned and
+    scale-invariant, so it broadcasts), then max per (query doc, cand
+    doc, query vector) and sum per (query doc, cand doc) — both
+    partial-agg'd on compound keys. At corpus scale the candidate side
+    is ANN-pruned first (s_ann_lsh_topk / s_centroid_search); MaxSim
+    re-ranks the survivors, which is exactly how late-interaction
+    retrieval deploys.
+    """
+    corpus = _corpus(spark, sf_dir)
+    q = corpus.where(F.col("label") < N_QUERY_LABELS).select(
+        F.col("label").alias("query_label"),
+        F.col("vec_id").alias("qvec"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ),
+        )
+        .groupBy(
+            "query_label", F.col("label").alias("cand_label"), "qvec"
+        )
+        .agg(F.max("cos_sim").alias("best"))
+    )
+    return pairs.groupBy("query_label", "cand_label").agg(
+        F.round(F.sum("best"), 4).alias("maxsim"),
+        F.count(F.lit(1)).alias("n_query_vecs"),
+    )

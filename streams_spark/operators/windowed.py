@@ -1363,3 +1363,62 @@ def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("av").isNull().alias("is_gap"),
         (F.floor(interp * 10000 + F.lit(0.5)) / 10000).alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median absolute deviation (MAD) gate
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_T = 3.0  # flag |x - median| > 3 scaled MADs
+
+_ANOMALY_MAD = f"""
+WITH med AS (
+  SELECT event_type, median("value") AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         median(abs(e."value" - m.med)) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, round(e."value", 4) AS value,
+       floor((e."value" - m.med) / ({MAD_K} * m.mad) * 10000 + 0.5) / 10000
+           AS robust_z
+FROM events e JOIN mad m ON e.event_type = m.event_type
+WHERE abs(e."value" - m.med) > {MAD_T} * {MAD_K} * m.mad
+"""
+
+
+@register("w_anomaly_mad", oracle=_ANOMALY_MAD)
+def w_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: events whose value sits more than 3 scaled
+    MADs from their type's median (the median/MAD twin of q_outliers'
+    mean/stddev z-score — immune to the outliers it hunts).
+
+    Two aggregation passes (median, then MAD around it) + one broadcast
+    of the type-sized stats frame back onto the scan. Scale: both passes
+    shuffle on event_type only; exact medians at 100 TB would ride
+    approx_percentile with the same plan shape (the exact/approx twin
+    convention used across the suite).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    robust_z = (F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    return scored.where(
+        F.abs(F.col("value") - F.col("med")) > MAD_T * MAD_K * F.col("mad")
+    ).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        (F.floor(robust_z * 10000 + F.lit(0.5)) / 10000).alias("robust_z"),
+    )

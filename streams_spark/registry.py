@@ -116,6 +116,10 @@ ROUND_PRIORITY = [
     "w_interpolate",
     "t_c4_rules",
     "s_range_search",
+    "q_string_agg",
+    "w_anomaly_mad",
+    "s_maxsim",
+    "p_curriculum",
 ]
 
 

@@ -788,3 +788,55 @@ def test_segment_manifest_consistent_with_offsets(spark, sf_dir):
         assert r.n_entries == r.last_sequence - r.first_sequence + 1
         assert r.first_timestamp <= r.last_timestamp
         assert r.payload_bytes > 0
+
+
+def test_string_agg_sorted_and_complete(spark, sf_dir):
+    """Each region's nation list is comma-sorted and matches its count."""
+    rows = _rows(spark, sf_dir, "q_string_agg")
+    assert len(rows) == 5
+    for r in rows:
+        names = r.nations.split(",")
+        assert names == sorted(names)
+        assert len(names) == r.n_nations
+
+
+def test_anomaly_mad_flags_are_extreme(spark, sf_dir):
+    """Every flagged event has |robust_z| > 3; flagged set is a strict
+    subset of the corpus."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    rows = _rows(spark, sf_dir, "w_anomaly_mad")
+    total = load_table(spark, sf_dir, "events").count()
+    assert 0 < len(rows) < total
+    for r in rows:
+        assert abs(r.robust_z) > 3.0
+
+
+def test_maxsim_bounds(spark, sf_dir):
+    """MaxSim of k query vectors lies in [-k, k]; every (query, cand)
+    label pair with query < N_QUERY_LABELS appears exactly once."""
+    from streams_spark.operators.similarity import N_QUERY_LABELS
+
+    rows = _rows(spark, sf_dir, "s_maxsim")
+    seen = set()
+    for r in rows:
+        assert r.query_label < N_QUERY_LABELS
+        assert r.cand_label != r.query_label
+        assert -r.n_query_vecs <= r.maxsim <= r.n_query_vecs
+        seen.add((r.query_label, r.cand_label))
+    assert len(seen) == len(rows)
+
+
+def test_curriculum_phases_ordered_by_length(spark, sf_dir):
+    """Phases are 1..3, roughly balanced, and max(len in phase p) <=
+    min(len in phase p+1) never inverts (cutoff semantics)."""
+    rows = _rows(spark, sf_dir, "p_curriculum")
+    by_phase: dict = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.n_words)
+    assert set(by_phase) == {1, 2, 3}
+    assert max(by_phase[1]) <= min(by_phase[3])
+    for p in (1, 2, 3):
+        assert len(by_phase[p]) >= len(rows) // 6
