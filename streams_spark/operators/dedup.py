@@ -1019,3 +1019,91 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("in_corpus") & (F.col("rn") == 1), 1).otherwise(0)
         ).alias("n_novel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside embedding clusters
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.35  # near-random synthetic embeddings; production uses ~0.95+
+# (1 - epsilon). The plan is threshold-invariant.
+
+
+_SEMDEDUP = f"""
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+              p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) >= {SEMDEDUP_T}
+)
+SELECT n.label, n.vec_id,
+       (dup.vec_id IS NOT NULL) AS is_semantic_dup
+FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
+"""
+
+
+@register("d_semdedup", oracle=_SEMDEDUP)
+def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embeddings that sit within a
+    cosine epsilon-ball of a LOWER-ID member of the SAME cluster — the
+    paper's keep-one-representative rule made engine-deterministic
+    (cluster = the table's label column; s_kmeans_train is the in-engine
+    clusterer when labels don't exist).
+
+    Plan: pairwise similarity is computed ONLY within clusters — the
+    label equi-join blocks the quadratic term to per-cluster size, which
+    is the paper's entire scaling argument (k clusters make the all-pairs
+    cost n²/k). One shuffle on label for the pair join, one distinct on
+    the flagged side, one left join to emit the verdict per vector. At
+    100 TB the within-cluster pair join swaps to the d_embedding_cosine
+    block-matrix/BLAS tile formulation; the blocking and keep rules are
+    unchanged.
+    """
+    from streams_spark.functions.vector import as_double_array, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    n = emb.select(
+        "vec_id", "label", v.alias("v"), norm(v).alias("nrm")
+    )
+    a = n.select(
+        F.col("label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = n.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dup = (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("vec_id"))
+        .where(
+            F.round(
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("anrm") * F.col("bnrm")),
+                6,
+            )
+            >= SEMDEDUP_T
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        n.join(dup, "vec_id", "left")
+        .select(
+            "label",
+            "vec_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_semantic_dup"),
+        )
+    )

@@ -120,6 +120,7 @@ ROUND_PRIORITY = [
     "w_anomaly_mad",
     "s_maxsim",
     "p_curriculum",
+    "d_semdedup",
 ]
 
 

@@ -840,3 +840,30 @@ def test_curriculum_phases_ordered_by_length(spark, sf_dir):
     assert max(by_phase[1]) <= min(by_phase[3])
     for p in (1, 2, 3):
         assert len(by_phase[p]) >= len(rows) // 6
+
+
+def test_semdedup_keep_rule(spark, sf_dir):
+    """One row per vector; every flagged dup really has a lower-id
+    same-label neighbor above the threshold (spot-check via the exact
+    pairwise query at test scale)."""
+    from streams_spark.functions.vector import as_double_array, cosine
+    from streams_spark.operators.dedup import SEMDEDUP_T
+    from streams_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = _rows(spark, sf_dir, "d_semdedup")
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == emb_n
+    flagged = {r.vec_id for r in rows if r.is_semantic_dup}
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    a = emb.select("label", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    pairs = (
+        a.join(emb, "label")
+        .where(F.col("a_id") < F.col("vec_id"))
+        .where(F.round(cosine(F.col("av"), F.col("v")), 6) >= SEMDEDUP_T)
+        .select("vec_id")
+        .distinct()
+    )
+    assert flagged == {r.vec_id for r in pairs.collect()}
