@@ -128,3 +128,46 @@ def read_event_log_orc(spark: SparkSession, path: str) -> DataFrame:
         .orc(path)
         .select(*[f.name for f in EVENT_LOG_SCHEMA.fields])
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw media ingestion: binaryFile directory scan -> canonical media table
+# ---------------------------------------------------------------------------
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest a directory of raw media files into the canonical media
+    shape (`operators/multimodal.py`): Spark's built-in `binaryFile`
+    source yields (path, modificationTime, length, content); we derive
+    doc_id (stable hash of the file name), media_type (extension), and
+    the typed metadata struct the decode operators expect.
+
+    Scale: binaryFile is a real FileFormat — directory listing is
+    distributed, each file is one task (files are unsplittable blobs),
+    and `pathGlobFilter` prunes at listing time, before any read. For
+    billions of small objects the production pattern is the same schema
+    over an object-store manifest + grouped fetch inside mapInPandas;
+    the downstream operators are source-agnostic either way.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_type = (
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        media_type.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("path").alias("source"),
+            F.col("length").cast("long").alias("declared_len"),
+        ).alias("meta"),
+    )

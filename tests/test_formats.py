@@ -103,3 +103,41 @@ def test_orc_roundtrip(spark, tmp_path):
     back = formats.read_event_log_orc(spark, path)
     # ORC is zero-loss: binary payload and map metadata round-trip natively
     assert _canon(back) == _canon(log)
+
+
+def test_binaryfile_media_ingestion(spark, tmp_path):
+    """read_media_dir maps a directory of raw files onto the canonical
+    media schema: typed media_type from extension, payload bytes intact,
+    glob pruning at listing time."""
+    from streams_spark.operators.multimodal import decode_media_batch
+    from streams_spark.sources.formats import read_media_dir
+
+    payloads = {
+        "a.jpg": b"\xff\xd8fakejpeg",
+        "b.wav": b"RIFFfakewav",
+        "c.bin": b"\x00\x01\x02",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_media_dir(spark, str(tmp_path))
+    rows = {r.meta.source.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    assert rows["a.jpg"].media_type == "image"
+    assert rows["b.wav"].media_type == "audio"
+    assert rows["c.bin"].media_type == "binary"
+    for name, data in payloads.items():
+        assert bytes(rows[name].payload) == data
+        assert rows[name].meta.declared_len == len(data)
+    assert len({r.doc_id for r in rows.values()}) == 3
+
+    only_images = read_media_dir(spark, str(tmp_path), glob="*.jpg")
+    assert only_images.count() == 1
+
+    # the ingested frame feeds the decode operator unchanged
+    decoded = df.mapInPandas(
+        decode_media_batch,
+        schema="doc_id long, media_type string, width int, height int, "
+        "n_channels int, checksum bigint",
+    )
+    assert decoded.count() == 3
