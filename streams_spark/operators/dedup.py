@@ -1107,3 +1107,99 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_semantic_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive containment closure (recursive CTE over the excerpt DAG)
+# ---------------------------------------------------------------------------
+
+_TRANSITIVE_SQL = """
+WITH RECURSIVE closure(src, dst, depth) AS (
+  SELECT src, dst, 1 AS depth FROM cont_edges
+  UNION ALL
+  SELECT c.src, e.dst, c.depth + 1
+  FROM closure c JOIN cont_edges e ON e.src = c.dst
+)
+SELECT src AS excerpt_id, dst AS container_id,
+       CAST(min(depth) AS INTEGER) AS min_hops
+FROM closure GROUP BY src, dst
+"""
+
+_TRANSITIVE_CONTAINMENT = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n) AS na, any_value(b.n) AS nb,
+         count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), cont AS (
+  SELECT doc_a, doc_b, na, nb FROM pairs
+  WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= {CONTAINMENT_T}
+), cont_edges AS (
+  SELECT CASE WHEN (na < nb) OR (na = nb AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS src,
+         CASE WHEN (na < nb) OR (na = nb AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS dst
+  FROM cont
+), closure(src, dst, depth) AS (
+  SELECT src, dst, 1 AS depth FROM cont_edges
+  UNION ALL
+  SELECT c.src, e.dst, c.depth + 1
+  FROM closure c JOIN cont_edges e ON e.src = c.dst
+)
+SELECT src AS excerpt_id, dst AS container_id,
+       CAST(min(depth) AS INTEGER) AS min_hops
+FROM closure GROUP BY src, dst
+"""
+
+
+@register("d_transitive_containment", oracle=_TRANSITIVE_CONTAINMENT)
+def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the excerpt-containment relation: if A is
+    contained in B and B in C, report (A, C) with the minimum hop count
+    — the chain a provenance/dedup audit follows to find the ultimate
+    container of every excerpt. Runs as a RECURSIVE CTE (Spark 4) over
+    edges directed small -> large shingle-set (ties by id), which makes
+    the graph a DAG so UNION ALL recursion terminates (Spark does not
+    yet support UNION-distinct recursion; cyclic propagation uses the
+    iterative d_dup_clusters loop instead).
+
+    Scale: recursion depth = longest containment chain (shallow in real
+    corpora); each level is one equi-join on the edge key. Path
+    multiplicity can amplify rows on dense DAGs — the iterative
+    semi-naive variant with per-level distinct (d_dup_clusters' loop) is
+    the fallback when closure density bites; stated here so nobody
+    "simplifies" one into the other.
+    """
+    cont = d_containment(spark, sf_dir)
+    sizes = shingle_table(spark, sf_dir).select(
+        "doc_id", F.size("hs").alias("n")
+    )
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    edges = (
+        cont.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.when(small_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("src"),
+            F.when(small_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("dst"),
+        )
+    )
+    edges.createOrReplaceTempView("cont_edges")
+    return spark.sql(_TRANSITIVE_SQL)

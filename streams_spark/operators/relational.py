@@ -1523,3 +1523,87 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row dependent join)
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOPK = """
+SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+WHERE c.c_custkey < 50
+"""
+
+
+@register("q_lateral_topk", oracle=_LATERAL_TOPK)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the ANSI lateral-join surface (Spark 4 supports
+    it natively; q_lateral_explode covers the generator form, this
+    covers the dependent-subquery form).
+
+    Catalyst decorrelates the lateral into the same window-rank plan
+    w_topk_suppliers_per_nation hand-writes — registered to prove the
+    SQL surface exists AND that the optimizer, not the author, does the
+    decorrelation. The customer filter prunes the driving side before
+    the join.
+    """
+    from streams_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured payloads (Spark 4 open type)
+# ---------------------------------------------------------------------------
+
+_VARIANT_PAYLOAD = """
+SELECT event_type,
+       count(*) AS n_high,
+       floor(avg(k) * 10000 + 0.5) / 10000 AS avg_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k >= 50
+GROUP BY event_type
+"""
+
+
+@register("q_variant_payload", oracle=_VARIANT_PAYLOAD)
+def q_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON payload via Spark 4's VARIANT type:
+    parse_json once, extract typed paths with variant_get, filter and
+    aggregate — the open-payload analog of the reference's metadata map
+    (server/messages.go:66), upgraded from per-query from_json
+    (q_json_props) to the engine's binary semi-structured encoding.
+
+    Scale: VARIANT parses each payload ONCE into a compact binary form;
+    repeated path extraction is a cheap binary probe, not a re-parse —
+    at 100 TB this is the difference between one JSON parse per query
+    and one per ingest. Plan is scan -> filter -> partial agg, one
+    shuffle on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            (F.floor(F.avg("k") * 10000 + F.lit(0.5)) / 10000).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -121,6 +121,9 @@ ROUND_PRIORITY = [
     "s_maxsim",
     "p_curriculum",
     "d_semdedup",
+    "q_lateral_topk",
+    "q_variant_payload",
+    "d_transitive_containment",
 ]
 
 

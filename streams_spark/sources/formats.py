@@ -130,6 +130,37 @@ def read_event_log_orc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_event_log_xml(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export the event log as space-partitioned XML (Spark 4 native XML
+    source; one <entry> element per record). XML carries neither maps
+    nor binary, so the same wire codec as CSV applies: metadata as a
+    JSON string, payload as base64."""
+    (
+        _encode(df, metadata_as_json=True)
+        .write.mode(mode)
+        .partitionBy("space")
+        .format("xml")
+        .option("rowTag", "entry")
+        .option("timestampFormat", _TS_FMT)
+        .save(path)
+    )
+
+
+def read_event_log_xml(spark: SparkSession, path: str) -> DataFrame:
+    # explicit schema, like every reader here: inference on XML is a
+    # full extra pass AND type-guesses stringly fields (a base64 payload
+    # that happens to be digits becomes a number).
+    return _decode(
+        spark.read.schema(_wire_schema(metadata_as_json=True))
+        .format("xml")
+        .option("rowTag", "entry")
+        .option("timestampFormat", _TS_FMT)
+        .load(path),
+        metadata_as_json=True,
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Raw media ingestion: binaryFile directory scan -> canonical media table
 # ---------------------------------------------------------------------------

@@ -867,3 +867,35 @@ def test_semdedup_keep_rule(spark, sf_dir):
         .distinct()
     )
     assert flagged == {r.vec_id for r in pairs.collect()}
+
+
+def test_transitive_containment_multi_hop(spark, sf_dir):
+    """The recursive closure really chains: on a synthetic 3-link path
+    a->b->c->d it must emit (a,c,2), (a,d,3), (b,d,2) alongside the
+    direct edges; corpus run agrees with direct containment at depth 1."""
+    from streams_spark.operators.dedup import _TRANSITIVE_SQL
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40)], "src long, dst long"
+    )
+    edges.createOrReplaceTempView("cont_edges")
+    got = {
+        (r.excerpt_id, r.container_id): r.min_hops
+        for r in spark.sql(_TRANSITIVE_SQL).collect()
+    }
+    assert got == {
+        (10, 20): 1, (20, 30): 1, (30, 40): 1,
+        (10, 30): 2, (20, 40): 2, (10, 40): 3,
+    }
+
+    direct = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in _rows(spark, sf_dir, "d_containment")
+    }
+    closure = _rows(spark, sf_dir, "d_transitive_containment")
+    depth1 = {
+        tuple(sorted((r.excerpt_id, r.container_id)))
+        for r in closure
+        if r.min_hops == 1
+    }
+    assert depth1 == direct

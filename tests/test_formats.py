@@ -141,3 +141,11 @@ def test_binaryfile_media_ingestion(spark, tmp_path):
         "n_channels int, checksum bigint",
     )
     assert decoded.count() == 3
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    log = _sample_log(spark)
+    path = str(tmp_path / "log_xml")
+    formats.write_event_log_xml(log, path)
+    back = formats.read_event_log_xml(spark, path)
+    assert _canon(back) == _canon(log)
