@@ -1607,3 +1607,95 @@ def q_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar function (CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+_SQL_UDF = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS charged,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_sql_udf", oracle=_SQL_UDF)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SQL UDF (Spark 4 `CREATE FUNCTION ... RETURN <expr>`): the
+    charge formula is defined once as a catalog function and reused —
+    the engine-native answer to the reference's "UDF" row (§2.7: it has
+    none; consumers inline Go). A SQL UDF body is INLINED by Catalyst at
+    plan time, so unlike a Python UDF it costs nothing: same
+    whole-stage-codegen plan as writing the expression inline, which is
+    exactly what the oracle does.
+    """
+    from streams_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collated (case-insensitive) grouping
+# ---------------------------------------------------------------------------
+
+_COLLATED_GROUP = """
+SELECT lower(c_mktsegment) AS segment, count(*) AS n_customers
+FROM (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS c_mktsegment
+  FROM customer
+)
+GROUP BY lower(c_mktsegment)
+"""
+
+
+@register("q_collated_group", oracle=_COLLATED_GROUP)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive aggregation via a collated column (Spark 4
+    `COLLATE UTF8_LCASE`): the grouping key carries the collation, so
+    equality, hashing and the shuffle all respect it — no lower()
+    normalization scattered through the query. The mixed-case input is
+    synthesized (upper for even keys) so the collation provably merges
+    groups; output is lowercased only for display/oracle parity.
+
+    Scale note: collation-aware grouping hashes the collation key
+    JVM-side — same single partial-agg'd shuffle as any groupBy, vs the
+    lower()-everywhere alternative that must rewrite every predicate
+    and loses index/stats alignment on real tables.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    mixed = customer.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    collated = mixed.select(
+        F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci")
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.lower(F.col("seg_ci")).cast("string").alias("segment"),
+            "n_customers",
+        )
+    )

@@ -8,7 +8,7 @@ primitives (md5, string ops, list lambdas) are engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark.functions.text_funcs import (
@@ -16,7 +16,6 @@ from streams_spark.functions.text_funcs import (
     avg_token_len,
     stopword_ratio,
     tokens,
-    word_shingles,
 )
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
@@ -240,10 +239,33 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     share content with high probability — the winnowing idea)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    hashes = F.transform(word_shingles(toks, 5), lambda s: F.md5(s))
-    return docs.select(
+    # Row-wise gram build (posexplode + lead), NOT the word_shingles
+    # array HOF: sequence+transform evaluates try_element_at and the md5
+    # interpreted PER ELEMENT, which made this the slowest headline query
+    # (~7s at sf0.1) once bench measured full execution — the same
+    # measured tradeoff recorded in dedup.hashed_shingle_sets. Exploded
+    # rows keep concat_ws + md5 inside whole-stage codegen. The min-4-
+    # distinct selection is dense_rank (duplicate grams share a rank) +
+    # collect_set; the lead window, rank window, and final groupBy all
+    # key on doc_id, so the exploded stream shuffles once.
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "w0"))
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    grams = ex.select(
         "doc_id",
-        F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 4)).alias("fingerprint"),
+        "pos",
+        "w0",
+        *[F.lead("w0", k).over(wl).alias(f"w{k}") for k in range(1, 5)],
+    ).where(F.col("w4").isNotNull() | (F.col("pos") == 0))
+    h = grams.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "w0", "w1", "w2", "w3", "w4")).alias("h"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("h")
+    top4 = h.withColumn("rk", F.dense_rank().over(wr)).where(F.col("rk") <= 4)
+    return top4.groupBy("doc_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("h"))).alias(
+            "fingerprint"
+        )
     )
 
 

@@ -124,6 +124,8 @@ ROUND_PRIORITY = [
     "q_lateral_topk",
     "q_variant_payload",
     "d_transitive_containment",
+    "q_sql_udf",
+    "q_collated_group",
 ]
 
 
