@@ -1699,3 +1699,74 @@ def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct via mergeable bitmap sketches
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT = """
+WITH base AS (
+  SELECT r_name, n_name, o_custkey
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+), nat AS (
+  SELECT r_name, n_name, count(DISTINCT o_custkey) AS nation_distinct
+  FROM base GROUP BY 1, 2
+), reg AS (
+  SELECT r_name, count(DISTINCT o_custkey) AS region_distinct
+  FROM base GROUP BY 1
+)
+SELECT nat.r_name, nat.n_name,
+       CAST(nation_distinct AS BIGINT) AS nation_distinct,
+       CAST(region_distinct AS BIGINT) AS region_distinct
+FROM nat JOIN reg ON nat.r_name = reg.r_name
+"""
+
+
+@register("q_bitmap_distinct", oracle=_BITMAP_DISTINCT)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct ordering-customers per nation AND per region from
+    ONE pass of mergeable bitmap sketches (bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count): nation counts come from the bucket
+    bitmaps, region counts from OR-merging the SAME bitmaps — no second
+    scan, no re-shuffle of raw keys.
+
+    This is the scale answer to multi-grain COUNT(DISTINCT): a plain
+    distinct must re-shuffle the full key stream per grain (or expand
+    with grouping sets), while bitmaps reduce each bucket to <= 4 KB,
+    merge associatively across any rollup level, and stay exact —
+    the approximate twin is q_approx_count_distinct's HLL.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "o_custkey")
+    )
+    buckets = base.groupBy(
+        "r_name",
+        "n_name",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bk"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    nat = buckets.groupBy("r_name", "n_name").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("nation_distinct")
+    )
+    reg = (
+        buckets.groupBy("r_name", "bk")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("r_name")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("region_distinct"))
+    )
+    return nat.join(F.broadcast(reg), "r_name").select(
+        "r_name", "n_name", "nation_distinct", "region_distinct"
+    )

@@ -1087,3 +1087,57 @@ def t_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail split)
+# ---------------------------------------------------------------------------
+
+_CCNET_BUCKETS = (
+    _UNIGRAM_LM.rsplit("SELECT ex.doc_id", 1)[0]
+    + """, scored AS (
+  SELECT ex.doc_id,
+         round(avg(ln(CAST(freq.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+  FROM ex JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY ex.doc_id
+), cuts AS (
+  SELECT quantile_cont(avg_logprob, 1.0/3) AS c1,
+         quantile_cont(avg_logprob, 2.0/3) AS c2
+  FROM scored
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN avg_logprob >= c2 THEN 'head'
+            WHEN avg_logprob >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
+"""
+)
+
+
+@register("t_ccnet_buckets", oracle=_CCNET_BUCKETS)
+def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by its LM score (here the t_unigram_lm corpus-MLE mean
+    log-prob; CCNet uses a KenLM perplexity — same pipeline shape) and
+    cut the corpus into score tertiles. Training recipes then keep head,
+    sample middle, drop tail.
+
+    Composition, not new machinery: the scored frame is t_unigram_lm's
+    plan; the two cutoffs come from one percentile aggregate broadcast
+    onto a map-only CASE — the identical no-global-sort shape as
+    p_curriculum. Comparisons run on the 4dp-ROUNDED score so the
+    tertile boundaries are the same doubles in both engines.
+    """
+    scored = t_unigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
+    cuts = scored.agg(
+        F.percentile("avg_logprob", 1.0 / 3).alias("c1"),
+        F.percentile("avg_logprob", 2.0 / 3).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("c2"), "head")
+        .when(F.col("avg_logprob") >= F.col("c1"), "middle")
+        .otherwise("tail")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "avg_logprob", bucket.alias("bucket")
+    )

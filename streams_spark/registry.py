@@ -126,6 +126,8 @@ ROUND_PRIORITY = [
     "d_transitive_containment",
     "q_sql_udf",
     "q_collated_group",
+    "q_bitmap_distinct",
+    "t_ccnet_buckets",
 ]
 
 

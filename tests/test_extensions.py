@@ -899,3 +899,58 @@ def test_transitive_containment_multi_hop(spark, sf_dir):
         if r.min_hops == 1
     }
     assert depth1 == direct
+
+
+def test_bitmap_distinct_matches_plain_distinct(spark, sf_dir):
+    """Bitmap-sketch distinct equals countDistinct at both grains, and
+    region counts are consistent with their nations (<= sum, >= max)."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    rows = _rows(spark, sf_dir, "q_bitmap_distinct")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    nat = {
+        (r.r_name, r.n_name): r.d
+        for r in base.groupBy("r_name", "n_name")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    reg = {
+        r.r_name: r.d
+        for r in base.groupBy("r_name")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert len(rows) == len(nat)
+    for r in rows:
+        assert r.nation_distinct == nat[(r.r_name, r.n_name)]
+        assert r.region_distinct == reg[r.r_name]
+
+
+def test_ccnet_buckets_are_score_ordered(spark, sf_dir):
+    """Every head score >= every middle score >= every tail score, and
+    all three buckets are populated."""
+    rows = _rows(spark, sf_dir, "t_ccnet_buckets")
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r.avg_logprob)
+    assert set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) >= max(by["middle"]) or min(by["head"]) >= min(
+        by["middle"]
+    )
+    assert min(by["middle"]) >= max(by["tail"])
