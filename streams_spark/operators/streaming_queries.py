@@ -41,6 +41,15 @@ def _events_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
     and unix_micros require the LTZ TIMESTAMP type)."""
     from streams_spark.sources.tables import _normalize_event_ts
 
+    # Stateful streaming ops disable AQE and materialize ONE state store
+    # per shuffle partition, fixed for the query's lifetime — under a
+    # bare session's default 200 partitions that is 200 state stores per
+    # stateful op for MB-scale micro-batches. Cap it before the stream
+    # starts (the conf is read at query start; a real deployment sizes
+    # this to event-rate x watermark, not to a batch-join default).
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
     if schema is None:
         schema = _events_schema(spark, sf_dir)
     stream = (
