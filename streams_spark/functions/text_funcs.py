@@ -48,3 +48,33 @@ def avg_token_len(toks: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / F.size(toks)
+
+
+def gram_rows(docs, n: int):
+    """Row-wise n-gram builder shared by the dedup shingle path and the
+    fingerprint path: posexplode tokens, lead the next n-1 words over a
+    (doc_id, pos) window, emit one row per gram as (doc_id, gram).
+
+    Short-doc semantics: a doc with < n tokens keeps its pos==0 row —
+    concat_ws skips the NULL leads, yielding ONE truncated gram, the
+    same behavior as word_shingles and every DuckDB oracle. This is the
+    measured-fast formulation (array-HOF transform evaluates its lambda
+    interpreted PER ELEMENT — see hashed_shingle_sets' docstring for the
+    sf0.1 numbers); the one shuffle is the corpus-sized token stream
+    keyed by doc_id, which every caller's next stage re-uses.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w0"))
+    return ex.select(
+        "doc_id",
+        "pos",
+        "w0",
+        *[F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)],
+    ).where(
+        F.col(f"w{n-1}").isNotNull() | (F.col("pos") == 0)
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("gram"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streams_spark.functions.text_funcs import tokens
+from streams_spark.functions.text_funcs import gram_rows, tokens
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -146,25 +146,7 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     that dominates, swap in the pandas-UDF builder, which is shuffle-free
     and Arrow-batched; semantics are identical.
     """
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    ex = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w0"))
-    grams = ex.select(
-        "doc_id",
-        "pos",
-        *[F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)],
-        "w0",
-    ).where(
-        # keep pos==0 even when the doc has < n tokens: concat_ws below
-        # skips the NULL leads, yielding ONE truncated shingle — the same
-        # short-doc semantics as word_shingles (text_funcs.py) and the
-        # DuckDB oracles (_NGRAM_JACCARD/_DUP_CLUSTERS), which emit a
-        # truncated shingle rather than dropping the document.
-        F.col(f"w{n-1}").isNotNull() | (F.col("pos") == 0)
-    )
-    hashed = grams.select(
-        "doc_id",
-        F.xxhash64(F.concat_ws(" ", *[f"w{k}" for k in range(n)])).alias("h"),
-    )
+    hashed = gram_rows(docs, n).select("doc_id", F.xxhash64("gram").alias("h"))
     return hashed.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
     )

@@ -14,6 +14,7 @@ slide), verified against explicit SQL formulations.
 
 from __future__ import annotations
 
+import functools
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +22,34 @@ from pyspark.sql import functions as F
 
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
+
+_SHUFFLE_CONF = "spark.sql.shuffle.partitions"
+
+
+def _capped_state_shuffle(fn):
+    """Run a streaming query under at most 32 shuffle partitions, then
+    RESTORE the session conf. Stateful streaming ops disable AQE and
+    materialize one state store per shuffle partition, fixed at query
+    start — under a bare session's default 200 partitions that is 200
+    state stores per stateful op for MB-scale micro-batches. The cap
+    must be in force when .start() runs and must NOT leak: the conf also
+    seeds AQE's initialPartitionNum, so a permanent cap would silently
+    halve batch shuffle parallelism for the rest of the session. A real
+    deployment sizes this conf to event-rate x watermark instead."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orig = spark.conf.get(_SHUFFLE_CONF, None)
+        capped = orig is not None and int(orig) > 32
+        if capped:
+            spark.conf.set(_SHUFFLE_CONF, "32")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            if capped:
+                spark.conf.set(_SHUFFLE_CONF, orig)
+
+    return wrapper
 
 
 def _events_schema(spark: SparkSession, sf_dir: str):
@@ -40,15 +69,6 @@ def _events_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
     or TIMESTAMP(MICROS) read as NTZ — see sources/tables.py; watermarks
     and unix_micros require the LTZ TIMESTAMP type)."""
     from streams_spark.sources.tables import _normalize_event_ts
-
-    # Stateful streaming ops disable AQE and materialize ONE state store
-    # per shuffle partition, fixed for the query's lifetime — under a
-    # bare session's default 200 partitions that is 200 state stores per
-    # stateful op for MB-scale micro-batches. Cap it before the stream
-    # starts (the conf is read at query start; a real deployment sizes
-    # this to event-rate x watermark, not to a batch-join default).
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     if schema is None:
         schema = _events_schema(spark, sf_dir)
@@ -71,6 +91,7 @@ GROUP BY window_start, event_type
 
 
 @register("st_tumbling_stream", oracle=_TUMBLING_ORACLE)
+@_capped_state_shuffle
 def st_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling counts computed by an actual streaming query
     (Trigger.AvailableNow, complete mode, memory sink)."""
@@ -125,6 +146,7 @@ FROM numbered GROUP BY user_id, session_id
 
 
 @register("st_session_window", oracle=_SESSION_ORACLE)
+@_capped_state_shuffle
 def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window (30 min gap) — Spark's native session operator;
     session end = last event + gap, matching the SQL formulation."""
@@ -160,6 +182,7 @@ GROUP BY window_start, event_type
 
 
 @register("st_sliding_window", oracle=_SLIDING_ORACLE)
+@_capped_state_shuffle
 def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hour windows sliding by 1 hour (each event lands in 2 windows)."""
     ev = load_table(spark, sf_dir, "events")
@@ -190,6 +213,7 @@ HAVING window_start + INTERVAL 1 HOUR
 
 
 @register("st_watermark_late", oracle=_WATERMARK_ORACLE)
+@_capped_state_shuffle
 def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time aggregation (withWatermark + append mode) —
     the late-data semantics the reference lacks entirely (SURVEY.md §2.5:
@@ -240,6 +264,7 @@ JOIN events p
 
 
 @register("st_stream_join", oracle=_STREAM_JOIN_ORACLE)
+@_capped_state_shuffle
 def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (clicks within 10 min before a purchase by
     the same user), both sides watermarked — Structured Streaming buffers
@@ -305,6 +330,7 @@ GROUP BY space, segment
 
 
 @register("st_sequence_state", oracle=_SEQ_STATE_ORACLE)
+@_capped_state_shuffle
 def st_sequence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: per-segment gapless-sequence
     validation with applyInPandasWithState (the reference's produce-time
@@ -349,6 +375,7 @@ WHERE e.event_type = 'purchase'
 
 
 @register("st_stream_enrich", oracle=_STREAM_ENRICH_ORACLE)
+@_capped_state_shuffle
 def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the streaming side joins a static
     dimension snapshot per micro-batch — no state store involved (only
@@ -395,6 +422,7 @@ FROM events
 
 
 @register("st_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+@_capped_state_shuffle
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicates on a content hash with a
     watermark bounding the dedup state — the exactly-once ingestion gate
@@ -443,6 +471,7 @@ FROM (
 
 
 @register("st_stream_topk", oracle=_STREAM_TOPK_ORACLE)
+@_capped_state_shuffle
 def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per hour by revenue, computed by a streaming
     query. Ranking windows are UNSUPPORTED on streaming DataFrames

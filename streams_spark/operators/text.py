@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark.functions.text_funcs import (
+    gram_rows,
     STOPWORDS,
     avg_token_len,
     stopword_ratio,
@@ -238,28 +239,15 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent document signature (two docs sharing a fingerprint
     share content with high probability — the winnowing idea)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    # Row-wise gram build (posexplode + lead), NOT the word_shingles
-    # array HOF: sequence+transform evaluates try_element_at and the md5
-    # interpreted PER ELEMENT, which made this the slowest headline query
-    # (~7s at sf0.1) once bench measured full execution — the same
-    # measured tradeoff recorded in dedup.hashed_shingle_sets. Exploded
-    # rows keep concat_ws + md5 inside whole-stage codegen. The min-4-
+    # Row-wise gram build (gram_rows), NOT the word_shingles array HOF:
+    # sequence+transform evaluates try_element_at and the md5 interpreted
+    # PER ELEMENT, which made this the slowest headline query (~7s at
+    # sf0.1) once bench measured full execution; gram_rows keeps
+    # concat_ws + md5 inside whole-stage codegen (~7x). The min-4-
     # distinct selection is dense_rank (duplicate grams share a rank) +
-    # collect_set; the lead window, rank window, and final groupBy all
+    # collect_set; the gram window, rank window, and final groupBy all
     # key on doc_id, so the exploded stream shuffles once.
-    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "w0"))
-    wl = Window.partitionBy("doc_id").orderBy("pos")
-    grams = ex.select(
-        "doc_id",
-        "pos",
-        "w0",
-        *[F.lead("w0", k).over(wl).alias(f"w{k}") for k in range(1, 5)],
-    ).where(F.col("w4").isNotNull() | (F.col("pos") == 0))
-    h = grams.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", "w0", "w1", "w2", "w3", "w4")).alias("h"),
-    )
+    h = gram_rows(docs, 5).select("doc_id", F.md5("gram").alias("h"))
     wr = Window.partitionBy("doc_id").orderBy("h")
     top4 = h.withColumn("rk", F.dense_rank().over(wr)).where(F.col("rk") <= 4)
     return top4.groupBy("doc_id").agg(

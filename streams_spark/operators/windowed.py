@@ -1386,7 +1386,7 @@ SELECT e.event_id, e.event_type, round(e."value", 4) AS value,
        floor((e."value" - m.med) / ({MAD_K} * m.mad) * 10000 + 0.5) / 10000
            AS robust_z
 FROM events e JOIN mad m ON e.event_type = m.event_type
-WHERE abs(e."value" - m.med) > {MAD_T} * {MAD_K} * m.mad
+WHERE m.mad > 0 AND abs(e."value" - m.med) > {MAD_T} * {MAD_K} * m.mad
 """
 
 
@@ -1414,8 +1414,13 @@ def w_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = ev.join(F.broadcast(mad), "event_type")
     robust_z = (F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    # mad == 0 (a type where >= half the values equal the median) must be
+    # excluded, not flagged: the gate would degenerate to value != median
+    # and robust_z to a div-by-zero NULL — such types need a fallback
+    # scale (e.g. IQR or stddev), which is q_outliers' job.
     return scored.where(
-        F.abs(F.col("value") - F.col("med")) > MAD_T * MAD_K * F.col("mad")
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) > MAD_T * MAD_K * F.col("mad"))
     ).select(
         "event_id",
         "event_type",

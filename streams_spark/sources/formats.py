@@ -172,7 +172,9 @@ def read_media_dir(
     """Ingest a directory of raw media files into the canonical media
     shape (`operators/multimodal.py`): Spark's built-in `binaryFile`
     source yields (path, modificationTime, length, content); we derive
-    doc_id (stable hash of the file name), media_type (extension), and
+    doc_id (stable hash of the FULL path — the key is path-scoped;
+    re-ingesting from a moved directory yields new ids), media_type
+    (extension), and
     the typed metadata struct the decode operators expect.
 
     Scale: binaryFile is a real FileFormat — directory listing is

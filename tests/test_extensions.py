@@ -950,7 +950,5 @@ def test_ccnet_buckets_are_score_ordered(spark, sf_dir):
     for r in rows:
         by.setdefault(r.bucket, []).append(r.avg_logprob)
     assert set(by) == {"head", "middle", "tail"}
-    assert min(by["head"]) >= max(by["middle"]) or min(by["head"]) >= min(
-        by["middle"]
-    )
+    assert min(by["head"]) >= max(by["middle"])
     assert min(by["middle"]) >= max(by["tail"])
