@@ -1161,27 +1161,59 @@ def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-naive variant with per-level distinct (d_dup_clusters' loop) is
     the fallback when closure density bites; stated here so nobody
     "simplifies" one into the other.
+
+    Bare-session cost control: each recursion level shuffles on the
+    edge key, and a bare session's default 200 shuffle partitions make
+    every level pay ~200 near-empty task launches (measured 14.7 s at
+    sf0.01, ~10x the family median — scheduling overhead, not data).
+    The streaming family's save/restore conf cap can't work here as a
+    plain decorator because this query returns a LAZY frame — the conf
+    would be restored before execution — so the closure is materialized
+    eagerly (localCheckpoint) while the scoped 32-partition cap is in
+    force, and the edge list is checkpointed first so recursion levels
+    rescan a materialized edge table instead of re-executing the
+    shingle-join subplan per level. Both checkpoints are the pattern
+    d_dup_clusters already uses for its iterative loop.
     """
-    cont = d_containment(spark, sf_dir)
-    sizes = shingle_table(spark, sf_dir).select(
-        "doc_id", F.size("hs").alias("n")
-    )
-    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    small_first = (F.col("na") < F.col("nb")) | (
-        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
-    )
-    edges = (
-        cont.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            F.when(small_first, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("src"),
-            F.when(small_first, F.col("doc_b"))
-            .otherwise(F.col("doc_a"))
-            .alias("dst"),
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(shuffle_conf)
+    if int(orig) > 32:
+        spark.conf.set(shuffle_conf, "32")
+    try:
+        cont = d_containment(spark, sf_dir)
+        sizes = shingle_table(spark, sf_dir).select(
+            "doc_id", F.size("hs").alias("n")
         )
-    )
-    edges.createOrReplaceTempView("cont_edges")
-    return spark.sql(_TRANSITIVE_SQL)
+        a = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        )
+        b = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+        )
+        small_first = (F.col("na") < F.col("nb")) | (
+            (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        edges = (
+            cont.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                F.when(small_first, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("src"),
+                F.when(small_first, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("dst"),
+            )
+            .localCheckpoint()
+        )
+        edges.createOrReplaceTempView("cont_edges")
+        # Recursive CTE execution bypasses AQE, so every level's join
+        # pays the STATIC conf width in task launches regardless of
+        # data size. The edge list is already materialized — size the
+        # width from the real edge count (~50k edges/partition) instead
+        # of inheriting a width meant for corpus-scale shuffles.
+        width = max(1, min(32, edges.count() // 50_000 + 1))
+        spark.conf.set(shuffle_conf, str(width))
+        return spark.sql(_TRANSITIVE_SQL).localCheckpoint()
+    finally:
+        spark.conf.set(shuffle_conf, orig)

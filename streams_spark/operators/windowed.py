@@ -1188,8 +1188,9 @@ WITH daily AS (
   FROM events GROUP BY 1
 )
 SELECT a.day AS day, any_value(a.rev) AS rev,
-       round(sum(b.rev * pow({EWMA_DECAY}, date_diff('day', b.day, a.day)))
-             / sum(pow({EWMA_DECAY}, date_diff('day', b.day, a.day))), 4)
+       floor(sum(b.rev * pow({EWMA_DECAY}, date_diff('day', b.day, a.day)))
+             / sum(pow({EWMA_DECAY}, date_diff('day', b.day, a.day)))
+             * 10000 + 0.5) / 10000
            AS ewma_rev
 FROM daily a JOIN daily b
   ON b.day <= a.day AND b.day >= a.day - INTERVAL {EWMA_HORIZON} DAY
@@ -1230,12 +1231,14 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inner join back to the real spine: EWMA is defined only on observed
     # days, and fan-out days past the last observation drop here
     spine = daily.select("day", F.col("rev").alias("rev_obs"))
+    # cross-engine rule: ratio outputs round via floor(x*1e4+0.5)/1e4 —
+    # the same IEEE op sequence in both engines — because Spark's
+    # HALF_UP round() and DuckDB's round() diverge on midpoint doubles
+    ewma = F.sum(F.col("rev") * F.col("w")) / F.sum("w")
     return (
         contrib.groupBy("day")
         .agg(
-            F.round(F.sum(F.col("rev") * F.col("w")) / F.sum("w"), 4).alias(
-                "ewma_rev"
-            )
+            (F.floor(ewma * 10000 + F.lit(0.5)) / 10000).alias("ewma_rev")
         )
         .join(spine, "day")
         .select("day", F.col("rev_obs").alias("rev"), "ewma_rev")

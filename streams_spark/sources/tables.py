@@ -26,7 +26,12 @@ def _normalize_event_ts(dtype):
     - TIMESTAMP(MICROS) vintage: read as TIMESTAMP_NTZ; the stored wall
       clock is a UTC instant, so interpret it as UTC regardless of the
       session timezone (event-time ops — withWatermark, unix_micros —
-      require the LTZ TIMESTAMP type).
+      require the LTZ TIMESTAMP type). A bare cast (or to_utc_timestamp)
+      would first interpret the NTZ wall clock in the SESSION zone,
+      shifting the instant by the session offset under non-UTC sessions;
+      convert_timezone('UTC', session, ntz) re-renders the UTC wall
+      clock into the session zone so the subsequent LTZ cast lands on
+      the original instant under any session timezone.
     - Already TIMESTAMP (LTZ): pass through.
     """
     from pyspark.sql import functions as F
@@ -35,7 +40,9 @@ def _normalize_event_ts(dtype):
     if isinstance(dtype, LongType):
         return F.timestamp_micros(F.expr("ts div 1000"))
     if isinstance(dtype, TimestampNTZType):
-        return F.to_utc_timestamp(F.col("ts"), "UTC")
+        return F.convert_timezone(
+            F.lit("UTC"), F.current_timezone(), F.col("ts")
+        ).cast("timestamp")
     return F.col("ts")
 
 

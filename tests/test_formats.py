@@ -149,3 +149,36 @@ def test_xml_roundtrip(spark, tmp_path):
     formats.write_event_log_xml(log, path)
     back = formats.read_event_log_xml(spark, path)
     assert _canon(back) == _canon(log)
+
+
+def test_events_ts_instant_stable_under_non_utc_session(spark, sf_dir):
+    """The micros-vintage events file stores its wall clock as a UTC
+    instant in TIMESTAMP_NTZ; normalization must land on the same epoch
+    instant under ANY session timezone. (A bare NTZ->LTZ cast — or
+    to_utc_timestamp — interprets the wall clock in the session zone,
+    shifting every instant by the session offset under non-UTC sessions.)
+    """
+    from pyspark.sql import functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    tz_conf = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        utc_min = (
+            load_table(spark, sf_dir, "events")
+            .select(F.min(F.unix_micros("ts")).alias("m"))
+            .collect()[0]
+            .m
+        )
+        spark.conf.set(tz_conf, "America/New_York")
+        ny_min = (
+            load_table(spark, sf_dir, "events")
+            .select(F.min(F.unix_micros("ts")).alias("m"))
+            .collect()[0]
+            .m
+        )
+    finally:
+        spark.conf.set(tz_conf, orig)
+    assert ny_min == utc_min
