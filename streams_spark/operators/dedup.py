@@ -553,16 +553,52 @@ def d_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_sample_stratified", oracle=None)  # seeded RNG is engine-specific
+STRATIFIED_FRACTIONS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+
+# per-language keep rate in 1/1000ths, drawn from md5 hex chars 9-12 of the
+# doc_id (a different hex window than the split/mix/shuffle draws so the
+# strata are uncorrelated with those)
+_STRATA_PRED = " OR ".join(
+    f"(lang = '{lang}' AND r < {int(frac * 1000)})"
+    for lang, frac in STRATIFIED_FRACTIONS.items()
+)
+
+_STRATIFIED = f"""
+WITH drawn AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+              AS INTEGER) % 1000 AS r
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled
+FROM drawn
+WHERE {_STRATA_PRED}
+GROUP BY lang
+"""
+
+
+@register("d_sample_stratified", oracle=_STRATIFIED)
 def d_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: fixed per-language fractions via sampleBy with a
-    fixed seed (deterministic within Spark; no oracle because seeded RNG
-    streams are engine-specific). The balance check in tests verifies the
-    per-stratum rates land near the targets."""
+    """Stratified sample with fixed per-language keep rates, drawn from a
+    deterministic md5 bucket of doc_id instead of a seeded RNG — the same
+    portable-draw trick as p_train_val_split / d_sample_systematic, which
+    makes the sample engine-independent (oracle-checkable), reproducible
+    across runs, and stable under corpus growth (a doc's keep/drop never
+    changes when other docs arrive — seeded sampleBy can't promise that).
+    Pure map-side scan; one shuffle for the per-stratum counts."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 4), 16, 10)
+        .cast("int")
+        % 1000
+    )
+    items = iter(STRATIFIED_FRACTIONS.items())
+    lang0, frac0 = next(items)
+    thresh = F.when(F.col("lang") == lang0, int(frac0 * 1000))
+    for lang, frac in items:
+        thresh = thresh.when(F.col("lang") == lang, int(frac * 1000))
     return (
-        docs.sampleBy("lang", fractions, seed=42)
+        docs.where(draw < thresh)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

@@ -673,16 +673,22 @@ SELECT
 
 @register("q_semi_anti_join", oracle=_SEMI_ANTI)
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join counts as ONE plan: each count is a single-row
+    aggregate over its join, and the two single-row frames cross-join
+    (both broadcast) — no driver-side actions or createDataFrame, so
+    the whole thing is one job Catalyst can schedule."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     big = orders.where(F.col("o_totalprice") > 400000)
-    semi = customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").count()
-    anti = customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(semi, anti)], "n_big_spenders long, n_never_ordered long"
+    semi = (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_big_spenders"))
     )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_never_ordered"))
+    )
+    return semi.crossJoin(anti)
 
 
 # ---------------------------------------------------------------------------

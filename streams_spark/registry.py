@@ -43,69 +43,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 3 window: the 49 queries with no r1/r2 oracle row yet ---
-    # verbs added in round 2
-    "v_latest_entity_state",
-    "v_watermark_lag",
-    "v_chunked_produce",
-    # relational additions
-    "q_stats_functions",
-    "q_window_frames",
-    "q_lateral_explode",
-    "q_correlated_exists",
-    "q_salted_join",
-    "q_full_outer",
-    "q_outliers",
-    # windowed analytics additions
-    "w_user_streaks",
-    "w_gap_fill",
-    "w_asof_forward",
-    "w_rolling_dau",
-    "w_rolling_median",
-    "w_ohlc_bars",
-    "w_pareto_customers",
-    "w_attribution",
-    # dedup (minhash/simhash/stratified are rows-only by design)
-    "d_minhash_lsh",
-    "d_simhash",
-    "d_sample_stratified",
-    "d_prefix_dedup",
-    "d_dup_spans",
-    "d_containment",
-    "d_incremental_dedup",
-    # similarity / vector
-    "s_ann_lsh_topk",
-    "s_kmeans_train",
-    "s_centroid_search",
-    "s_vector_quantize",
-    "s_recall_eval",
-    "s_pq_train",
-    "s_pq_search",
-    # text analysis additions
-    "t_tfidf_keywords",
-    "t_repetition",
-    "t_vocab_stats",
-    "t_unigram_lm",
-    "t_char_entropy",
-    "t_heavy_hitters",
-    "t_length_histogram",
-    # streaming additions
-    "st_stream_enrich",
-    "st_stream_dedup",
-    "st_stream_topk",
-    # pipeline operators
-    "p_pack_sequences",
-    "p_train_val_split",
-    "p_source_mix",
-    "p_token_budget",
-    "p_corpus_shuffle",
-    "p_funnel_report",
-    "p_source_priority",
-    # 50th slot: the first of the late-round-2 additions (no canary this
-    # round — all 50 slots go to queries with no oracle row yet; the
-    # r1/r2-green families are regression-guarded by tests/ + check_oracle)
-    "t_pii_redact",
-    # round-4 window head: remaining late-r2 + round-3 additions
+    # --- round 4 window (first 50) ---
+    # head: the 22 queries with no driver-oracle row yet (all local-green
+    # in the judge's round-3 check_oracle run)
     "w_scd2_user_state",
     "p_weighted_sample",
     "p_domain_cap",
@@ -128,6 +68,49 @@ ROUND_PRIORITY = [
     "q_collated_group",
     "q_bitmap_distinct",
     "t_ccnet_buckets",
+    # newly oracle-paired / changed this round
+    "d_sample_stratified",  # md5-bucket draw replaced seeded sampleBy
+    "q_semi_anti_join",  # folded into one plan this round
+    # carry-over regrades: oldest evidence first (r1-only rows)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "q_setops",
+    "q_cube_orders",
+    "q_grouping_sets",
+    "q_rollup_revenue",
+    # --- round-5 window head: remaining r1-only rows ---
+    "q_scalar_functions",
+    "q_date_functions",
+    "q_array_functions",
+    "q_distinct_aggs",
+    "q_percentiles",
+    "q_pivot_linestatus",
+    "q_unpivot",
+    "q_salted_agg",
+    "q_approx_count_distinct",
+    "q_approx_percentile",
+    "w_topk_suppliers_per_nation",
+    # round-3-window queries stay registered behind these (import order)
 ]
 
 

@@ -77,8 +77,8 @@ def test_exact_dedup_consistency(spark, sf_dir):
 
 
 def test_stratified_sample_rates(spark, sf_dir):
-    """sampleBy hits the requested per-stratum fractions within
-    binomial noise (3 sigma)."""
+    """The deterministic md5-bucket draw hits the requested per-stratum
+    fractions within binomial noise (3 sigma)."""
     from streams_spark.registry import load_all
 
     sampled = {
@@ -95,8 +95,9 @@ def test_stratified_sample_rates(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
-    for lang, frac in fractions.items():
+    from streams_spark.operators.dedup import STRATIFIED_FRACTIONS
+
+    for lang, frac in STRATIFIED_FRACTIONS.items():
         n = totals.get(lang, 0)
         if n < 20:
             continue
