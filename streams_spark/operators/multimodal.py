@@ -56,14 +56,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in for a real decoder.
-
-    REAL IMPLEMENTATION (not available in this container):
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands()), ...
-    The fake derives stable dimensions from the byte length and a
-    byte-sum checksum, so tests and oracles are exact.
-    """
+    """Deterministic stand-in codec: derives stable dimensions from the
+    byte length and a byte-sum checksum, so tests and oracles are exact.
+    The default when no real image library is importable (this container
+    ships none)."""
     n = len(payload)
     width = 64 + n % 577
     height = 64 + (n * 31) % 419
@@ -72,21 +68,63 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, checksum
 
 
-def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: Arrow batch in, Arrow batch out, no per-row Python
-    function-call overhead beyond the codec itself."""
-    for pdf in it:
-        decoded = pdf["payload"].map(_fake_decode)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_channels": [d[2] for d in decoded],
-                "checksum": [d[3] for d in decoded],
-            }
-        )
+def pil_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Real codec: decodes actual image bytes with Pillow. Same signature
+    and checksum arithmetic as the fake, so the two are drop-in swaps.
+    Only callable where Pillow is importable AND the payload is a real
+    encoded image (the synthetic media_table payloads are not)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return (
+        img.width,
+        img.height,
+        len(img.getbands()),
+        sum(payload) % 1_000_000_007,
+    )
+
+
+def default_decoder():
+    """The consumer-side decode contract is pluggable (the reference
+    hands consumers opaque bytes — /root/reference/server/messages.go:65).
+    Pick the real codec when the environment has one, else the
+    deterministic fake."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_decode
+    except ImportError:
+        return _fake_decode
+
+
+def decode_media(media: DataFrame, decode_fn=None) -> DataFrame:
+    """Decode metadata for every media blob via mapInPandas with an
+    injectable codec. `decode_fn` is any callable
+    `bytes -> (width, height, n_channels, checksum)`; it is captured in
+    the task closure, so swapping codecs never changes the plan shape —
+    the Arrow batch iteration, schema, and column pruning are identical
+    for fake and real decoders."""
+    fn = decode_fn if decode_fn is not None else _fake_decode
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow batch in, Arrow batch out: no per-row Python call
+        # overhead beyond the codec itself
+        for pdf in it:
+            decoded = pdf["payload"].map(fn)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "checksum": [d[3] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batch, schema=DECODED_SCHEMA)
 
 
 _DECODE_ORACLE = """
@@ -112,11 +150,12 @@ FROM m JOIN documents d ON d.doc_id = m.doc_id
 
 @register("m_decode_media", oracle=_DECODE_ORACLE)
 def m_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode metadata for every media blob via mapInPandas (fake codec,
-    real plumbing). Oracle recomputes the same arithmetic in SQL."""
-    return media_table(spark, sf_dir).mapInPandas(
-        decode_media_batch, schema=DECODED_SCHEMA
-    )
+    """Decode metadata for every media blob (fake codec, real plumbing —
+    the synthetic payloads are not encoded images, so the registered
+    query pins the deterministic codec regardless of environment; the
+    oracle recomputes the same arithmetic in SQL). Real-codec consumers
+    go through decode_media(media, decode_fn=pil_decode)."""
+    return decode_media(media_table(spark, sf_dir))
 
 
 _FRAME_ORACLE = """

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -82,6 +83,14 @@ class IdempotentLogSink:
     check ledger → write parquet → record batchId. Re-delivery of a batch
     after failure is a no-op — the same duplicate-write guard as the
     reference's pending-transaction window (service.go:722-758).
+
+    Rollback (service.go:509-523): each batch writes under its own
+    `commit_batch=<id>` partition, and the ledger file is the commit
+    point. A batch killed between the parquet write and the ledger write
+    leaves phase-1 residue that (a) `read_committed` never surfaces
+    (batch id absent from the ledger), and (b) the next delivery of the
+    same batchId deletes before rewriting — so a crashed commit can
+    neither duplicate rows nor leak uncommitted ones.
     """
 
     def __init__(self, log_dir: str, ledger_dir: str, hub=None) -> None:
@@ -96,10 +105,42 @@ class IdempotentLogSink:
     def committed(self, batch_id: int) -> bool:
         return os.path.exists(self._ledger_path(batch_id))
 
+    def committed_ids(self) -> list[int]:
+        return sorted(
+            int(n[len("batch-") : -len(".json")])
+            for n in os.listdir(self.ledger_dir)
+            if n.startswith("batch-") and n.endswith(".json")
+        )
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.log_dir, f"commit_batch={batch_id}")
+
+    def rollback(self, batch_id: int) -> None:
+        """Delete phase-1 residue of an uncommitted batch (the explicit
+        Rollback verb). Refuses to touch committed batches."""
+        if self.committed(batch_id):
+            raise ValueError(f"batch {batch_id} is committed; cannot roll back")
+        shutil.rmtree(self._batch_dir(batch_id), ignore_errors=True)
+
+    def read_committed(self, spark) -> DataFrame:
+        """The read-committed view of the log: only batches whose ledger
+        record exists. The isin filter prunes whole `commit_batch=`
+        partition directories at the scan, so uncommitted residue is
+        never read, let alone surfaced."""
+        ids = self.committed_ids()
+        df = spark.read.parquet(self.log_dir)
+        return df.where(F.col("commit_batch").isin(ids)).drop("commit_batch")
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.committed(batch_id):
             return  # duplicate delivery — exactly-once no-op
-        batch_df.write.mode("append").partitionBy("space").parquet(self.log_dir)
+        self.rollback(batch_id)  # clear residue of a crashed prior attempt
+        (
+            batch_df.withColumn("commit_batch", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("commit_batch", "space")
+            .parquet(self.log_dir)
+        )
         status = (
             batch_df.groupBy("space", "segment")
             .agg(
@@ -170,11 +211,14 @@ def streaming_produce(
         # exception-driven: a transient read error on a NON-empty log must
         # abort the batch, not silently validate against last_sequence=0
         # and append duplicate sequences. Only genuinely-absent logs take
-        # the tails=None path.
+        # the tails=None path. Tails come from the READ-COMMITTED view:
+        # peeking raw files would count phase-1 residue of a crashed
+        # batch and push the expected sequence past the committed tail,
+        # wedging every retry on a phantom gap.
         if os.path.isdir(log_dir) and any(
             not n.startswith((".", "_")) for n in os.listdir(log_dir)
         ):
-            log = batch_df.sparkSession.read.parquet(log_dir)
+            log = sink.read_committed(batch_df.sparkSession)
             tails = client.peek_all(log).select(
                 "space", "segment", F.col("sequence").alias("last_sequence")
             )

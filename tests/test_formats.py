@@ -109,7 +109,7 @@ def test_binaryfile_media_ingestion(spark, tmp_path):
     """read_media_dir maps a directory of raw files onto the canonical
     media schema: typed media_type from extension, payload bytes intact,
     glob pruning at listing time."""
-    from streams_spark.operators.multimodal import decode_media_batch
+    from streams_spark.operators.multimodal import decode_media
     from streams_spark.sources.formats import read_media_dir
 
     payloads = {
@@ -135,12 +135,7 @@ def test_binaryfile_media_ingestion(spark, tmp_path):
     assert only_images.count() == 1
 
     # the ingested frame feeds the decode operator unchanged
-    decoded = df.mapInPandas(
-        decode_media_batch,
-        schema="doc_id long, media_type string, width int, height int, "
-        "n_channels int, checksum bigint",
-    )
-    assert decoded.count() == 3
+    assert decode_media(df).count() == 3
 
 
 def test_xml_roundtrip(spark, tmp_path):
@@ -182,3 +177,44 @@ def test_events_ts_instant_stable_under_non_utc_session(spark, sf_dir):
     finally:
         spark.conf.set(tz_conf, orig)
     assert ny_min == utc_min
+
+
+def test_decode_media_real_codec_when_available(spark):
+    """When Pillow is importable, decode_media with the real codec must
+    report the true dimensions of genuinely-encoded image bytes — the
+    consumer-side decode the reference leaves to clients. Skipped where
+    the environment ships no image library (the deterministic-fake path
+    is covered by the m_decode_media oracle)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from streams_spark.operators.multimodal import decode_media, pil_decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "image", png, ("test", len(png)))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_len:bigint>",
+    )
+    row = decode_media(media, decode_fn=pil_decode).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (37, 21, 3)
+    assert row.checksum == sum(png) % 1_000_000_007
+
+
+def test_default_decoder_selects_by_environment():
+    """default_decoder returns the Pillow codec iff Pillow imports."""
+    from streams_spark.operators import multimodal as M
+
+    try:
+        import PIL  # noqa: F401
+
+        assert M.default_decoder() is M.pil_decode
+    except ImportError:
+        assert M.default_decoder() is M._fake_decode

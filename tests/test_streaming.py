@@ -6,6 +6,7 @@ Structured Streaming.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -371,3 +372,79 @@ def test_streaming_produce_end_to_end(spark, tmp_path):
         r.sequence for r in spark.read.parquet(log_dir).collect()
     )
     assert seqs == list(range(1, 16))
+
+
+def test_produce_abort_mid_commit_no_orphans_clean_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Rollback guarantee (the reference's explicit Rollback verb,
+    service.go:509-523): a batch killed BETWEEN the parquet write and the
+    ledger record (phase 1 done, phase 2 not) must (a) leak no rows into
+    the read-committed view, and (b) retry cleanly on the next run of the
+    same checkpoint — no duplicates, no phantom sequence gap."""
+    import pyspark.sql.utils
+
+    from streams_spark.streaming import produce as P
+    from streams_spark.streaming.produce import (
+        IdempotentLogSink,
+        streaming_produce,
+    )
+
+    records_dir = str(tmp_path / "records")
+    log_dir = str(tmp_path / "log")
+    ledger_dir = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(seqs):
+        spark.createDataFrame(
+            [("s0", "g0", i, b"x") for i in seqs],
+            "space string, segment string, sequence long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(records_dir)
+
+    # batch 0 commits normally
+    stage(range(1, 11))
+    streaming_produce(
+        spark, records_dir, log_dir, ledger_dir, ckpt
+    ).awaitTermination()
+
+    # batch 1 dies mid-commit: parquet write lands, ledger write raises
+    stage(range(11, 16))
+    real_dump = P.json.dump
+
+    def boom(*a, **k):
+        raise OSError("simulated crash between phase 1 and phase 2")
+
+    monkeypatch.setattr(P.json, "dump", boom)
+    q = streaming_produce(spark, records_dir, log_dir, ledger_dir, ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    monkeypatch.setattr(P.json, "dump", real_dump)
+
+    sink = IdempotentLogSink(log_dir, ledger_dir)
+    # phase-1 residue is on disk but MUST NOT surface as committed rows
+    assert os.path.isdir(os.path.join(log_dir, "commit_batch=1"))
+    assert sink.committed_ids() == [0]
+    committed = sink.read_committed(spark)
+    assert committed.count() == 10
+    assert committed.agg(F.max("sequence").alias("m")).collect()[0].m == 10
+
+    # retry from the same checkpoint: batch 1 re-delivers, residue is
+    # rolled back, commit completes — gapless, no duplicates
+    streaming_produce(
+        spark, records_dir, log_dir, ledger_dir, ckpt
+    ).awaitTermination()
+    sink = IdempotentLogSink(log_dir, ledger_dir)
+    assert sink.committed_ids() == [0, 1]
+    seqs = sorted(
+        r.sequence for r in sink.read_committed(spark).collect()
+    )
+    assert seqs == list(range(1, 16))
+
+
+def test_sink_rollback_refuses_committed_batch(spark, tmp_path):
+    """Rollback must never delete committed data — parity with the
+    reference, which only rolls back pending transactions."""
+    sink = IdempotentLogSink(str(tmp_path / "log"), str(tmp_path / "ledger"))
+    sink(_entries(spark, "s0", "g0", range(1, 4)), batch_id=0)
+    with pytest.raises(ValueError):
+        sink.rollback(0)
