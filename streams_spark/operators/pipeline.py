@@ -683,3 +683,65 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("long").alias("n_words"),
         phase.cast("int").alias("phase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language mixing (multilingual sampling rates)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # temperature exponent; 1.0 = proportional, 0 = uniform
+
+_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS total, sum(pow(n / (SELECT sum(n) FROM counts),
+                                  {MIX_ALPHA})) AS z
+  FROM counts
+)
+SELECT c.lang,
+       CAST(c.n AS BIGINT) AS n_docs,
+       floor(c.n / t.total * 1000000 + 0.5) / 1000000 AS p_raw,
+       floor(pow(c.n / t.total, {MIX_ALPHA}) / t.z * 1000000 + 0.5) / 1000000
+           AS p_temp,
+       floor(pow(c.n / t.total, {MIX_ALPHA}) / t.z / (c.n / t.total)
+             * 10000 + 0.5) / 10000 AS boost
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register("p_temperature_mix", oracle=_TEMPERATURE_MIX)
+def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling rates (the mT5/XLM-R
+    recipe): raw language share p_l is flattened to p_l^alpha and
+    renormalized, up-weighting tail languages; `boost` is the resulting
+    per-language over/under-sampling factor a mixture loader applies.
+
+    Scale shape: ONE map-side-partial aggregate to |languages| rows,
+    then scalar normalizers broadcast back onto that tiny frame — the
+    corpus is scanned exactly once, nothing corpus-sized shuffles.
+    Ratios round via the cross-engine floor rule (6dp for the
+    probabilities, 4dp for the boost ratio).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    p = F.col("n") / F.col("total")
+    # z = sum over langs of (n/total)^alpha — needs total first, so
+    # compute it by re-aggregating the tiny counts frame against the
+    # single-row total (both frames are |languages|-sized or smaller)
+    tot = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n").alias("total")))
+    ).agg(
+        F.first("total").alias("total"),
+        F.sum(F.pow(p, MIX_ALPHA)).alias("z"),
+    )
+    q = F.pow(p, MIX_ALPHA) / F.col("z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.floor(p * 1000000 + F.lit(0.5)) / 1000000).alias("p_raw"),
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("p_temp"),
+        (F.floor(q / p * 10000 + F.lit(0.5)) / 10000).alias("boost"),
+    )

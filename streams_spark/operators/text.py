@@ -1129,3 +1129,167 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id", "avg_logprob", bucket.alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (the lexical-retrieval side of a RAG / data-curation
+# stack, next to the vector side in similarity.py)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "scan", "vector")
+BM25_TOPK = 20
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25 = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+  WHERE tok IN ({_BM25_TERMS})
+  GROUP BY doc_id, tok
+), dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf
+  GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         floor(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * t.tf * ({BM25_K1} + 1)
+                   / (t.tf + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)))
+               * 10000 + 0.5) / 10000 AS bm25
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN dft f USING (term)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk,
+       doc_id, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register("t_bm25", oracle=_BM25)
+def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} BM25 ranking of the corpus for a fixed query term set —
+    the lexical retriever (Robertson-Sparck-Jones idf, k1/b saturation)
+    that pairs with the vector retrievers in similarity.py in any RAG or
+    curation stack.
+
+    Scale shape: the token explode filters to the query terms BEFORE any
+    shuffle, so the tf aggregate moves |matching postings| rows, not the
+    corpus; df (|query| rows) and the N/avgdl scalar frame are broadcast
+    back onto it. The final top-k is orderBy+limit = TakeOrdered — a
+    per-partition heap + driver merge of k rows, never a global sort.
+    The sum rounds via the floor(x*1e4+0.5)/1e4 cross-engine rule before
+    ranking; ties beyond 4dp break on doc_id in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(idf * sat) * 10000 + F.lit(0.5)) / 10000).alias(
+                "bm25"
+            )
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"), "doc_id", "bm25"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the corpus vocabulary (power-law health check)
+# ---------------------------------------------------------------------------
+
+_ZIPF = """
+WITH freq AS (
+  SELECT tok AS term, CAST(count(*) AS DOUBLE) AS freq
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+  GROUP BY tok
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE))
+             AS lx,
+         ln(freq) AS ly
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       floor(regr_slope(ly, lx) * 10000 + 0.5) / 10000 AS zipf_slope,
+       floor(regr_intercept(ly, lx) * 10000 + 0.5) / 10000 AS zipf_intercept
+FROM ranked
+"""
+
+
+@register("t_zipf_fit", oracle=_ZIPF)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the vocabulary: regress ln(freq) on ln(rank) over
+    the term-frequency table — the classic corpus-health check (natural
+    text sits near slope -1; synthetic or template-heavy corpora flatten
+    or step). Surfaces the regr_* aggregate family.
+
+    Scale shape: one corpus-wide token aggregate (map-side partial) down
+    to |vocabulary| rows (Heaps' law: millions, not billions), then a
+    rank window and ONE regression aggregate over that small frame. The
+    global rank window is a single-task sort of the vocab table only —
+    never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log("freq").alias("ly"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.floor(F.regr_slope("ly", "lx") * 10000 + F.lit(0.5)) / 10000).alias(
+            "zipf_slope"
+        ),
+        (
+            F.floor(F.regr_intercept("ly", "lx") * 10000 + F.lit(0.5)) / 10000
+        ).alias("zipf_intercept"),
+    )

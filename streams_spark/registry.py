@@ -68,9 +68,12 @@ ROUND_PRIORITY = [
     "q_collated_group",
     "q_bitmap_distinct",
     "t_ccnet_buckets",
-    # newly oracle-paired / changed this round
+    # newly oracle-paired / changed / added this round
     "d_sample_stratified",  # md5-bucket draw replaced seeded sampleBy
     "q_semi_anti_join",  # folded into one plan this round
+    "t_bm25",
+    "t_zipf_fit",
+    "p_temperature_mix",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -95,10 +98,10 @@ ROUND_PRIORITY = [
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q_setops",
+    # --- round-5 window head: remaining r1-only rows ---
     "q_cube_orders",
     "q_grouping_sets",
     "q_rollup_revenue",
-    # --- round-5 window head: remaining r1-only rows ---
     "q_scalar_functions",
     "q_date_functions",
     "q_array_functions",

@@ -955,3 +955,64 @@ def test_ccnet_buckets_are_score_ordered(spark, sf_dir):
     assert set(by) == {"head", "middle", "tail"}
     assert min(by["head"]) >= max(by["middle"])
     assert min(by["middle"]) >= max(by["tail"])
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """BM25 ranks are 1..k with non-increasing scores; every ranked doc
+    actually contains at least one query term."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.operators.text import BM25_QUERY, BM25_TOPK
+
+    rows = _rows(spark, sf_dir, "t_bm25")
+    assert 0 < len(rows) <= BM25_TOPK
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+    from streams_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        assert any(t in texts[r.doc_id].split(" ") for t in BM25_QUERY)
+
+
+def test_zipf_fit_slope_is_negative(spark, sf_dir):
+    """Frequency must fall with rank: the fitted log-log slope is
+    strictly negative, and n_terms matches the true vocabulary size."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    (row,) = _rows(spark, sf_dir, "t_zipf_fit")
+    assert row.zipf_slope < 0
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert row.n_terms == vocab
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    """Temperature sampling must (a) renormalize to 1, (b) up-weight
+    tail languages and down-weight the head, (c) preserve order."""
+    rows = _rows(spark, sf_dir, "p_temperature_mix")
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-3
+    head = max(rows, key=lambda r: r.n_docs)
+    tail = min(rows, key=lambda r: r.n_docs)
+    assert head.boost < 1.0 < tail.boost
+    # flattened shares keep the raw ordering (alpha > 0)
+    by_raw = sorted(rows, key=lambda r: r.p_raw)
+    assert [r.lang for r in by_raw] == [
+        r.lang for r in sorted(rows, key=lambda r: r.p_temp)
+    ]
