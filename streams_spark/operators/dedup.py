@@ -663,39 +663,60 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     see also large-star/small-star for skewed degree distributions) —
     every round is an edges ⋈ labels hash join partitioned on node id.
     localCheckpoint() truncates the growing lineage each round.
+
+    Bare-session cost control (same pattern as d_transitive_containment):
+    the loop's per-round joins/aggregates execute EAGERLY here, so a
+    bare session's default 200 shuffle partitions cost ~200 near-empty
+    task launches per round (measured 20.6 s cold at sf0.01). The edge
+    list is materialized anyway — the loop runs at a static width sized
+    from the real edge count (~50k edges/partition), and the session
+    conf is restored on exit.
     """
-    pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev).cache()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    n_changed = 0
-    for _ in range(20):  # >= any real dup-cluster diameter; loop exits early
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(shuffle_conf)
+    if int(orig) > 32:
+        spark.conf.set(shuffle_conf, "32")
+    try:
+        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        fwd = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("label") != F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                )).alias("changed"),
+        rev = pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+        edges = fwd.union(rev).cache()
+        width = max(1, min(32, edges.count() // 50_000 + 1))
+        spark.conf.set(shuffle_conf, str(width))
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        n_changed = 0
+        for _ in range(20):  # >= any real dup-cluster diameter; exits early
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("label").alias("nmin"))
             )
-        ).localCheckpoint()
-        n_changed = new_labels.where(F.col("changed")).count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                    (F.col("label") != F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    )).alias("changed"),
+                )
+            ).localCheckpoint()
+            n_changed = new_labels.where(F.col("changed")).count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                break
+    finally:
+        spark.conf.set(shuffle_conf, orig)
     if n_changed != 0:
         # A silent non-converged return would assign wrong clusters to any
         # chain with diameter > 20 (and diverge from the recursive-CTE
@@ -1253,3 +1274,75 @@ def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_TRANSITIVE_SQL).localCheckpoint()
     finally:
         spark.conf.set(shuffle_conf, orig)
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection: keep the best-quality member of each dup cluster
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SURVIVORS = (
+    _DUP_CLUSTERS.rsplit("SELECT node AS doc_id", 1)[0]
+    + """, labeled AS (
+  SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node
+), m AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id) AS rk
+  FROM labeled l JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS n_chars_dropped
+FROM m GROUP BY cluster_id
+"""
+)
+
+
+@register("d_cluster_survivors", oracle=_CLUSTER_SURVIVORS)
+def d_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the step that turns dup
+    CLUSTERS into a dedup DECISION: per near-dup cluster keep the
+    longest document (n_chars as the quality proxy; ties to the lowest
+    doc_id) and account for what gets dropped. Real pipelines plug a
+    richer score (t_quality / t_ccnet_buckets) into the same ORDER BY;
+    the reference's analog is keeping the first sequence of a segment
+    (SURVEY §2: d_exact_dup_groups keeps min doc_id).
+
+    Scale shape: the cluster labels come from d_dup_clusters (iterative
+    CC, already materialized via localCheckpoint); one join against the
+    documents table for the quality column, one window partitioned by
+    cluster_id (clusters are small by construction — near-dup groups),
+    one aggregate. Nothing corpus-sized beyond the label join.
+    """
+    clusters = d_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    m = clusters.join(docs, "doc_id").withColumn("rk", F.row_number().over(w))
+    out = m.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+            "survivor_doc_id"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "n_chars_dropped"
+        ),
+    )
+    # the labeled frame is dup-graph-sized (tiny next to the corpus):
+    # materialize the window+agg at a width sized to it rather than the
+    # session's corpus-scale width (lazy return would otherwise execute
+    # after the conf scope below is gone — same reasoning as
+    # d_transitive_containment)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(shuffle_conf)
+    if int(orig) > 32:
+        spark.conf.set(shuffle_conf, "32")
+        try:
+            return out.localCheckpoint()
+        finally:
+            spark.conf.set(shuffle_conf, orig)
+    return out

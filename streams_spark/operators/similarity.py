@@ -1033,3 +1033,102 @@ def s_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("best"), 4).alias("maxsim"),
         F.count(F.lit(1)).alias("n_query_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (probe the home bucket + every 1-bit-flip bucket, then
+# exact re-rank) — the recall/latency knob real LSH deployments turn
+# ---------------------------------------------------------------------------
+
+_MULTIPROBE_BUCKETS_SQL = (
+    "list_value(bucket, "
+    + ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
+    + ")"
+)
+
+_MULTIPROBE_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_bucket_sql('v')} AS bucket
+  FROM e
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+         unnest({_MULTIPROBE_BUCKETS_SQL}) AS probe_bucket
+  FROM n WHERE vec_id < {N_PROBES}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(p.qv, c.v),
+               q -> q[1] * q[2])) / (p.qnrm * c.nrm), 6) AS cos_sim
+  FROM probes p JOIN n c ON c.bucket = p.probe_bucket
+                        AND c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("s_multiprobe_lsh", oracle=_MULTIPROBE_LSH)
+def s_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-{k} (Lv et al. 2007): each query searches its
+    own hyperplane bucket PLUS the {p} buckets one bit-flip away — the
+    standard recall knob that makes one LSH table behave like many
+    without re-hashing the corpus. Stage 2 exact-reranks the candidate
+    union. Recall vs both brute force and single-probe is asserted in
+    tests (multi-probe recall >= single-probe by construction: its
+    candidate set is a superset).
+
+    Scale shape: probes explode to {p1} (bucket, query) rows — a
+    scale-invariant frame that broadcasts — and candidates arrive by
+    bucket EQUI-join against the corpus (each corpus vector has one
+    bucket, so it matches at most one probe row per query: no dedup
+    pass). The corpus is never broadcast, never crossed; candidate
+    volume = (probed buckets) x (avg bucket occupancy), the multi-probe
+    paper's cost model.
+    """
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", _bucket("v"))
+    flips = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+            for p in range(N_PLANES)
+        ],
+    )
+    probes = (
+        corpus.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(flips).alias("probe_bucket"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -74,6 +74,8 @@ ROUND_PRIORITY = [
     "t_bm25",
     "t_zipf_fit",
     "p_temperature_mix",
+    "s_multiprobe_lsh",
+    "d_cluster_survivors",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -96,9 +98,9 @@ ROUND_PRIORITY = [
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # --- round-5 window head: remaining r1-only rows ---
     "q22_sales_opportunity",
     "q_setops",
-    # --- round-5 window head: remaining r1-only rows ---
     "q_cube_orders",
     "q_grouping_sets",
     "q_rollup_revenue",

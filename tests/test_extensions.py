@@ -1016,3 +1016,56 @@ def test_temperature_mix_flattens_distribution(spark, sf_dir):
     assert [r.lang for r in by_raw] == [
         r.lang for r in sorted(rows, key=lambda r: r.p_temp)
     ]
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
+    """Multi-probe candidates strictly contain single-probe candidates,
+    so per-query result quality never degrades: for every query, the
+    k-th best multi-probe cosine >= the k-th best single-probe cosine,
+    and any (query, neighbor) both return carries the same cosine."""
+    single = _rows(spark, sf_dir, "s_ann_lsh_topk")
+    multi = _rows(spark, sf_dir, "s_multiprobe_lsh")
+    assert len(multi) >= len(single)
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+        return out
+
+    s, m = by_query(single), by_query(multi)
+    assert set(s) <= set(m)
+    for q in s:
+        worst_s = min(s[q].values())
+        worst_m = min(m[q].values())
+        assert len(m[q]) >= len(s[q])
+        if len(m[q]) == len(s[q]):
+            assert worst_m >= worst_s
+        for n in set(s[q]) & set(m[q]):
+            assert abs(s[q][n] - m[q][n]) < 1e-9
+
+
+def test_cluster_survivors_consistency(spark, sf_dir):
+    """Survivor selection is consistent with the cluster labels: one
+    survivor per cluster, the survivor belongs to its cluster and is a
+    maximal-length member, and member counts add up."""
+    clusters = _rows(spark, sf_dir, "d_dup_clusters")
+    survivors = _rows(spark, sf_dir, "d_cluster_survivors")
+    members: dict[int, list[int]] = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert {r.cluster_id for r in survivors} == set(members)
+    from streams_spark.sources.tables import load_table
+
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in survivors:
+        assert r.survivor_doc_id in members[r.cluster_id]
+        assert r.n_members == len(members[r.cluster_id])
+        best = max(chars[d] for d in members[r.cluster_id])
+        assert chars[r.survivor_doc_id] == best
+        assert r.n_chars_dropped == sum(
+            chars[d] for d in members[r.cluster_id]
+        ) - chars[r.survivor_doc_id]
