@@ -26,8 +26,8 @@ from streams_spark.sources.tables import load_table
 _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
 
 
-def _capped_state_shuffle(fn):
-    """Run a streaming query under at most 32 shuffle partitions, then
+def _capped_state_shuffle(fn=None, *, cap: int = 32):
+    """Run a streaming query under at most `cap` shuffle partitions, then
     RESTORE the session conf. Stateful streaming ops disable AQE and
     materialize one state store per shuffle partition, fixed at query
     start — under a bare session's default 200 partitions that is 200
@@ -35,21 +35,30 @@ def _capped_state_shuffle(fn):
     must be in force when .start() runs and must NOT leak: the conf also
     seeds AQE's initialPartitionNum, so a permanent cap would silently
     halve batch shuffle parallelism for the rest of the session. A real
-    deployment sizes this conf to event-rate x watermark instead."""
+    deployment sizes this conf to event-rate x watermark instead.
 
-    @functools.wraps(fn)
-    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        orig = spark.conf.get(_SHUFFLE_CONF, None)
-        capped = orig is not None and int(orig) > 32
-        if capped:
-            spark.conf.set(_SHUFFLE_CONF, "32")
-        try:
-            return fn(spark, sf_dir)
-        finally:
+    Default cap 32 (= harness cores). Stream-STREAM joins take a lower
+    cap: the symmetric hash join materializes FOUR state stores per
+    partition (keyToNumValues + keyWithIndex per side) versus one for an
+    aggregation, so its per-partition fixed cost is ~4x — measured 13.4 s
+    at 32 partitions vs 2.8 s at 8 for the same 9-row sf0.01 result."""
+
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            orig = spark.conf.get(_SHUFFLE_CONF, None)
+            capped = orig is not None and int(orig) > cap
             if capped:
-                spark.conf.set(_SHUFFLE_CONF, orig)
+                spark.conf.set(_SHUFFLE_CONF, str(cap))
+            try:
+                return f(spark, sf_dir)
+            finally:
+                if capped:
+                    spark.conf.set(_SHUFFLE_CONF, orig)
 
-    return wrapper
+        return wrapper
+
+    return deco(fn) if fn is not None else deco
 
 
 def _events_schema(spark: SparkSession, sf_dir: str):
@@ -264,7 +273,7 @@ JOIN events p
 
 
 @register("st_stream_join", oracle=_STREAM_JOIN_ORACLE)
-@_capped_state_shuffle
+@_capped_state_shuffle(cap=8)
 def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (clicks within 10 min before a purchase by
     the same user), both sides watermarked — Structured Streaming buffers
