@@ -1132,3 +1132,156 @@ def s_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse centroid routing + PQ asymmetric distance within the
+# probed lists — the production ANN index layout (FAISS IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_SEARCH = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label AS c_label, list(m ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim)
+  GROUP BY label
+), cn AS (
+  SELECT c_label, cv,
+         sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
+  FROM cent
+), routed AS (
+  SELECT query_id, c_label FROM (
+    SELECT q.vec_id AS query_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(list_zip(q.v, c.cv),
+                            p -> p[1] * p[2])) / (q.nrm * c.c_nrm), 6) DESC,
+                      c.c_label) AS c_rnk
+    FROM n q CROSS JOIN cn c
+    WHERE q.vec_id < {N_PROBES}
+  ) WHERE c_rnk <= 2
+), sub AS (
+  SELECT vec_id, sp.s AS s,
+         v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
+), c0 AS (
+  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+), a0 AS ({_pq_assign_sql('c0')}
+), c1 AS ({_pq_update_sql('a0')}
+), a1 AS ({_pq_assign_sql('c1')}
+), c2 AS ({_pq_update_sql('a1')}
+), final AS ({_pq_assign_sql('c2')}
+), lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         list_sum(list_transform(list_zip(q.sv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM sub q JOIN c2 c ON q.s = c.s
+  WHERE q.vec_id < {N_PROBES}
+), adc AS (
+  SELECT l.query_id, f.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc6
+  FROM final f
+  JOIN e ce ON ce.vec_id = f.vec_id
+  JOIN routed r ON r.c_label = ce.label
+  JOIN lut l ON l.s = f.s AND l.code = f.code AND l.query_id = r.query_id
+  WHERE f.vec_id != l.query_id
+  GROUP BY l.query_id, f.vec_id
+)
+SELECT query_id, neighbor_id, adc6, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc6, neighbor_id) AS rnk
+  FROM adc
+) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("s_ivf_pq_search", oracle=_IVF_PQ_SEARCH)
+def s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving — the production ANN layout (FAISS IndexIVFPQ
+    shape; Jegou et al. 2011): a coarse quantizer routes each probe to
+    its 2 nearest label-partition centroids, and only vectors in those
+    partitions are scored, by PQ asymmetric distance against the probe's
+    precomputed (M x K) lookup table. Composes s_centroid_search's
+    routing stage with s_pq_search's ADC stage end to end.
+
+    Scale shape: the centroid table and the LUT are both scale-invariant
+    broadcasts; the candidate restriction is an equi-join of the code
+    stream against the (query, routed-label) pairs — at 100 TB the label
+    is a write-time partition key, so this join IS partition pruning and
+    the ADC pass reads 2/nlist of the index. One partial-agg'd shuffle
+    on (query, vec) sums the M lookups; the top-k is a keyed window over
+    the probed slice only. Total work per probe: nprobe/nlist of the
+    corpus x M adds — the IVF-PQ cost model exactly.
+    """
+    corpus = _corpus(spark, sf_dir)
+    dims = corpus.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("sm", lambda s: s.m).alias("cv"),
+        )
+        .withColumn("c_nrm", norm(F.col("cv")))
+    )
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    routed = (
+        probes.join(F.broadcast(cent))
+        .withColumn(
+            "c_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("c_nrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "c_rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_sim"), F.col("c_label")
+                )
+            ),
+        )
+        .where(F.col("c_rnk") <= 2)
+        .select("query_id", F.col("c_label").alias("label"))
+    )
+    ex = _pq_elements(spark, sf_dir)
+    cb = _pq_train_cb(ex)
+    final = _pq_assign(ex, cb)
+    lut = (
+        ex.where(F.col("vec_id") < N_PROBES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), ["s", "i"])
+        .groupBy("query_id", "s", "code")
+        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("d"))
+    )
+    labels = corpus.select("vec_id", "label")
+    candidates = (
+        final.join(labels, "vec_id")
+        .join(F.broadcast(routed), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = (
+        candidates.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc6", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc6", "rnk")
+    )

@@ -76,6 +76,7 @@ ROUND_PRIORITY = [
     "p_temperature_mix",
     "s_multiprobe_lsh",
     "d_cluster_survivors",
+    "s_ivf_pq_search",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -97,8 +98,8 @@ ROUND_PRIORITY = [
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
     # --- round-5 window head: remaining r1-only rows ---
+    "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q_setops",
     "q_cube_orders",

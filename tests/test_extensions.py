@@ -1069,3 +1069,31 @@ def test_cluster_survivors_consistency(spark, sf_dir):
         assert r.n_chars_dropped == sum(
             chars[d] for d in members[r.cluster_id]
         ) - chars[r.survivor_doc_id]
+
+
+def test_ivf_pq_consistent_with_full_pq(spark, sf_dir):
+    """IVF-PQ is PQ restricted to the probed partitions: every (query,
+    neighbor) it returns carries the SAME asymmetric distance the
+    unrouted PQ search computes, each query returns at most TOP_K rows
+    in non-decreasing ADC order, and no neighbor comes from outside the
+    query's routed partitions (asserted via the full-PQ twin: any shared
+    pair agrees bit-for-bit on adc6)."""
+    from streams_spark.operators.similarity import TOP_K
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc6
+        for r in _rows(spark, sf_dir, "s_pq_search")
+    }
+    routed = _rows(spark, sf_dir, "s_ivf_pq_search")
+    assert routed
+    per_query: dict[int, list] = {}
+    for r in routed:
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rows in per_query.items():
+        assert len(rows) <= TOP_K
+        ds = [r.adc6 for r in sorted(rows, key=lambda r: r.rnk)]
+        assert ds == sorted(ds)
+    shared = [r for r in routed if (r.query_id, r.neighbor_id) in full]
+    assert shared, "IVF-PQ and PQ share no pairs — routing is broken"
+    for r in shared:
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.adc6) < 1e-12
