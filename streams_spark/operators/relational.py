@@ -1776,3 +1776,44 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.join(F.broadcast(reg), "r_name").select(
         "r_name", "n_name", "nation_distinct", "region_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chains)
+# ---------------------------------------------------------------------------
+
+_PIPE_SYNTAX = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_pipe_syntax", oracle=_PIPE_SYNTAX)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same logical query authored in Spark 4's SQL pipe syntax
+    (`|>` operator chains, SQL:2023-adjacent): FROM flows through WHERE
+    into AGGREGATE ... GROUP BY. Pipe syntax is pure surface — Catalyst
+    produces the identical plan as the conventional form the oracle
+    states, which is exactly what the oracle equivalence proves.
+    """
+    from streams_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price,
+                     round(avg(o_totalprice), 4) AS avg_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price, avg_price
+        """
+    )

@@ -1285,3 +1285,103 @@ def s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "adc6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification (majority vote over exact neighbors) — the label-
+# propagation / weak-annotation primitive of a curation pipeline
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+_KNN_CLASSIFY = (
+    _DUCK_VEC
+    + f"""
+, scored AS (
+  SELECT q.vec_id AS query_id, c.label AS c_label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+                          p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
+                    c.vec_id
+         ) AS rnk
+  FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+), votes AS (
+  SELECT query_id, c_label, count(*) AS votes
+  FROM scored WHERE rnk <= {KNN_K}
+  GROUP BY query_id, c_label
+), pred AS (
+  SELECT query_id, c_label AS predicted_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, c_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.query_id,
+       CAST(q.label AS INTEGER) AS true_label,
+       CAST(p.predicted_label AS INTEGER) AS predicted_label,
+       CAST(p.votes AS BIGINT) AS votes,
+       (q.label = p.predicted_label) AS correct
+FROM pred p JOIN n q ON q.vec_id = p.query_id
+"""
+)
+
+
+@register("s_knn_classify", oracle=_KNN_CLASSIFY)
+def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: each probe takes the majority label of its
+    {k} nearest neighbors (exact cosine, self excluded; vote ties to the
+    lowest label) — the weak-annotation / label-propagation primitive a
+    curation pipeline uses to extend a small labeled seed set, and the
+    standard embedding-quality probe (k-NN accuracy).
+
+    Scale shape: identical to s_cosine_topk (broadcast probe set, keyed
+    top-k window over k-bounded groups) plus two tiny aggregates on
+    (query, label) — at scale the scoring stage swaps for any of the ANN
+    variants (LSH / IVF / PQ) with the voting unchanged.
+    """
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= KNN_K)
+    )
+    votes = scored.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("predicted_label"),
+            "votes",
+            (F.col("true_label") == F.col("label")).alias("correct"),
+        )
+    )

@@ -77,6 +77,8 @@ ROUND_PRIORITY = [
     "s_multiprobe_lsh",
     "d_cluster_survivors",
     "s_ivf_pq_search",
+    "q_pipe_syntax",
+    "s_knn_classify",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -96,9 +98,9 @@ ROUND_PRIORITY = [
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    # --- round-5 window head: remaining r1-only rows ---
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
-    # --- round-5 window head: remaining r1-only rows ---
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q_setops",
