@@ -1817,3 +1817,42 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_price, avg_price
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch union (Spark 4 DataSketches surface) — mergeable cardinality
+# ---------------------------------------------------------------------------
+
+
+@register("q_hll_union", oracle=None)  # sketch estimates are engine-specific
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-cardinality pipeline on Spark 4's DataSketches HLL
+    surface: build one HLL sketch of active customers PER ORDER-PRIORITY
+    (hll_sketch_agg), then merge the sketch COLUMN (hll_union_agg) into
+    the global estimate — without rescanning the fact table. Rows-only
+    by design (sketch binaries and estimates are engine-specific; DuckDB
+    carries no compatible sketch); the tolerance test checks both levels
+    against exact countDistinct, and the exact twin q_approx_count_distinct
+    covers the same shape with HyperLogLog++.
+
+    This IS the 100 TB distinct-count pattern: per-partition sketches are
+    a few KB each, merge associatively on the driver-free reduce path,
+    and downstream consumers union PRE-AGGREGATED sketches (e.g. daily
+    sketches -> monthly actives) instead of re-reading the corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    out = per_prio.select(
+        "o_orderpriority",
+        "n_orders",
+        F.hll_sketch_estimate("sk").alias("est_customers"),
+    )
+    total = per_prio.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.sum("n_orders").alias("n_orders"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+    )
+    return out.unionByName(total)

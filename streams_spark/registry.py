@@ -98,7 +98,8 @@ ROUND_PRIORITY = [
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
-    # --- round-5 window head: remaining r1-only rows ---
+    # --- round-5 window head: new rows-only sketch op + r1-only rows ---
+    "q_hll_union",
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",

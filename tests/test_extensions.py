@@ -1097,3 +1097,32 @@ def test_ivf_pq_consistent_with_full_pq(spark, sf_dir):
     assert shared, "IVF-PQ and PQ share no pairs — routing is broken"
     for r in shared:
         assert abs(full[(r.query_id, r.neighbor_id)] - r.adc6) < 1e-12
+
+
+def test_hll_union_close_to_exact(spark, sf_dir):
+    """HLL estimates (per-group and merged) must land within 5% of exact
+    distinct counts at the default lgConfigK=12 (relative error ~1.6%;
+    5% allows small-cardinality wobble), and the merged row must cover
+    at least the largest group (union can only grow)."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    rows = {r.o_orderpriority: r for r in _rows(spark, sf_dir, "q_hll_union")}
+    orders = load_table(spark, sf_dir, "orders")
+    exact_rows = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    )
+    exact = {r.o_orderpriority: r.n for r in exact_rows}
+    exact["ALL"] = (
+        orders.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    )
+    assert set(rows) == set(exact)
+    for k, e in exact.items():
+        got = rows[k].est_customers
+        assert abs(got - e) <= max(0.05 * e, 3), (k, got, e)
+    assert rows["ALL"].est_customers >= max(
+        r.est_customers for k, r in rows.items() if k != "ALL"
+    )

@@ -66,6 +66,14 @@ STRESS_QUERIES = [
     # pipeline family
     "p_pack_sequences",
     "p_corpus_shuffle",
+    # round-4 additions
+    "t_bm25",
+    "t_zipf_fit",
+    "p_temperature_mix",
+    "s_multiprobe_lsh",
+    "d_cluster_survivors",
+    "s_ivf_pq_search",
+    "s_knn_classify",
 ]
 
 
