@@ -212,3 +212,73 @@ def test_jaccard_operator_matches_python_bruteforce(spark, texts):
         (r.da, r.db) for r in pairs.where(jac >= JACCARD_T).collect()
     }
     assert got == truth
+
+
+@_SETTINGS
+@given(
+    n=st.integers(min_value=2, max_value=24),
+    cuts=st.sets(st.integers(min_value=1, max_value=23), max_size=3),
+    gap_at=st.one_of(st.none(), st.integers(min_value=1, max_value=23)),
+)
+def test_chunked_produce_associative_and_gap_atomic(spark, n, cuts, gap_at):
+    """Produce is chunk-associative: appending a gapless sequence range
+    in ANY ordered chunking yields the same committed log as one bulk
+    produce — and a chunk containing a gap is rejected ATOMICALLY (the
+    log keeps exactly the chunks committed before it, nothing partial).
+    These are the reference's transaction-chunk guarantees
+    (service.go:296-335): ChunkByCount must not change the result, and
+    ERR_SEQUENCE_MISMATCH aborts a whole chunk."""
+    import shutil
+    import tempfile
+
+    from streams_spark.streaming.produce import SequenceError
+
+    seqs = list(range(1, n + 1))
+    if gap_at is not None and gap_at < n:
+        seqs = seqs[:gap_at] + [s + 1 for s in seqs[gap_at:]]  # gap at cut
+    bounds = sorted({c for c in cuts if c < n} | {n})
+    chunks, lo = [], 0
+    for b in bounds:
+        chunks.append(seqs[lo:b])
+        lo = b
+
+    log_dir = tempfile.mkdtemp(prefix="chunkprod-")
+    shutil.rmtree(log_dir)
+    try:
+        committed = 0
+        rejected = False
+        for chunk in chunks:
+            if not chunk:
+                continue
+            recs = spark.createDataFrame(
+                [("s0", "g0", s, b"x") for s in chunk],
+                "space string, segment string, sequence long, payload binary",
+            )
+            tails = spark.createDataFrame(
+                [("s0", "g0", committed)],
+                "space string, segment string, last_sequence long",
+            )
+            try:
+                client.produce(recs, log_dir, last_sequences=tails)
+                committed = chunk[-1]
+            except SequenceError:
+                rejected = True
+                break
+        if gap_at is not None and gap_at < n:
+            assert rejected, "gap must reject some chunk"
+        else:
+            assert not rejected
+            assert committed == n
+        import os
+
+        if os.path.isdir(log_dir):
+            got = sorted(
+                r.sequence
+                for r in spark.read.parquet(log_dir).collect()
+            )
+        else:
+            got = []
+        # the log holds exactly the gapless prefix that was committed
+        assert got == list(range(1, committed + 1))
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
