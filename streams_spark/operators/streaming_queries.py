@@ -539,3 +539,125 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start timestamp, event_type string, n_events long, "
         "total_value double, rnk int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful op: streaming running stats per user (integer moments)
+# ---------------------------------------------------------------------------
+
+_RUNNING_STATS_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events,
+       floor(CAST(s AS DOUBLE) / n_events / 100 * 10000 + 0.5) / 10000
+           AS mean_value,
+       floor((CAST(ss AS DOUBLE) / n_events
+              - (CAST(s AS DOUBLE) / n_events) * (CAST(s AS DOUBLE) / n_events))
+             / 10000 * 10000 + 0.5) / 10000
+           AS var_value
+FROM a
+"""
+
+
+@register("st_running_stats", oracle=_RUNNING_STATS_ORACLE)
+@_capped_state_shuffle
+def st_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running mean/variance maintained ACROSS micro-batches in
+    the state store via applyInPandasWithState — the custom-stateful-op
+    shape for online feature stats. State per key is three INTEGER
+    moments (n, Σcents, Σcents²) over the value quantized to cents with
+    the identical floor(v*100+0.5) both engines compute: integer
+    accumulation is exact and ORDER-FREE, so the streaming fold (stream
+    arrival order) and the oracle's batch aggregate (scan order) cannot
+    drift by a single ulp — a float accumulator (Welford or naive) is
+    order-sensitive and was measured flipping a 4dp rounding boundary
+    for one user on this very corpus. Mean/variance derive from the
+    exact moments through the same IEEE op sequence in both engines.
+
+    Scale: state is O(keys), not O(events); the shuffle is the one
+    groupBy(user) the stateful operator requires, capped per the
+    state-store sizing note in SCALING.md. Integer moments also make
+    state MERGEABLE (add the tuples) — the same property q_hll_union
+    exploits for cardinality.
+    """
+    import pandas as pd  # noqa: F811 — worker-side import parity
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def upd(key, pdfs, state: GroupState):
+        import math
+
+        (user,) = key
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                c = int(math.floor(v * 100 + 0.5))
+                n += 1
+                s += c
+                ss += c * c
+        state.update((n, s, ss))
+        mc = float(s) / n if n else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "n_events": n,
+                    "mean_raw": mc / 100,
+                    "var_raw": ((float(ss) / n - mc * mc) / 10000)
+                    if n
+                    else 0.0,
+                }
+            ]
+        )
+
+    out = stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType=(
+            "user_id long, n_events long, mean_raw double, var_raw double"
+        ),
+        stateStructType="n long, s long, ss long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"rstats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    snap = spark.table(sink)
+    # one snapshot row per (user, micro-batch): keep the LAST (= final
+    # running value; with one bounded batch this is the only row).
+    # localCheckpoint so the tiny dedup window executes NOW, while the
+    # decorator's shuffle cap is still in force (the returned frame is
+    # otherwise lazy and would run at the session's batch width).
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("mean_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+                "mean_value"
+            ),
+            (F.floor(F.col("var_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+                "var_value"
+            ),
+        )
+        .localCheckpoint()
+    )

@@ -79,6 +79,7 @@ ROUND_PRIORITY = [
     "s_ivf_pq_search",
     "q_pipe_syntax",
     "s_knn_classify",
+    "st_running_stats",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -97,9 +98,9 @@ ROUND_PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
-    "q18_large_volume_customer",
     # --- round-5 window head: new rows-only sketch op + r1-only rows ---
     "q_hll_union",
+    "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
