@@ -1346,3 +1346,63 @@ def d_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set(shuffle_conf, orig)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph observability (node/edge/cluster/degree profile)
+# ---------------------------------------------------------------------------
+
+_DUP_GRAPH_STATS = (
+    _DUP_CLUSTERS.rsplit("SELECT node AS doc_id", 1)[0]
+    + """, labeled AS (
+  SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node
+), csize AS (
+  SELECT cluster_id, count(*) AS cnt FROM labeled GROUP BY cluster_id
+), deg AS (
+  SELECT src AS doc_id, count(*) AS d FROM edges GROUP BY src
+)
+SELECT CAST((SELECT sum(cnt) FROM csize) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM near) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM csize) AS BIGINT) AS n_clusters,
+       CAST((SELECT max(cnt) FROM csize) AS BIGINT) AS max_cluster_size,
+       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree
+"""
+)
+
+
+@register("d_dup_graph_stats", oracle=_DUP_GRAPH_STATS)
+def d_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row profile of the near-duplicate graph — the observability
+    panel a dedup pipeline monitors before acting on it: node/edge
+    counts (how much of the corpus is entangled), cluster count and the
+    largest cluster (a sudden giant component usually means boilerplate
+    or a threshold bug), and the max degree (the skew gauge for the
+    label-propagation join). All counts are integers, so the oracle
+    comparison is exact by construction.
+
+    Scale shape: reuses the cached shingle/pair machinery (one inverted-
+    index join) and the CC labels; everything downstream aggregates
+    dup-graph-sized frames to single rows that cross-join broadcast.
+    """
+    pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = d_dup_clusters(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    csize = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = csize.agg(
+        F.sum("cnt").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("cnt").alias("max_cluster_size"),
+    )
+    b = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    c = deg.agg(F.max("d").alias("max_degree"))
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c)).select(
+        "n_nodes", "n_edges", "n_clusters", "max_cluster_size", "max_degree"
+    )

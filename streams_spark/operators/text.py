@@ -1293,3 +1293,122 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.regr_intercept("ly", "lx") * 10000 + F.lit(0.5)) / 10000
         ).alias("zipf_intercept"),
     )
+
+# ---------------------------------------------------------------------------
+# Source-pair distribution divergence (Jensen-Shannon over unigrams) —
+# the domain-shift / corpus-drift detector of a mixture pipeline
+# ---------------------------------------------------------------------------
+
+_SOURCE_DIVERGENCE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), dist AS (
+  SELECT source, term,
+         CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY source) AS p
+  FROM tok GROUP BY source, term
+), srcs AS (
+  SELECT DISTINCT source FROM documents
+), vocab AS (
+  SELECT DISTINCT term FROM dist
+), grid AS (
+  SELECT a.source AS source_a, b.source AS source_b, v.term
+  FROM srcs a JOIN srcs b ON a.source < b.source
+  CROSS JOIN vocab v
+), j AS (
+  SELECT g.source_a, g.source_b,
+         coalesce(da.p, 0) AS pa, coalesce(db.p, 0) AS pb
+  FROM grid g
+  LEFT JOIN dist da ON da.source = g.source_a AND da.term = g.term
+  LEFT JOIN dist db ON db.source = g.source_b AND db.term = g.term
+)
+SELECT source_a, source_b,
+       floor(sum(0.5 * (CASE WHEN pa > 0
+                             THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END)
+                 + 0.5 * (CASE WHEN pb > 0
+                               THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END))
+             * 10000 + 0.5) / 10000 AS jsd
+FROM j GROUP BY source_a, source_b
+"""
+
+
+@register("t_source_divergence", oracle=_SOURCE_DIVERGENCE)
+def t_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the corpus-drift / domain-shift
+    gauge a mixture pipeline watches (JSD is symmetric, bounded by ln 2,
+    and 0 iff the distributions match; mixture weights get rebalanced
+    when a crawl snapshot drifts).
+
+    Scale shape: the corpus is scanned once into per-source unigram
+    distributions — vocab-sized frames (Heaps' law), everything after is
+    joins over |sources|² x |vocab| rows, orders of magnitude below the
+    corpus. The pair grid is built from the distinct-source frame (tiny,
+    broadcast); absent terms contribute their one-sided KL mass via
+    coalesce(p, 0), so no full-outer join is needed. The JSD sum rounds
+    via the cross-engine floor rule before comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_src = Window.partitionBy("source")
+    dist = counts.select(
+        "source",
+        "term",
+        (F.col("c").cast("double") / F.sum("c").over(w_src)).alias("p"),
+    )
+    srcs = docs.select("source").distinct()
+    vocab = dist.select("term").distinct()
+    grid = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    da = dist.select(
+        F.col("source").alias("source_a"),
+        F.col("term").alias("term_a"),
+        F.col("p").alias("pa"),
+    )
+    db = dist.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term_b"),
+        F.col("p").alias("pb"),
+    )
+    j = (
+        grid.join(
+            da,
+            (grid.source_a == da.source_a) & (grid.term == da.term_a),
+            "left",
+        )
+        .drop(da.source_a)
+        .join(
+            db,
+            (grid.source_b == db.source_b) & (grid.term == db.term_b),
+            "left",
+        )
+        .drop(db.source_b)
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    contrib = 0.5 * F.when(
+        pa > 0, pa * F.log(2 * pa / (pa + pb))
+    ).otherwise(0.0) + 0.5 * F.when(
+        pb > 0, pb * F.log(2 * pb / (pa + pb))
+    ).otherwise(0.0)
+    return j.groupBy("source_a", "source_b").agg(
+        (F.floor(F.sum(contrib) * 10000 + F.lit(0.5)) / 10000).alias("jsd")
+    )

@@ -98,7 +98,9 @@ ROUND_PRIORITY = [
     "q15_top_supplier",
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
-    # --- round-5 window head: new rows-only sketch op + r1-only rows ---
+    # --- round-5 window head: round-4 late additions + r1-only rows ---
+    "t_source_divergence",
+    "d_dup_graph_stats",
     "q_hll_union",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",

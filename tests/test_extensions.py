@@ -1126,3 +1126,48 @@ def test_hll_union_close_to_exact(spark, sf_dir):
     assert rows["ALL"].est_customers >= max(
         r.est_customers for k, r in rows.items() if k != "ALL"
     )
+
+
+def test_source_divergence_properties(spark, sf_dir):
+    """JSD is bounded by ln 2, non-negative, covers every unordered
+    source pair exactly once."""
+    import math
+
+    from streams_spark.sources.tables import load_table
+
+    rows = _rows(spark, sf_dir, "t_source_divergence")
+    sources = sorted(
+        r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    )
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_dup_graph_stats_consistent_with_components(spark, sf_dir):
+    """Graph profile agrees with the pair list and cluster labels it is
+    derived from."""
+    (g,) = _rows(spark, sf_dir, "d_dup_graph_stats")
+    pairs = _rows(spark, sf_dir, "d_ngram_jaccard")
+    clusters = _rows(spark, sf_dir, "d_dup_clusters")
+    assert g.n_edges == len(pairs)
+    assert g.n_nodes == len(clusters)
+    sizes: dict[int, int] = {}
+    for r in clusters:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert g.n_clusters == len(sizes)
+    assert g.max_cluster_size == max(sizes.values())
+    deg: dict[int, int] = {}
+    for p in pairs:
+        deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
+        deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+    assert g.max_degree == max(deg.values())
