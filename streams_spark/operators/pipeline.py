@@ -745,3 +745,70 @@ def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("p_temp"),
         (F.floor(q / p * 10000 + F.lit(0.5)) / 10000).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch planning: token budget + mixture weights -> per-source repeat factors
+# ---------------------------------------------------------------------------
+
+PLAN_BUDGET_TOKENS = 200_000  # target training tokens for the plan
+MAX_EPOCHS = 4.0  # repeat cap before a source is considered exhausted
+
+_EPOCH_PLAN = f"""
+WITH t AS (
+  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+  FROM t
+)
+SELECT source, n_tokens,
+       floor(share * 1000000 + 0.5) / 1000000 AS mix_share,
+       CAST(floor(share * {PLAN_BUDGET_TOKENS}) AS BIGINT) AS target_tokens,
+       floor(least(CAST(floor(share * {PLAN_BUDGET_TOKENS}) AS DOUBLE)
+                   / n_tokens, {MAX_EPOCHS}) * 10000 + 0.5) / 10000
+           AS epochs,
+       CAST(floor(share * {PLAN_BUDGET_TOKENS}) AS DOUBLE) / n_tokens
+           > {MAX_EPOCHS} AS exhausted
+FROM w
+"""
+
+
+@register("p_epoch_plan", oracle=_EPOCH_PLAN)
+def p_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning: allocate a token budget across sources by their
+    natural share, then express each allocation as a REPEAT factor
+    (epochs = target/available, capped at {cap}) — the pass a mixture
+    loader runs before training to know which sources it will cycle and
+    which are exhausted (cap exceeded means the source cannot fill its
+    allocation without over-repeating; the planner flags it for
+    re-weighting). Composes with p_temperature_mix (swap `share` for the
+    flattened rates) and p_token_budget (hard truncation instead of
+    repetition).
+
+    Scale shape: ONE corpus scan into |sources| token totals; the share
+    window and every derived column operate on that tiny frame. Ratios
+    round via the cross-engine floor rule; the epoch cap comparison runs
+    on exact integer-derived doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    target = F.floor(share * PLAN_BUDGET_TOKENS)
+    epochs_raw = F.least(
+        target.cast("double") / F.col("n_tokens"), F.lit(MAX_EPOCHS)
+    )
+    return t.select(
+        "source",
+        "n_tokens",
+        (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("mix_share"),
+        target.cast("long").alias("target_tokens"),
+        (F.floor(epochs_raw * 10000 + F.lit(0.5)) / 10000).alias("epochs"),
+        (target.cast("double") / F.col("n_tokens") > MAX_EPOCHS).alias(
+            "exhausted"
+        ),
+    )

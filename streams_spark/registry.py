@@ -99,6 +99,7 @@ ROUND_PRIORITY = [
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
     # --- round-5 window head: round-4 late additions + r1-only rows ---
+    "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
     "q_hll_union",
