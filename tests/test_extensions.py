@@ -1171,3 +1171,24 @@ def test_dup_graph_stats_consistent_with_components(spark, sf_dir):
         deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
         deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
     assert g.max_degree == max(deg.values())
+
+
+def test_epoch_plan_budget_and_caps(spark, sf_dir):
+    """Targets partition the budget by share (within floor rounding),
+    epochs never exceed the cap, and exhausted flags agree with the
+    uncapped ratio."""
+    from streams_spark.operators.pipeline import (
+        MAX_EPOCHS,
+        PLAN_BUDGET_TOKENS,
+    )
+
+    rows = _rows(spark, sf_dir, "p_epoch_plan")
+    assert rows
+    total_target = sum(r.target_tokens for r in rows)
+    assert PLAN_BUDGET_TOKENS - len(rows) <= total_target <= PLAN_BUDGET_TOKENS
+    assert abs(sum(r.mix_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0 < r.epochs <= MAX_EPOCHS
+        assert r.exhausted == (r.target_tokens / r.n_tokens > MAX_EPOCHS)
+        if not r.exhausted:
+            assert abs(r.epochs - round(r.target_tokens / r.n_tokens, 4)) < 1e-3
