@@ -812,3 +812,80 @@ def p_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exhausted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage guard: dup groups straddling train/val/test
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAKAGE = """
+WITH assigned AS (
+  SELECT doc_id,
+         md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < 80 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), per_group AS (
+  SELECT fp, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits,
+         max(CAST(split = 'train' AS INTEGER)) AS in_train,
+         max(CAST(split <> 'train' AS INTEGER)) AS in_eval
+  FROM assigned GROUP BY fp
+)
+SELECT CAST(n_splits AS INTEGER) AS n_splits,
+       count(*) AS n_groups,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS train_eval_leaks
+FROM per_group
+GROUP BY 1
+"""
+
+
+@register("p_split_leakage", oracle=_SPLIT_LEAKAGE)
+def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination guard for the train/val/test split: duplicate
+    groups (8-token-prefix fingerprint, the d_prefix_dedup key — the
+    corpus's near-dups share prefixes, not full bytes) that STRADDLE
+    split boundaries leak
+    eval data into training — the reason production splits key on a
+    group representative, not the raw doc_id. Reports, per
+    splits-touched count, how many dup groups and docs land there and
+    how many groups have a train AND a non-train member (the actual
+    leak count a pipeline must drive to zero, e.g. by re-keying the
+    split on min(doc_id) per fp).
+
+    Scale: one map-side fingerprint+bucket pass (zero shuffle — the
+    split assignment is the same md5 arithmetic as p_train_val_split),
+    one partial-agg'd shuffle on fp (the exact-dedup shuffle, shared
+    shape with d_exact_groups), then a k-row rollup. Never materializes
+    pairs; group state is two bits + two counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = docs.select(
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("fp"),
+        split.alias("split"),
+    )
+    per_group = assigned.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").cast("int").alias("n_splits"),
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") != "train").cast("int")).alias("in_eval"),
+    )
+    return per_group.groupBy("n_splits").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(
+            ((F.col("in_train") == 1) & (F.col("in_eval") == 1)).cast("long")
+        ).alias("train_eval_leaks"),
+    )

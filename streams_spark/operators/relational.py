@@ -1856,3 +1856,60 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
     )
     return out.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) via sorted prefix-min — not the quadratic join
+# ---------------------------------------------------------------------------
+
+_SKYLINE = """
+SELECT p_partkey, p_retailprice,
+       CAST(p_size AS INTEGER) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice < p.p_retailprice AND q.p_size < p.p_size
+)
+"""
+
+
+@register("q_skyline", oracle=_SKYLINE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions minimized, strict
+    dominance): parts for which no other part is strictly cheaper AND
+    strictly smaller. The oracle states the O(n^2) NOT-EXISTS
+    definition; the Spark plan uses the sort-based identity instead — a
+    part is dominated iff min(p_size) over all STRICTLY lower prices is
+    below its own size — so the whole query is one per-price
+    pre-aggregation plus a prefix-min over the distinct-price spine.
+
+    Scale: the n^2 self-join never happens. One partial-agg'd shuffle
+    collapses the corpus to the distinct-price spine (bounded by the
+    price domain — cents within a fixed range — not by row count), a
+    running min walks that spine, and the verdict broadcast-joins back
+    onto the corpus map-side. If the spine itself ever outgrew one
+    window partition, the two-level prefix-sum grouping used by
+    p_pack_sequences applies verbatim."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
+    )
+    # distinct-price spine with the best (smallest) size at each price
+    spine = part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("best_size")
+    )
+    # min size over all strictly lower prices: running min shifted by one
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spine = spine.select(
+        "p_retailprice", F.min("best_size").over(w).alias("lower_min")
+    )
+    return (
+        part.join(F.broadcast(spine), "p_retailprice")
+        .where(
+            F.col("lower_min").isNull()
+            | (F.col("lower_min") >= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

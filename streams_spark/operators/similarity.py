@@ -1385,3 +1385,58 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("label")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding diagnostics (collapse detection, scale drift)
+# ---------------------------------------------------------------------------
+
+_EMBEDDING_STATS = """
+WITH ex AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       count(*) AS n,
+       floor(avg(v) * 10000 + 0.5) / 10000 AS mean_v,
+       floor(stddev_samp(v) * 10000 + 0.5) / 10000 AS std_v,
+       floor(min(v) * 10000 + 0.5) / 10000 AS min_v,
+       floor(max(v) * 10000 + 0.5) / 10000 AS max_v
+FROM ex
+GROUP BY 1
+"""
+
+
+@register("s_embedding_stats", oracle=_EMBEDDING_STATS)
+def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    standard diagnostic for embedding-model collapse (a dimension whose
+    std ~ 0 carries no signal) and for scale drift before quantization
+    (s_scalar/pq codebooks assume the per-dim ranges seen at train
+    time). Values are cast float->double BEFORE aggregation on both
+    engines so the accumulators match.
+
+    Scale: posexplode fans each vector into D rows map-side, then ONE
+    partial-agg'd shuffle onto D groups (D = embedding width, tiny).
+    Per-dim partial aggregates mean the shuffle moves D rows per input
+    partition regardless of corpus size — the same all-reduce shape a
+    distributed trainer uses for gradient norms. No driver collect, no
+    skew (dims are uniform by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg("v")).alias("mean_v"),
+        r4(F.stddev_samp("v")).alias("std_v"),
+        r4(F.min("v")).alias("min_v"),
+        r4(F.max("v")).alias("max_v"),
+    )

@@ -1412,3 +1412,70 @@ def t_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source_a", "source_b").agg(
         (F.floor(F.sum(contrib) * 10000 + F.lit(0.5)) / 10000).alias("jsd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / embedding-pipeline prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+_CHUNK_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(least({CHUNK_TOKENS}, len(t) - start) AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' '))
+         AS chunk_hash
+FROM starts
+"""
+
+
+@register("t_chunk_overlap", oracle=_CHUNK_OVERLAP)
+def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: each document is cut into
+    CHUNK_TOKENS-token windows whose starts step by CHUNK_STRIDE, the
+    standard prep for an embedding/RAG pipeline (the reference's closest
+    relative is write-side ChunkByCount, /root/reference/server/
+    produce.go:chunking — this is the read-side analog over payload
+    text). Output is one row per chunk with its token count and an md5
+    chunk fingerprint (the join key a downstream embed-and-index stage
+    would use).
+
+    Scale: pure map-side — sequence/posexplode/slice are all codegen'd,
+    no shuffle at all; the fan-out factor is bounded by
+    n_tokens/CHUNK_STRIDE per doc, so output partitioning inherits the
+    input's and a 100 TB corpus chunks embarrassingly parallel. slice()
+    past the array end clamps, matching the oracle's list-slice
+    semantics, so tail chunks are the natural remainder."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    sized = docs.select("doc_id", t.alias("t"))
+    return sized.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("t") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("chunk_id", "start"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("t") - F.col("start")
+        ).cast("int").alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+            )
+        ).alias("chunk_hash"),
+    )

@@ -1430,3 +1430,83 @@ def w_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         (F.floor(robust_z * 10000 + F.lit(0.5)) / 10000).alias("robust_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (recursion rewritten as prefix-sum minus running min)
+# ---------------------------------------------------------------------------
+
+CUSUM_H = 3.0  # drift alarm threshold, in per-type daily-mean stddevs
+
+_CUSUM = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS day_avg
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(day_avg) AS mu, stddev_samp(day_avg) AS sigma
+  FROM daily GROUP BY 1
+), summed AS (
+  SELECT d.event_type, d.day, s.sigma,
+         sum(d.day_avg - s.mu) OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day
+                                     ROWS UNBOUNDED PRECEDING) AS p
+  FROM daily d JOIN stats s USING (event_type)
+), walked AS (
+  SELECT event_type, day, sigma, p,
+         min(p) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS min_p
+  FROM summed
+)
+SELECT event_type, day,
+       floor((p - least(min_p, 0)) / nullif(sigma, 0) * 10000 + 0.5) / 10000
+         AS cusum_sigmas,
+       (p - least(min_p, 0)) > {CUSUM_H} * sigma AS drift
+FROM walked
+"""
+
+
+@register("w_cusum", oracle=_CUSUM)
+def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over per-type daily mean values.
+    The textbook statistic is recursive — S_i = max(0, S_{i-1} + x_i) —
+    which looks like it forces a sequential scan; it is rewritten here
+    with the closed form S_i = P_i - min(0, min_{j<=i} P_j) (P = prefix
+    sum), so the whole walk is two stacked window frames: a running sum
+    and a running min OF that sum. Emits the normalized statistic (in
+    sigmas) and a drift flag at CUSUM_H sigmas.
+
+    Scale: two partial-agg'd shuffles (daily rollup, per-type stats —
+    the stats frame is k rows, broadcast back), then one window shuffle
+    partitioned by event_type whose per-partition state is bounded by
+    days-per-type, not events. The recursion-to-prefix-sum rewrite is
+    what makes this distributable at all; the same identity powers the
+    packing prefix sums (pipeline.py) at 3 levels if type cardinality
+    collapses."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("day_avg"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("day_avg").alias("mu"),
+        F.stddev_samp("day_avg").alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("p", F.sum(F.col("day_avg") - F.col("mu")).over(w))
+        .withColumn("min_p", F.min("p").over(w))
+    )
+    s = F.col("p") - F.least(F.col("min_p"), F.lit(0.0))
+    return walked.select(
+        "event_type",
+        "day",
+        (
+            F.floor(s / F.nullif(F.col("sigma"), F.lit(0.0)) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("cusum_sigmas"),
+        (s > CUSUM_H * F.col("sigma")).alias("drift"),
+    )

@@ -80,6 +80,11 @@ ROUND_PRIORITY = [
     "q_pipe_syntax",
     "s_knn_classify",
     "st_running_stats",
+    "t_chunk_overlap",
+    "w_cusum",
+    "s_embedding_stats",
+    "p_split_leakage",
+    "q_skyline",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1192,3 +1192,112 @@ def test_epoch_plan_budget_and_caps(spark, sf_dir):
         assert r.exhausted == (r.target_tokens / r.n_tokens > MAX_EPOCHS)
         if not r.exhausted:
             assert abs(r.epochs - round(r.target_tokens / r.n_tokens, 4)) < 1e-3
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunk layout invariants: chunk 0 always exists, consecutive
+    starts step by CHUNK_STRIDE, every chunk is 1..CHUNK_TOKENS tokens,
+    and the final chunk reaches the document's last token (full
+    coverage: doc token count == last start + last chunk size)."""
+    from streams_spark.operators.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in _rows(spark, sf_dir, "t_chunk_overlap"):
+        assert 1 <= r.chunk_tokens <= CHUNK_TOKENS
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, rows in per_doc.items():
+        ids = sorted(r.chunk_id for r in rows)
+        assert ids == list(range(len(ids)))  # dense 0..k
+        last = max(rows, key=lambda r: r.chunk_id)
+        covered = last.chunk_id * CHUNK_STRIDE + last.chunk_tokens
+        assert covered >= docs[doc_id]  # tail chunk reaches the end
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir):
+    """The prefix-sum/running-min closed form must equal the textbook
+    sequential recursion S_i = max(0, S_{i-1} + (x_i - mu)) replayed in
+    Python per event type."""
+    rows = _rows(spark, sf_dir, "w_cusum")
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("day_avg"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    import math
+
+    expect = {}
+    for et, days in by_type.items():
+        days.sort(key=lambda r: r.day)
+        xs = [r.day_avg for r in days]
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+        sigma = math.sqrt(var)
+        s = 0.0
+        for r, x in zip(days, xs):
+            s = max(0.0, s + (x - mu))
+            expect[(et, r.day)] = s / sigma
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert abs(r.cusum_sigmas - expect[(r.event_type, r.day)]) < 1e-3
+        assert r.drift == (expect[(r.event_type, r.day)] > 3.0 + 1e-12) or abs(
+            expect[(r.event_type, r.day)] - 3.0
+        ) < 1e-9
+
+
+def test_embedding_stats_shape_and_bounds(spark, sf_dir):
+    """One row per dimension; mean within [min,max]; std nonnegative;
+    n equals the corpus size for every dim."""
+    rows = _rows(spark, sf_dir, "s_embedding_stats")
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    dims = sorted(r.dim for r in rows)
+    assert dims == list(range(len(dims)))
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_v - 1e-4 <= r.mean_v <= r.max_v + 1e-4
+        assert r.std_v >= 0
+
+
+def test_split_leakage_totals_match_prefix_groups(spark, sf_dir):
+    """Group/doc totals must reconcile with d_prefix_dedup's universe:
+    sum(n_docs) == corpus size, and every group counted leaky has
+    n_splits >= 2."""
+    rows = _rows(spark, sf_dir, "p_split_leakage")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        if r.n_splits == 1:
+            assert r.train_eval_leaks == 0
+        else:
+            assert r.n_splits >= 2 and r.n_groups >= r.train_eval_leaks
+
+
+def test_skyline_is_exact_pareto_frontier(spark, sf_dir):
+    """Sort-based skyline must equal the brute-force O(n^2) dominance
+    scan computed driver-side, and be mutually non-dominating."""
+    rows = _rows(spark, sf_dir, "q_skyline")
+    pts = [
+        (r.p_partkey, float(r.p_retailprice), r.p_size)
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_retailprice", "p_size"
+        ).collect()
+    ]
+    brute = {
+        k
+        for k, price, size in pts
+        if not any(
+            q_price < price and q_size < size for _, q_price, q_size in pts
+        )
+    }
+    got = {r.p_partkey for r in rows}
+    assert got == brute
