@@ -1406,3 +1406,139 @@ def d_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c)).select(
         "n_nodes", "n_edges", "n_clusters", "max_cluster_size", "max_degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 8
+PR_DAMP = 0.85
+
+# pair CTEs shared with _NGRAM_JACCARD; the chain r0..r{PR_ITERS} unrolls
+# the power iteration so DuckDB can replay it exactly (recursive CTEs
+# cannot re-aggregate per step).
+_PR_BASE = """
+WITH dd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM dd
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), jac AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles) - p.n_common) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jac
+), deg AS (
+  SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), r0 AS (
+  SELECT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+)"""
+
+_PR_STEP = """, r{i} AS (
+  SELECT e.dst AS doc_id,
+         {tele} / (SELECT n FROM nn)
+           + {damp} * sum(r.rank / g.out_deg) AS rank
+  FROM edges e
+  JOIN r{prev} r ON r.doc_id = e.src
+  JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+)"""
+
+_PAGERANK = (
+    _PR_BASE
+    + "".join(
+        _PR_STEP.format(i=i, prev=i - 1, tele=1 - PR_DAMP, damp=PR_DAMP)
+        for i in range(1, PR_ITERS + 1)
+    )
+    + f"""
+SELECT r.doc_id,
+       floor(r.rank * 1000000 + 0.5) / 1000000 AS rank,
+       CAST(g.out_deg AS BIGINT) AS out_deg
+FROM r{PR_ITERS} r JOIN deg g ON g.src = r.doc_id
+"""
+)
+
+
+@register("d_pagerank", oracle=_PAGERANK)
+def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized near-dup graph (PR_ITERS power
+    iterations, damping PR_DAMP) — canonical-document selection signal:
+    within a dup cluster the highest-rank member is the one most other
+    near-dups point at, a quality-free alternative to
+    d_cluster_survivors' explicit score. Every node has out-degree >= 1
+    (symmetric edges), so there is no dangling-mass term and the oracle
+    can unroll the exact same iteration.
+
+    At 100 TB: each iteration is ONE hash join of the edge list with the
+    rank vector (both partitioned on src) + ONE partial-agg'd shuffle
+    onto dst — the standard Pregel-as-joins formulation. The edge list
+    is cached once; ranks are localCheckpoint'd every other round so
+    the plan never deepens past two iterations; the driver sees only
+    the node-count scalar (same class as the CC convergence counter).
+    Shuffle width is sized from the measured edge count, conf restored
+    on exit (the d_dup_clusters bare-session pattern).
+    """
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(shuffle_conf)
+    if int(orig) > 32:
+        spark.conf.set(shuffle_conf, "32")
+    try:
+        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(
+                pairs.select(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                )
+            )
+            .cache()
+        )
+        n_edges = edges.count()
+        width = max(1, min(32, n_edges // 50_000 + 1))
+        spark.conf.set(shuffle_conf, str(width))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+        n = float(deg.count())
+        ranks = deg.select(
+            F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint()
+        ed = edges.join(deg, "src")  # (src, dst, out_deg), reused every round
+        for i in range(1, PR_ITERS + 1):
+            ranks = (
+                ed.join(ranks, ed.src == ranks.doc_id)
+                .groupBy(F.col("dst").alias("doc_id2"))
+                .agg(
+                    (
+                        F.lit((1 - PR_DAMP) / n)
+                        + PR_DAMP * F.sum(F.col("rank") / F.col("out_deg"))
+                    ).alias("rank")
+                )
+                .withColumnRenamed("doc_id2", "doc_id")
+            )
+            if i % 2 == 0:
+                ranks = ranks.localCheckpoint()
+        return ranks.join(deg, ranks.doc_id == deg.src).select(
+            "doc_id",
+            (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "rank"
+            ),
+            F.col("out_deg").cast("long").alias("out_deg"),
+        )
+    finally:
+        spark.conf.set(shuffle_conf, orig)

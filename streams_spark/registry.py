@@ -85,6 +85,7 @@ ROUND_PRIORITY = [
     "s_embedding_stats",
     "p_split_leakage",
     "q_skyline",
+    "d_pagerank",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1301,3 +1301,15 @@ def test_skyline_is_exact_pareto_frontier(spark, sf_dir):
     }
     got = {r.p_partkey for r in rows}
     assert got == brute
+
+
+def test_pagerank_mass_and_structure(spark, sf_dir):
+    """Rank mass conserves to 1 over the graph (symmetric edges, no
+    dangling nodes), every rank is positive, and the node set equals the
+    near-dup pair universe."""
+    rows = _rows(spark, sf_dir, "d_pagerank")
+    pairs = _rows(spark, sf_dir, "d_ngram_jaccard")
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert {r.doc_id for r in rows} == nodes
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-4
