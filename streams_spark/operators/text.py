@@ -1564,3 +1564,71 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Novelty scoring: each document's contribution of first-seen n-grams
+# ---------------------------------------------------------------------------
+
+_NOVELTY = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), owner AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle
+)
+SELECT ex.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_grams,
+       floor(sum(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+             * 10000.0 / count(*) + 0.5) / 10000 AS novelty
+FROM ex JOIN owner o USING (shingle)
+GROUP BY ex.doc_id
+"""
+
+
+@register("t_novelty", oracle=_NOVELTY)
+def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus appearance (min doc_id, the ingestion
+    order key) is this doc. Near-dups of earlier docs score ~0, fresh
+    content scores ~1 — the streaming complement of pairwise dedup
+    (what d_incremental_dedup answers per batch, answered per doc), and
+    the signal behind "how much new data did this crawl actually add".
+
+    Scale path: reuses the cached hashed-shingle table every dedup op
+    shares, so the corpus is NOT re-shingled; one partial-agg'd shuffle
+    builds the gram→min(doc_id) ownership table (vocab-of-grams sized),
+    which joins back onto the gram stream under AQE — the exact shape
+    of t_unigram_lm with min() for count(). No pair materialization
+    anywhere; cost is linear in total distinct grams.
+    """
+    from streams_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(spark, sf_dir)  # (doc_id, hs: sorted gram hashes)
+    ex = sh.select("doc_id", F.explode("hs").alias("h"))
+    owner = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("long")
+    )
+    return (
+        ex.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("novel_grams"),
+            (
+                F.floor(
+                    novel * 10000.0 / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / 10000
+            ).alias("novelty"),
+        )
+    )

@@ -87,6 +87,7 @@ ROUND_PRIORITY = [
     "q_skyline",
     "d_pagerank",
     "t_bigram_lm",
+    "t_novelty",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

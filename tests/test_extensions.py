@@ -1327,3 +1327,25 @@ def test_bigram_lm_orders_fluency(spark, sf_dir):
     for r in rows:
         assert r.n_bigrams == ntok[r.doc_id] - 1
         assert r.avg_logprob < 0
+
+
+def test_novelty_first_doc_scores_one_and_mass_conserves(spark, sf_dir):
+    """The lowest doc_id owns all its grams (novelty exactly 1.0), and
+    total novel grams across docs equals the distinct-gram universe."""
+    rows = _rows(spark, sf_dir, "t_novelty")
+    first = min(r.doc_id for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[first].novelty == 1.0
+    from streams_spark.operators.dedup import shingle_table
+    import pyspark.sql.functions as F
+
+    universe = (
+        shingle_table(spark, sf_dir)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.novel_grams for r in rows) == universe
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.novel_grams <= r.n_grams
