@@ -1632,3 +1632,72 @@ def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: corpus-weighted adjacent character-pair counts
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+_BPE_PAIRS = f"""
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word, count(*) AS freq FROM ex GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2)))
+           AS pair,
+         freq
+  FROM vocab WHERE len(word) >= 2
+), counted AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM counted
+)
+WHERE rnk <= {BPE_TOP_K}
+"""
+
+
+@register("t_bpe_pairs", oracle=_BPE_PAIRS)
+def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training, distributed: count
+    corpus occurrences of every adjacent character pair (weighted by
+    word frequency) and rank the top merge candidates — what
+    `tokenizers`/SentencePiece compute in-memory per merge round,
+    re-expressed so a 100 TB corpus can vote. Deterministic rank ties
+    broken by pair text on both engines.
+
+    Scale path: the corpus collapses to the Heaps-law vocab FIRST (one
+    partial-agg'd shuffle on word), so pair extraction runs over
+    distinct words only — character fan-out never touches the full
+    token stream. Pair counting is a second partial-agg'd shuffle onto
+    the tiny pair alphabet (|chars|^2-bounded), and the top-k is a
+    TakeOrdered over that frame, no global sort. Iterating merges =
+    re-running with the winning pair fused, each round this same
+    two-shuffle shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= BPE_TOP_K)
+    )

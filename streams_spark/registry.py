@@ -88,6 +88,7 @@ ROUND_PRIORITY = [
     "d_pagerank",
     "t_bigram_lm",
     "t_novelty",
+    "t_bpe_pairs",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1349,3 +1349,23 @@ def test_novelty_first_doc_scores_one_and_mass_conserves(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.novelty <= 1.0
         assert r.novel_grams <= r.n_grams
+
+
+def test_bpe_pairs_ranked_and_weighted(spark, sf_dir):
+    """Exactly BPE_TOP_K rows, ranks dense 1..K, counts non-increasing,
+    and the top pair's count matches a direct recount from raw text."""
+    rows = sorted(_rows(spark, sf_dir, "t_bpe_pairs"), key=lambda r: r.rnk)
+    from streams_spark.operators.text import BPE_TOP_K
+
+    assert [r.rnk for r in rows] == list(range(1, BPE_TOP_K + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    top = rows[0]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        for w in d.text.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    assert counts[top.pair] == top.n
+    assert top.n == max(counts.values())
