@@ -889,3 +889,86 @@ def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("in_train") == 1) & (F.col("in_eval") == 1)).cast("long")
         ).alias("train_eval_leaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row datasheet a corpus release ships with
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD = """
+WITH sized AS (
+  SELECT doc_id, source, lang,
+         len(str_split(text, ' ')) AS n_tokens,
+         md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp
+  FROM documents
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         floor(avg(n_tokens) * 10000 + 0.5) / 10000 AS mean_tokens
+  FROM sized
+), dup AS (
+  SELECT CAST(sum(n - 1) AS BIGINT) AS dup_docs
+  FROM (SELECT count(*) AS n FROM sized GROUP BY fp) g
+)
+SELECT base.*, dup.dup_docs,
+       floor(dup.dup_docs * 10000.0 / base.n_docs + 0.5) / 10000 AS dup_rate
+FROM base CROSS JOIN dup
+"""
+
+
+@register("p_dataset_card", oracle=_DATASET_CARD)
+def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, token totals and spread,
+    source/language diversity, and the prefix-fingerprint duplicate
+    rate (docs beyond each group's first member) — the datasheet a
+    corpus release publishes, computed in-engine so it can gate a
+    release job (e.g. refuse to ship if dup_rate regresses).
+
+    Scale: one scan computes every per-doc attribute; the corpus-wide
+    stats are a single partial-agg'd reduction to ONE row, the dup rate
+    one fp-keyed shuffle reduced to ONE row, and the two single-row
+    frames cross-join broadcast — the same two-aggregate single-plan
+    shape as q_semi_anti_join. Distinct-counts are exact here; at
+    100 TB swap n_sources/n_langs to approx_count_distinct and reuse
+    the q_hll_union sketch path for mergeability across shards.
+    """
+    from streams_spark.operators.dedup import PREFIX_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+        ).alias("fp"),
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    base = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        r4(F.avg("n_tokens")).alias("mean_tokens"),
+    )
+    dup = (
+        sized.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1).alias("dup_docs"))
+    )
+    return base.crossJoin(F.broadcast(dup)).select(
+        "*",
+        (
+            F.floor(F.col("dup_docs") * 10000.0 / F.col("n_docs") + F.lit(0.5))
+            / 10000
+        ).alias("dup_rate"),
+    )

@@ -1510,3 +1510,90 @@ def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum_sigmas"),
         (s > CUSUM_H * F.col("sigma")).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile: hour-of-day x day-of-week additive decomposition
+# ---------------------------------------------------------------------------
+
+_SEASONALITY = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,  -- Spark 1=Sun..7=Sat
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(*) AS n_events,
+         avg(value) AS cell_avg
+  FROM events GROUP BY 1, 2
+), grand AS (
+  SELECT sum(n_events * cell_avg) / sum(n_events) AS mu FROM cells
+), dow_eff AS (
+  SELECT dow, sum(n_events * cell_avg) / sum(n_events) AS dow_avg
+  FROM cells GROUP BY dow
+), hod_eff AS (
+  SELECT hod, sum(n_events * cell_avg) / sum(n_events) AS hod_avg
+  FROM cells GROUP BY hod
+)
+SELECT c.dow, c.hod, CAST(c.n_events AS BIGINT) AS n_events,
+       floor(c.cell_avg * 10000 + 0.5) / 10000 AS cell_avg,
+       floor((c.cell_avg - d.dow_avg - h.hod_avg + g.mu) * 10000 + 0.5)
+         / 10000 AS residual
+FROM cells c
+JOIN dow_eff d USING (dow)
+JOIN hod_eff h USING (hod)
+CROSS JOIN grand g
+"""
+
+
+@register("w_seasonality", oracle=_SEASONALITY)
+def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way seasonality decomposition of the event stream: the
+    day-of-week x hour-of-day grid with each cell's mean value and its
+    residual under the additive model cell ≈ dow_effect + hod_effect −
+    grand_mean — the classic profile behind 'is Tuesday 3am traffic
+    anomalous, or just Tuesday 3am'. Complements the sequential
+    detectors (w_cusum, w_anomaly_mad) with the calendar-structured
+    one; event-weighted means keep the marginals consistent with the
+    cell grid they came from.
+
+    Scale: the corpus collapses to the ≤ 7x24 cell grid in ONE
+    partial-agg'd shuffle; every downstream frame (marginals, grand
+    mean) derives from those 168 rows, so three broadcast joins finish
+    the query without touching events again. Sum/count pairs (not avg
+    of avgs) make every marginal exactly mergeable — the same
+    decomposition a continuous rollup would maintain incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("cell_avg"),
+    )
+    wsum = F.sum(F.col("n_events") * F.col("cell_avg"))
+    grand = cells.agg((wsum / F.sum("n_events")).alias("mu"))
+    dow_eff = cells.groupBy("dow").agg(
+        (wsum / F.sum("n_events")).alias("dow_avg")
+    )
+    hod_eff = cells.groupBy("hod").agg(
+        (wsum / F.sum("n_events")).alias("hod_avg")
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (
+        cells.join(F.broadcast(dow_eff), "dow")
+        .join(F.broadcast(hod_eff), "hod")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "dow",
+            "hod",
+            F.col("n_events").cast("long").alias("n_events"),
+            r4(F.col("cell_avg")).alias("cell_avg"),
+            r4(
+                F.col("cell_avg")
+                - F.col("dow_avg")
+                - F.col("hod_avg")
+                + F.col("mu")
+            ).alias("residual"),
+        )
+    )

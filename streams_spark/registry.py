@@ -89,6 +89,8 @@ ROUND_PRIORITY = [
     "t_bigram_lm",
     "t_novelty",
     "t_bpe_pairs",
+    "p_dataset_card",
+    "w_seasonality",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

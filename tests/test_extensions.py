@@ -1369,3 +1369,30 @@ def test_bpe_pairs_ranked_and_weighted(spark, sf_dir):
                 counts[w[i : i + 2]] += 1
     assert counts[top.pair] == top.n
     assert top.n == max(counts.values())
+
+
+def test_dataset_card_reconciles_with_corpus(spark, sf_dir):
+    """Single row; totals match direct counts; dup docs consistent with
+    d_prefix_dedup's groups (sum over groups of size-1)."""
+    [card] = _rows(spark, sf_dir, "p_dataset_card")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert card.n_docs == len(docs)
+    assert card.n_tokens == sum(len(d.text.split(" ")) for d in docs)
+    assert card.n_sources == len({d.source for d in docs})
+    assert card.n_langs == len({d.lang for d in docs})
+    dup_from_groups = sum(
+        r.n_docs - 1 for r in _rows(spark, sf_dir, "d_prefix_dedup")
+    )
+    assert card.dup_docs == dup_from_groups
+    assert 0.0 <= card.dup_rate <= 1.0
+
+
+def test_seasonality_residuals_center_near_zero(spark, sf_dir):
+    """Additive-model residuals must be event-weighted centered (the
+    grand identity): sum(n * residual) ~ 0; full 7x24 grid when every
+    cell has data."""
+    rows = _rows(spark, sf_dir, "w_seasonality")
+    assert all(1 <= r.dow <= 7 and 0 <= r.hod <= 23 for r in rows)
+    total = sum(r.n_events for r in rows)
+    weighted = sum(r.n_events * r.residual for r in rows)
+    assert abs(weighted / total) < 1e-3
