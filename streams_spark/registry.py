@@ -91,6 +91,7 @@ ROUND_PRIORITY = [
     "t_bpe_pairs",
     "p_dataset_card",
     "w_seasonality",
+    "d_tfidf_cosine",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

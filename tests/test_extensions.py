@@ -1396,3 +1396,44 @@ def test_seasonality_residuals_center_near_zero(spark, sf_dir):
     total = sum(r.n_events for r in rows)
     weighted = sum(r.n_events * r.residual for r in rows)
     assert abs(weighted / total) < 1e-3
+
+
+def test_tfidf_cosine_prefix_filter_is_exact(spark, sf_dir):
+    """The AllPairs-filtered plan must equal a brute-force recompute of
+    idf-weighted shingle cosine done driver-side (exactness of the
+    prefix filter), and pairs must be canonical (doc_a < doc_b)."""
+    import math
+    from collections import Counter
+
+    rows = _rows(spark, sf_dir, "d_tfidf_cosine")
+    from streams_spark.operators.dedup import TFIDF_COS_T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sh = {}
+    for d in docs:
+        w = d.text.split(" ")
+        k = max(len(w) - 2, 1)
+        sh[d.doc_id] = {" ".join(w[i : i + 3]) for i in range(k)}
+    n = float(len(sh))
+    dfc: Counter = Counter()
+    for s in sh.values():
+        dfc.update(s)
+    idf = {f: math.log(n / c) for f, c in dfc.items()}
+    norms = {
+        d: math.sqrt(sum(idf[f] ** 2 for f in s)) for d, s in sh.items()
+    }
+    ids = sorted(sh)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = sh[a] & sh[b]
+            if not common:
+                continue
+            cos = sum(idf[f] ** 2 for f in common) / (norms[a] * norms[b])
+            if cos >= TFIDF_COS_T:
+                expect[(a, b)] = cos
+    got = {(r.doc_a, r.doc_b): r.cos_sim for r in rows}
+    assert set(got) == set(expect)
+    for k, c in got.items():
+        assert k[0] < k[1]
+        assert abs(c - expect[k]) < 1e-3
