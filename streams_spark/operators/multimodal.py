@@ -282,3 +282,63 @@ def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 4).alias("mean_byte"),
         "hash_bucket",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact media dedup: byte-identical payloads per modality
+# ---------------------------------------------------------------------------
+
+_MEDIA_DEDUP_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(text) AS payload_md5
+  FROM documents
+), groups AS (
+  SELECT media_type, payload_md5, count(*) AS n,
+         min(doc_id) AS survivor_id
+  FROM m GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(n) AS BIGINT) AS n_payloads,
+       CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+       CAST(max(n) AS BIGINT) AS max_group,
+       min(survivor_id) AS min_survivor
+FROM groups
+GROUP BY media_type
+"""
+
+
+@register("m_media_dedup", oracle=_MEDIA_DEDUP_ORACLE)
+def m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal dedup: byte-identical payloads collapse per
+    modality on md5(payload) — the first pass every image/audio corpus
+    runs before any perceptual hashing (identical files are the bulk of
+    web-crawl media duplication). Groups keep min(doc_id) as survivor;
+    output is the per-modality dedup profile. The synthetic payloads
+    are utf-8 text bytes, so the oracle's md5(text) hashes the same
+    bytes the Spark side hashes as binary.
+
+    Scale: one map-side md5 over the (pruned) payload column, one
+    partial-agg'd shuffle on (media_type, md5) — 16-byte keys, never
+    the payloads themselves — then a modality-sized rollup. The same
+    plan dedups petabytes of blobs because only digests shuffle;
+    near-dup (perceptual) media hashing plugs into the decode_fn seam
+    (m_decode_media) and reuses this exact grouping shape."""
+    media = media_table(spark, sf_dir)
+    groups = media.groupBy(
+        "media_type", F.md5("payload").alias("payload_md5")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("survivor_id"),
+    )
+    return groups.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n").alias("n_payloads"),
+        F.sum(F.col("n") - 1).alias("dup_docs"),
+        F.max("n").alias("max_group"),
+        F.min("survivor_id").alias("min_survivor"),
+    )

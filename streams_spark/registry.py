@@ -92,6 +92,7 @@ ROUND_PRIORITY = [
     "p_dataset_card",
     "w_seasonality",
     "d_tfidf_cosine",
+    "m_media_dedup",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

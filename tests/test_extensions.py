@@ -1437,3 +1437,15 @@ def test_tfidf_cosine_prefix_filter_is_exact(spark, sf_dir):
     for k, c in got.items():
         assert k[0] < k[1]
         assert abs(c - expect[k]) < 1e-3
+
+
+def test_media_dedup_reconciles_with_corpus(spark, sf_dir):
+    """Three modalities; payload totals equal the corpus; dup counts
+    consistent (n_payloads - n_distinct == dup_docs)."""
+    rows = _rows(spark, sf_dir, "m_media_dedup")
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_payloads for r in rows) == n_docs
+    for r in rows:
+        assert r.n_payloads - r.n_distinct == r.dup_docs
+        assert r.max_group >= 1
