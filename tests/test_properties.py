@@ -282,3 +282,103 @@ def test_chunked_produce_associative_and_gap_atomic(spark, n, cuts, gap_at):
         assert got == list(range(1, committed + 1))
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Algebraic identities behind the distributed rewrites (no Spark needed):
+# each one is what lets a sequential recursion run as window frames.
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=60))
+def test_cusum_closed_form_equals_recursion(xs):
+    """w_cusum's rewrite: max(0, S+x) recursion == P_i - min(0, min P_j)."""
+    s = 0.0
+    expect = []
+    for x in xs:
+        s = max(0.0, s + x)
+        expect.append(s)
+    p, min_p, got = 0.0, 0.0, []
+    for x in xs:
+        p += x
+        min_p = min(min_p, p)
+        got.append(p - min(min_p, 0.0))
+    for e, g in zip(expect, got):
+        assert abs(e - g) < 1e-9 * max(1.0, abs(e))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_prefix_min_equals_dominance_scan(pts):
+    """q_skyline's rewrite: strict 2-D dominance filter == per-price
+    best-size spine + prefix-min over strictly lower prices."""
+    brute = {
+        (x, y)
+        for x, y in pts
+        if not any(qx < x and qy < y for qx, qy in pts)
+    }
+    best = {}
+    for x, y in pts:
+        best[x] = min(best.get(x, y), y)
+    lower_min = {}
+    run = None
+    for x in sorted(best):
+        lower_min[x] = run
+        run = best[x] if run is None else min(run, best[x])
+    got = {
+        (x, y)
+        for x, y in pts
+        if lower_min[x] is None or lower_min[x] >= y
+    }
+    assert got == brute
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=25,
+    ),
+    st.floats(0.3, 0.95),
+)
+def test_allpairs_prefix_filter_finds_every_qualifying_pair(doc_feats, t):
+    """d_tfidf_cosine's candidate bound: for ANY weighting, every pair
+    with cosine >= t shares a feature inside both docs' suffix-norm
+    prefixes (features in a fixed global order)."""
+    import math
+    from collections import Counter
+
+    docs = [sorted(set(fs)) for fs in doc_feats]
+    dfc = Counter(f for fs in docs for f in fs)
+    n = float(len(docs))
+    w = {f: math.log(n / c) + 0.1 for f, c in dfc.items()}  # +0.1: keep >0
+    vecs = []
+    for fs in docs:
+        nrm = math.sqrt(sum(w[f] ** 2 for f in fs))
+        vecs.append({f: w[f] / nrm for f in fs})
+    order = sorted(dfc, key=lambda f: (dfc[f], f))  # df asc, tie feature
+
+    def prefix(v):
+        feats = sorted(v, key=lambda f: order.index(f))
+        out, suffix_sq = set(), sum(u * u for u in v.values())
+        for f in feats:
+            if math.sqrt(max(suffix_sq, 0.0)) >= t:
+                out.add(f)
+            suffix_sq -= v[f] * v[f]
+        return out
+
+    pres = [prefix(v) for v in vecs]
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            shared = set(vecs[i]) & set(vecs[j])
+            cos = sum(vecs[i][f] * vecs[j][f] for f in shared)
+            if cos >= t + 1e-9:
+                assert pres[i] & pres[j], (
+                    f"qualifying pair ({i},{j}) cos={cos} shares no "
+                    "indexed feature"
+                )
