@@ -1440,3 +1440,99 @@ def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("v")).alias("min_v"),
         r4(F.max("v")).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift: centroid shift between two corpus halves, per label
+# ---------------------------------------------------------------------------
+
+_CENTROID_SHIFT = """
+WITH ex AS (
+  SELECT vec_id, label, vec_id % 2 AS half,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, half, dim, avg(v) AS c FROM ex GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT label,
+         CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
+              AS BIGINT) AS n_a,
+         CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
+              AS BIGINT) AS n_b
+  FROM embeddings GROUP BY label
+), paired AS (
+  SELECT a.label,
+         sum(a.c * b.c) AS dot,
+         sqrt(sum(a.c * a.c)) AS na,
+         sqrt(sum(b.c * b.c)) AS nb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY a.label
+)
+SELECT p.label, s.n_a, s.n_b,
+       floor(p.dot / (p.na * p.nb) * 10000 + 0.5) / 10000 AS centroid_cos
+FROM paired p JOIN sizes s USING (label)
+"""
+
+
+@register("s_centroid_shift", oracle=_CENTROID_SHIFT)
+def s_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two deterministic
+    halves (vec_id parity — the stand-in for before/after an embedding
+    model or crawl change), compute each label's centroid per half, and
+    report the cosine between the two centroids. centroid_cos ~ 1 means
+    the label's region is stable; a drop flags drift that would
+    invalidate IVF/PQ codebooks trained on the old half (the retrain
+    trigger for s_centroid_search / s_pq_search).
+
+    Scale: posexplode to (label, half, dim) then ONE partial-agg'd
+    shuffle onto |labels| x 2 x D cells — the all-reduce shape of
+    s_embedding_stats with two more grouping keys; everything after
+    (pairing halves, norms, sizes) runs on the label-sized frame.
+    No vector ever moves whole; no driver collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(F.avg("v").alias("c"))
+    sizes = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        ).alias("n_b"),
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    paired = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return paired.join(F.broadcast(sizes), "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        (
+            F.floor(
+                F.col("dot") / (F.col("na") * F.col("nb")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("centroid_cos"),
+    )

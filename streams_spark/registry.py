@@ -93,6 +93,7 @@ ROUND_PRIORITY = [
     "w_seasonality",
     "d_tfidf_cosine",
     "m_media_dedup",
+    "s_centroid_shift",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

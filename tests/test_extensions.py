@@ -1449,3 +1449,19 @@ def test_media_dedup_reconciles_with_corpus(spark, sf_dir):
     for r in rows:
         assert r.n_payloads - r.n_distinct == r.dup_docs
         assert r.max_group >= 1
+
+
+def test_centroid_shift_bounds_and_sizes(spark, sf_dir):
+    """One row per label; halves partition each label's vectors; cosine
+    within [-1, 1+eps]; same-labeled synthetic clusters stay coherent
+    (cosine > 0)."""
+    rows = _rows(spark, sf_dir, "s_centroid_shift")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    from collections import Counter
+
+    per_label = Counter(r.label for r in emb)
+    assert {r.label for r in rows} == set(per_label)
+    for r in rows:
+        assert r.n_a + r.n_b == per_label[r.label]
+        assert -1.0 - 1e-4 <= r.centroid_cos <= 1.0 + 1e-4
+        assert r.centroid_cos > 0
