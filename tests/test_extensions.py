@@ -1452,16 +1452,35 @@ def test_media_dedup_reconciles_with_corpus(spark, sf_dir):
 
 
 def test_centroid_shift_bounds_and_sizes(spark, sf_dir):
-    """One row per label; halves partition each label's vectors; cosine
-    within [-1, 1+eps]; most labels' halves agree in direction (tight
-    clusters -> positive cosine; small labels may flip by noise)."""
+    """One row per label; halves partition each label's vectors; and
+    the cosine equals a driver-side recompute of the half-centroids
+    (exactness — no directional assumption: the synthetic labels are
+    weak direction clusters, which is precisely what a drift monitor
+    reports)."""
     rows = _rows(spark, sf_dir, "s_centroid_shift")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     from collections import Counter
 
     per_label = Counter(r.label for r in emb)
     assert {r.label for r in rows} == set(per_label)
+    import math
+
+    sums: dict[tuple[int, int], list] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for e in emb:
+        key = (e.label, e.vec_id % 2)
+        v = [float(x) for x in e.embedding]
+        if key not in sums:
+            sums[key] = [0.0] * len(v)
+            counts[key] = 0
+        sums[key] = [a + b for a, b in zip(sums[key], v)]
+        counts[key] += 1
     for r in rows:
         assert r.n_a + r.n_b == per_label[r.label]
         assert -1.0 - 1e-4 <= r.centroid_cos <= 1.0 + 1e-4
-    assert sum(r.centroid_cos > 0 for r in rows) >= len(rows) * 0.7
+        ca = [x / counts[(r.label, 0)] for x in sums[(r.label, 0)]]
+        cb = [x / counts[(r.label, 1)] for x in sums[(r.label, 1)]]
+        dot = sum(a * b for a, b in zip(ca, cb))
+        na = math.sqrt(sum(a * a for a in ca))
+        nb = math.sqrt(sum(b * b for b in cb))
+        assert abs(r.centroid_cos - dot / (na * nb)) < 1e-3
