@@ -1677,3 +1677,100 @@ def d_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components, large-star/small-star (skew-robust O(log n) variant)
+# ---------------------------------------------------------------------------
+
+
+@register("d_dup_clusters_star", oracle=_DUP_CLUSTERS)
+def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph via alternating
+    LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the skew-robust O(log n)
+    alternative to d_dup_clusters' min-label propagation, sharing its
+    recursive-CTE oracle (identical (doc_id, cluster_id) output, roots
+    are component minima). Min-label needs rounds ~ graph DIAMETER and
+    funnels every neighbor of a hot node through one task; the star
+    algorithm reshapes the graph itself each round (large-star hangs
+    every larger neighbor under the neighborhood min; small-star
+    re-hangs the smaller ones), halving tree heights so chains collapse
+    in logarithmic rounds and hot-node fan-in shrinks as the graph
+    contracts toward stars.
+
+    Each round is two groupBy-min + join emissions — partial-agg'd,
+    no collect_list, no driver data. Fixpoint = canonical edge set
+    unchanged (count + xor/mod-sum order-free checksums); the driver sees only
+    those scalars. Same scoped shuffle-width + localCheckpoint
+    discipline as the sibling; loud failure at the round cap."""
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(shuffle_conf)
+    if int(orig) > 32:
+        spark.conf.set(shuffle_conf, "32")
+    try:
+        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        # canonical directed form: (u, v) with v < u ("child points down")
+        cur = (
+            pairs.select(
+                F.greatest("doc_a", "doc_b").alias("u"),
+                F.least("doc_a", "doc_b").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        width = max(1, min(32, cur.count() // 50_000 + 1))
+        spark.conf.set(shuffle_conf, str(width))
+
+        def checksum(e: DataFrame):
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
+                F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("h2"),
+            ).first()
+            return (row.n, row.h1, row.h2)
+
+        sig = checksum(cur)
+        converged = False
+        for _ in range(20):  # O(log n) expected; 2^20 nodes of slack
+            # LARGE-STAR over the bidirected view: for each u,
+            # m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u
+            bidir = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+            m = F.least(F.col("mn"), F.col("u"))
+            ls = (
+                bidir.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), m.alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # SMALL-STAR over the (u > v) orientation: for each u,
+            # m = min(N⁻(u)); re-hang every smaller neighbor and u on m
+            mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+            ss = (
+                ls.join(mins2, "u")
+                .where(F.col("v") != F.col("mn"))
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .union(mins2.select("u", F.col("mn").alias("v")))
+                .distinct()
+                .localCheckpoint()
+            )
+            new_sig = checksum(ss)
+            cur = ss
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
+    finally:
+        spark.conf.set(shuffle_conf, orig)
+    if not converged:
+        raise RuntimeError(
+            "large-star/small-star did not converge in 20 rounds; "
+            "the dup graph is adversarial — raise the cap"
+        )
+    # fixpoint edges are (node, root); roots label themselves
+    roots = cur.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return cur.union(roots).distinct().select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )

@@ -94,6 +94,7 @@ ROUND_PRIORITY = [
     "d_tfidf_cosine",
     "m_media_dedup",
     "s_centroid_shift",
+    "d_dup_clusters_star",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

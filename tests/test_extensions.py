@@ -1484,3 +1484,14 @@ def test_centroid_shift_bounds_and_sizes(spark, sf_dir):
         na = math.sqrt(sum(a * a for a in ca))
         nb = math.sqrt(sum(b * b for b in cb))
         assert abs(r.centroid_cos - dot / (na * nb)) < 1e-3
+
+
+def test_star_cc_equals_label_propagation(spark, sf_dir):
+    """Both CC algorithms must produce identical (doc_id, cluster_id)
+    assignments — roots are component minima either way."""
+    a = {(r.doc_id, r.cluster_id) for r in _rows(spark, sf_dir, "d_dup_clusters")}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in _rows(spark, sf_dir, "d_dup_clusters_star")
+    }
+    assert a == b and len(a) > 0
