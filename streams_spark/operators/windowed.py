@@ -1597,3 +1597,136 @@ def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running-peak drawdown per user equity curve
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN = """
+WITH curve AS (
+  SELECT user_id, ts, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS equity
+  FROM events WHERE event_type = 'purchase'
+), peaked AS (
+  SELECT user_id, equity,
+         max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS peak
+  FROM curve
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       floor(max(peak - equity) * 10000 + 0.5) / 10000 AS max_drawdown,
+       floor(max(CASE WHEN peak > 0 THEN (peak - equity) / peak
+                      ELSE 0 END) * 10000 + 0.5) / 10000 AS max_drawdown_pct
+FROM peaked
+GROUP BY user_id
+"""
+
+
+@register("w_drawdown", oracle=_DRAWDOWN)
+def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative purchase-value curve:
+    running peak minus current equity, the risk metric every
+    time-series toolkit ships. Two stacked frames (running sum, then
+    running max OF that sum) — the same prefix-identity family as
+    w_cusum, which tracks the running MIN of the prefix instead.
+
+    Scale: one shuffle partitioned by user_id; per-partition state is
+    one user's purchase history. The filter reaches the scan (pushed
+    event_type predicate), and the final rollup is partial-agg'd."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = ev.withColumn("equity", F.sum("value").over(w)).withColumn(
+        "peak", F.max(F.sum("value").over(w)).over(w)
+    )
+    dd = F.col("peak") - F.col("equity")
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return curve.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        r4(F.max(dd)).alias("max_drawdown"),
+        r4(
+            F.max(
+                F.when(F.col("peak") > 0, dd / F.col("peak")).otherwise(0.0)
+            )
+        ).alias("max_drawdown_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week change per event type
+# ---------------------------------------------------------------------------
+
+_WOW = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         count(*) AS n_events, sum(value) AS total
+  FROM events GROUP BY 1, 2
+), laged AS (
+  SELECT event_type, week, n_events, total,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+           AS prev_n,
+         lag(total) OVER (PARTITION BY event_type ORDER BY week)
+           AS prev_total
+  FROM weekly
+)
+SELECT event_type, week, CAST(n_events AS BIGINT) AS n_events,
+       floor(total * 100 + 0.5) / 100 AS total,
+       CAST(n_events - prev_n AS BIGINT) AS n_delta,
+       floor(CASE WHEN prev_total <> 0
+                  THEN (total - prev_total) / prev_total END
+             * 10000 + 0.5) / 10000 AS pct_change
+FROM laged
+"""
+
+
+@register("w_wow_change", oracle=_WOW)
+def w_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas per event type — the BI staple: weekly
+    rollup, then lag() against the prior week for absolute and percent
+    change (NULL for each type's first week and zero-base weeks, same
+    on both engines).
+
+    Scale: the corpus collapses to the |types| x |weeks| frame in one
+    partial-agg'd shuffle; the lag window runs on that tiny frame
+    partitioned by type. Events are scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = weekly.withColumn(
+        "prev_n", F.lag("n_events").over(w)
+    ).withColumn("prev_total", F.lag("total").over(w))
+    return lagged.select(
+        "event_type",
+        "week",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.floor(F.col("total") * 100 + F.lit(0.5)) / 100).alias("total"),
+        (F.col("n_events") - F.col("prev_n")).cast("long").alias("n_delta"),
+        (
+            F.floor(
+                F.when(
+                    F.col("prev_total") != 0,
+                    (F.col("total") - F.col("prev_total"))
+                    / F.col("prev_total"),
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("pct_change"),
+    )

@@ -95,6 +95,8 @@ ROUND_PRIORITY = [
     "m_media_dedup",
     "s_centroid_shift",
     "d_dup_clusters_star",
+    "w_drawdown",
+    "w_wow_change",
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

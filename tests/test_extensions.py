@@ -1495,3 +1495,38 @@ def test_star_cc_equals_label_propagation(spark, sf_dir):
         for r in _rows(spark, sf_dir, "d_dup_clusters_star")
     }
     assert a == b and len(a) > 0
+
+
+def test_drawdown_nonnegative_and_bounded(spark, sf_dir):
+    """Drawdowns are >= 0; pct within [0,1] for positive-value curves;
+    n_points totals the user's purchase count."""
+    rows = _rows(spark, sf_dir, "w_drawdown")
+    from pyspark.sql import functions as F
+
+    counts = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id for r in rows} == set(counts)
+    for r in rows:
+        assert r.n_points == counts[r.user_id]
+        assert r.max_drawdown >= 0
+        assert 0 <= r.max_drawdown_pct <= 1 + 1e-9
+
+
+def test_wow_change_first_week_null_and_deltas_consistent(spark, sf_dir):
+    """Each type's earliest week has NULL deltas; other weeks'
+    n_delta telescopes back to the weekly counts."""
+    rows = _rows(spark, sf_dir, "w_wow_change")
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, weeks in by_type.items():
+        weeks.sort(key=lambda r: r.week)
+        assert weeks[0].n_delta is None and weeks[0].pct_change is None
+        for prev, cur in zip(weeks, weeks[1:]):
+            assert cur.n_delta == cur.n_events - prev.n_events
