@@ -97,6 +97,8 @@ ROUND_PRIORITY = [
     "d_dup_clusters_star",
     "w_drawdown",
     "w_wow_change",
+    # ---- 50-query window boundary: everything below is the round-5 ----
+    # ---- head (TPC-H r1-only regrades, then late round-4 additions) ----
     # carry-over regrades: oldest evidence first (r1-only rows)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
