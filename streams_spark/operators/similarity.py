@@ -1536,3 +1536,80 @@ def s_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity: mean pairwise cosine via the Gram identity (O(n), exact)
+# ---------------------------------------------------------------------------
+
+_DIVERSITY = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id
+), u AS (
+  SELECT ex.vec_id, ex.label, ex.dim, ex.v / nrm.n AS uv
+  FROM ex JOIN nrm USING (vec_id)
+), pairs AS (
+  SELECT a.label, a.vec_id AS va, b.vec_id AS vb, sum(a.uv * b.uv) AS cos
+  FROM u a JOIN u b
+    ON a.label = b.label AND a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT label, CAST(count(DISTINCT va) + 1 AS BIGINT) AS n_vectors,
+       floor(avg(cos) * 10000 + 0.5) / 10000 AS mean_pairwise_cos
+FROM pairs
+GROUP BY label
+"""
+
+
+@register("s_diversity", oracle=_DIVERSITY)
+def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus diversity: the MEAN PAIRWISE COSINE across all
+    vectors of a label, without ever forming a pair. The Gram identity
+    sum_{i<j} <u_i,u_j> = (||sum_i u_i||^2 - n) / 2 (unit vectors)
+    turns the O(n^2) definition the oracle states into one per-dim sum
+    — the data-diversity gauge curation pipelines watch (mean cos -> 1
+    means the corpus is collapsing toward one direction; SemDeDup's
+    thesis is pruning raises it deliberately).
+
+    Scale: posexplode, per-vector norms (one vec_id-keyed partial-agg'd
+    shuffle), then per-(label, dim) sums — |labels| x D cells — and the
+    closed form on the label-sized frame. EXACT, not sampled: the n^2
+    pair space never materializes, the same trick as variance via
+    sum-of-squares. n_vectors counts distinct-va+1 in the oracle purely
+    to stay single-pass there; labels with one vector have no pairs and
+    drop out on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
+    )
+    u = ex.join(nrm, "vec_id").select(
+        "vec_id", "label", "dim", (F.col("v") / F.col("n")).alias("uv")
+    )
+    sums = u.groupBy("label", "dim").agg(F.sum("uv").alias("s"))
+    gram = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    j = gram.join(F.broadcast(counts), "label").where(F.col("n_vectors") > 1)
+    mean_cos = (F.col("ss") - F.col("n_vectors")) / (
+        F.col("n_vectors") * (F.col("n_vectors") - 1)
+    )
+    return j.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (F.floor(mean_cos * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_pairwise_cos"
+        ),
+    )

@@ -142,6 +142,8 @@ ROUND_PRIORITY = [
     "q_approx_count_distinct",
     "q_approx_percentile",
     "w_topk_suppliers_per_nation",
+    # late round-4 additions (round-5 window tail)
+    "s_diversity",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1530,3 +1530,33 @@ def test_wow_change_first_week_null_and_deltas_consistent(spark, sf_dir):
         assert weeks[0].n_delta is None and weeks[0].pct_change is None
         for prev, cur in zip(weeks, weeks[1:]):
             assert cur.n_delta == cur.n_events - prev.n_events
+
+
+def test_diversity_gram_identity_matches_bruteforce(spark, sf_dir):
+    """The O(n) Gram-identity mean must equal the O(n^2) pairwise mean
+    recomputed driver-side per label."""
+    import math
+    from collections import defaultdict
+
+    rows = _rows(spark, sf_dir, "s_diversity")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for e in emb:
+        v = [float(x) for x in e.embedding]
+        n = math.sqrt(sum(x * x for x in v))
+        by_label[e.label].append([x / n for x in v])
+    expect = {}
+    for lab, vs in by_label.items():
+        if len(vs) < 2:
+            continue
+        tot, cnt = 0.0, 0
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                tot += sum(a * b for a, b in zip(vs[i], vs[j]))
+                cnt += 1
+        expect[lab] = (tot / cnt, len(vs))
+    assert {r.label for r in rows} == set(expect)
+    for r in rows:
+        m, n = expect[r.label]
+        assert r.n_vectors == n
+        assert abs(r.mean_pairwise_cos - m) < 1e-3
