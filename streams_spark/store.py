@@ -122,3 +122,66 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: multi-dimensional data skipping in one layout
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_value(c1, c2, bits: int = ZORDER_BITS):
+    """Morton (Z-order) key of two already-quantized non-negative int
+    columns: interleave the low `bits` bits of each. Pure bitwise
+    column expressions — whole-stage-codegen'd, no UDF.
+
+    Bit i of c1 lands at position 2i+1, bit i of c2 at position 2i, so
+    proximity in EITHER dimension keeps keys near each other — the
+    property that lets one sort order serve min/max pruning on both
+    columns at once (the single-sort layout serves only its leading
+    column)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(b1, 2 * i + 1))
+            .bitwiseOR(F.shiftleft(b2, 2 * i))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+    n_files: int = 8,
+) -> None:
+    """Write `df` clustered by the Z-order of (col1, col2) — the
+    lakehouse OPTIMIZE ZORDER capability (Delta/Iceberg) expressed in
+    plain Spark: range-partition on the Morton key, sort within
+    partitions by it, and let Parquet row-group min/max stats on BOTH
+    source columns become tight, so point/range predicates on either
+    dimension skip most row groups. A single-column sort gives perfect
+    stats on its leading column and useless ones on the other; Z-order
+    trades a little of each for skipping on both (tested:
+    `test_zorder_prunes_both_dimensions` counts overlapping row groups
+    straight from the Parquet footers).
+
+    Scale: one range-exchange on the z key (sampled bounds, no global
+    sort bottleneck), codegen'd bit math, no UDF, no extra copy of the
+    data. Quantization to `bits` buckets per dimension caps key width;
+    ties inside a bucket are irrelevant to pruning."""
+    z = zorder_value(F.col(col1), F.col(col2), bits).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

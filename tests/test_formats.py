@@ -218,3 +218,77 @@ def test_default_decoder_selects_by_environment():
         assert M.default_decoder() is M.pil_decode
     except ImportError:
         assert M.default_decoder() is M._fake_decode
+
+
+def _rowgroups_overlapping(path, col, lo, hi):
+    """Count parquet row groups whose [min,max] stats overlap [lo,hi],
+    and the total row-group count — straight from the footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                total += 1
+                if st is None or st.min is None:
+                    hit += 1
+                elif not (st.max < lo or st.min > hi):
+                    hit += 1
+    return hit, total
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout must let row-group min/max stats skip on BOTH
+    dimensions, where the single-column sort only skips on its leading
+    column. Verified from the real Parquet footers on a frame with
+    genuine 2-D extent (256 users x 365 days, hash-decorrelated): for a
+    narrow user predicate the day-sorted layout leaves every row group
+    overlapping while z-order skips a majority, and z-order still
+    prunes on day."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.store import write_zordered
+
+    ev = spark.range(20_000).select(
+        F.col("id").alias("event_id"),
+        (F.abs(F.xxhash64("id")) % 256).alias("user_id"),
+        (F.abs(F.xxhash64(F.col("id") + 1_000_000)) % 365 + 1).alias("day"),
+    )
+    day_sorted = str(tmp_path / "day_sorted")
+    (
+        ev.repartitionByRange(64, "day")
+        .sortWithinPartitions("day")
+        .write.mode("overwrite")
+        .parquet(day_sorted)
+    )
+    zordered = str(tmp_path / "zordered")
+    write_zordered(ev, zordered, "user_id", "day", n_files=64)
+
+    lo_u, hi_u = 32, 39  # 8 of 256 users (~3%)
+    z_hit_u, z_tot = _rowgroups_overlapping(zordered, "user_id", lo_u, hi_u)
+    d_hit_u, d_tot = _rowgroups_overlapping(day_sorted, "user_id", lo_u, hi_u)
+    assert z_tot >= 32 and d_tot >= 32
+    # day-sorted layout cannot skip on user_id (every group spans users)
+    assert d_hit_u >= 0.9 * d_tot
+    # z-order skips a majority of row groups on the same predicate
+    assert z_hit_u <= 0.5 * z_tot, (z_hit_u, z_tot)
+
+    lo_d, hi_d = 100, 129  # 30 of 365 days (~8%)
+    z_hit_d, _ = _rowgroups_overlapping(zordered, "day", lo_d, hi_d)
+    d_hit_d, _ = _rowgroups_overlapping(day_sorted, "day", lo_d, hi_d)
+    assert z_hit_d <= 0.6 * z_tot, (z_hit_d, z_tot)
+    assert d_hit_d <= z_hit_d + 2  # leading-col sort stays best on day
+
+    # layout changes bytes, never rows
+    assert (
+        spark.read.parquet(zordered).count()
+        == spark.read.parquet(day_sorted).count()
+        == 20_000
+    )
