@@ -972,3 +972,115 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding efficiency: naive vs length-bucketed batch packing
+# ---------------------------------------------------------------------------
+
+BATCH_DOCS = 16  # sequences per training batch
+LEN_BUCKET = 32  # token-length quantization for the bucketed scheme
+
+_PAD_EFFICIENCY = f"""
+WITH sized AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+), naive AS (
+  SELECT doc_id // {BATCH_DOCS} AS batch_id, n_tokens FROM sized
+), naive_b AS (
+  SELECT batch_id, count(*) AS n, max(n_tokens) AS mx,
+         sum(n_tokens) AS tok
+  FROM naive GROUP BY batch_id
+), bucketed AS (
+  SELECT n_tokens, n_tokens // {LEN_BUCKET} AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // {LEN_BUCKET}
+                            ORDER BY doc_id) - 1 AS rn
+  FROM sized
+), bucketed_b AS (
+  SELECT bucket, rn // {BATCH_DOCS} AS batch_id, count(*) AS n,
+         max(n_tokens) AS mx, sum(n_tokens) AS tok
+  FROM bucketed GROUP BY 1, 2
+), schemes AS (
+  SELECT 'naive' AS scheme, CAST(count(*) AS BIGINT) AS n_batches,
+         CAST(sum(tok) AS BIGINT) AS real_tokens,
+         CAST(sum(CAST(mx AS BIGINT) * n - tok) AS BIGINT) AS pad_tokens
+  FROM naive_b
+  UNION ALL
+  SELECT 'bucketed', CAST(count(*) AS BIGINT),
+         CAST(sum(tok) AS BIGINT),
+         CAST(sum(CAST(mx AS BIGINT) * n - tok) AS BIGINT)
+  FROM bucketed_b
+)
+SELECT scheme, n_batches, real_tokens, pad_tokens,
+       floor(pad_tokens * 10000.0 / (real_tokens + pad_tokens) + 0.5)
+         / 10000 AS waste
+FROM schemes
+"""
+
+
+@register("p_pad_efficiency", oracle=_PAD_EFFICIENCY)
+def p_pad_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for dynamic batching: every batch pads its
+    members to the batch max length, so batching in arrival order
+    (doc_id // B) wastes max-minus-len tokens per doc, while bucketing
+    by quantized length first (the standard dynamic-batching trick)
+    collapses that waste. Emits one row per scheme with batch count,
+    real vs padded tokens, and the waste ratio a training-throughput
+    dashboard would alert on.
+
+    Scale: naive batches are map-side arithmetic on doc_id; the
+    bucketed scheme's only shuffle is the rank window PARTITIONED BY
+    LENGTH BUCKET (bounded cardinality, well-spread) — never a global
+    sort. Each scheme then partial-aggs batch frames to one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    naive_b = (
+        sized.groupBy((F.col("doc_id") / BATCH_DOCS).cast("long").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("tok"),
+        )
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    bucketed_b = (
+        sized.withColumn(
+            "bucket", (F.col("n_tokens") / LEN_BUCKET).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(wb) - 1)
+        .groupBy(
+            "bucket", (F.col("rn") / BATCH_DOCS).cast("long").alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("tok"),
+        )
+    )
+
+    def scheme(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tok").alias("real_tokens"),
+            F.sum(F.col("mx").cast("long") * F.col("n") - F.col("tok")).alias(
+                "pad_tokens"
+            ),
+        ).select(F.lit(name).alias("scheme"), "*")
+
+    out = scheme(naive_b, "naive").unionByName(scheme(bucketed_b, "bucketed"))
+    return out.select(
+        "scheme",
+        "n_batches",
+        "real_tokens",
+        "pad_tokens",
+        (
+            F.floor(
+                F.col("pad_tokens")
+                * 10000.0
+                / (F.col("real_tokens") + F.col("pad_tokens"))
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("waste"),
+    )

@@ -1701,3 +1701,34 @@ def t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-pair accuracy
+# ---------------------------------------------------------------------------
+
+_LANGID_CONFUSION = f"""
+WITH scored AS ({_LANG_ID})
+SELECT actual_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (actual_lang = predicted_lang) AS correct
+FROM scored
+GROUP BY actual_lang, predicted_lang
+"""
+
+
+@register("t_langid_confusion", oracle=_LANGID_CONFUSION)
+def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against
+    the labeled `lang` column — the in-engine evaluation loop every
+    classifier op needs (same pattern as s_recall_eval for ANN): reuse
+    the deployed t_lang_id plan verbatim, then one partial-agg'd
+    shuffle onto the |langs|^2 grid.
+
+    Scale: evaluation costs one aggregate more than inference; the
+    grid is 25 cells regardless of corpus size."""
+    scored = t_lang_id(spark, sf_dir)
+    return scored.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.col("actual_lang") == F.col("predicted_lang")).alias("correct"),
+    )

@@ -144,6 +144,8 @@ ROUND_PRIORITY = [
     "w_topk_suppliers_per_nation",
     # late round-4 additions (round-5 window tail)
     "s_diversity",
+    "t_langid_confusion",
+    "p_pad_efficiency",
     # round-3-window queries stay registered behind these (import order)
 ]
 

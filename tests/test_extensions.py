@@ -1560,3 +1560,33 @@ def test_diversity_gram_identity_matches_bruteforce(spark, sf_dir):
         m, n = expect[r.label]
         assert r.n_vectors == n
         assert abs(r.mean_pairwise_cos - m) < 1e-3
+
+
+def test_langid_confusion_totals_and_diagonal(spark, sf_dir):
+    """Confusion cells cover the corpus; diagonal cells are exactly the
+    correct=True rows; accuracy consistent with t_lang_id."""
+    rows = _rows(spark, sf_dir, "t_langid_confusion")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.correct == (r.actual_lang == r.predicted_lang)
+    scored = _rows(spark, sf_dir, "t_lang_id")
+    acc_direct = sum(
+        1 for s in scored if s.actual_lang == s.predicted_lang
+    )
+    acc_matrix = sum(r.n_docs for r in rows if r.correct)
+    assert acc_direct == acc_matrix
+
+
+def test_pad_efficiency_bucketing_strictly_helps(spark, sf_dir):
+    """Both schemes carry the same real tokens; the bucketed scheme
+    never wastes more than naive (equal only if lengths are uniform);
+    waste ratio consistent with the raw counts."""
+    rows = {r.scheme: r for r in _rows(spark, sf_dir, "p_pad_efficiency")}
+    assert set(rows) == {"naive", "bucketed"}
+    n, b = rows["naive"], rows["bucketed"]
+    assert n.real_tokens == b.real_tokens
+    assert b.pad_tokens <= n.pad_tokens
+    for r in (n, b):
+        expect = r.pad_tokens / (r.real_tokens + r.pad_tokens)
+        assert abs(r.waste - expect) < 1e-3
