@@ -1913,3 +1913,67 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style delta between two as-of views)
+# ---------------------------------------------------------------------------
+
+SNAP_T1 = "1997-01-01"
+SNAP_T2 = "1998-01-01"
+
+_SNAPSHOT_DIFF = f"""
+WITH snap1 AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+  FROM orders WHERE o_orderdate < DATE '{SNAP_T1}' GROUP BY o_custkey
+), snap2 AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+  FROM orders WHERE o_orderdate < DATE '{SNAP_T2}' GROUP BY o_custkey
+)
+SELECT CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+            WHEN s1.n_orders <> s2.n_orders THEN 'update'
+            ELSE 'unchanged' END AS change,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(coalesce(s2.n_orders, 0) - coalesce(s1.n_orders, 0))
+            AS BIGINT) AS order_delta,
+       round(sum(coalesce(s2.total, 0) - coalesce(s1.total, 0)), 2)
+         AS revenue_delta
+FROM snap2 s2 LEFT JOIN snap1 s1 USING (o_custkey)
+GROUP BY 1
+"""
+
+
+@register("q_snapshot_diff", oracle=_SNAPSHOT_DIFF)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot delta: per-customer order state as of
+    {SNAP_T1} vs {SNAP_T2}, classified insert/update/unchanged with
+    order and revenue deltas — the change-data-capture audit a
+    warehouse runs between two as-of views of the same table (deletes
+    impossible here: the log is append-only, like the reference's).
+
+    Scale: ONE scan builds both snapshots — the T1 aggregate is a
+    conditional re-aggregation of the T2 one (every T1 order is a T2
+    order), so there is a single customer-keyed shuffle and no
+    self-join of the fact table; the snapshot comparison happens
+    inside the aggregate via sum(CASE date < T1). The oracle states
+    the two-snapshot LEFT JOIN definition."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < SNAP_T2
+    )
+    in1 = F.col("o_orderdate") < SNAP_T1
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(in1.cast("long")).alias("n1"),
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.when(in1, F.col("o_totalprice")).otherwise(0.0)).alias("t1"),
+        F.sum("o_totalprice").alias("t2"),
+    )
+    change = (
+        F.when(F.col("n1") == 0, "insert")
+        .when(F.col("n1") != F.col("n2"), "update")
+        .otherwise("unchanged")
+    )
+    return per_cust.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("n2") - F.col("n1")).alias("order_delta"),
+        F.round(F.sum(F.col("t2") - F.col("t1")), 2).alias("revenue_delta"),
+    )

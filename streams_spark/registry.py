@@ -146,6 +146,7 @@ ROUND_PRIORITY = [
     "s_diversity",
     "t_langid_confusion",
     "p_pad_efficiency",
+    "q_snapshot_diff",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1590,3 +1590,28 @@ def test_pad_efficiency_bucketing_strictly_helps(spark, sf_dir):
     for r in (n, b):
         expect = r.pad_tokens / (r.real_tokens + r.pad_tokens)
         assert abs(r.waste - expect) < 1e-3
+
+
+def test_snapshot_diff_telescopes(spark, sf_dir):
+    """Deltas must telescope to the raw snapshot aggregates: total
+    order_delta == orders in [T1, T2); unchanged bucket has zero
+    order delta; inserts are customers with no pre-T1 orders."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.operators.relational import SNAP_T1, SNAP_T2
+
+    rows = {r.change: r for r in _rows(spark, sf_dir, "q_snapshot_diff")}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    window_orders = orders.where(
+        (F.col("o_orderdate") >= SNAP_T1) & (F.col("o_orderdate") < SNAP_T2)
+    ).count()
+    assert sum(r.order_delta for r in rows.values()) == window_orders
+    if "unchanged" in rows:
+        assert rows["unchanged"].order_delta == 0
+    assert rows["insert"].n_customers == (
+        orders.where(F.col("o_orderdate") < SNAP_T2)
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first"))
+        .where(F.col("first") >= SNAP_T1)
+        .count()
+    )
