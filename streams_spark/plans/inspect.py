@@ -79,3 +79,25 @@ def python_stage_count(df: DataFrame) -> int:
 def assert_no_shuffle(df: DataFrame) -> None:
     plan = physical_section(df)
     assert "Exchange" not in plan, f"unexpected Exchange in plan:\n{plan}"
+
+
+def aqe_final_summary(df: DataFrame) -> dict[str, int]:
+    """Execute the DataFrame and summarize its AQE FINAL plan: shuffles
+    that actually ran, AQE coalesced reads, and join strategies. Reads
+    the SAME QueryExecution the action ran (executedPlan), so the
+    numbers reflect runtime re-planning, not the static estimate —
+    call only on queries with driver-sized results."""
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "is_final": int("isFinalPlan=true" in final),
+        # distinct shuffle stages that actually ran (reuse not re-counted)
+        "shuffle_stages": len(
+            set(re.findall(r"ShuffleQueryStage (\d+)", final))
+        ),
+        "reused": len(re.findall(r"ReusedExchange", final)),
+        "coalesced": len(re.findall(r"AQEShuffleRead coalesced", final)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", final)),
+        "smj": len(re.findall(r"SortMergeJoin", final)),
+        "shj": len(re.findall(r"ShuffledHashJoin", final)),
+    }

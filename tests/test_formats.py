@@ -292,3 +292,17 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         == spark.read.parquet(day_sorted).count()
         == 20_000
     )
+
+
+def test_aqe_final_plan_coalesces_shuffle_reads(spark, sf_dir):
+    """Runtime evidence that AQE re-plans our declarative queries: the
+    executed (final) adaptive plan of a multi-shuffle aggregate must
+    coalesce at least one shuffle read at test scale."""
+    from streams_spark.plans.inspect import aqe_final_summary
+    from streams_spark.registry import load_all
+
+    df = load_all()["w_retention"].fn(spark, sf_dir)
+    a = aqe_final_summary(df)
+    assert a["is_final"] == 1
+    assert a["shuffle_stages"] >= 2
+    assert a["coalesced"] >= 1
