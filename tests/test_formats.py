@@ -306,3 +306,51 @@ def test_aqe_final_plan_coalesces_shuffle_reads(spark, sf_dir):
     assert a["is_final"] == 1
     assert a["shuffle_stages"] >= 2
     assert a["coalesced"] >= 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime proof of the AQE half of the skew story (manual salting
+    is q_salted_join/q_salted_agg): a join with one hot key must come
+    back SortMergeJoin(skew=true) with a skewed AQEShuffleRead in the
+    FINAL plan once thresholds are scaled to test data size."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it an SMJ
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise((F.col("id") % 97) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(98).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select((F.col("v") + F.col("w")).alias("s"))
+        assert len(j.collect()) == 220_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert re.search(r"SortMergeJoin\(skew=true\)", final), final[:2000]
+        assert "skewed" in final  # the split shuffle read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
