@@ -165,9 +165,13 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: exactly two shuffles — one on shingle hash (the join),
     one on the pair key (the aggregate), both partial-agg'd map-side.
-    Hot shingles (stopword runs) are the skew risk; they are bounded by
-    dropping hashes above HOT_SHINGLE_CAP docs (a standard SimHash/PPJoin
-    concession — such shingles carry ~zero Jaccard signal).
+    Hot shingles (stopword runs) are the skew risk. This query is kept
+    EXACT (it is the verification twin for LSH), so no posting is
+    dropped here; at 100 TB either cap hot hashes above a df threshold
+    (a standard PPJoin concession — near-zero Jaccard signal, but a
+    documented divergence from the exact definition) or use the
+    suffix-norm prefix filter exactly as d_tfidf_cosine does, which
+    bounds the join with NO semantic change.
     """
     # cached signature table (shared session-wide — see shingle_table):
     # the self-join re-plans (and would re-execute) each side after
@@ -961,8 +965,8 @@ def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, shared cached shingle table) but WITHOUT the size-ratio
     join prune — containment deliberately pairs documents of very
     different sizes, so the only prune is the co-occurrence itself. At
-    100 TB the hot-shingle df cap bounds the join's skew exactly as in
-    the Jaccard op.
+    100 TB the same two options as the Jaccard op bound the join's
+    skew: a df cap (documented divergence) or an exact prefix filter.
     """
     sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
     ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
