@@ -1613,3 +1613,131 @@ def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pairwise_cos"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding search: Hamming shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+BINARY_SHORTLIST = 32  # Hamming candidates per query before exact rerank
+
+_BINARY_SEARCH = (
+    _DUCK_VEC
+    + f"""
+, sig AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(32),
+             i -> CASE WHEN v[i + 1] > 0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS lo,
+         list_sum(list_transform(range(32),
+             i -> CASE WHEN v[i + 33] > 0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS hi
+  FROM n
+), short AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+           AS hamming,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)),
+                    c.vec_id
+         ) AS srnk
+  FROM sig q JOIN sig c
+    ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, cand_id AS neighbor_id,
+       CAST(hamming AS INTEGER) AS hamming,
+       round(list_sum(list_transform(list_zip(q.v, c.v),
+                      p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
+                  cand_id
+       ) AS INTEGER) AS rnk
+FROM short
+JOIN n q ON q.vec_id = short.query_id
+JOIN n c ON c.vec_id = short.cand_id
+WHERE srnk <= {BINARY_SHORTLIST}
+QUALIFY rnk <= {TOP_K}
+"""
+)
+
+
+@register("s_binary_search", oracle=_BINARY_SEARCH)
+def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval: sign-quantize each vector to 64 bits
+    (two packed longs), shortlist BINARY_SHORTLIST candidates per query
+    by Hamming distance (codegen'd xor + bit_count — the SimHash
+    machinery pointed at dense embeddings), then exact-cosine rerank
+    the shortlist to TOP_K. The modern 32x-compression retrieval trick
+    (binary quantization à la recent vector-DB deployments), fully
+    deterministic — so unlike LSH it carries a complete value-level
+    oracle.
+
+    Scale: signatures are 16 bytes/vector — the Hamming scan streams
+    the packed-long table with a broadcast probe set, never touching
+    float vectors; only shortlist x queries rows rejoin the full
+    vectors for the rerank. Same broadcast-probe discipline as
+    s_cosine_topk with 32x less scan traffic in the shortlist stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def pack(offset: int):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            # shiftleft() needs a literal bit count; 2^i via pow is
+            # exact in double up to 2^31, and i <= 31 here
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, i + offset + 1) > 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    sig = emb.select(
+        "vec_id",
+        v.alias("v"),
+        nrm.alias("nrm"),
+        pack(0).alias("lo"),
+        pack(32).alias("hi"),
+    ).cache()
+    probes = sig.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = F.bit_count(
+        F.col("qlo").bitwiseXOR(F.col("lo"))
+    ) + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ws = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        sig.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("srnk", F.row_number().over(ws))
+        .where(F.col("srnk") <= BINARY_SHORTLIST)
+    )
+    from streams_spark.functions.vector import dot as vdot
+
+    cos = F.round(
+        vdot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    return (
+        short.withColumn("cos_sim", cos)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+            "cos_sim",
+            "rnk",
+        )
+    )

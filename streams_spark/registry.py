@@ -147,6 +147,7 @@ ROUND_PRIORITY = [
     "t_langid_confusion",
     "p_pad_efficiency",
     "q_snapshot_diff",
+    "s_binary_search",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1615,3 +1615,26 @@ def test_snapshot_diff_telescopes(spark, sf_dir):
         .where(F.col("first") >= SNAP_T1)
         .count()
     )
+
+
+def test_binary_search_recall_against_exact(spark, sf_dir):
+    """Each query returns TOP_K ranked rows; shared hits with the exact
+    brute-force search carry identical cosines; shortlist recall@k is
+    substantial (sign bits preserve most direction info at 64 dims)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _rows(spark, sf_dir, "s_cosine_topk")
+    }
+    rows = _rows(spark, sf_dir, "s_binary_search")
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    from streams_spark.operators.similarity import TOP_K
+
+    hits = sum(1 for k in exact if k in {(r.query_id, r.neighbor_id) for r in rows})
+    assert len(per_q) == 10
+    for q, rs in per_q.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, TOP_K + 1))
+    assert hits / len(exact) >= 0.4, f"recall {hits/len(exact):.2f}"
