@@ -1084,3 +1084,109 @@ def p_pad_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline in ONE plan: quality -> dedup -> split -> mix
+# ---------------------------------------------------------------------------
+
+_E2E_PIPELINE = """
+WITH sized AS (
+  SELECT doc_id, source,
+         len(str_split(text, ' ')) AS n_tokens,
+         md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp
+  FROM documents
+), quality AS (
+  SELECT * FROM sized WHERE n_tokens >= 10 AND n_tokens <= 5000
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+), split AS (
+  SELECT *,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < 80 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5
+              THEN 0
+              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10
+              THEN 1 ELSE 2 END AS tier,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+              AS INTEGER) % 10 AS r
+  FROM dedup
+), mixed AS (
+  SELECT * FROM split
+  WHERE r < CASE tier WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE 2 END
+)
+SELECT split, CAST(tier AS INTEGER) AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM mixed
+GROUP BY split, tier
+"""
+
+
+@register("p_e2e_pipeline", oracle=_E2E_PIPELINE)
+def p_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: length
+    quality gate -> prefix-fingerprint dedup (keep first per group) ->
+    md5 train/val/test split -> tiered source mixing, reported as
+    (split, tier) doc/token counts. Each stage reuses the exact rule
+    its standalone operator ships (t_c4-style gate, d_prefix_dedup key,
+    p_train_val_split buckets, p_source_mix rates), so this is the
+    composability proof: the stages fuse into a single Catalyst plan
+    with ONE wide shuffle (the dedup window) — the gates before it are
+    pushed into the scan-side map, the split/mix arithmetic after it is
+    map-side again, and the final rollup partial-aggregates.
+
+    At 100 TB this is the shape that matters most: a pipeline built
+    from these operators does NOT materialize between stages — the
+    1-shuffle fusion here is what running "quality && dedup && split &&
+    mix" as separate jobs four times over the corpus costs extra."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("fp"),
+    )
+    quality = sized.where(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000)
+    )
+    wd = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    rate = (
+        F.when(F.col("tier") == 0, 8)
+        .when(F.col("tier") == 1, 5)
+        .otherwise(2)
+    )
+    mixed = (
+        dedup.withColumn("split", split)
+        .withColumn("tier", _tier(F.col("source")).cast("int"))
+        .withColumn("r", draw)
+        .where(F.col("r") < rate)
+    )
+    return mixed.groupBy("split", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

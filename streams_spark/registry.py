@@ -148,6 +148,7 @@ ROUND_PRIORITY = [
     "p_pad_efficiency",
     "q_snapshot_diff",
     "s_binary_search",
+    "p_e2e_pipeline",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1638,3 +1638,43 @@ def test_binary_search_recall_against_exact(spark, sf_dir):
     for q, rs in per_q.items():
         assert sorted(r.rnk for r in rs) == list(range(1, TOP_K + 1))
     assert hits / len(exact) >= 0.4, f"recall {hits/len(exact):.2f}"
+
+
+def test_e2e_pipeline_consistent_with_stage_ops(spark, sf_dir):
+    """The fused pipeline's totals must be reproducible from the
+    stage rules applied independently driver-side."""
+    import hashlib
+
+    rows = _rows(spark, sf_dir, "p_e2e_pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    seen, expect = set(), {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        toks = d.text.split(" ")
+        if not (10 <= len(toks) <= 5000):
+            continue
+        fp = hashlib.md5(" ".join(toks[:8]).encode()).hexdigest()
+        if fp in seen:
+            continue
+        seen.add(fp)
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        b = int(h[:4], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        import re
+
+        n = int(re.search(r"(\d+)", d.source).group(1))
+        tier = 0 if n < 5 else (1 if n < 10 else 2)
+        if int(h[4:8], 16) % 10 >= {0: 8, 1: 5, 2: 2}[tier]:
+            continue
+        k = (split, tier)
+        nd, nt = expect.get(k, (0, 0))
+        expect[k] = (nd + 1, nt + len(toks))
+    got = {(r.split, r.tier): (r.n_docs, r.n_tokens) for r in rows}
+    assert got == expect
+    # plan-shape guarantee: the fused pipeline pays exactly 2 exchanges
+    # (dedup window + final rollup) over ONE scan
+    from streams_spark.plans.inspect import operator_counts
+    from streams_spark.registry import load_all
+
+    counts = operator_counts(load_all()["p_e2e_pipeline"].fn(spark, sf_dir))
+    assert counts.get("Exchange", 0) == 2
+    assert counts.get("Scan", 0) == 1
