@@ -1741,3 +1741,113 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) search: truncated shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # leading dims used for the cheap shortlist
+
+_MRL_SEARCH = (
+    _DUCK_VEC
+    + f"""
+, trunc AS (
+  SELECT vec_id, v, nrm, v[1:{MRL_DIMS}] AS tv,
+         sqrt(list_sum(list_transform(v[1:{MRL_DIMS}], x -> x * x))) AS tnrm
+  FROM n
+), short AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.tv, c.tv),
+                    p -> p[1] * p[2])) / (q.tnrm * c.tnrm) DESC,
+                    c.vec_id
+         ) AS srnk
+  FROM trunc q JOIN trunc c
+    ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, cand_id AS neighbor_id,
+       round(list_sum(list_transform(list_zip(q.v, c.v),
+                      p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
+                  cand_id
+       ) AS INTEGER) AS rnk
+FROM short
+JOIN n q ON q.vec_id = short.query_id
+JOIN n c ON c.vec_id = short.cand_id
+WHERE srnk <= {BINARY_SHORTLIST}
+QUALIFY rnk <= {TOP_K}
+"""
+)
+
+
+@register("s_mrl_search", oracle=_MRL_SEARCH)
+def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style retrieval: shortlist on the LEADING MRL_DIMS
+    dimensions only (MRL-trained embeddings concentrate signal in the
+    prefix; slicing is free column math), then exact-cosine rerank the
+    shortlist on full vectors — the third cheap-shortlist geometry next
+    to bit-signatures (s_binary_search) and coarse centroids
+    (s_centroid_search), and like them fully deterministic, so the
+    oracle checks values, not just recall.
+
+    Scale: the shortlist scan moves {MRL_DIMS}/64ths of the vector
+    bytes (column-pruned at the scan when the truncated view is
+    materialized alongside); only shortlist x queries rows rejoin full
+    vectors. Broadcast-probe discipline as the siblings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    tv = F.slice(v, 1, MRL_DIMS)
+
+    def _norm(col):
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        _norm(v).alias("nrm"),
+        tv.alias("tv"),
+        _norm(tv).alias("tnrm"),
+    ).cache()
+    probes = base.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tv").alias("qtv"),
+        F.col("tnrm").alias("qtnrm"),
+    )
+    from streams_spark.functions.vector import dot as vdot
+
+    tcos = vdot(F.col("qtv"), F.col("tv")) / (
+        F.col("qtnrm") * F.col("tnrm")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("tcos"), F.col("vec_id")
+    )
+    short = (
+        base.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn("tcos", tcos)
+        .withColumn("srnk", F.row_number().over(ws))
+        .where(F.col("srnk") <= BINARY_SHORTLIST)
+    )
+    cos = F.round(
+        vdot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    return (
+        short.withColumn("cos_sim", cos)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            "rnk",
+        )
+    )

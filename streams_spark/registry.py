@@ -149,6 +149,7 @@ ROUND_PRIORITY = [
     "q_snapshot_diff",
     "s_binary_search",
     "p_e2e_pipeline",
+    "s_mrl_search",
     # round-3-window queries stay registered behind these (import order)
 ]
 

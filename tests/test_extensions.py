@@ -1678,3 +1678,27 @@ def test_e2e_pipeline_consistent_with_stage_ops(spark, sf_dir):
     counts = operator_counts(load_all()["p_e2e_pipeline"].fn(spark, sf_dir))
     assert counts.get("Exchange", 0) == 2
     assert counts.get("Scan", 0) == 1
+
+
+def test_mrl_search_recall_against_exact(spark, sf_dir):
+    """TOP_K ranked rows per query; shared hits with brute force carry
+    identical cosines; prefix-dim shortlist keeps reasonable recall
+    even on non-MRL-trained synthetic embeddings."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _rows(spark, sf_dir, "s_cosine_topk")
+    }
+    rows = _rows(spark, sf_dir, "s_mrl_search")
+    from streams_spark.operators.similarity import TOP_K
+
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    assert len(per_q) == 10
+    for rs in per_q.values():
+        assert sorted(r.rnk for r in rs) == list(range(1, TOP_K + 1))
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    hits = sum(1 for k in exact if k in got)
+    assert hits / len(exact) >= 0.3, f"recall {hits/len(exact):.2f}"
