@@ -1977,3 +1977,72 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n2") - F.col("n1")).alias("order_delta"),
         F.round(F.sum(F.col("t2") - F.col("t1")), 2).alias("revenue_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+_BENFORD = """
+WITH digits AS (
+  -- floor() explicitly: DuckDB's decimal->BIGINT cast rounds half-up,
+  -- Spark's truncates
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM digits
+)
+SELECT d AS digit,
+       CAST(count(*) AS BIGINT) AS n_values,
+       floor(count(*) / tot.n * 10000 + 0.5) / 10000 AS observed,
+       floor(log10(1.0 + 1.0 / d) * 10000 + 0.5) / 10000 AS benford,
+       floor(abs(count(*) / tot.n - log10(1.0 + 1.0 / d)) * 10000 + 0.5)
+         / 10000 AS abs_dev
+FROM digits CROSS JOIN tot
+GROUP BY d, tot.n
+"""
+
+
+@register("q_benford", oracle=_BENFORD)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed leading-
+    digit frequencies against log10(1+1/d) — the classic fraud /
+    synthetic-data smell test (TPC-H's uniform price generator fails
+    it, which is exactly what the audit should report). First digit is
+    taken from the integer part as a string, identically on both
+    engines.
+
+    Scale: map-side digit extraction, one partial-agg'd shuffle onto 9
+    groups, single-row total broadcast — the same two-aggregate
+    single-plan shape as q_semi_anti_join."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("d", "n")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            F.col("d").alias("digit"),
+            "n_values",
+            r4(F.col("n_values") / F.col("n")).alias("observed"),
+            r4(benford).alias("benford"),
+            r4(F.abs(F.col("n_values") / F.col("n") - benford)).alias(
+                "abs_dev"
+            ),
+        )
+    )

@@ -150,6 +150,7 @@ ROUND_PRIORITY = [
     "s_binary_search",
     "p_e2e_pipeline",
     "s_mrl_search",
+    "q_benford",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1702,3 +1702,18 @@ def test_mrl_search_recall_against_exact(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     hits = sum(1 for k in exact if k in got)
     assert hits / len(exact) >= 0.3, f"recall {hits/len(exact):.2f}"
+
+
+def test_benford_probabilities_and_coverage(spark, sf_dir):
+    """Nine digits, observed frequencies sum to ~1, theoretical curve
+    is the Benford distribution, and the audit flags TPC-H's uniform
+    generator (max deviation well above a Benford-conforming corpus)."""
+    rows = sorted(_rows(spark, sf_dir, "q_benford"), key=lambda r: r.digit)
+    import math
+
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert abs(r.benford - math.log10(1 + 1 / r.digit)) < 1e-3
+        assert abs(r.abs_dev - abs(r.observed - r.benford)) < 1e-3
+    assert max(r.abs_dev for r in rows) > 0.05  # uniform prices != Benford
