@@ -185,3 +185,28 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_zordered(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    col1: str,
+    col2: str,
+    n_files: int = 8,
+) -> None:
+    """OPTIMIZE-with-ZORDER analog: compact the event log into a
+    clustered copy laid out by the Morton key of (col1, col2) — the
+    maintenance command a lakehouse runs when the read pattern is
+    two-dimensional (e.g. per-user time slices over a time-partitioned
+    log). Writes to `out_dir` (swap-in is the caller's atomic rename,
+    mirroring how compact() relies on the directory swap).
+
+    Scale: one range-exchange on the z key; each output file covers a
+    z-range ≈ a rectangle in (col1, col2) space, so row-group stats
+    prune BOTH per-user scans and time scans in the same copy of the
+    data."""
+    write_zordered(
+        read_event_log(spark, log_dir), out_dir, col1, col2,
+        n_files=n_files,
+    )

@@ -354,3 +354,75 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_store_schema_evolution_merges_added_column(spark, tmp_path):
+    """Append-era schema drift: a later batch adds a column; reads with
+    mergeSchema surface the union schema with NULLs for old rows — the
+    schema-on-read contract of the reference's opaque payloads applied
+    to the log's own columns."""
+    from pyspark.sql import functions as F
+
+    log = str(tmp_path / "log")
+    v1 = spark.range(5).select(
+        F.lit("s0").alias("space"),
+        F.col("id").alias("sequence"),
+    )
+    v1.write.mode("overwrite").parquet(log)
+    v2 = spark.range(5, 8).select(
+        F.lit("s0").alias("space"),
+        F.col("id").alias("sequence"),
+        F.lit("tag").alias("annotation"),
+    )
+    v2.write.mode("append").parquet(log)
+    got = spark.read.option("mergeSchema", "true").parquet(log)
+    assert set(got.columns) == {"space", "sequence", "annotation"}
+    rows = {r.sequence: r.annotation for r in got.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "tag"
+
+
+def test_store_read_survives_corrupt_file(spark, tmp_path):
+    """A torn/corrupt file in the log directory must not take down the
+    whole scan when ignoreCorruptFiles is on — the degraded-read mode
+    an operator flips during incident recovery."""
+    from pyspark.sql import functions as F
+
+    log = str(tmp_path / "log")
+    spark.range(10).select(
+        F.lit("s0").alias("space"), F.col("id").alias("sequence")
+    ).coalesce(1).write.mode("overwrite").parquet(log)
+    # torn write: parquet magic present, body garbage
+    with open(f"{log}/part-99999-torn.snappy.parquet", "wb") as f:
+        f.write(b"PAR1" + b"\x00" * 128)
+    key = "spark.sql.files.ignoreCorruptFiles"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        assert spark.read.parquet(log).count() == 10
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_compact_zordered_clusters_both_dims(spark, tmp_path):
+    """The OPTIMIZE-ZORDER analog rewrites the log so row groups prune
+    on both clustering columns (footer check, same method as
+    test_zorder_prunes_both_dimensions)."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.store import compact_zordered
+
+    log = str(tmp_path / "log")
+    spark.range(20_000).select(
+        (F.abs(F.xxhash64("id")) % 128).alias("user_id"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 200).alias("day"),
+        F.col("id").alias("v"),
+    ).write.mode("overwrite").parquet(log)
+    out = str(tmp_path / "log_z")
+    compact_zordered(spark, log, out, "user_id", "day", n_files=64)
+    hit_u, tot = _rowgroups_overlapping(out, "user_id", 10, 13)
+    hit_d, _ = _rowgroups_overlapping(out, "day", 50, 64)
+    assert tot >= 32
+    assert hit_u <= 0.5 * tot, (hit_u, tot)
+    assert hit_d <= 0.6 * tot, (hit_d, tot)
+    assert spark.read.parquet(out).count() == 20_000
