@@ -1190,3 +1190,104 @@ def p_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule ablation: what each C4 gate is worth
+# ---------------------------------------------------------------------------
+
+from streams_spark.operators.text import (  # noqa: E402 (shared gate)
+    C4_MAX_WORD_LEN,
+    C4_MAX_WORDS,
+    C4_MEAN_LEN_HI,
+    C4_MEAN_LEN_LO,
+    C4_MIN_WORDS,
+)
+
+_QUALITY_ABLATION = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             / len(toks) AS mean_wlen,
+         list_contains(toks, 'the') OR list_contains(toks, 'a')
+             AS has_stopword,
+         list_max(list_transform(toks, x -> len(x))) <= {C4_MAX_WORD_LEN}
+             AS no_long_word
+  FROM t
+), f AS (
+  SELECT (n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}) AS wc,
+         (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI}) AS ml,
+         has_stopword AS hs, no_long_word AS nl
+  FROM m
+)
+SELECT 'none_ablated' AS ablated,
+       CAST(count(*) FILTER (WHERE wc AND ml AND hs AND nl) AS BIGINT)
+         AS n_survivors
+FROM f
+UNION ALL SELECT 'word_count',
+       CAST(count(*) FILTER (WHERE ml AND hs AND nl) AS BIGINT) FROM f
+UNION ALL SELECT 'mean_len',
+       CAST(count(*) FILTER (WHERE wc AND hs AND nl) AS BIGINT) FROM f
+UNION ALL SELECT 'stopword',
+       CAST(count(*) FILTER (WHERE wc AND ml AND nl) AS BIGINT) FROM f
+UNION ALL SELECT 'long_word',
+       CAST(count(*) FILTER (WHERE wc AND ml AND hs) AS BIGINT) FROM f
+UNION ALL SELECT 'no_rules', CAST(count(*) AS BIGINT) FROM f
+"""
+
+
+@register("p_quality_ablation", oracle=_QUALITY_ABLATION)
+def p_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-ablation report for the C4-style quality gate: survivor
+    counts with all rules on, with each single rule dropped, and with
+    no gate at all — the leave-one-out audit that tells a curation team
+    which rule actually bites before they tune thresholds (the same
+    flags t_c4_rules emits per-doc, aggregated per ablation).
+
+    Scale: ONE scan computes all four flags; all six ablation counts
+    are conditional sums inside a single partial-agg'd reduction to one
+    row, then stack() unpivots driver-free — no per-ablation rescan,
+    no union of six jobs (the naive formulation the oracle states)."""
+    from streams_spark.operators.text import (
+        C4_MAX_WORD_LEN,
+        C4_MAX_WORDS,
+        C4_MEAN_LEN_HI,
+        C4_MEAN_LEN_LO,
+        C4_MIN_WORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0.0),
+        lambda a, x: a + x,
+    ) / n_words
+    wc = n_words.between(C4_MIN_WORDS, C4_MAX_WORDS)
+    ml = mean_wlen.between(C4_MEAN_LEN_LO, C4_MEAN_LEN_HI)
+    hs = F.array_contains(toks, "the") | F.array_contains(toks, "a")
+    nl = F.array_max(F.transform(toks, lambda x: F.length(x))) <= C4_MAX_WORD_LEN
+    flags = docs.select(
+        wc.alias("wc"), ml.alias("ml"), hs.alias("hs"), nl.alias("nl")
+    )
+
+    def n(cond):
+        return F.sum(cond.cast("long"))
+
+    one = flags.agg(
+        n(F.col("wc") & F.col("ml") & F.col("hs") & F.col("nl")).alias("a"),
+        n(F.col("ml") & F.col("hs") & F.col("nl")).alias("b"),
+        n(F.col("wc") & F.col("hs") & F.col("nl")).alias("c"),
+        n(F.col("wc") & F.col("ml") & F.col("nl")).alias("d"),
+        n(F.col("wc") & F.col("ml") & F.col("hs")).alias("e"),
+        F.count(F.lit(1)).alias("f"),
+    )
+    return one.select(
+        F.expr(
+            "stack(6, 'none_ablated', a, 'word_count', b, 'mean_len', c, "
+            "'stopword', d, 'long_word', e, 'no_rules', f) "
+            "AS (ablated, n_survivors)"
+        )
+    )

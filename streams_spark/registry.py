@@ -151,6 +151,7 @@ ROUND_PRIORITY = [
     "p_e2e_pipeline",
     "s_mrl_search",
     "q_benford",
+    "p_quality_ablation",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1717,3 +1717,16 @@ def test_benford_probabilities_and_coverage(spark, sf_dir):
         assert abs(r.benford - math.log10(1 + 1 / r.digit)) < 1e-3
         assert abs(r.abs_dev - abs(r.observed - r.benford)) < 1e-3
     assert max(r.abs_dev for r in rows) > 0.05  # uniform prices != Benford
+
+
+def test_quality_ablation_monotone_and_consistent(spark, sf_dir):
+    """Dropping any rule can only grow the survivor set; no_rules is
+    the corpus; none_ablated matches t_c4_rules' keep count."""
+    rows = {r.ablated: r.n_survivors for r in _rows(spark, sf_dir, "p_quality_ablation")}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows["no_rules"] == n_docs
+    base = rows["none_ablated"]
+    for k in ("word_count", "mean_len", "stopword", "long_word"):
+        assert base <= rows[k] <= n_docs
+    keep = sum(1 for r in _rows(spark, sf_dir, "t_c4_rules") if r.keep)
+    assert base == keep
