@@ -29,28 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
     revenue per (space, hour, market segment) — one declarative plan,
     pruned and broadcast by Catalyst.
     """
-    from pyspark.sql import functions as F
-
-    from streams_spark.sources.tables import load_table
-
-    registry = load_all()
-    consumed = registry["v_consume_interleave"].fn(spark, SF0001)
-    customer = load_table(spark, SF0001, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    return (
-        consumed.join(customer, consumed.user_id % 1000 == customer.c_custkey)
-        .groupBy(
-            "space",
-            F.date_trunc("hour", "timestamp").alias("hour"),
-            "c_mktsegment",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.max("sequence").alias("max_sequence"),
-        )
-    )
+    # the flagship is itself a registered, oracle-gated query
+    return load_all()["v_flagship_consume_enrich"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -444,3 +444,59 @@ def v_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("timestamp").alias("last_timestamp"),
         F.countDistinct("user_id").alias("n_producers"),
     )
+
+
+@register(
+    "v_flagship_consume_enrich",
+    oracle=EVENT_LOG_CTE
+    + """
+, consumed AS (
+  SELECT * FROM events_log
+  WHERE (
+          (space = 'click' AND (timestamp, segment, sequence) >
+              (TIMESTAMP '2024-01-15 00:00:00', 'seg0', 0))
+       OR (space = 'purchase')
+       OR (space = 'error')
+    )
+    AND timestamp <= TIMESTAMP '2024-01-22 00:00:00'
+)
+SELECT c.space, date_trunc('hour', c.timestamp) AS hour, cu.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(c.value), 2) AS total_value,
+       max(c.sequence) AS max_sequence
+FROM consumed c JOIN customer cu ON c.user_id % 1000 = cu.c_custkey
+GROUP BY 1, 2, 3
+""",
+)
+def v_flagship_consume_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-smoke flagship (`__spark_entry__.entry`), registered
+    so it is oracle-gated like everything else: the reference's
+    signature multi-space time-interleaved Consume (§3.3) fused with
+    what it cannot do — broadcast-enrich each consumed event with a
+    dimension and roll revenue up per (space, hour, market segment) in
+    the same declarative plan. One consume scan, one broadcast join,
+    one partial-agg'd rollup shuffle."""
+    from pyspark.sql import functions as F
+
+    from streams_spark.sources.tables import load_table
+
+    consumed = v_consume_interleave(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        consumed.join(
+            F.broadcast(customer),
+            consumed.user_id % 1000 == customer.c_custkey,
+        )
+        .groupBy(
+            "space",
+            F.date_trunc("hour", "timestamp").alias("hour"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("sequence").alias("max_sequence"),
+        )
+    )

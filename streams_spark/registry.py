@@ -152,6 +152,7 @@ ROUND_PRIORITY = [
     "s_mrl_search",
     "q_benford",
     "p_quality_ablation",
+    "v_flagship_consume_enrich",
     # round-3-window queries stay registered behind these (import order)
 ]
 
