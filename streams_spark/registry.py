@@ -153,6 +153,7 @@ ROUND_PRIORITY = [
     "q_benford",
     "p_quality_ablation",
     "v_flagship_consume_enrich",
+    "d_minhash_lsh_md5",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1730,3 +1730,22 @@ def test_quality_ablation_monotone_and_consistent(spark, sf_dir):
         assert base <= rows[k] <= n_docs
     keep = sum(1 for r in _rows(spark, sf_dir, "t_c4_rules") if r.keep)
     assert base == keep
+
+
+def test_minhash_md5_twin_matches_xxhash_verified_output(spark, sf_dir):
+    """Both LSH twins verify candidates to exact Jaccard >= 0.5, so on
+    any pair BOTH surface, values must be identical; the md5 twin's
+    high-similarity recall obeys the same bound as the xxhash twin."""
+    md5v = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _rows(spark, sf_dir, "d_minhash_lsh_md5")
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _rows(spark, sf_dir, "d_ngram_jaccard")
+    }
+    assert set(md5v) <= set(exact)  # verified pairs are true pairs
+    for k, v in md5v.items():
+        assert abs(v - exact[k]) < 1e-9
+    high = {k for k, j in exact.items() if j >= 0.8}
+    assert high <= set(md5v), "md5-LSH missed a high-similarity pair"
