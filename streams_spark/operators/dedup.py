@@ -1894,3 +1894,148 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash, oracle-paired twin (60-bit md5 hashes, portable bit votes)
+# ---------------------------------------------------------------------------
+
+SIMHASH60_BITS = 60
+SIMHASH60_BAND = 15  # 4 bands x 15 bits; hamming <= 3 pigeonholes a match
+
+_SIMHASH_MD5 = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' '))[1:8192] AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS hv
+  FROM d
+), bits AS (
+  SELECT doc_id, unnest(range({SIMHASH60_BITS})) AS i, hv FROM h
+), votes AS (
+  SELECT doc_id, i,
+         sum((hv >> CAST(i AS INTEGER)) & 1) AS cnt,
+         count(*) AS n
+  FROM bits GROUP BY doc_id, i
+), maj AS (
+  SELECT doc_id, i,
+         CASE WHEN 2 * cnt > n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM votes
+), bands AS (
+  SELECT doc_id, i // {SIMHASH60_BAND} AS band,
+         sum(bit << CAST(i % {SIMHASH60_BAND} AS INTEGER)) AS bval
+  FROM maj GROUP BY doc_id, i // {SIMHASH60_BAND}
+), sigs AS (
+  SELECT doc_id, list(bval ORDER BY band) AS bs FROM bands GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.bs[1], sb.bs[1]))
+          + bit_count(xor(sa.bs[2], sb.bs[2]))
+          + bit_count(xor(sa.bs[3], sb.bs[3]))
+          + bit_count(xor(sa.bs[4], sb.bs[4])) AS INTEGER) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.bs[1], sb.bs[1]))
+    + bit_count(xor(sa.bs[2], sb.bs[2]))
+    + bit_count(xor(sa.bs[3], sb.bs[3]))
+    + bit_count(xor(sa.bs[4], sb.bs[4])) <= 3
+"""
+
+
+@register("d_simhash_md5", oracle=_SIMHASH_MD5)
+def d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE token hashes: 60-bit integers from
+    the md5 hex prefix (15 nibbles — the widest slice that fits a
+    signed BIGINT on both engines), so the whole pipeline — bit votes,
+    4x15-bit banding, candidate join, hamming filter <= 3 — is
+    value-checked by the oracle; the xxhash64 sibling (d_simhash)
+    stays rows-only and keeps the 64-bit geometry. Pigeonhole still
+    holds: hamming <= 3 over 4 bands forces one exact band match.
+
+    Same SWAR scale shape as the sibling, re-spaced for 60 bits: 15
+    packed longs accumulate 4 bit-counters each in 15-bit slots
+    (overflow-free to 32k tokens; features capped at 8k), so the
+    doc_id shuffle carries 15 longs + a count per doc. The md5+conv
+    per token costs ~3x xxhash64 map-side — the oracle-visibility
+    premium, same trade as d_minhash_lsh_md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.selectExpr(
+        "doc_id",
+        "explode(slice(array_distinct(split(text, ' ')), 1, 8192)) AS tok",
+    ).selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+    )
+    # SWAR: slot k of packed column j counts bit j + 15*k (k = 0..3)
+    mask = 1 | (1 << 15) | (1 << 30) | (1 << 45)
+    votes = ex.groupBy("doc_id").agg(
+        F.expr("count(1) AS n"),
+        *[
+            F.expr(f"sum(shiftrightunsigned(h, {j}) & {mask}L) AS p{j}")
+            for j in range(SIMHASH60_BAND)
+        ],
+    )
+
+    def band_val(b: int) -> str:
+        terms = []
+        for k in range(SIMHASH60_BAND):
+            i = SIMHASH60_BAND * b + k
+            cnt = (
+                f"(shiftrightunsigned(p{i % SIMHASH60_BAND}, "
+                f"{15 * (i // SIMHASH60_BAND)}) & 32767)"
+            )
+            # majority bit via the sign of (n - 2*cnt); oracle bit order:
+            # bit (i % 15) of band (i // 15), LSB-first
+            terms.append(f"(shiftrightunsigned(n - 2 * {cnt}, 63) << {k})")
+        return " + ".join(terms)
+
+    sig = votes.selectExpr(
+        "doc_id", *[f"({band_val(b)}) AS b{b}" for b in range(4)]
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band", "band_hash"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    first_band = F.lit(True)
+    for i in range(3):
+        first_band = first_band & (
+            F.when(
+                F.col("a.band") > i, F.col(f"a.b{i}") != F.col(f"b.b{i}")
+            ).otherwise(F.lit(True))
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(first_band)
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )

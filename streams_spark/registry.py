@@ -154,6 +154,7 @@ ROUND_PRIORITY = [
     "p_quality_ablation",
     "v_flagship_consume_enrich",
     "d_minhash_lsh_md5",
+    "d_simhash_md5",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1749,3 +1749,17 @@ def test_minhash_md5_twin_matches_xxhash_verified_output(spark, sf_dir):
         assert abs(v - exact[k]) < 1e-9
     high = {k for k, j in exact.items() if j >= 0.8}
     assert high <= set(md5v), "md5-LSH missed a high-similarity pair"
+
+
+def test_simhash_md5_twin_finds_high_sim_pairs(spark, sf_dir):
+    """The portable SimHash twin must surface every very-high-Jaccard
+    pair (near-identical token sets => near-identical bit votes), with
+    hamming within the <= 3 gate and canonical pair order."""
+    rows = _rows(spark, sf_dir, "d_simhash_md5")
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+    exact = _rows(spark, sf_dir, "d_ngram_jaccard")
+    high = {(r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.9}
+    assert high <= got, f"missed {high - got}"
