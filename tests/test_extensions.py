@@ -1751,15 +1751,23 @@ def test_minhash_md5_twin_matches_xxhash_verified_output(spark, sf_dir):
     assert high <= set(md5v), "md5-LSH missed a high-similarity pair"
 
 
-def test_simhash_md5_twin_finds_high_sim_pairs(spark, sf_dir):
-    """The portable SimHash twin must surface every very-high-Jaccard
-    pair (near-identical token sets => near-identical bit votes), with
-    hamming within the <= 3 gate and canonical pair order."""
+def test_simhash_md5_twin_invariants_and_identical_sets(spark, sf_dir):
+    """Structural invariants (the sibling test's contract) plus the one
+    hard recall guarantee SimHash makes: documents with IDENTICAL
+    distinct-token sets get identical signatures, so every such pair
+    MUST appear with hamming 0. (High shingle-Jaccard pairs need not
+    pass the tight <= 3 gate — that is the point of the gate.)"""
     rows = _rows(spark, sf_dir, "d_simhash_md5")
-    got = {(r.doc_a, r.doc_b) for r in rows}
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
     for r in rows:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 3
-    exact = _rows(spark, sf_dir, "d_ngram_jaccard")
-    high = {(r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.9}
-    assert high <= got, f"missed {high - got}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_set: dict[frozenset, list] = {}
+    for d in docs:
+        by_set.setdefault(frozenset(d.text.split(" ")), []).append(d.doc_id)
+    for ids in by_set.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert got.get((ids[i], ids[j])) == 0
