@@ -661,3 +661,70 @@ def st_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+_FLAGSHIP_STREAM_ORACLE = """
+SELECT date_trunc('hour', e.ts) AS window_start,
+       e.event_type AS space,
+       c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e."value"), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id % 1000
+WHERE e.event_type IN ('click', 'purchase', 'error')
+  AND e.ts <= TIMESTAMP '2024-01-22 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("st_flagship_stream", oracle=_FLAGSHIP_STREAM_ORACLE)
+@_capped_state_shuffle
+def st_flagship_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship (`v_flagship_consume_enrich`):
+    the same space filter + time clamp + dimension enrich + hourly
+    revenue rollup, but as an actual Structured Streaming query
+    (AvailableNow, complete mode) — stream-static broadcast join per
+    micro-batch feeding a windowed stateful aggregate. Divergence from
+    the batch flagship, stated: per-segment sequence numbers need a
+    global row_number over the log mapping and are not streamable, so
+    the streaming twin rolls up (space, hour, segment) WITHOUT
+    max_sequence — the exact trade a live dashboard makes vs a batch
+    replay.
+
+    Scale: the dimension joins map-side (broadcast snapshot per batch,
+    no state); only the hourly aggregate holds state, bounded by
+    |spaces| x |segments| x open windows."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "purchase", "error"))
+        .where(F.col("ts") <= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(customer), customer.c_custkey == stream.user_id % 1000
+    )
+    agg = joined.groupBy(
+        F.window("ts", "1 hour").alias("win"),
+        F.col("event_type").alias("space"),
+        "c_mktsegment",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = f"flagship_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("win.start").alias("window_start"),
+        "space",
+        "c_mktsegment",
+        "n_events",
+        "total_value",
+    )

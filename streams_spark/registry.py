@@ -155,6 +155,7 @@ ROUND_PRIORITY = [
     "v_flagship_consume_enrich",
     "d_minhash_lsh_md5",
     "d_simhash_md5",
+    "st_flagship_stream",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -1771,3 +1771,24 @@ def test_simhash_md5_twin_invariants_and_identical_sets(spark, sf_dir):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert got.get((ids[i], ids[j])) == 0
+
+
+def test_flagship_stream_consistent_with_batch_flagship(spark, sf_dir):
+    """The streaming twin's per-(space,hour,segment) counts and revenue
+    must reconcile with the batch flagship on the spaces both cover
+    (batch adds offset pruning on 'click', so click differs; purchase
+    and error rows must match exactly)."""
+    batch = {
+        (r.space, r.hour, r.c_mktsegment): (r.n_events, r.total_value)
+        for r in _rows(spark, sf_dir, "v_flagship_consume_enrich")
+        if r.space in ("purchase", "error")
+    }
+    stream = {
+        (r.space, r.window_start, r.c_mktsegment): (r.n_events, r.total_value)
+        for r in _rows(spark, sf_dir, "st_flagship_stream")
+        if r.space in ("purchase", "error")
+    }
+    assert batch.keys() == stream.keys()
+    for k, (n, v) in batch.items():
+        assert stream[k][0] == n
+        assert abs(stream[k][1] - v) < 0.02
