@@ -1784,6 +1784,17 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH, oracle-paired twin (md5-derived permutations)
 # ---------------------------------------------------------------------------
 
+
+# Universal-hash permutation constants for the oracle-paired MinHash
+# twin: perm_s(h) = (A[s]*h + B[s]) mod P over the 32-bit md5-prefix
+# integer h — ONE md5 per shingle instead of 64 (measured 21.7 s ->
+# ~3 s at sf0.1), portable because both engines do exact 64-bit
+# integer arithmetic. P = 2^31-1 (prime); A odd, < 2^30, so A*h < 2^62
+# never overflows a signed 64-bit long.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [((s * 2_654_435_761 + 1_013_904_223) % (1 << 30)) | 1 for s in range(NUM_PERM)]
+MINHASH_B = [(s * 97_531 + 12_345) % MINHASH_P for s in range(NUM_PERM)]
+
 _MINHASH_MD5 = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1794,11 +1805,21 @@ WITH d AS (
   FROM d
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS g FROM sh
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM ex
 ), perms AS (
-  SELECT doc_id, g, unnest(range({NUM_PERM})) AS s FROM ex
+  SELECT doc_id, s.s,
+         (a.a * h + b.b) % {MINHASH_P} AS pv
+  FROM hashed
+  CROSS JOIN (SELECT unnest(range({NUM_PERM})) AS s) s
+  JOIN (SELECT unnest(range({NUM_PERM})) AS s,
+               unnest({MINHASH_A!r}) AS a) a ON a.s = s.s
+  JOIN (SELECT unnest(range({NUM_PERM})) AS s,
+               unnest({MINHASH_B!r}) AS b) b ON b.s = s.s
 ), mins AS (
-  SELECT doc_id, s, min(md5(concat(CAST(s AS VARCHAR), ':', g))) AS mv
-  FROM perms GROUP BY doc_id, s
+  SELECT doc_id, s, min(pv) AS mv FROM perms GROUP BY doc_id, s
 ), bands AS (
   SELECT doc_id, s // {ROWS_PER_BAND} AS band,
          list(mv ORDER BY s) AS bkey
@@ -1840,16 +1861,24 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs only; verify runs on candidates. The md5 permutations cost
     ~4x xxhash64 in the signature map stage — the price of having the
     driver hash-check an LSH pipeline end to end; deploy the xxhash
-    twin when that check isn't needed. (Measured: string-min perms cut
-    the signature stage 2x vs int-converted ones — conv() cost more
-    than md5 itself.)"""
+    twin when that check isn't needed. (Measured at sf0.1: 64 md5s per
+    shingle cost 21.7 s; one md5 + 64 integer perms ~3 s.)"""
     docs = load_table(spark, sf_dir, "documents")
     grams = gram_rows(docs, 3).distinct()
-    perm_cols = [
-        F.md5(F.concat(F.lit(f"{s}:"), F.col("gram"))).alias(f"h{s}")
-        for s in range(NUM_PERM)
-    ]
-    hashed = grams.select("doc_id", *perm_cols)
+    base = grams.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    hashed = base.select(
+        "doc_id",
+        *[
+            ((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s]))
+             % MINHASH_P).alias(f"h{s}")
+            for s in range(NUM_PERM)
+        ],
+    )
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(NUM_PERM)]
     )
