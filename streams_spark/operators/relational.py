@@ -2046,3 +2046,87 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (deterministic, mergeable, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT o_orderpriority,
+         count(*) AS n_in_sketch,
+         max(h) AS hk
+  FROM ranked WHERE rn <= {KMV_K}
+  GROUP BY o_orderpriority
+), exact AS (
+  SELECT o_orderpriority,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT s.o_orderpriority,
+       e.exact_distinct,
+       CAST(CASE WHEN s.n_in_sketch < {KMV_K} THEN s.n_in_sketch
+            ELSE CAST(floor(({KMV_K} - 1) * CAST(1152921504606846976 AS DOUBLE)
+                      / s.hk + 0.5) AS BIGINT)
+       END AS BIGINT) AS kmv_estimate
+FROM sk s JOIN exact e USING (o_orderpriority)
+"""
+
+
+@register("q_kmv_distinct", oracle=_KMV_DISTINCT)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via a KMV (k-minimum-
+    values) sketch: keep the {KMV_K} smallest md5-derived 60-bit hash
+    values per group; estimate = (k-1) / max-of-them (normalized). The
+    DETERMINISTIC member of the approximate-distinct family — unlike
+    approx_count_distinct's engine-private HLL, every intermediate here
+    is portable integer/IEEE arithmetic, so the oracle checks the
+    ESTIMATE itself, value for value (exact count carried alongside
+    for the reader). Groups smaller than k return the exact count.
+
+    At 100 TB: the sketch is mergeable — union two groups' k-minima
+    and re-take the k smallest (the same merge HLL offers, with a
+    ~1/sqrt(k) error) — and builds with one distinct-shuffle plus a
+    k-bounded per-group window; the sketch state is k longs per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_orderpriority",
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_in_sketch"), F.max("h").alias("hk"))
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")).otherwise(
+        F.floor(
+            (KMV_K - 1)
+            * F.lit(float(1 << 60))
+            / F.col("hk")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return sk.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_distinct",
+        est.cast("long").alias("kmv_estimate"),
+    )

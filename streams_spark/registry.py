@@ -156,6 +156,7 @@ ROUND_PRIORITY = [
     "d_minhash_lsh_md5",
     "d_simhash_md5",
     "st_flagship_stream",
+    "q_kmv_distinct",
     # round-3-window queries stay registered behind these (import order)
 ]
 

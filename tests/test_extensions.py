@@ -1792,3 +1792,21 @@ def test_flagship_stream_consistent_with_batch_flagship(spark, sf_dir):
     for k, (n, v) in batch.items():
         assert stream[k][0] == n
         assert abs(stream[k][1] - v) < 0.02
+
+
+def test_kmv_estimate_within_error_bounds(spark, sf_dir):
+    """KMV estimates must sit within ~4 standard errors of truth
+    (sigma ~ n/sqrt(k-2)), and small groups (< k distinct) must be
+    exact."""
+    import math
+
+    from streams_spark.operators.relational import KMV_K
+
+    rows = _rows(spark, sf_dir, "q_kmv_distinct")
+    assert len(rows) == 5
+    for r in rows:
+        if r.exact_distinct < KMV_K:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            sigma = r.exact_distinct / math.sqrt(KMV_K - 2)
+            assert abs(r.kmv_estimate - r.exact_distinct) <= 4 * sigma, r
