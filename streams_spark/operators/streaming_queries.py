@@ -728,3 +728,213 @@ def st_flagship_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState: per-user event-type profile via MapState
+# ---------------------------------------------------------------------------
+
+_TWS_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM c GROUP BY user_id
+), t AS (
+  SELECT user_id, event_type AS top_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT a.user_id, a.n_types, a.n_events, t.top_type
+FROM a JOIN t ON t.user_id = a.user_id AND t.rn = 1
+"""
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+_TWS_OUT = "user_id long, n_types long, n_events long, top_type string"
+
+
+def has_transform_with_state() -> bool:
+    """Spark 4's transformWithState drives its Python<->JVM state server
+    over protobuf; this container ships pyspark without the `protobuf`
+    package (the API crashes in StateMessage_pb2 import), so the real
+    path is guarded exactly like the multimodal Pillow codec
+    (multimodal.py): activated when the dependency exists, with a
+    semantics-identical fallback otherwise."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _type_profile_tws(stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """Real path: keyed MapState via Spark 4 StatefulProcessor. Requires
+    the RocksDB state-store provider (mandated by transformWithState);
+    the caller scopes-and-restores the provider conf."""
+    import pandas as pd  # noqa: F811 — worker-side import parity
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user,) = key
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    cur = (
+                        self._counts.getValue((et,))[0]
+                        if self._counts.containsKey((et,))
+                        else 0
+                    )
+                    self._counts.updateValue((et,), (cur + int(n),))
+            pairs = [(k[0], v[0]) for k, v in self._counts.iterator()]
+            n_events = sum(n for _, n in pairs)
+            top = min(pairs, key=lambda p: (-p[1], p[0]))[0]
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "n_types": len(pairs),
+                        "n_events": n_events,
+                        "top_type": top,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeProfile(),
+            outputStructType=_TWS_OUT,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def _type_profile_legacy(stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fallback path: the identical profile fold on the legacy
+    applyInPandasWithState API, state = the same map serialized as a
+    map<string,long> GroupState cell. Output is bit-identical to the
+    real path: integer counts are order-free and the modal tie-break is
+    the same (-count, type) key."""
+    import pandas as pd  # noqa: F811 — worker-side import parity
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdfs, state: GroupState):
+        (user,) = key
+        counts = dict(state.get[0]) if state.exists else {}
+        for pdf in pdfs:
+            for et, n in pdf.groupby("event_type").size().items():
+                counts[et] = counts.get(et, 0) + int(n)
+        state.update((counts,))
+        top = min(counts.items(), key=lambda p: (-p[1], p[0]))[0]
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "n_types": len(counts),
+                    "n_events": sum(counts.values()),
+                    "top_type": top,
+                }
+            ]
+        )
+
+    return (
+        stream.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            upd,
+            outputStructType=_TWS_OUT,
+            stateStructType="counts map<string,long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register("st_transform_with_state", oracle=_TWS_ORACLE)
+@_capped_state_shuffle
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profile (distinct types, total events, modal
+    type) maintained in keyed map state — on Spark 4's transformWithState
+    (typed MapState, the successor API to applyInPandasWithState) when
+    its protobuf dependency is importable, else on a semantics-identical
+    applyInPandasWithState fold (st_running_stats keeps dedicated
+    legacy-API coverage). This is the ConsumerContext-with-per-key-state
+    shape of the reference's produce validation
+    (/root/reference/server/pebble/service.go:309-313: last-seen state
+    per segment consulted on every chunk), generalized to a typed,
+    TTL-capable state cell per key.
+
+    Determinism for the oracle: state holds integer counts keyed by
+    event_type — integer addition is order-free, so stream arrival order
+    cannot change the final map; the modal type breaks count ties
+    lexicographically, matching the SQL row_number tie-break exactly.
+    Both paths emit the identical frame, so the oracle gates whichever
+    one the environment selects.
+
+    Scale: state is O(users x |event types|) with |types| small and
+    fixed; the one shuffle is the groupBy(user) the stateful operator
+    requires (capped, see decorator). transformWithState mandates the
+    RocksDB state-store provider, which spills cold keys to disk instead
+    of pinning the whole store on-heap — at 100 TB that (plus changelog
+    checkpointing) is what keeps billions of keys feasible; the conf is
+    scoped-and-restored so batch queries in the same session keep the
+    default HDFS-backed provider.
+    """
+    real = has_transform_with_state()
+    orig_provider = spark.conf.get(_PROVIDER_CONF, None)
+    if real:
+        spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        stream = _events_stream(spark, sf_dir)
+        build = _type_profile_tws if real else _type_profile_legacy
+        out = build(stream, spark)
+        sink = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql.window import Window
+
+        snap = spark.table(sink)
+        # one snapshot per (user, micro-batch); keep the final running
+        # value (sole row under one bounded AvailableNow batch). Execute
+        # NOW so the state-store provider + shuffle cap are in force.
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            snap.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    finally:
+        if real:
+            if orig_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, orig_provider)

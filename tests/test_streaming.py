@@ -448,3 +448,43 @@ def test_sink_rollback_refuses_committed_batch(spark, tmp_path):
     sink(_entries(spark, "s0", "g0", range(1, 4)), batch_id=0)
     with pytest.raises(ValueError):
         sink.rollback(0)
+
+
+def test_transform_with_state_profile_matches_batch(spark):
+    """The keyed-map-state profile (st_transform_with_state) must equal
+    the batch groupBy computed on the same corpus — on whichever path
+    the environment selects (Spark 4 transformWithState when protobuf
+    exists, the applyInPandasWithState fold otherwise)."""
+    from streams_spark.operators.streaming_queries import (
+        st_transform_with_state,
+    )
+    from streams_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_types, r.n_events, r.top_type)
+        for r in st_transform_with_state(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").count()
+    want = {}
+    for r in per_type.collect():
+        want.setdefault(r.user_id, {})[r.event_type] = r["count"]
+    assert len(got) == len(want)
+    for uid, counts in want.items():
+        top = min(counts.items(), key=lambda p: (-p[1], p[0]))[0]
+        assert got[uid] == (len(counts), sum(counts.values()), top)
+
+
+def test_transform_with_state_real_api_path(spark):
+    """Exercises the genuine Spark 4 transformWithState path; skipped
+    where pyspark's protobuf dependency is absent (this container)."""
+    from streams_spark.operators import streaming_queries as sq
+
+    if not sq.has_transform_with_state():
+        pytest.skip("google.protobuf not installed; real path unavailable")
+    stream = sq._events_stream(spark, "/root/testdata/sf0.001")
+    out = sq._type_profile_tws(stream, spark)
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_types", "n_events", "top_type",
+    ]
