@@ -2130,3 +2130,160 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         est.cast("long").alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function) — word-run-length encoding
+# ---------------------------------------------------------------------------
+
+_UDTF_RUNS = """
+WITH w AS (
+  SELECT doc_id, CAST(unnest(range(len(ss))) AS INTEGER) AS pos,
+         unnest(ss) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+), m AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos) = word
+              THEN 0 ELSE 1 END AS brk
+  FROM w
+)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_pos, word,
+       CAST(count(*) AS INTEGER) AS run_len
+FROM (
+  SELECT doc_id, pos, word,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+) GROUP BY doc_id, word, grp HAVING count(*) >= 2
+"""
+
+
+@register("q_python_udtf", oracle=_UDTF_RUNS)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal same-word runs per document via a Python UDTF (Spark 4
+    user-defined TABLE function) applied as a correlated LATERAL join —
+    the one-row-in/N-rows-out imperative expansion shape. The reference
+    has no UDF surface at all (SURVEY §2.7: payloads are opaque, the
+    enumerator library is fixed); this covers the table-function corner
+    of the engine's required UDF family (scalar SQL UDF: q_sql_udf;
+    vectorized UDAF: q_pandas_udaf; Arrow map/cogroup: multimodal/
+    similarity ops).
+
+    The run-length scan is genuinely imperative (while-loop over the
+    token list) — the ORACLE must reconstruct it relationally with a
+    gaps-and-islands window, which is exactly the rewrite a SQL engine
+    forces and the UDTF avoids.
+
+    Scale: UDTFs execute per-partition in the Python worker with no
+    shuffle (map-side); the only data movement is the Arrow/pickle
+    batch transfer, and the emitted frame is far smaller than the
+    input (runs >= 2 only). At 100 TB the same plan holds: narrow
+    map stage, predicate-prunable by doc partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_pos int, word string, run_len int")
+    class WordRuns:
+        def eval(self, text: str):
+            words = text.split(" ")
+            i = 0
+            n = len(words)
+            while i < n:
+                j = i
+                while j < n and words[j] == words[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield (i, words[i], j - i)
+                i = j
+
+    spark.udtf.register("word_runs", WordRuns)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.start_pos, r.word, r.run_len
+        FROM udtf_docs d, LATERAL word_runs(d.text) r
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Python UDAF (grouped-agg pandas UDF) — trimmed mean
+# ---------------------------------------------------------------------------
+
+_TRIMMED_MEAN = """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT flag, cents,
+         row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM c
+)
+SELECT flag,
+       floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 100 + 0.5) / 100
+           AS trimmed_mean_price,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM r
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY flag
+"""
+
+
+@register("q_pandas_udaf", oracle=_TRIMMED_MEAN)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean price per return flag via a grouped-agg pandas
+    UDF — the vectorized (Arrow-batched) custom-aggregate surface. A
+    trimmed mean is NOT expressible with Spark's built-in aggregates
+    (it needs a per-group sort + positional slice), which is precisely
+    when a pandas UDAF is the right tool; the oracle reconstructs it
+    with a row_number window, the relational rewrite.
+
+    Exactness across engines: prices quantize to integer cents before
+    sorting/summing (int64 accumulation is order-free and exact, the
+    st_running_stats trick), the trim boundary is floor(n/10) in both
+    formulations, and equal cents values are interchangeable under the
+    slice, so sort-tie order cannot change the kept multiset. The final
+    ratio rounds via the repo's cross-engine floor(x*100+0.5)/100 rule.
+
+    Scale: grouped-agg pandas UDFs shuffle once on the group key and
+    stream each group through the Python worker as Arrow batches — the
+    same one-shuffle shape as a built-in agg with a vectorized combine;
+    groups here are 3 flags, so the Python stage is 3 tiny calls. Skewed
+    giant groups would need the salted two-stage variant (q_salted_agg)
+    with a mergeable sketch (e.g. t-digest) instead of an exact trim."""
+    # functionType passed explicitly: this module runs under
+    # `from __future__ import annotations`, which stringifies type hints
+    # and defeats pandas_udf's signature inference
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_cents(v):
+        cents = (
+            (v * 100).round().astype("int64").sort_values(kind="mergesort")
+        )
+        k = len(cents) // 10
+        kept = cents.iloc[k : len(cents) - k]
+        return float(kept.sum()) / len(kept) / 100.0
+
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_size(v):
+        # Catalyst refuses to mix pandas and JVM aggregates in one
+        # groupBy, so the count rides the same vectorized stage
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        trimmed_mean_cents(F.col("l_extendedprice")).alias("raw_mean"),
+        group_size(F.col("l_extendedprice")).alias("n"),
+    )
+    return agg.select(
+        "flag",
+        (F.floor(F.col("raw_mean") * 100 + F.lit(0.5)) / 100).alias(
+            "trimmed_mean_price"
+        ),
+        (F.col("n") - 2 * F.floor(F.col("n") / 10)).cast("long").alias(
+            "n_kept"
+        ),
+    )
