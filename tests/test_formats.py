@@ -356,6 +356,58 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime-filter evidence for the third leg of the join-pruning
+    story (broadcast: many queries; AQE skew: test above): a selective
+    non-broadcast join must inject a bloom_filter_agg on the build side
+    and a might_contain() filter on the probe side, so probe rows that
+    cannot match are dropped AT THE SCAN, before the shuffle. At 100 TB
+    this is the difference between shuffling all of lineitem and
+    shuffling only the ~20% that joins the filtered orders; the
+    thresholds are production defaults (10 GB probe / 10 MB build) and
+    only need lowering here because test data is KB-scale."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # else broadcast wins
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from streams_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # and the filtered join still answers correctly
+        [(prio, n)] = j.collect()
+        want = (
+            li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+            .count()
+        )
+        assert prio == "1-URGENT" and n == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_store_schema_evolution_merges_added_column(spark, tmp_path):
     """Append-era schema drift: a later batch adds a column; reads with
     mergeSchema surface the union schema with NULLs for old rows — the
