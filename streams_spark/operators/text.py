@@ -1732,3 +1732,133 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.col("actual_lang") == F.col("predicted_lang")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (bounded-memory, mergeable, value-checked)
+# ---------------------------------------------------------------------------
+
+# Universal-hash family over a 32-bit md5 prefix (the d_minhash_lsh_md5
+# recipe, different seeds): slot_r(x) = ((A_r*x + B_r) mod P) mod W.
+# P = 2^31-1 prime; A odd < 2^30 so A*x < 2^62 never overflows a signed
+# long; x < 2^32 from 8 md5 nibbles — exact on both engines.
+CMS_D = 4
+CMS_W = 512
+CMS_P = 2_147_483_647
+CMS_A = [((r * 2_246_822_519 + 3_266_489_917) % (1 << 30)) | 1 for r in range(CMS_D)]
+CMS_B = [(r * 668_265_263 + 374_761_393) % CMS_P for r in range(CMS_D)]
+CMS_TOPK = 20
+
+_CMS_HEAVY = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), h AS (
+  SELECT t, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
+), rows_ AS (
+  SELECT r.r, a.a, b.b
+  FROM (SELECT unnest(range({CMS_D})) AS r) r
+  JOIN (SELECT unnest(range({CMS_D})) AS r, unnest({CMS_A!r}) AS a) a
+    ON a.r = r.r
+  JOIN (SELECT unnest(range({CMS_D})) AS r, unnest({CMS_B!r}) AS b) b
+    ON b.r = r.r
+), counters AS (
+  SELECT rows_.r, ((rows_.a * h.x + rows_.b) % {CMS_P}) % {CMS_W} AS slot,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM h CROSS JOIN rows_
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT t, any_value(x) AS x, CAST(count(*) AS BIGINT) AS true_count
+  FROM h GROUP BY t
+), est AS (
+  SELECT v.t, v.true_count, min(c.cnt) AS est_count
+  FROM vocab v
+  CROSS JOIN rows_
+  JOIN counters c
+    ON c.r = rows_.r
+   AND c.slot = ((rows_.a * v.x + rows_.b) % {CMS_P}) % {CMS_W}
+  GROUP BY v.t, v.true_count
+)
+SELECT t AS term, est_count, true_count
+FROM est
+ORDER BY est_count DESC, term
+LIMIT {CMS_TOPK}
+"""
+
+
+@register("t_cms_heavy", oracle=_CMS_HEAVY)
+def t_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch — the bounded-memory,
+    MERGEABLE swap-in that t_heavy_hitters' docstring promises for the
+    100 TB regime, where the exact vocab table stops being cheap. The
+    sketch is {CMS_D}x{CMS_W} integer counters built in ONE partial-agg'd
+    shuffle whose reduce side is <= D*W = 2048 rows NO MATTER the corpus
+    size (counters of shards add elementwise — the same mergeability as
+    q_hll_union / q_kmv_distinct); estimates then come from broadcasting
+    that tiny table onto the vocab stream and taking the min over the D
+    rows (upper bound with eps = e/W, delta = e^-D guarantees,
+    Cormode & Muthukrishnan 2005).
+
+    Every number is value-checked by the oracle: the hash family is the
+    portable md5-prefix universal hash (d_minhash_lsh_md5 recipe), so
+    both engines compute identical slots, counters, and estimates; the
+    top-k order (est DESC, term) is total. true_count rides along to
+    surface the overestimation bias (est >= true always).
+
+    Scale: at 100 TB only the candidate set changes — you estimate
+    per-partition local top-k candidates (or track them inside the same
+    pass) instead of the full vocabulary; the sketch build itself is
+    already the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    withx = toks.select(
+        "t",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("x"),
+    )
+
+    def slot(r: int, x):
+        return ((F.lit(CMS_A[r]) * x + F.lit(CMS_B[r])) % CMS_P) % CMS_W
+
+    pairs = withx.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), slot(r, F.col("x")).alias("slot")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rs")
+    )
+    counters = pairs.groupBy("rs.r", "rs.slot").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = withx.groupBy("t").agg(
+        F.first("x").alias("x"), F.count(F.lit(1)).alias("true_count")
+    )
+    vslots = vocab.select(
+        "t",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), slot(r, F.col("x")).alias("slot")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rs"),
+    ).select("t", "true_count", "rs.r", "rs.slot")
+    est = (
+        vslots.join(F.broadcast(counters), ["r", "slot"])
+        .groupBy("t", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(
+            F.col("t").alias("term"), "est_count", "true_count"
+        )
+        .orderBy(F.desc("est_count"), "term")
+        .limit(CMS_TOPK)
+    )
