@@ -1,0 +1,207 @@
+"""Dependency-free media codecs: PNG (stdlib zlib) and WAV (stdlib wave).
+
+The reference's payload contract is opaque bytes the consumer decodes
+(/root/reference/server/messages.go:65). The container ships no Pillow/
+ffmpeg, so until round 4 the engine's decode step was a declared
+deterministic fake. These codecs close that gap for two real formats
+using ONLY the standard library + numpy:
+
+- PNG: 8-bit greyscale (color type 0) and RGB (color type 2), no
+  interlace. The encoder can emit any of the five PNG scanline filters
+  (None/Sub/Up/Average/Paeth, RFC 2083 §6); the decoder un-filters all
+  five, so it decodes real-world non-interlaced 8-bit PNGs, not just
+  our own output.
+- WAV: PCM int16 via the stdlib `wave` module.
+
+`media_probe` is a `decode_media(decode_fn=...)`-compatible codec that
+sniffs the magic bytes and returns (width, height, n_channels,
+content_checksum) where the checksum is over the DECODED samples — so a
+passing oracle proves the zlib round-trip actually recovered the
+pixels, not merely that headers parsed.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+CHECKSUM_MOD = 1_000_000_007
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an 8-bit image array — (h, w) greyscale or (h, w, 3) RGB —
+    as a valid non-interlaced PNG, applying `filter_type` (0..4) to
+    every scanline."""
+    if arr.dtype != np.uint8:
+        raise ValueError("png_encode wants uint8")
+    if arr.ndim == 2:
+        h, w, ch, color_type = arr.shape[0], arr.shape[1], 1, 0
+        pixels = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, ch, color_type = arr.shape[0], arr.shape[1], 3, 2
+        pixels = arr
+    else:
+        raise ValueError("png_encode wants (h,w) or (h,w,3)")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        line = pixels[y].astype(np.int32)
+        left = np.zeros_like(line)
+        left[1:] = line[:-1]
+        upleft = np.zeros_like(prev)
+        upleft[1:] = prev[:-1]
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:  # Sub
+            out = line - left
+        elif filter_type == 2:  # Up
+            out = line - prev
+        elif filter_type == 3:  # Average
+            out = line - (left + prev) // 2
+        else:  # Paeth
+            out = line - _paeth(left, prev, upleft)
+        raw.append(filter_type)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit greyscale/RGB PNG to an array —
+    (h, w) or (h, w, 3). Un-filters all five scanline filter types, so
+    the input need not come from png_encode."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise ValueError(
+                    "supported: 8-bit grey/RGB, non-interlaced"
+                )
+            ch = 3 if color_type == 2 else 1
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = np.zeros((h, w, ch), dtype=np.int32)
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32).reshape(w, ch)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the left pixel
+            cur = np.zeros_like(line)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = prev[x]
+                if ft == 1:
+                    cur[x] = (line[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (line[x] + (left + up) // 2) % 256
+                else:
+                    cur[x] = (line[x] + _paeth(left, up, upleft)) % 256
+                left = cur[x]
+                upleft = up
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[y] = cur
+        prev = cur
+    arr = out.astype(np.uint8)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Encode int16 PCM samples — (n,) mono or (n, ch) — as a WAV."""
+    if samples.dtype != np.int16:
+        raise ValueError("wav_encode wants int16")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a PCM-int16 WAV to (samples (n, ch) int16, rate, ch)."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        ch = wv.getnchannels()
+        if wv.getsampwidth() != 2:
+            raise ValueError("supported: 16-bit PCM")
+        rate = wv.getframerate()
+        frames = wv.readframes(wv.getnframes())
+    samples = np.frombuffer(frames, dtype=np.int16).reshape(-1, ch)
+    return samples, rate, ch
+
+
+def media_probe(payload: bytes) -> tuple[int, int, int, int]:
+    """decode_media-compatible codec over REAL bytes: sniffs the format
+    and returns (width, height, n_channels, checksum-of-decoded-content).
+    PNG → (w, h, channels, Σpixels mod M); WAV → (n_samples, 1, channels,
+    Σsamples mod M — Python mod, so non-negative). Raises on anything
+    else: a real pipeline quarantines undecodable blobs explicitly
+    (m_decode_media's deterministic fake is the stand-in for that path).
+    """
+    if payload[:8] == _PNG_MAGIC:
+        arr = png_decode(payload)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        h, w = arr.shape[0], arr.shape[1]
+        return w, h, ch, int(arr.astype(np.int64).sum()) % CHECKSUM_MOD
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate, ch = wav_decode(payload)
+        return (
+            samples.shape[0],
+            1,
+            ch,
+            int(samples.astype(np.int64).sum()) % CHECKSUM_MOD,
+        )
+    raise ValueError("unrecognized media payload")

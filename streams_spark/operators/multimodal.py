@@ -3,11 +3,14 @@ with Arrow-batched mapInPandas (SURVEY.md §7 M4).
 
 The reference's payloads are opaque bytes the consumer decodes
 (/root/reference/server/messages.go:65) — the same contract as image/
-audio/video blobs in a training-data pipeline. This module makes the
-Spark-side plumbing real (schema, batch iteration, partitioning,
-projection pushdown around the UDF) while the codec itself is a
-deterministic fake: the container ships no image/audio libraries, so
-`decode_image_batch` documents where Pillow/ffmpeg drop in.
+audio/video blobs in a training-data pipeline. The Spark-side plumbing
+(schema, batch iteration, partitioning, projection pushdown around the
+UDF) is real everywhere; the codec is pluggable via
+`decode_media(decode_fn=...)`: m_decode_media pins the deterministic
+fake (its payloads are text bytes), m_decode_real runs the REAL
+stdlib-only PNG/WAV codecs from functions/codecs.py on genuinely
+encoded payloads, and `pil_decode` is the Pillow swap-in for formats
+beyond those (JPEG etc.) where that library exists.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; the binary column is only read where
@@ -342,3 +345,108 @@ def m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_group"),
         F.min("survivor_id").alias("min_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: synthesize → PNG/WAV-encode → byte-decode, oracle-checked
+# ---------------------------------------------------------------------------
+
+_REAL_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+png AS (
+  SELECT doc_id,
+         16 + doc_id % 24 AS w,
+         12 + (doc_id * 7) % 20 AS h,
+         CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS ch
+  FROM d WHERE doc_id % 2 = 0
+), png_out AS (
+  SELECT doc_id, 'image' AS media_type,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(ch AS INTEGER) AS n_channels,
+         CAST(list_sum(list_transform(range(w * h * ch),
+              i -> ((i // ch) % w + 3 * (i // (ch * w)) + 5 * (i % ch)
+                    + doc_id) % 256)) % 1000000007 AS BIGINT) AS checksum
+  FROM png
+), wav AS (
+  SELECT doc_id, 200 + (doc_id * 13) % 300 AS n
+  FROM d WHERE doc_id % 2 = 1
+), wav_out AS (
+  SELECT doc_id, 'audio' AS media_type,
+         CAST(n AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS n_channels,
+         CAST(((list_sum(list_transform(range(n),
+                i -> (i * 37 + doc_id) % 2048 - 1024)) % 1000000007)
+               + 1000000007) % 1000000007 AS BIGINT) AS checksum
+  FROM wav
+)
+SELECT * FROM png_out UNION ALL SELECT * FROM wav_out
+"""
+
+
+def media_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A media table whose payloads are REAL encoded bytes: deterministic
+    pixel/sample patterns derived from doc_id, encoded to valid PNG
+    (even doc_ids; RGB every 4th, grey otherwise, cycling through all
+    five scanline filters) and PCM-16 WAV (odd doc_ids) by the
+    dependency-free codecs in functions/codecs.py."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_encode, wav_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 16 + d % 24, 12 + (d * 7) % 20
+                    ch = 3 if d % 4 == 0 else 1
+                    y, x, c = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(ch),
+                        indexing="ij",
+                    )
+                    arr = ((x + 3 * y + 5 * c + d) % 256).astype(np.uint8)
+                    if ch == 1:
+                        arr = arr[:, :, 0]
+                    payload = png_encode(arr, filter_type=(d // 2) % 5)
+                    rows.append((d, "image", payload))
+                else:
+                    n = 200 + (d * 13) % 300
+                    s = ((np.arange(n) * 37 + d) % 2048 - 1024).astype(
+                        np.int16
+                    )
+                    rows.append((d, "audio", wav_encode(s)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "payload"]
+            )
+
+    return docs.mapInPandas(
+        synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+@register("m_decode_real", oracle=_REAL_DECODE_ORACLE)
+def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec twin of m_decode_media: every payload is a valid
+    PNG or WAV built by the repo's stdlib-only encoders, and the decode
+    stage parses the actual bytes (zlib inflate + scanline un-filtering
+    / RIFF PCM frames — functions/codecs.py) via the same pluggable
+    decode_media plumbing. The checksum is over the DECODED pixels/
+    samples, and the oracle predicts it in closed form from doc_id — so
+    a green row proves the byte-level round-trip recovered the content
+    exactly, which a header-sniffing fake could not. PNGs cycle through
+    all five scanline filters, so the un-filter paths all execute.
+
+    This retires the 'declared stub' status for image/audio: Pillow
+    remains an optional swap-in (pil_decode) for formats beyond PNG/WAV
+    (JPEG etc.), selected by default_decoder() when importable.
+
+    Scale: identical plan shape to m_decode_media — two chained
+    map-only Arrow stages (synthesize+encode, decode) with no shuffle;
+    at 100 TB the encode stage is replaced by reading real blobs
+    (read_media_dir) and the decode stage is unchanged."""
+    from streams_spark.functions.codecs import media_probe
+
+    return decode_media(media_table_real(spark, sf_dir), decode_fn=media_probe)
