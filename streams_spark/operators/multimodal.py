@@ -450,3 +450,155 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_spark.functions.codecs import media_probe
 
     return decode_media(media_table_real(spark, sf_dir), decode_fn=media_probe)
+
+
+_THUMB_ORACLE = """
+WITH png AS (
+  SELECT doc_id,
+         16 + doc_id % 24 AS w,
+         12 + (doc_id * 7) % 20 AS h,
+         CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents WHERE doc_id % 2 = 0
+), sized AS (
+  SELECT doc_id, w, h, ch,
+         greatest(CAST(floor(w * least(16.0 / w, 16.0 / h)) AS BIGINT), 1)
+             AS ow,
+         greatest(CAST(floor(h * least(16.0 / w, 16.0 / h)) AS BIGINT), 1)
+             AS oh
+  FROM png
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+       CAST(list_sum(list_transform(range(ow * oh * ch),
+            i -> (((i // ch) % ow) * w // ow
+                  + 3 * ((i // (ch * ow)) * h // oh)
+                  + 5 * (i % ch) + doc_id) % 256)) % 1000000007 AS BIGINT)
+           AS checksum
+FROM sized
+"""
+
+
+@register("m_thumbnail_real", oracle=_THUMB_ORACLE)
+def m_thumbnail_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize-to-fit 16x16 → RE-ENCODE to PNG →
+    decode AGAIN, on real bytes end to end (the full image-preprocessing
+    stage m_resize only mimics arithmetically). The reported checksum is
+    over the pixels of the re-decoded thumbnail, and the oracle composes
+    the synthesis formula with the NN index map (src = dst * in // out,
+    floor) in closed form — a green row therefore proves decode, the
+    exact resample geometry, and the encode→decode round-trip of the
+    resized image in one shot.
+
+    Scale: one map-only Arrow stage per blob, no shuffle; thumbnails are
+    the canonical fan-in-free preprocessing step before batched feature
+    extraction."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_decode, png_encode
+
+    media = media_table_real(spark, sf_dir).where(
+        F.col("media_type") == "image"
+    )
+
+    def thumb(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_decode(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                scale = min(16.0 / w, 16.0 / h)
+                ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+                ys = (np.arange(oh) * h) // oh
+                xs = (np.arange(ow) * w) // ow
+                small = arr[np.ix_(ys, xs)]
+                redecoded = png_decode(png_encode(small, filter_type=2))
+                rows.append(
+                    (
+                        int(doc_id), w, h, ow, oh,
+                        int(redecoded.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "out_width", "out_height", "checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        thumb,
+        schema=(
+            "doc_id long, width int, height int, "
+            "out_width int, out_height int, checksum bigint"
+        ),
+    )
+
+
+_AUDIO_FEATURES_ORACLE = """
+WITH wav AS (
+  SELECT doc_id, 200 + (doc_id * 13) % 300 AS n
+  FROM documents WHERE doc_id % 2 = 1
+), s AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+             i -> (i * 37 + doc_id) % 2048 - 1024) AS smp
+  FROM wav
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(smp, v -> v * v)) % 1000000007
+            AS BIGINT) AS energy_mod,
+       CAST(len(list_filter(range(1, n),
+            i -> (smp[i] < 0) <> (smp[i + 1] < 0))) AS BIGINT)
+           AS zero_crossings
+FROM s
+"""
+
+
+@register("m_audio_features_real", oracle=_AUDIO_FEATURES_ORACLE)
+def m_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REALLY decoded WAV payloads: energy
+    (sum of squared PCM samples, exact int64 arithmetic, reported mod
+    1e9+7) and zero-crossing count — the two standard cheap audio
+    quality/VAD signals. The samples come out of the RIFF decoder, not a
+    formula; the oracle recomputes both features from the synthesis
+    formula, so agreement proves the decoded waveform is sample-exact.
+
+    Scale: map-only Arrow stage, no shuffle; int64 accumulation is
+    order-free so the per-blob features are deterministic anywhere."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import wav_decode
+
+    media = media_table_real(spark, sf_dir).where(
+        F.col("media_type") == "audio"
+    )
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, _rate, _ch = wav_decode(bytes(payload))
+                v = s[:, 0].astype(np.int64)
+                neg = v < 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(v.shape[0]),
+                        int((v * v).sum()) % 1_000_000_007,
+                        int((neg[1:] != neg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "energy_mod", "zero_crossings"],
+            )
+
+    return media.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, n_samples long, energy_mod bigint, "
+            "zero_crossings bigint"
+        ),
+    )

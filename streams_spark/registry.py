@@ -118,6 +118,13 @@ ROUND_PRIORITY = [
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
     # --- round-5 window head: round-4 late additions + r1-only rows ---
+    "st_transform_with_state",
+    "q_python_udtf",
+    "q_pandas_udaf",
+    "t_cms_heavy",
+    "m_decode_real",
+    "m_thumbnail_real",
+    "m_audio_features_real",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
