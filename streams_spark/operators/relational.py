@@ -2287,3 +2287,114 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas — per-group rank normalization
+# ---------------------------------------------------------------------------
+
+_GROUPED_MAP = """
+SELECT event_id, user_id, "value",
+       floor(percent_rank() OVER (PARTITION BY user_id ORDER BY "value")
+             * 10000 + 0.5) / 10000 AS pct_rank
+FROM events
+"""
+
+
+@register("q_grouped_map", oracle=_GROUPED_MAP)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user percent-rank normalization via grouped-map applyInPandas
+    — the N-rows-in/N-rows-out pandas transform per group (the remaining
+    corner of the pandas API family: scalar Arrow UDF q_arrow_udf,
+    grouped agg q_pandas_udaf, cogroup d_embedding_cosine, mapInPandas
+    multimodal, stateful st_running_stats). pandas rank(method='min')
+    minus 1 over n-1 IS SQL percent_rank including tie semantics, so the
+    oracle is the plain window formulation; the division is the same
+    exact small-int ratio in both engines, floor-rounded by the repo
+    rule.
+
+    Scale: one shuffle on the group key; each group materializes in one
+    pandas frame, so giant groups need the sketch/window rewrite (the
+    oracle's form) — stated trade of the grouped-map API."""
+    import pandas as pd  # noqa: F811 — worker-side import parity
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def norm(pdf):
+        n = len(pdf)
+        if n > 1:
+            pct = (pdf["value"].rank(method="min") - 1) / (n - 1)
+        else:
+            pct = pdf["value"] * 0.0
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value": pdf["value"],
+                "pct_rank": np.floor(pct * 10000 + 0.5) / 10000,
+            }
+        )
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            norm,
+            schema=(
+                "event_id long, user_id long, value double, pct_rank double"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF — Luhn check digit
+# ---------------------------------------------------------------------------
+
+_ARROW_UDF = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT user_id, reverse(CAST(user_id AS VARCHAR)) AS s FROM u)
+SELECT user_id,
+       CAST(list_sum(list_transform(range(1, length(s) + 1),
+            i -> CASE WHEN (i - 1) % 2 = 0
+                 THEN CASE WHEN CAST(substr(s, i, 1) AS INTEGER) * 2 > 9
+                      THEN CAST(substr(s, i, 1) AS INTEGER) * 2 - 9
+                      ELSE CAST(substr(s, i, 1) AS INTEGER) * 2 END
+                 ELSE CAST(substr(s, i, 1) AS INTEGER) END)) % 10
+            AS INTEGER) AS luhn_digit
+FROM d
+"""
+
+
+@register("q_arrow_udf", oracle=_ARROW_UDF)
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum digit per user id via an Arrow-optimized scalar
+    Python UDF (`F.udf(useArrow=True)`, Spark 4's vectorized transport
+    for row UDFs — ~2-5x over pickled row-at-a-time). The digit-walk is
+    procedural; the oracle rebuilds it with a list comprehension over
+    the reversed decimal string. Integer arithmetic end to end — exact
+    on both engines.
+
+    Scale: map-only over the distinct-key frame (aggregate first, UDF
+    after — the cheap order); Arrow batching amortizes the Python
+    round-trip. Still the slow path vs built-ins: kept off the hot
+    queries by design, existing to pin the API surface."""
+
+    @F.udf("int", useArrow=True)
+    def luhn(uid):
+        total = 0
+        for i, c in enumerate(reversed(str(uid))):
+            d = int(c)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id").distinct().select(
+        "user_id", luhn(F.col("user_id")).alias("luhn_digit")
+    )

@@ -125,6 +125,8 @@ ROUND_PRIORITY = [
     "m_decode_real",
     "m_thumbnail_real",
     "m_audio_features_real",
+    "q_grouped_map",
+    "q_arrow_udf",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
