@@ -938,3 +938,102 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, orig_provider)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: foreachBatch merge (upsert + delete) across batches
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, "value", ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, round("value", 2) AS last_value, ts AS updated_at
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("st_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+@_capped_state_shuffle
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming-sink pattern the memory-sink family
+    cannot show: a change feed applied to a keyed state table with
+    MERGE semantics inside foreachBatch — upserts (any event) and
+    deletes (event_type='error' tombstones), folded across MULTIPLE
+    micro-batches (the feed is staged as 3 time-ranged files read with
+    maxFilesPerTrigger=1, so state genuinely evolves batch over batch).
+    Each batch reduces to its per-key last writer, then merges with the
+    prior state by (ts, event_id) recency — commutative over batches,
+    so arrival order cannot change the fixpoint; the oracle is the
+    single-window last-writer-wins over the whole feed. This is the
+    Spark shape of the reference's inventory upsert + 2PC apply
+    (/root/reference/server/pebble/service.go:450-507) generalized to
+    keyed row state; with Delta/Iceberg the inner merge becomes
+    MERGE INTO and the rest is unchanged.
+
+    Scale: per batch, one shuffle to the per-key last writer + one
+    merge join against state; state stays table-sized (keys), batches
+    stream through. The version-dir swap is the poor-man's ACID commit
+    — a table format replaces it in production."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    schema = _events_schema(spark, sf_dir)
+    from streams_spark.sources.tables import _normalize_event_ts
+
+    batch_ev = (
+        spark.read.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_")
+    feed_dir = f"{tmp}/feed"
+    # 3 time-ranged files -> 3 micro-batches under maxFilesPerTrigger=1
+    batch_ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(
+        feed_dir
+    )
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+
+    state = {"df": None}
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        last = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cur = state["df"]
+        merged = last if cur is None else (
+            cur.unionByName(last)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # materialize NOW: a lazy plan would re-read the feed after
+        # later batches land (and chain lineage across batches)
+        state["df"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["df"]
+    return final.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("updated_at"),
+    )

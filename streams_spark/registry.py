@@ -127,6 +127,7 @@ ROUND_PRIORITY = [
     "m_audio_features_real",
     "q_grouped_map",
     "q_arrow_udf",
+    "st_cdc_apply",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
