@@ -1851,3 +1851,191 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector cosine fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+HYBRID_L = 50  # per-retriever candidate depth
+HYBRID_RRF_K = 60  # Cormack/Clarke/Buettcher RRF damping constant
+HYBRID_TOPK = 15
+
+_HYBRID = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), q AS (
+  SELECT v, nrm FROM n WHERE vec_id = 0
+), vec AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(q.v, c.v),
+                        p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n c CROSS JOIN q WHERE c.vec_id <> 0
+), vrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+  FROM vec
+), vtop AS (
+  SELECT doc_id, vec_rank FROM vrank WHERE vec_rank <= {HYBRID_L}
+), d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+  WHERE tok IN ('join', 'scan', 'vector') AND doc_id <> 0
+  GROUP BY doc_id, tok
+), dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf
+  GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         floor(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * t.tf * (1.2 + 1)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+               * 10000 + 0.5) / 10000 AS bm25
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN dft f USING (term)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), lrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM scored
+), ltop AS (
+  SELECT doc_id, lex_rank FROM lrank WHERE lex_rank <= {HYBRID_L}
+), fused AS (
+  SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+         CAST(coalesce(l.lex_rank, -1) AS INTEGER) AS lex_rank,
+         CAST(coalesce(v.vec_rank, -1) AS INTEGER) AS vec_rank,
+         floor((coalesce(1.0 / ({HYBRID_RRF_K} + l.lex_rank), 0)
+                + coalesce(1.0 / ({HYBRID_RRF_K} + v.vec_rank), 0))
+               * 1000000 + 0.5) / 1000000 AS rrf_score
+  FROM vtop v FULL OUTER JOIN ltop l ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+"""
+
+
+@register("s_hybrid_search", oracle=_HYBRID)
+def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for item 0 (documents and embeddings align
+    1:1 on id): the BM25 lexical ranking (t_bm25's exact formula and
+    rounding) and the brute-force cosine ranking (s_cosine_topk's
+    discipline) are each cut to their top-{HYBRID_L}, then fused with
+    reciprocal-rank fusion — score = Σ 1/({HYBRID_RRF_K} + rank) over
+    the lists an item appears in (Cormack, Clarke & Buettcher, SIGIR'09)
+    — the standard RAG retrieval stack (lexical ∪ vector → RRF →
+    re-rank). Ranks are integers, so the fused score is exact IEEE
+    arithmetic on both engines; items missing from a list carry rank -1
+    (never null, keeping the comparison engine-neutral).
+
+    Scale: each retriever keeps its own scale shape (posting-filtered
+    shuffle; broadcast-probe map scan) and only the two k-bounded rank
+    lists meet — the fusion join is {HYBRID_L}x{HYBRID_L} at most, the
+    definition of cheap. Swap the brute-force side for any ANN variant
+    (s_ann_lsh_topk, s_ivf_pq_search) without touching the fusion."""
+    from streams_spark.functions.text_funcs import tokens
+    from streams_spark.operators.text import BM25_B, BM25_K1, BM25_QUERY
+
+    # --- vector list: cosine vs probe vec 0 ---
+    corpus = _corpus(spark, sf_dir)
+    probe = corpus.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    vec = (
+        corpus.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    # TakeOrdered-limit FIRST (per-partition heap + driver merge of L
+    # rows), THEN rank the L survivors — a global row_number before the
+    # cut would drag the whole candidate set through one partition
+    wv = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    vtop = (
+        vec.orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(HYBRID_L)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select("doc_id", "vec_rank")
+    )
+
+    # --- lexical list: BM25 (t_bm25 formula; corpus-wide stats) ---
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY) & (F.col("doc_id") != 0))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(idf * sat) * 10000 + F.lit(0.5)) / 10000).alias(
+                "bm25"
+            )
+        )
+    )
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    ltop = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(HYBRID_L)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("doc_id", "lex_rank")
+    )
+
+    # --- RRF fusion over the two k-bounded lists ---
+    fused = vtop.join(ltop, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("int").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).cast("int").alias("vec_rank"),
+        (
+            F.floor(
+                (
+                    F.coalesce(
+                        1.0 / (HYBRID_RRF_K + F.col("lex_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        1.0 / (HYBRID_RRF_K + F.col("vec_rank")), F.lit(0.0)
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(HYBRID_TOPK)

@@ -128,6 +128,7 @@ ROUND_PRIORITY = [
     "q_grouped_map",
     "q_arrow_udf",
     "st_cdc_apply",
+    "s_hybrid_search",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
