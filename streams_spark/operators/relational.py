@@ -2398,3 +2398,200 @@ def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id").distinct().select(
         "user_id", luhn(F.col("user_id")).alias("luhn_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: stored partial-agg state + new-batch merge
+# ---------------------------------------------------------------------------
+
+_INCR_AGG = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 10000 + 0.5)
+           / 10000 AS mean_value
+FROM c GROUP BY event_type
+"""
+
+_INCR_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register("q_incremental_agg", oracle=_INCR_AGG)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a per-type metrics rollup: the
+    history BEFORE the cutoff is aggregated once into a stored state
+    table (materialized to parquet here, a real table in production),
+    and the new batch (ts >= cutoff) updates it by MERGING PARTIALS —
+    counts and integer-cent sums add, min/min and max/max fold — without
+    ever rescanning history. The oracle is the from-scratch aggregate
+    over everything, so a green row proves state+delta == full recompute.
+    All merge state is integers (the st_running_stats trick), so the
+    two-step fold is bit-identical to the one-step one.
+
+    This is the batch skeleton of what streaming foreachBatch rollups do
+    every trigger (and of Delta/materialized-view incremental refresh);
+    mergeable-state discipline is the same one q_hll_union /
+    q_kmv_distinct / t_cms_heavy use for sketches.
+
+    Scale: the delta scan is the only data-sized stage; state is
+    |groups| rows. The merge is a groupBy over |groups|x2 rows — free.
+    History cost is paid once, ever."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    # one-time history fold, persisted as the state table
+    state_dir = tempfile.mkdtemp(prefix="incragg_") + "/state"
+    partial(ev.where(F.col("ts") < cutoff)).write.mode("overwrite").parquet(
+        state_dir
+    )
+    state = spark.read.parquet(state_dir)
+    delta = partial(ev.where(F.col("ts") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "min_cents",
+        "max_cents",
+        (
+            F.floor(
+                F.col("sum_cents").cast("double")
+                / F.col("n_events")
+                / 100
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mean_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column null/distinct/min/max census in one scan
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_totalprice",
+)
+
+_TABLE_PROFILE = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             AS o_totalprice
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM src
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM src
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+FROM src
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), min(o_orderpriority),
+       max(o_orderpriority)
+FROM src
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate), min(o_orderdate), max(o_orderdate)
+FROM src
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(min(CAST(o_totalprice AS BIGINT)) AS VARCHAR),
+       CAST(max(CAST(o_totalprice AS BIGINT)) AS VARCHAR)
+FROM src
+"""
+
+
+@register("q_table_profile", oracle=_TABLE_PROFILE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column census (rows, nulls, exact distinct, min,
+    max per column) computed in ONE scan: all 6x4 aggregates live in a
+    single groupBy-less agg, then pivot to one row per column — the
+    oracle states the naive six-scan UNION ALL form a profiler must NOT
+    execute. Min/max normalize to strings engine-neutrally (dates ISO,
+    money as integer cents — raw double-to-string formatting diverges
+    across engines).
+
+    Scale: one pass over the table; the multiple exact distincts expand
+    to one shuffle each (Spark's distinct-agg expand), which a
+    production profiler trades to approx_count_distinct — the exact form
+    is kept here because the oracle can then check every value."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("o_totalprice"),
+    )
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = src.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

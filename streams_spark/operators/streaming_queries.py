@@ -1037,3 +1037,162 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("ts").alias("updated_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch: counters built per batch, merged elementwise
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = ("table", "join", "scan", "value", "data")
+
+
+def _cms_stream_oracle() -> str:
+    from streams_spark.operators.text import CMS_A, CMS_B, CMS_D, CMS_P, CMS_W
+
+    probes = ", ".join(f"'{t}'" for t in _CMS_PROBES)
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), h AS (
+  SELECT t, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
+), rows_ AS (
+  SELECT r.r, a.a, b.b
+  FROM (SELECT unnest(range({CMS_D})) AS r) r
+  JOIN (SELECT unnest(range({CMS_D})) AS r, unnest({CMS_A!r}) AS a) a
+    ON a.r = r.r
+  JOIN (SELECT unnest(range({CMS_D})) AS r, unnest({CMS_B!r}) AS b) b
+    ON b.r = r.r
+), counters AS (
+  SELECT rows_.r, ((rows_.a * h.x + rows_.b) % {CMS_P}) % {CMS_W} AS slot,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM h CROSS JOIN rows_
+  GROUP BY 1, 2
+), probe AS (
+  SELECT t AS term,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x
+  FROM (SELECT unnest([{probes}]) AS t)
+)
+SELECT p.term, min(coalesce(c.cnt, 0)) AS est_count
+FROM probe p
+CROSS JOIN rows_
+LEFT JOIN counters c
+  ON c.r = rows_.r
+ AND c.slot = ((rows_.a * p.x + rows_.b) % {CMS_P}) % {CMS_W}
+GROUP BY p.term
+"""
+
+
+@register("st_cms_merge", oracle=_cms_stream_oracle())
+@_capped_state_shuffle
+def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained OVER A STREAM: each micro-batch (the
+    documents corpus staged as 3 files, maxFilesPerTrigger=1) builds its
+    own DxW counter table and foreachBatch merges it into the running
+    sketch by elementwise addition — the mergeability that makes CMS the
+    streaming heavy-hitter structure (t_cms_heavy is the batch twin; the
+    same property powers every partial-agg combine). Counter addition
+    commutes, so the 3-batch fold equals the whole-corpus sketch and the
+    batch-built oracle value-checks the streamed result exactly: the
+    final probe estimates for {len(_CMS_PROBES)} fixed terms.
+
+    Scale: per batch one partial-agg'd shuffle to <= DxW rows; the
+    running state IS the sketch — 2048 longs per stream, regardless of
+    corpus or batch count."""
+    import tempfile
+
+    from streams_spark.operators.text import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_P,
+        CMS_W,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cms_")
+    feed_dir = f"{tmp}/feed"
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        feed_dir
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+
+    def slot(r: int, x):
+        return ((F.lit(CMS_A[r]) * x + F.lit(CMS_B[r])) % CMS_P) % CMS_W
+
+    def to_counters(df: DataFrame) -> DataFrame:
+        x = (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("x")
+        )
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("t"))
+            .select(x)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                slot(r, F.col("x")).alias("slot"),
+                            )
+                            for r in range(CMS_D)
+                        ]
+                    )
+                ).alias("rs")
+            )
+            .groupBy("rs.r", "rs.slot")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    state = {"df": None}
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        part = to_counters(bdf)
+        cur = state["df"]
+        merged = part if cur is None else (
+            cur.unionByName(part)
+            .groupBy("r", "slot")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state["df"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = state["df"]
+
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "term string"
+    ).select(
+        "term",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("x"),
+    )
+    pslots = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), slot(r, F.col("x")).alias("slot")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rs"),
+    ).select("term", "rs.r", "rs.slot")
+    return (
+        pslots.join(F.broadcast(sketch), ["r", "slot"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+        .localCheckpoint()
+    )

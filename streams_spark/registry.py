@@ -129,6 +129,9 @@ ROUND_PRIORITY = [
     "q_arrow_udf",
     "st_cdc_apply",
     "s_hybrid_search",
+    "q_incremental_agg",
+    "st_cms_merge",
+    "q_table_profile",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
