@@ -2595,3 +2595,64 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window navigation functions: nth_value, first/last IGNORE NULLS, defaults
+# ---------------------------------------------------------------------------
+
+_WINDOW_NAV = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN "value" >= 10 THEN round("value", 2) END AS v
+  FROM events
+)
+SELECT event_id, user_id, v,
+       first_value(v IGNORE NULLS) OVER w AS first_big,
+       last_value(v IGNORE NULLS) OVER w AS last_big_so_far,
+       nth_value(v, 3) OVER w AS third_value,
+       lag(v, 1, -1.0) OVER w AS prev_or_default,
+       lead(v, 2) OVER w AS next_next
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_window_navigation", oracle=_WINDOW_NAV)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window NAVIGATION surface in one query: first_value/last_value
+    with IGNORE NULLS (gap-jumping over a sparsified column), nth_value
+    over a running frame, lag with an explicit default, and a 2-step
+    lead beyond the frame (null at partition tail). The running ROWS
+    frame makes last_value meaningful (current-row-so-far) and nth_value
+    null until 3 non-... rows accumulate — the exact semantics both
+    engines must agree on, which is the point of pinning them.
+
+    Scale: one shuffle on the partition key; all five functions share
+    the single sort and frame — Catalyst evaluates them in one Window
+    operator, not five."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") >= 10, F.round("value", 2)).alias("v"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # lag/lead take no frame (they navigate the partition, not a frame)
+    # — same semantics the SQL window gives them despite the shared
+    # WINDOW clause; the framed spec feeds the value functions only
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.first("v", ignorenulls=True).over(w).alias("first_big"),
+        F.last("v", ignorenulls=True).over(w).alias("last_big_so_far"),
+        F.nth_value("v", 3).over(w).alias("third_value"),
+        F.lag("v", 1, -1.0).over(wo).alias("prev_or_default"),
+        F.lead("v", 2).over(wo).alias("next_next"),
+    )

@@ -132,6 +132,7 @@ ROUND_PRIORITY = [
     "q_incremental_agg",
     "st_cms_merge",
     "q_table_profile",
+    "q_window_navigation",
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
