@@ -602,3 +602,163 @@ def m_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_crossings bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (storage-level dedup over opaque payloads)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8  # bytes hashed per boundary probe
+CDC_DIVISOR = 32  # P(boundary) = 1/32 per position -> ~32-byte avg chunks
+
+_CDC_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text AS s, len(text) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, s, unnest(range(8, n + 1)) AS i FROM m)
+  WHERE CAST(concat('0x', substr(md5(substr(s, i - 7, 8)), 1, 4))
+             AS INTEGER) % 32 = 0
+),
+bs AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id),
+withb AS (
+  SELECT m.doc_id, m.media_type, m.s, m.n, coalesce(bs.bs, []) AS bs
+  FROM m LEFT JOIN bs USING (doc_id)
+),
+idx AS (
+  SELECT doc_id, media_type, s,
+         list_prepend(0, bs) AS st, list_append(bs, n) AS en,
+         unnest(range(1, len(bs) + 2)) AS k
+  FROM withb
+),
+c AS (
+  SELECT media_type, md5(substr(s, st[k] + 1, en[k] - st[k])) AS h,
+         en[k] - st[k] AS bytes
+  FROM idx WHERE en[k] > st[k]
+),
+g AS (
+  SELECT media_type, h, count(*) AS cnt, any_value(bytes) AS bytes
+  FROM c GROUP BY media_type, h
+)
+SELECT media_type,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(cnt * bytes) AS BIGINT) AS logical_bytes,
+       CAST(sum(bytes) AS BIGINT) AS stored_bytes,
+       floor(sum(bytes) * 1.0 / sum(cnt * bytes) * 10000 + 0.5) / 10000
+         AS dedup_ratio
+FROM g GROUP BY media_type
+"""
+
+
+def cdc_chunk_table(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Chunk-level frame (doc_id, media_type, start, end, chunk_md5,
+    bytes) from content-defined chunking of every payload.
+
+    A chunk boundary is declared after byte position i whenever
+    md5(payload[i-W+1 .. i]) % D == 0 — the boundary depends only on the
+    LOCAL W-byte window, so identical content regions re-align to
+    identical chunks even when shifted by inserts/deletes upstream
+    (the property fixed-size blocking lacks, and the reason backup/
+    object stores chunk this way; Muthitacharoen et al., LBFS SOSP'01).
+    The probe hash is engine-portable md5 (the repo-wide idiom) rather
+    than a rolling Gear/Rabin chain: boundary tests stay independent
+    per position, which is what makes the op expressible as ONE
+    declarative plan in both engines instead of a stateful scan.
+
+    Scale shape: the boundary probe is a generator explode (positions)
+    feeding codegen md5 — map-only, no shuffle, output only the
+    boundary hits (~n/D rows). One partial-agg'd groupBy(doc_id)
+    collects each doc's boundary list (tiny: positions only), which
+    joins back onto the payload row to slice chunks inside the
+    projection. Only 16-byte chunk digests + lengths shuffle for the
+    corpus-wide chunk-store rollup — payload bytes NEVER shuffle. At
+    100 TB the probe explode is the dominant map cost (one md5 per
+    byte); a real deployment fuses it into a mapInPandas gear-hash
+    chunker per partition (same downstream shape), which the decode_fn
+    seam above already demonstrates for codecs.
+    """
+    media = media_table(spark, sf_dir)
+    base = media.select(
+        "doc_id",
+        "media_type",
+        F.decode("payload", "utf-8").alias("s"),
+    ).withColumn("n", F.length("s"))
+    probe = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(window), F.col("n"))).alias("i"),
+        "s",
+    ).where(F.col("n") >= window)
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.substring("s", F.col("i") - window + 1, window)), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    bounds = (
+        probe.where(h16 % divisor == 0)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("bs"))
+    )
+    withb = base.join(bounds, "doc_id", "left").withColumn(
+        "bs", F.coalesce("bs", F.array().cast("array<int>"))
+    )
+    z = F.explode(
+        F.arrays_zip(
+            F.concat(F.array(F.lit(0)), F.col("bs")).alias("start"),
+            F.concat(F.col("bs"), F.array(F.col("n"))).alias("end"),
+        )
+    )
+    return (
+        withb.select("doc_id", "media_type", "s", z.alias("z"))
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("z.start").alias("start"),
+            F.col("z.end").alias("end"),
+            F.md5(
+                F.substring(
+                    "s", F.col("z.start") + 1, F.col("z.end") - F.col("z.start")
+                )
+            ).alias("chunk_md5"),
+            (F.col("z.end") - F.col("z.start")).cast("long").alias("bytes"),
+        )
+        .where(F.col("end") > F.col("start"))
+    )
+
+
+@register("m_cdc_chunks", oracle=_CDC_ORACLE)
+def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality chunk-store profile of content-defined chunking:
+    how many chunks, how many distinct after global (per-modality)
+    dedup, logical vs stored bytes, and the dedup ratio — the planning
+    query run before turning on chunk-level dedup in a blob store
+    (the reference stores payloads as opaque entry bytes,
+    /root/reference/server/messages.go:65; CDC is how a storage engine
+    dedups THOSE without understanding them). Ratio uses the repo's
+    cross-engine floor-rounding rule."""
+    chunks = cdc_chunk_table(spark, sf_dir)
+    g = chunks.groupBy("media_type", "chunk_md5").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("bytes").alias("bytes"),
+    )
+    ratio = F.sum("bytes") / F.sum(F.col("cnt") * F.col("bytes"))
+    return g.groupBy("media_type").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("bytes")).alias("logical_bytes"),
+        F.sum("bytes").alias("stored_bytes"),
+        (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("dedup_ratio"),
+    )

@@ -1810,3 +1810,80 @@ def test_kmv_estimate_within_error_bounds(spark, sf_dir):
         else:
             sigma = r.exact_distinct / math.sqrt(KMV_K - 2)
             assert abs(r.kmv_estimate - r.exact_distinct) <= 4 * sigma, r
+
+
+def test_cdc_chunks_reconstruct_and_realign(spark, sf_dir):
+    """Content-defined chunking is lossless and shift-invariant:
+    (a) per-doc chunks tile [0, n) exactly (concatenation reconstructs
+    the payload), and (b) for a payload equal to another payload with a
+    prefix prepended, every chunk after the first boundary of the
+    shorter doc reappears verbatim — the realignment property that
+    fixed-size blocking lacks."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.operators.multimodal import (
+        CDC_WINDOW,
+        cdc_chunk_table,
+    )
+
+    chunks = cdc_chunk_table(spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.start)
+        assert rs[0].start == 0
+        assert rs[-1].end == len(docs[doc_id])
+        for a, b in zip(rs, rs[1:]):
+            assert a.end == b.start, "chunks must tile without gaps"
+
+    # (b) realignment: re-chunk one payload with a synthetic prefix via
+    # the same boundary rule, computed directly in SQL on a 2-row frame
+    base_id = max(by_doc, key=lambda d: len(by_doc[d]))
+    text = docs[base_id]
+    shifted = "zqj7 " + text
+    two = spark.createDataFrame(
+        [("orig", text), ("shift", shifted)], "k string, s string"
+    )
+    probe = two.select(
+        "k",
+        "s",
+        F.explode(
+            F.sequence(F.lit(CDC_WINDOW), F.length("s"))
+        ).alias("i"),
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.substring("s", F.col("i") - CDC_WINDOW + 1, CDC_WINDOW)),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    bounds = {"orig": [], "shift": []}
+    for r in probe.where(h16 % 32 == 0).select("k", "i").collect():
+        bounds[r.k].append(r.i)
+    for bs in bounds.values():
+        bs.sort()
+
+    def chunk_set(s, bs):
+        cuts = [0] + list(bs) + [len(s)]
+        return {s[a:b] for a, b in zip(cuts, cuts[1:]) if b > a}
+
+    shift_chunks = chunk_set(shifted, bounds["shift"])
+    assert bounds["orig"], "chose the doc with the most chunks"
+    first_b = bounds["orig"][0]
+    # every orig chunk at/after the first boundary must reappear
+    # verbatim in the shifted payload's chunking
+    cuts = [0] + bounds["orig"] + [len(text)]
+    after_first = {
+        text[a:b] for a, b in zip(cuts, cuts[1:]) if a >= first_b and b > a
+    }
+    assert after_first <= shift_chunks, (
+        "chunks after the first boundary must survive a prefix shift"
+    )
