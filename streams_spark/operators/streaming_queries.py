@@ -1196,3 +1196,123 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: watermark-driven null emission
+# ---------------------------------------------------------------------------
+
+_STREAM_OUTER_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE c.event_type = 'click'
+"""
+
+
+@register("st_stream_outer_join", oracle=_STREAM_OUTER_ORACLE)
+@_capped_state_shuffle(cap=8)
+def st_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired with
+    the purchases it preceded by <10 min, or emitted once with NULLs
+    when the watermark proves no such purchase can still arrive. The
+    outer side is the part batch joins get for free but streaming must
+    EARN: a null result is a claim about data that hasn't arrived, so
+    it can only be emitted when state eviction (watermark passing the
+    click's last possible match time) makes the claim safe.
+
+    Emission discipline: unmatched rows flush only as the watermark
+    advances, and a bounded feed's natural final watermark
+    (max ts - delay) never passes its own tail — the production fix is
+    the one used here: HEARTBEAT/sentinel events that push the
+    watermark past the data before the feed closes (the streaming
+    analog of the reference closing a segment so consumers can finalize
+    — /root/reference/server/pebble/service.go:394-407 tail semantics).
+    One far-future sentinel pair rides in the feed itself; the data
+    batch lifts the watermark past every real click's match horizon,
+    and AvailableNow's final NO-DATA micro-batch (watermark-only, the
+    `noDataMicroBatches` machinery) evicts and emits every real
+    unmatched click before the query terminates. Sentinels (negative
+    user_ids) are filtered from the output; their own unmatched state
+    is the un-finalizable tail. The oracle is then the plain batch
+    LEFT JOIN.
+
+    Scale: symmetric hash join state is bounded by interval x rate per
+    side (same as st_stream_join); the outer emission adds no state —
+    eviction already scans expiring rows, emission just routes them to
+    the output instead of dropping them. Shuffle cap 8: four state
+    stores per partition (see _capped_state_shuffle).
+    """
+    import tempfile
+
+    from streams_spark.sources.tables import _normalize_event_ts
+
+    schema = _events_schema(spark, sf_dir)
+    ev = (
+        spark.read.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinel = spark.createDataFrame(
+        [(-2, -1, "click"), (-3, -2, "purchase")],
+        "event_id long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+
+    feed = f"{tempfile.mkdtemp(prefix='ssoj_')}/feed"
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(feed)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(feed)
+
+    # the final flush IS the no-data micro-batch; pin the conf the
+    # emission depends on instead of trusting the session default
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    def side(event_type: str, prefix: str):
+        return (
+            stream.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    )
+    sink = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).where(F.col("c_user") >= 0).select(
+        F.col("c_id").alias("click_id"),
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_ts").alias("purchase_ts"),
+    )

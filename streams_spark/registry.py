@@ -172,6 +172,8 @@ ROUND_PRIORITY = [
     "d_simhash_md5",
     "st_flagship_stream",
     "q_kmv_distinct",
+    "m_cdc_chunks",
+    "st_stream_outer_join",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -488,3 +488,36 @@ def test_transform_with_state_real_api_path(spark):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_types", "n_events", "top_type",
     ]
+
+
+def test_stream_outer_join_nulls_match_batch_anti_join(spark, sf_dir):
+    """The left-outer stream-stream join's NULL rows are exactly the
+    clicks the batch anti-join finds (no purchase by the same user in
+    the 10 minutes after), each click emitted exactly once as a null
+    row or >=1 matched rows — and no sentinel heartbeat rows leak."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.registry import load_all
+    from streams_spark.sources.tables import load_table
+
+    out = load_all()["st_stream_outer_join"].fn(spark, sf_dir).collect()
+    assert all(r.user_id >= 0 for r in out), "sentinels must be filtered"
+    null_clicks = {r.click_id for r in out if r.purchase_id is None}
+    matched_clicks = {r.click_id for r in out if r.purchase_id is not None}
+    assert null_clicks.isdisjoint(matched_clicks)
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    anti = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (clicks.ts >= purchases.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (clicks.ts < purchases.p_ts),
+        "left_anti",
+    )
+    expected_nulls = {r.event_id for r in anti.collect()}
+    assert null_clicks == expected_nulls
+    assert len(null_clicks) > 0 and len(matched_clicks) > 0
