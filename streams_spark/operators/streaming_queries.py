@@ -1316,3 +1316,77 @@ def st_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_id").alias("purchase_id"),
         F.col("p_ts").alias("purchase_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows computed BY the streaming engine (stateful merge)
+# ---------------------------------------------------------------------------
+
+@register("st_session_stream", oracle=_SESSION_ORACLE)
+@_capped_state_shuffle
+def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions computed by Structured Streaming's
+    STATEFUL session operator (st_session_window proves the operator's
+    semantics in batch; this runs it on a real stream, where sessions
+    must MERGE in the state store as out-of-order events bridge gaps,
+    and append mode may only emit a session once the watermark proves
+    no future event can extend it).
+
+    Same finalization discipline as st_stream_outer_join: a far-future
+    sentinel event rides in the feed, so the final no-data micro-batch
+    holds a watermark past every real session's close and flushes them
+    all — the streaming result then equals batch sessionization, which
+    is what the oracle states. The sentinel's own (still-open) session
+    is filtered by user_id.
+
+    Scale: state is one in-flight session struct per active (user,
+    session) — bounded by gap x arrival rate, evicted at emission;
+    session MERGES (two state entries fusing when a bridging event
+    arrives) are handled by the operator, the part a groupBy over a
+    derived session-id column cannot express incrementally."""
+    import tempfile
+
+    from streams_spark.sources.tables import _normalize_event_ts
+
+    schema = _events_schema(spark, sf_dir)
+    ev = (
+        spark.read.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+        .select("event_id", "ts", "user_id")
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinel = spark.createDataFrame(
+        [(-2, -1)], "event_id long, user_id long"
+    ).select(
+        "event_id",
+        (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        "user_id",
+    )
+    feed = f"{tempfile.mkdtemp(prefix='ssw_')}/feed"
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(feed)
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(feed)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).where(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

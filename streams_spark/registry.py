@@ -174,6 +174,7 @@ ROUND_PRIORITY = [
     "q_kmv_distinct",
     "m_cdc_chunks",
     "st_stream_outer_join",
+    "st_session_stream",
     # round-3-window queries stay registered behind these (import order)
 ]
 

@@ -38,7 +38,8 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 STRESS_DIR = os.environ.get(
     "STRESS_DIR", "/root/repo/.stress10x"
 )  # gitignored scratch
-N_COPIES = 10
+# STRESS_COPIES=100 gives a second decade (x100) for the linear ops
+N_COPIES = int(os.environ.get("STRESS_COPIES", "10"))
 
 STRESS_QUERIES = [
     # dedup family
@@ -84,7 +85,7 @@ def build_stress_corpus(spark) -> str:
     loadable sf layout)."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(STRESS_DIR, "sf0.1x10")
+    out = os.path.join(STRESS_DIR, f"sf0.1x{N_COPIES}")
     done_marker = os.path.join(out, "_BUILT")
     if os.path.exists(done_marker):
         return out
@@ -116,9 +117,12 @@ def build_stress_corpus(spark) -> str:
 
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     dim = len(emb.select("embedding").first().embedding)
+    # rotate by copy mod dim: a plain `copy` offset breaks once
+    # N_COPIES exceeds the dimensionality (slice beyond the array)
+    rot = F.col("copy") % dim
     rotated = F.concat(
-        F.slice(F.col("embedding"), F.col("copy") + 1, dim),
-        F.slice(F.col("embedding"), 1, F.col("copy")),
+        F.slice(F.col("embedding"), rot + 1, dim),
+        F.slice(F.col("embedding"), 1, rot),
     )
     (
         emb.select("*", copies)
