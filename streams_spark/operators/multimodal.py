@@ -694,7 +694,17 @@ def cdc_chunk_table(
         "doc_id",
         "media_type",
         F.decode("payload", "utf-8").alias("s"),
-    ).withColumn("n", F.length("s"))
+    )
+    return cdc_chunks_of(base, window=window, divisor=divisor)
+
+
+def cdc_chunks_of(
+    base: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """CDC chunk frame over any (doc_id, media_type, s:string) frame —
+    the reusable core of cdc_chunk_table (see its docstring for the
+    boundary rule and scale shape)."""
+    base = base.withColumn("n", F.length("s"))
     probe = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(window), F.col("n"))).alias("i"),

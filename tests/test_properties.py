@@ -382,3 +382,65 @@ def test_allpairs_prefix_filter_finds_every_qualifying_pair(doc_feats, t):
                     f"qualifying pair ({i},{j}) cos={cos} shares no "
                     "indexed feature"
                 )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_cdc_chunks_match_independent_python_chunker(spark, texts):
+    """The declarative CDC chunker (explode + codegen md5 + conv) must
+    produce exactly the chunks of an independent pure-Python
+    implementation of the boundary rule, for ANY ascii payload —
+    including empty strings (no chunks) and payloads shorter than the
+    probe window (one whole-payload chunk)."""
+    import hashlib
+
+    from streams_spark.operators.multimodal import (
+        CDC_DIVISOR,
+        CDC_WINDOW,
+        cdc_chunks_of,
+    )
+
+    def py_chunks(s: str) -> list[tuple[int, int, str]]:
+        bs = [
+            i
+            for i in range(CDC_WINDOW, len(s) + 1)
+            if int(
+                hashlib.md5(
+                    s[i - CDC_WINDOW : i].encode()
+                ).hexdigest()[:4],
+                16,
+            )
+            % CDC_DIVISOR
+            == 0
+        ]
+        cuts = [0] + bs + [len(s)]
+        return [
+            (a, b, hashlib.md5(s[a:b].encode()).hexdigest())
+            for a, b in zip(cuts, cuts[1:])
+            if b > a
+        ]
+
+    base = spark.createDataFrame(
+        [(i, "t", s) for i, s in enumerate(texts)],
+        "doc_id long, media_type string, s string",
+    )
+    got = {
+        (r.doc_id, r.start, r.end, r.chunk_md5)
+        for r in cdc_chunks_of(base).collect()
+    }
+    want = {
+        (i, a, b, h)
+        for i, s in enumerate(texts)
+        for (a, b, h) in py_chunks(s)
+    }
+    assert got == want
