@@ -1291,3 +1291,95 @@ def p_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (ablated, n_survivors)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (target-vs-pool n-gram LM ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR = """
+WITH ex AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term FROM documents
+),
+cs AS (SELECT term, count(*) AS c_s FROM ex GROUP BY term),
+ct AS (SELECT term, count(*) AS c_t FROM ex WHERE lang = 'en' GROUP BY term),
+tot AS (
+  SELECT count(*) AS n_s,
+         count(*) FILTER (lang = 'en') AS n_t,
+         count(DISTINCT term) AS v
+  FROM ex
+),
+scored AS (
+  SELECT ex.doc_id,
+         floor(avg(ln((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+                 - ln((cs.c_s + 1.0) / (tot.n_s + tot.v))) * 10000 + 0.5)
+           / 10000 AS imp
+  FROM ex
+  JOIN cs USING (term)
+  LEFT JOIN ct USING (term)
+  CROSS JOIN tot
+  GROUP BY ex.doc_id
+),
+cut AS (SELECT quantile_cont(imp, 0.9) AS c90 FROM scored)
+SELECT d.doc_id, d.source, d.lang, s.imp
+FROM scored s
+JOIN documents d USING (doc_id)
+CROSS JOIN cut
+WHERE s.imp >= cut.c90
+"""
+
+
+@register("p_dsir_resample", oracle=_DSIR)
+def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every pool
+    document by the log importance ratio of a TARGET-domain n-gram LM
+    (here: the English slice, add-1 smoothed unigrams — the paper uses
+    hashed n-grams, same estimator shape) over the POOL LM, and keep
+    the top decile. The reference has nothing like it (§2.3 is point
+    lookups); this is the modern pretraining-data-selection method the
+    quality-filter family (t_c4_rules / t_ccnet_buckets) leads up to —
+    CCNet ranks by one LM, DSIR by the ratio of two, which targets a
+    DISTRIBUTION rather than generic fluency.
+
+    Plan shape = t_unigram_lm twice, shared scan: ONE token explode
+    feeds both count tables (the target one filtered before its agg),
+    both vocab-sized, joined back under AQE; totals are a single-row
+    broadcast. Selection is the no-global-sort quantile-threshold shape
+    of p_curriculum/t_ccnet_buckets: one percentile aggregate broadcast
+    onto a map-side filter. Quantile and comparison run on the
+    4dp-floor-rounded score so both engines cut at the same doubles.
+    At 100 TB: counts get top-K-truncated with a smoothing floor for
+    the tail (the Heaps'-law note on t_unigram_lm), everything else
+    already partial-aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    cs = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c_s"))
+    ct = (
+        ex.where(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = ex.agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+        F.countDistinct("term").alias("v"),
+    )
+    ratio = F.avg(
+        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v")))
+        - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.col("v")))
+    )
+    scored = (
+        ex.join(cs, "term")
+        .join(ct, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg((F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("imp"))
+    )
+    cut = scored.agg(F.percentile("imp", 0.9).alias("c90"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .where(F.col("imp") >= F.col("c90"))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", "imp")
+    )

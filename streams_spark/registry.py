@@ -175,6 +175,7 @@ ROUND_PRIORITY = [
     "m_cdc_chunks",
     "st_stream_outer_join",
     "st_session_stream",
+    "p_dsir_resample",
     # round-3-window queries stay registered behind these (import order)
 ]
 

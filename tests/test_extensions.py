@@ -1887,3 +1887,19 @@ def test_cdc_chunks_reconstruct_and_realign(spark, sf_dir):
     assert after_first <= shift_chunks, (
         "chunks after the first boundary must survive a prefix shift"
     )
+
+
+def test_dsir_selects_target_like_documents(spark, sf_dir):
+    """DSIR selection must actually target the distribution: the
+    English share among selected docs exceeds the corpus English share
+    (the importance ratio rewards target-LM-likely tokens), and
+    exactly the top decile (by count) is kept."""
+    from streams_spark.sources.tables import load_table
+
+    rows = _rows(spark, sf_dir, "p_dsir_resample")
+    docs = load_table(spark, sf_dir, "documents").select("lang").collect()
+    n_docs = len(docs)
+    corpus_en = sum(1 for r in docs if r.lang == "en") / n_docs
+    sel_en = sum(1 for r in rows if r.lang == "en") / len(rows)
+    assert sel_en > corpus_en
+    assert len(rows) <= max(1, round(0.12 * n_docs))
