@@ -26,7 +26,7 @@ from streams_spark.sources.tables import load_table
 _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
 
 
-def _capped_state_shuffle(fn=None, *, cap: int = 32):
+def _capped_state_shuffle(fn=None, *, cap: int = 8):
     """Run a streaming query under at most `cap` shuffle partitions, then
     RESTORE the session conf. Stateful streaming ops disable AQE and
     materialize one state store per shuffle partition, fixed at query
@@ -37,11 +37,14 @@ def _capped_state_shuffle(fn=None, *, cap: int = 32):
     halve batch shuffle parallelism for the rest of the session. A real
     deployment sizes this conf to event-rate x watermark instead.
 
-    Default cap 32 (= harness cores). Stream-STREAM joins take a lower
-    cap: the symmetric hash join materializes FOUR state stores per
-    partition (keyToNumValues + keyWithIndex per side) versus one for an
-    aggregation, so its per-partition fixed cost is ~4x — measured 13.4 s
-    at 32 partitions vs 2.8 s at 8 for the same 9-row sf0.01 result."""
+    Default cap 8: the per-partition state-store fixed cost dominates at
+    harness scale even for plain aggregations — st_tumbling_stream at
+    sf0.1 measured 1.40 s under 32 partitions vs 0.81 s under 8 (0.73 s
+    at 4; 8 keeps headroom for state growth). Stream-STREAM joins are
+    the extreme case: the symmetric hash join materializes FOUR state
+    stores per partition (keyToNumValues + keyWithIndex per side) versus
+    one for an aggregation — measured 13.4 s at 32 partitions vs 2.8 s
+    at 8 for the same 9-row sf0.01 result."""
 
     def deco(f):
         @functools.wraps(f)
