@@ -521,3 +521,62 @@ def test_stream_outer_join_nulls_match_batch_anti_join(spark, sf_dir):
     expected_nulls = {r.event_id for r in anti.collect()}
     assert null_clicks == expected_nulls
     assert len(null_clicks) > 0 and len(matched_clicks) > 0
+
+
+def test_stateful_agg_recovers_state_across_query_restart(spark, tmp_path):
+    """A stateful streaming aggregation stopped after its first file and
+    RESTARTED from the same checkpoint must fold the second file into
+    the recovered state store (not recount from scratch, not lose the
+    first batch): the final update-mode totals equal the batch
+    aggregation over both files. This is the crash/upgrade restart
+    guarantee checkpoints exist for — the cross-restart analog of the
+    in-run batch folding st_cdc_apply proves."""
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    base = dt.datetime(2024, 1, 1)
+    f1 = [(u, base + dt.timedelta(minutes=u), float(u)) for u in range(6)]
+    f2 = [
+        (u, base + dt.timedelta(minutes=30 + u), 10.0 + u) for u in range(3)
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(feed)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        sink = {}
+
+        def sink_batch(bdf, bid):
+            for r in bdf.collect():
+                sink[r.user_id] = (r.n, r.total)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    write_file("f1", f1)
+    first = run_once()
+    assert first[2] == (1, 2.0)
+
+    write_file("f2", f2)
+    second = run_once()  # NEW query instance, same checkpoint
+    # users 0-2: state recovered (count 2, sum includes file 1's value)
+    for u in range(3):
+        assert second[u] == (2, float(u) + 10.0 + u)
+    # users 3-5 saw no new rows: update mode re-emits nothing for them
+    assert all(u not in second for u in range(3, 6))
