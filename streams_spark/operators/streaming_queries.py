@@ -436,12 +436,22 @@ FROM events
 @register("st_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
 @_capped_state_shuffle
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on a content hash with a
-    watermark bounding the dedup state — the exactly-once ingestion gate
-    of a training-data pipeline (same key arriving within the watermark
-    horizon is dropped; state for expired keys is evicted, so the store
-    does not grow with the stream). Output is the distinct key set, which
-    is order-independent and equals the batch DISTINCT the oracle states.
+    """Streaming exact dedup: dropDuplicates on a content hash — the
+    exactly-once ingestion gate of a training-data pipeline. Output is
+    the distinct key set, order-independent, equal to the batch
+    DISTINCT the oracle states.
+
+    State honesty: because the dedup key does NOT include the event-time
+    column, dropDuplicates keeps every seen key forever — the watermark
+    here bounds late input, not this operator's state (the documented
+    Spark gotcha). That is exactly what makes the output equal global
+    DISTINCT. The bounded-state variant is dropDuplicatesWithinWatermark
+    (state evicted at firstSeen + delay), which a 100 TB deployment
+    would use — accepting that a key recurring AFTER expiry re-emits,
+    so its output is only horizon-distinct, not global-distinct. For
+    unbounded streams where global exactness matters, the right shape is
+    the idempotent ledger sink (streaming/produce.py) keyed on content
+    hash in the store itself.
     """
     schema = _events_schema(spark, sf_dir)
     stream = (
