@@ -276,7 +276,7 @@ JOIN events p
 
 
 @register("st_stream_join", oracle=_STREAM_JOIN_ORACLE)
-@_capped_state_shuffle(cap=8)
+@_capped_state_shuffle
 def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (clicks within 10 min before a purchase by
     the same user), both sides watermarked — Structured Streaming buffers
@@ -1212,6 +1212,64 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sentinel-heartbeat feeds: finalize watermark state on a bounded stream
+# ---------------------------------------------------------------------------
+
+
+def _sentinel_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    op: str,
+    columns: list[str],
+    sentinel_rows: list[tuple],
+    sentinel_schema: str,
+) -> str:
+    """Build (once) and return a parquet feed dir = normalized events
+    projected to `columns`, plus far-future sentinel rows (ts = max
+    real ts + 2 days, merged into the schema) whose job is to push the
+    final watermark past every real row so AvailableNow's no-data
+    micro-batch can flush all watermark-held state (see
+    st_stream_outer_join for the emission-discipline rationale).
+
+    The feed is deterministic in (sf_dir, op, columns), so it is cached
+    under a content-keyed path in the system temp dir and REUSED across
+    calls — repeated gate/bench runs neither rewrite the table nor
+    accumulate orphan dirs. Also pins noDataMicroBatches=true (restored
+    by callers is unnecessary: true IS the Spark default; the pin only
+    guards against a harness having turned it off, and it is scoped to
+    the conf read at query start)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from streams_spark.sources.tables import _normalize_event_ts
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{op}|{','.join(columns)}".encode()
+    ).hexdigest()[:10]
+    feed = os.path.join(
+        tempfile.gettempdir(), "pystreams_sentinel_feeds", f"{op}_{key}"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        schema = _events_schema(spark, sf_dir)
+        ev = (
+            spark.read.schema(schema)
+            .parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
+            .select(*columns)
+        )
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+        sentinel = spark.createDataFrame(
+            sentinel_rows, sentinel_schema
+        ).withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 DAYS"))
+        ev.unionByName(sentinel.select(*columns)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(feed)
+    return feed
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream LEFT OUTER join: watermark-driven null emission
 # ---------------------------------------------------------------------------
 
@@ -1228,7 +1286,7 @@ WHERE c.event_type = 'click'
 
 
 @register("st_stream_outer_join", oracle=_STREAM_OUTER_ORACLE)
-@_capped_state_shuffle(cap=8)
+@_capped_state_shuffle
 def st_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click, paired with
     the purchases it preceded by <10 min, or emitted once with NULLs
@@ -1260,38 +1318,17 @@ def st_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output instead of dropping them. Shuffle cap 8: four state
     stores per partition (see _capped_state_shuffle).
     """
-    import tempfile
-
-    from streams_spark.sources.tables import _normalize_event_ts
-
-    schema = _events_schema(spark, sf_dir)
-    ev = (
-        spark.read.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
-        .select("event_id", "ts", "user_id", "event_type")
-    )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
-    sentinel = spark.createDataFrame(
+    feed = _sentinel_feed(
+        spark,
+        sf_dir,
+        "ssoj",
+        ["event_id", "ts", "user_id", "event_type"],
         [(-2, -1, "click"), (-3, -2, "purchase")],
         "event_id long, user_id long, event_type string",
-    ).select(
-        "event_id",
-        (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
-        "user_id",
-        "event_type",
     )
-
-    feed = f"{tempfile.mkdtemp(prefix='ssoj_')}/feed"
-    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(feed)
-
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string"
     ).parquet(feed)
-
-    # the final flush IS the no-data micro-batch; pin the conf the
-    # emission depends on instead of trusting the session default
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
 
     def side(event_type: str, prefix: str):
         return (
@@ -1357,29 +1394,14 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     session MERGES (two state entries fusing when a bridging event
     arrives) are handled by the operator, the part a groupBy over a
     derived session-id column cannot express incrementally."""
-    import tempfile
-
-    from streams_spark.sources.tables import _normalize_event_ts
-
-    schema = _events_schema(spark, sf_dir)
-    ev = (
-        spark.read.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
-        .select("event_id", "ts", "user_id")
+    feed = _sentinel_feed(
+        spark,
+        sf_dir,
+        "ssw",
+        ["event_id", "ts", "user_id"],
+        [(-2, -1)],
+        "event_id long, user_id long",
     )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
-    sentinel = spark.createDataFrame(
-        [(-2, -1)], "event_id long, user_id long"
-    ).select(
-        "event_id",
-        (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
-        "user_id",
-    )
-    feed = f"{tempfile.mkdtemp(prefix='ssw_')}/feed"
-    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(feed)
-
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long"
     ).parquet(feed)

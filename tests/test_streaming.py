@@ -535,7 +535,7 @@ def test_stateful_agg_recovers_state_across_query_restart(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(feed)
 
-    def write_file(name, rows):
+    def write_file(rows):
         spark.createDataFrame(
             rows, "user_id long, ts timestamp, value double"
         ).coalesce(1).write.mode("append").parquet(feed)
@@ -569,11 +569,11 @@ def test_stateful_agg_recovers_state_across_query_restart(spark, tmp_path):
         q.awaitTermination()
         return sink
 
-    write_file("f1", f1)
+    write_file(f1)
     first = run_once()
     assert first[2] == (1, 2.0)
 
-    write_file("f2", f2)
+    write_file(f2)
     second = run_once()  # NEW query instance, same checkpoint
     # users 0-2: state recovered (count 2, sum includes file 1's value)
     for u in range(3):
