@@ -641,14 +641,19 @@ _CURRICULUM = """
 WITH t AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
   FROM documents
-), cuts AS (
-  SELECT quantile_cont(n_words, 1.0/3) AS c1,
-         quantile_cont(n_words, 2.0/3) AS c2
-  FROM t
+), hist AS (
+  SELECT n_words AS w, count(*) AS c FROM t GROUP BY 1
+), cum AS (
+  SELECT w, sum(c) OVER (ORDER BY w) AS cum FROM hist
+), nn AS (SELECT count(*) AS n FROM t),
+cuts AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN w END) AS c1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN w END) AS c2
+  FROM cum, nn
 )
 SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
-       CAST(CASE WHEN n_words < c1 THEN 1
-                 WHEN n_words < c2 THEN 2
+       CAST(CASE WHEN n_words <= c1 THEN 1
+                 WHEN n_words <= c2 THEN 2
                  ELSE 3 END AS INTEGER) AS phase
 FROM t, cuts
 """
@@ -658,23 +663,37 @@ FROM t, cuts
 def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum phase assignment: tertile buckets over document
     word count (short->long training order), WITHOUT ntile — a global
-    ntile is a single-task sort at corpus scale. Instead: one aggregate
-    computes the two percentile cutoffs (continuous quantile — matches
-    DuckDB's quantile_cont bit-for-bit on integer inputs), broadcast onto
-    a map-only phase CASE. Same two-step shape as p_domain_cap's window:
-    aggregate the tiny frame, broadcast it back over the scan.
+    ntile is a single-task sort at corpus scale. Cutoffs come from the
+    integer word-count histogram (cumulative counts over the tiny
+    distinct-lengths frame), not a continuous percentile: interpolated
+    quantiles proved 1-ulp engine-divergent exactly when many docs tie
+    at the boundary (see t_ccnet_buckets), and tertiles over integers
+    with ties are honestly a counting problem. Broadcast onto a
+    map-only phase CASE, same two-step shape as p_domain_cap.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", F.size(tokens("text")).alias("n_words")
     )
-    cuts = t.agg(
-        F.percentile("n_words", 1.0 / 3).alias("c1"),
-        F.percentile("n_words", 2.0 / 3).alias("c2"),
+    hist = t.groupBy(F.col("n_words").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.select(
+        "w",
+        F.sum("c")
+        .over(Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    n = t.agg(F.count(F.lit(1)).alias("n"))
+    cuts = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("w"))).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("w"))
+        ).alias("c2"),
     )
     phase = (
-        F.when(F.col("n_words") < F.col("c1"), 1)
-        .when(F.col("n_words") < F.col("c2"), 2)
+        F.when(F.col("n_words") <= F.col("c1"), 1)
+        .when(F.col("n_words") <= F.col("c2"), 2)
         .otherwise(3)
     )
     return t.crossJoin(F.broadcast(cuts)).select(
@@ -1311,21 +1330,26 @@ tot AS (
 ),
 scored AS (
   SELECT ex.doc_id,
-         floor(avg(ln((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + tot.v))
-                 - ln((cs.c_s + 1.0) / (tot.n_s + tot.v))) * 10000 + 0.5)
-           / 10000 AS imp
+         CAST(floor(avg(ln((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+                  - ln((cs.c_s + 1.0) / (tot.n_s + tot.v))) * 10000 + 0.5)
+              AS BIGINT) AS s
   FROM ex
   JOIN cs USING (term)
   LEFT JOIN ct USING (term)
   CROSS JOIN tot
   GROUP BY ex.doc_id
 ),
-cut AS (SELECT quantile_cont(imp, 0.9) AS c90 FROM scored)
-SELECT d.doc_id, d.source, d.lang, s.imp
-FROM scored s
+hist AS (SELECT s, count(*) AS c FROM scored GROUP BY s),
+cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+nn AS (SELECT count(*) AS n FROM scored),
+cut AS (
+  SELECT min(CASE WHEN cum * 10 >= 9 * n THEN s END) AS c90 FROM cum, nn
+)
+SELECT d.doc_id, d.source, d.lang, sc.s / 10000.0 AS imp
+FROM scored sc
 JOIN documents d USING (doc_id)
 CROSS JOIN cut
-WHERE s.imp >= cut.c90
+WHERE sc.s > cut.c90
 """
 
 
@@ -1345,10 +1369,11 @@ def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape = t_unigram_lm twice, shared scan: ONE token explode
     feeds both count tables (the target one filtered before its agg),
     both vocab-sized, joined back under AQE; totals are a single-row
-    broadcast. Selection is the no-global-sort quantile-threshold shape
-    of p_curriculum/t_ccnet_buckets: one percentile aggregate broadcast
-    onto a map-side filter. Quantile and comparison run on the
-    4dp-floor-rounded score so both engines cut at the same doubles.
+    broadcast. Selection is the integer-histogram decile cut of
+    p_curriculum/t_ccnet_buckets (scores snap to 4dp integers; the cut
+    is the smallest score whose cumulative count reaches 0.9n; keep
+    strictly above it) — exact integer boundary arithmetic, immune to
+    the 1-ulp continuous-quantile divergence those ops hit at sf0.1.
     At 100 TB: counts get top-K-truncated with a smoothing floor for
     the tail (the Heaps'-law note on t_unigram_lm), everything else
     already partial-aggregates."""
@@ -1374,12 +1399,28 @@ def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ct, "term", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
-        .agg((F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("imp"))
+        .agg(
+            F.floor(ratio * 10000 + F.lit(0.5)).cast("long").alias("s")
+        )
     )
-    cut = scored.agg(F.percentile("imp", 0.9).alias("c90"))
+    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "s",
+        F.sum("c")
+        .over(Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    cut = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("s"))
+        ).alias("c90")
+    )
     return (
         scored.crossJoin(F.broadcast(cut))
-        .where(F.col("imp") >= F.col("c90"))
+        .where(F.col("s") > F.col("c90"))
         .join(docs.select("doc_id", "source", "lang"), "doc_id")
-        .select("doc_id", "source", "lang", "imp")
+        .select(
+            "doc_id", "source", "lang", (F.col("s") / 10000.0).alias("imp")
+        )
     )

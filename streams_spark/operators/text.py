@@ -1085,17 +1085,23 @@ _CCNET_BUCKETS = (
     _UNIGRAM_LM.rsplit("SELECT ex.doc_id", 1)[0]
     + """, scored AS (
   SELECT ex.doc_id,
-         round(avg(ln(CAST(freq.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+         CAST(floor(avg(ln(CAST(freq.c AS DOUBLE) / tot.n)) * 10000 + 0.5)
+              AS BIGINT) AS s
   FROM ex JOIN freq USING (term) CROSS JOIN tot
   GROUP BY ex.doc_id
-), cuts AS (
-  SELECT quantile_cont(avg_logprob, 1.0/3) AS c1,
-         quantile_cont(avg_logprob, 2.0/3) AS c2
-  FROM scored
+), hist AS (
+  SELECT s, count(*) AS c FROM scored GROUP BY s
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist
+), nn AS (SELECT count(*) AS n FROM scored),
+cuts AS (
+  SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS c1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN s END) AS c2
+  FROM cum, nn
 )
-SELECT doc_id, avg_logprob,
-       CASE WHEN avg_logprob >= c2 THEN 'head'
-            WHEN avg_logprob >= c1 THEN 'middle'
+SELECT doc_id, s / 10000.0 AS avg_logprob,
+       CASE WHEN s > c2 THEN 'head'
+            WHEN s > c1 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scored, cuts
 """
@@ -1111,23 +1117,47 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample middle, drop tail.
 
     Composition, not new machinery: the scored frame is t_unigram_lm's
-    plan; the two cutoffs come from one percentile aggregate broadcast
-    onto a map-only CASE — the identical no-global-sort shape as
-    p_curriculum. Comparisons run on the 4dp-ROUNDED score so the
-    tertile boundaries are the same doubles in both engines.
+    plan; the cutoffs come from an INTEGER score histogram — scores
+    snap to 4dp integers, the per-score counts cumulate over the
+    (tiny, |distinct scores|-sized) histogram, and c1/c2 are the
+    smallest scores whose cumulative count reaches n/3 and 2n/3. All
+    boundary arithmetic is exact integer compares, because the
+    continuous-percentile formulation proved 1-ulp fragile: at sf0.1
+    the two engines' interpolation differed in the last bit while 121
+    docs TIED at exactly the boundary score, flipping them all. Tied
+    scores share a bucket by construction. Still no global sort over
+    docs — only the histogram (bounded by the 4dp score range) is
+    windowed.
     """
-    scored = t_unigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
-    cuts = scored.agg(
-        F.percentile("avg_logprob", 1.0 / 3).alias("c1"),
-        F.percentile("avg_logprob", 2.0 / 3).alias("c2"),
+    scored = t_unigram_lm(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+    )
+    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "s",
+        F.sum("c")
+        .over(Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    cuts = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("s"))).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("s"))
+        ).alias("c2"),
     )
     bucket = (
-        F.when(F.col("avg_logprob") >= F.col("c2"), "head")
-        .when(F.col("avg_logprob") >= F.col("c1"), "middle")
+        F.when(F.col("s") > F.col("c2"), "head")
+        .when(F.col("s") > F.col("c1"), "middle")
         .otherwise("tail")
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
-        "doc_id", "avg_logprob", bucket.alias("bucket")
+        "doc_id",
+        (F.col("s") / 10000.0).alias("avg_logprob"),
+        bucket.alias("bucket"),
     )
 
 

@@ -54,7 +54,10 @@ WITH ps AS (
     AND r_name = 'EUROPE'
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-       p_partkey, p_name, round(supplycost, 4) AS supplycost
+       p_partkey, p_name,
+       -- floor rule, not round(): Spark HALF_UP vs DuckDB HALF_EVEN
+       -- diverge on midpoint doubles (hit at sf0.1: 1257.85775)
+       floor(supplycost * 10000 + 0.5) / 10000 AS supplycost
 FROM part, ps, eu
 WHERE p_partkey = partkey AND suppkey = s_suppkey
   AND p_size <= 10 AND p_type = 'LARGE'
@@ -109,7 +112,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("supplycost", 4).alias("supplycost"),
+            (F.floor(F.col("supplycost") * 10000 + F.lit(0.5)) / 10000).alias(
+                "supplycost"
+            ),
         )
     )
 

@@ -639,7 +639,8 @@ def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_FILL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         count(*) AS n, round(avg("value"), 4) AS av
+         count(*) AS n,
+         floor(avg("value") * 10000 + 0.5) / 10000 AS av
   FROM events GROUP BY 1, 2
 ), b AS (
   SELECT date_trunc('hour', min(ts)) AS lo,
@@ -688,7 +689,9 @@ def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("av"),
+        # floor rule, not round(): HALF_UP vs HALF_EVEN midpoint doubles
+        # diverge (hit at sf0.1)
+        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias("av"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1252,7 +1255,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERPOLATE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         round(avg("value"), 4) AS av
+         floor(avg("value") * 10000 + 0.5) / 10000 AS av
   FROM events GROUP BY 1, 2
 ), b AS (
   SELECT date_trunc('hour', min(ts)) AS lo,
@@ -1309,7 +1312,12 @@ def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.avg("value"), 4).alias("av"))
+    ).agg(
+        # floor rule (see the output-rounding note below): the hourly
+        # average feeds pv/nv, so a HALF_UP-vs-HALF_EVEN midpoint here
+        # propagates into interpolated values (hit at sf0.1)
+        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias("av")
+    )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
