@@ -40,9 +40,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                                                                   AS sum_charge,
-       round(avg(l_quantity), 4)                                  AS avg_qty,
-       round(avg(l_extendedprice), 4)                             AS avg_price,
-       round(avg(l_discount), 4)                                  AS avg_disc,
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000               AS avg_qty,
+       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000          AS avg_price,
+       floor(avg(l_discount) * 10000 + 0.5) / 10000               AS avg_disc,
        count(*)                                                   AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,9 +62,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # floor rule, not round(): avg of small-denominator values
+            # lands on exact 4dp midpoints where HALF_UP (Spark) and
+            # HALF_EVEN (DuckDB) diverge — same fix as q2/w_gap_fill
+            (F.floor(F.avg("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias("avg_qty"),
+            (F.floor(F.avg("l_extendedprice") * 10000 + F.lit(0.5)) / 10000).alias("avg_price"),
+            (F.floor(F.avg("l_discount") * 10000 + F.lit(0.5)) / 10000).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -802,7 +805,7 @@ _JSON_PROPS = """
 SELECT event_type,
        count(*) AS n_events,
        CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       floor(avg(CAST(props->>'$.k' AS INTEGER)) * 10000 + 0.5) / 10000 AS avg_k,
        CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
        CAST(count(DISTINCT CAST(props->>'$.k' AS INTEGER) % 10) AS BIGINT)
            AS n_k_buckets
@@ -827,7 +830,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").cast("long").alias("sum_k"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        (F.floor(F.avg("k") * 10000 + F.lit(0.5)) / 10000).alias("avg_k"),
         F.max("k").alias("max_k"),
         F.countDistinct(F.col("k") % 10).alias("n_k_buckets"),
     )
@@ -1786,7 +1789,7 @@ _PIPE_SYNTAX = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price,
-       round(avg(o_totalprice), 4) AS avg_price
+       floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS avg_price
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1812,7 +1815,8 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |> AGGREGATE count(*) AS n_orders,
                      round(sum(o_totalprice), 2) AS total_price,
-                     round(avg(o_totalprice), 4) AS avg_price
+                     floor(avg(o_totalprice) * 10000 + 0.5) / 10000
+                         AS avg_price
            GROUP BY o_orderpriority
         |> SELECT o_orderpriority, n_orders, total_price, avg_price
         """

@@ -80,9 +80,9 @@ WITH d AS (
 SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(n_tokens), 4) AS avg_tokens,
-       round(avg(n_chars), 4) AS avg_chars,
-       round(avg(swr), 6) AS avg_stopword_ratio,
+       floor(avg(n_tokens) * 10000 + 0.5) / 10000 AS avg_tokens,
+       floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars,
+       floor(avg(swr) * 1000000 + 0.5) / 1000000 AS avg_stopword_ratio,
        count(*) FILTER (WHERE n_tokens >= 30 AND swr <= 0.5) AS n_quality_pass
 FROM q GROUP BY lang, source
 """
@@ -102,9 +102,11 @@ def t_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+        # floor rule: avgs of integers/small rationals hit exact
+        # midpoints where engine round() modes diverge
+        (F.floor(F.avg("n_tokens") * 10000 + F.lit(0.5)) / 10000).alias("avg_tokens"),
+        (F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)) / 10000).alias("avg_chars"),
+        (F.floor(F.avg("swr") * 1000000 + F.lit(0.5)) / 1000000).alias("avg_stopword_ratio"),
         F.count(F.when((F.col("n_tokens") >= 30) & (F.col("swr") <= 0.5), 1)).alias(
             "n_quality_pass"
         ),
