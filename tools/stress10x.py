@@ -138,6 +138,30 @@ def build_stress_corpus(spark) -> str:
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
 
+    # events expand too (user-population growth: each copy is a disjoint
+    # user cohort emitting the same event pattern over the SAME time
+    # range — window/session/verb state grows with users while the time
+    # spine stays fixed, which is how event volume actually scales).
+    # ts must be read under the vintage-adaptive normalizer and written
+    # back as plain micros so the stressed file is one uniform vintage.
+    from streams_spark.sources.tables import load_table
+
+    ev = load_table(spark, os.path.abspath(BASE_SF), "events")
+    (
+        ev.select("*", copies)
+        .select(
+            (F.col("event_id") * N_COPIES + F.col("copy")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * N_COPIES + F.col("copy")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+
     for name in (
         "region",
         "nation",
@@ -146,7 +170,6 @@ def build_stress_corpus(spark) -> str:
         "part",
         "orders",
         "lineitem",
-        "events",
     ):
         src = os.path.join(BASE_SF, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")
