@@ -162,14 +162,39 @@ def build_stress_corpus(spark) -> str:
         .parquet(os.path.join(out, "events.parquet"))
     )
 
+    # orders/lineitem expand with renumbered order keys (each customer
+    # places 10x orders over the same date range; part/supplier/customer
+    # dims stay fixed — the TPC-H fact-growth model). The FK holds:
+    # l_orderkey renumbers exactly like o_orderkey.
+    orders = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+    (
+        orders.select("*", copies)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") * N_COPIES + F.col("copy")
+        )
+        .drop("copy")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    lineitem = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    (
+        lineitem.select("*", copies)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") * N_COPIES + F.col("copy")
+        )
+        .drop("copy")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
     for name in (
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "orders",
-        "lineitem",
     ):
         src = os.path.join(BASE_SF, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")
