@@ -1425,3 +1425,106 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup: first-seen-wins against ALL history, per batch
+# ---------------------------------------------------------------------------
+
+_INGEST_DEDUP_ORACLE = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+           AS content_md5,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_seen
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("st_ingest_dedup", oracle=_INGEST_DEDUP_ORACLE)
+@_capped_state_shuffle
+def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: documents arrive as a stream, and each
+    micro-batch is admitted against the signature store of EVERYTHING
+    ingested so far — first-seen wins, later exact duplicates only bump
+    the seen-count. This is the ingest gate of a training-data pipeline
+    (d_incremental_dedup is its one-shot batch profile; here the store
+    genuinely evolves across 3 micro-batches staged in doc_id order, so
+    cross-batch duplicates are caught by state, not by a global
+    groupBy). The arrival order makes first-seen == min(doc_id), so the
+    oracle is the plain batch dedup — a green row proves the
+    batch-at-a-time fold reaches the same fixpoint.
+
+    Mechanics: per batch, (1) collapse the batch to its per-signature
+    first row + count, (2) outer-merge with the store: new signatures
+    insert, known ones add counts and keep the incumbent survivor.
+    Commutative in the count and order-dependent only in the survivor —
+    exactly the at-ingest semantics. localCheckpoint truncates lineage
+    per batch (the st_cdc_apply discipline).
+
+    Scale: the store is |distinct signatures| rows of 16-byte keys —
+    never payloads (the m_media_dedup rule); each batch costs one
+    batch-sized partial-agg shuffle + one store merge join. In
+    production the store is a Delta/Iceberg table MERGEd per batch and
+    the signature swaps for the MinHash-LSH banded keys when near-dup
+    admission is wanted (same join shape). The signature here is the
+    d_prefix_dedup 8-token-prefix key rather than full-text md5 — the
+    corpus has NO byte-identical docs, so the full-text key would never
+    exercise the cross-batch duplicate path this op exists for; the
+    prefix key genuinely collides (the mirrored-boilerplate case the
+    batch twin reports)."""
+    import tempfile
+
+    from streams_spark.functions.text_funcs import tokens
+    from streams_spark.operators.dedup import PREFIX_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+        ).alias("content_md5"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ingest_")
+    feed = f"{tmp}/feed"
+    # 3 doc_id-ranged files -> 3 ordered micro-batches
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema("doc_id long, content_md5 string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    state = {"df": None}
+
+    def admit(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.groupBy("content_md5").agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        cur = state["df"]
+        if cur is None:
+            merged = batch
+        else:
+            # survivor = min(doc_id), counts add — COMMUTATIVE over
+            # batches, so the fixpoint is identical under any batch
+            # arrival order (FileStreamSource mtime ties cannot flip
+            # it). Because ingest is staged in doc_id order, min ==
+            # first-seen, i.e. the at-ingest semantic.
+            merged = (
+                cur.unionByName(batch)
+                .groupBy("content_md5")
+                .agg(
+                    F.min("survivor_id").alias("survivor_id"),
+                    F.sum("n_seen").alias("n_seen"),
+                )
+            )
+        state["df"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["df"]

@@ -176,6 +176,7 @@ ROUND_PRIORITY = [
     "st_stream_outer_join",
     "st_session_stream",
     "p_dsir_resample",
+    "st_ingest_dedup",
     # round-3-window queries stay registered behind these (import order)
 ]
 
