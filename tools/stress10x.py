@@ -146,7 +146,13 @@ def build_stress_corpus(spark) -> str:
     # back as plain micros so the stressed file is one uniform vintage.
     from streams_spark.sources.tables import load_table
 
+    # events.parquet must be a single FILE named exactly like the
+    # testdata layout: _events_stream selects it with
+    # pathGlobFilter='events.parquet', which does NOT match the part
+    # files inside a directory write — a directory here makes every
+    # streaming query read zero rows and silently "pass" fast.
     ev = load_table(spark, os.path.abspath(BASE_SF), "events")
+    ev_dir = os.path.join(out, "_events_build")
     (
         ev.select("*", copies)
         .select(
@@ -157,10 +163,19 @@ def build_stress_corpus(spark) -> str:
             "value",
             "props",
         )
-        .coalesce(8)
+        .coalesce(1)
         .write.mode("overwrite")
-        .parquet(os.path.join(out, "events.parquet"))
+        .parquet(ev_dir)
     )
+    part = next(
+        f for f in os.listdir(ev_dir) if f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(ev_dir, part), os.path.join(out, "events.parquet")
+    )
+    import shutil
+
+    shutil.rmtree(ev_dir)
 
     # orders/lineitem expand with renumbered order keys (each customer
     # places 10x orders over the same date range; part/supplier/customer
