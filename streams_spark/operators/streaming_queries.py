@@ -79,16 +79,30 @@ def _events_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
     micro-precision LTZ timestamp regardless of the file's vintage
     (TIMESTAMP(NANOS) read as epoch-nanos long under the legacy conf,
     or TIMESTAMP(MICROS) read as NTZ — see sources/tables.py; watermarks
-    and unix_micros require the LTZ TIMESTAMP type)."""
+    and unix_micros require the LTZ TIMESTAMP type).
+
+    Layout-robust: `events.parquet` may be a single FILE (the testdata
+    layout — streamed from its parent dir under a glob, since
+    FileStreamSource wants a directory) or a DIRECTORY of part files (a
+    real table layout — streamed directly). The glob-only form reads a
+    directory-shaped table as silently EMPTY (pathGlobFilter matches
+    leaf file names, never `part-*` inside the dir), which is how a
+    stress-harness bug once timed zero-row streaming queries."""
+    import os
+
     from streams_spark.sources.tables import _normalize_event_ts
 
     if schema is None:
         schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return stream.withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
 
 

@@ -580,3 +580,31 @@ def test_stateful_agg_recovers_state_across_query_restart(spark, tmp_path):
         assert second[u] == (2, float(u) + 10.0 + u)
     # users 3-5 saw no new rows: update mode re-emits nothing for them
     assert all(u not in second for u in range(3, 6))
+
+
+def test_events_stream_reads_directory_shaped_table(spark, sf_dir, tmp_path):
+    """_events_stream must read events.parquet whether it is a single
+    file (testdata layout) or a directory of part files (real table
+    layout) — the glob-only form read a directory as silently EMPTY."""
+    import shutil
+    import uuid
+
+    from streams_spark.operators.streaming_queries import _events_stream
+    from streams_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    root = str(tmp_path / "sfdir")
+    os.makedirs(root)
+    ev.write.parquet(f"{root}/events.parquet")  # directory of parts
+
+    sink = f"dirshape_{uuid.uuid4().hex[:6]}"
+    q = (
+        _events_stream(spark, root)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(sink).count() == n
