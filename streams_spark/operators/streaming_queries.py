@@ -1258,8 +1258,14 @@ def _sentinel_feed(
 
     from streams_spark.sources.tables import _normalize_event_ts
 
+    # the key includes the source file's (mtime, size) so a REGENERATED
+    # events.parquet at the same path invalidates the cached feed —
+    # path-only keying would silently serve the previous vintage's data
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{op}|{','.join(columns)}".encode()
+        f"{os.path.abspath(sf_dir)}|{op}|{','.join(columns)}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:10]
     feed = os.path.join(
         tempfile.gettempdir(), "pystreams_sentinel_feeds", f"{op}_{key}"
