@@ -1005,8 +1005,6 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge join against state; state stays table-sized (keys), batches
     stream through. The version-dir swap is the poor-man's ACID commit
     — a table format replaces it in production."""
-    import tempfile
-
     from pyspark.sql.window import Window
 
     schema = _events_schema(spark, sf_dir)
@@ -1018,11 +1016,14 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", _normalize_event_ts(schema["ts"].dataType))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_")
-    feed_dir = f"{tmp}/feed"
     # 3 time-ranged files -> 3 micro-batches under maxFilesPerTrigger=1
-    batch_ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(
-        feed_dir
+    feed_dir = _cached_feed(
+        sf_dir,
+        "cdc",
+        "ts3",
+        lambda d: batch_ev.repartitionByRange(3, "ts")
+        .write.mode("overwrite")
+        .parquet(d),
     )
     stream = (
         spark.readStream.schema(batch_ev.schema)
@@ -1230,6 +1231,31 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
+    """Deterministic staged-feed cache shared by the feed-building
+    streaming ops (sentinel feeds, CDC feed, ingest feed): the feed dir
+    is keyed on (sf_dir, op, extra_key, source mtime+size) under the
+    system temp dir and built once — repeated gate/bench runs reuse it,
+    and a regenerated source at the same path invalidates it. `build`
+    receives the target dir and must leave a parquet _SUCCESS marker."""
+    import hashlib
+    import os
+    import tempfile
+
+    src_name = "documents.parquet" if op.startswith("doc") else "events.parquet"
+    st = os.stat(os.path.join(sf_dir, src_name))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{op}|{extra_key}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    feed = os.path.join(
+        tempfile.gettempdir(), "pystreams_feeds", f"{op}_{key}"
+    )
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        build(feed)
+    return feed
+
+
 def _sentinel_feed(
     spark: SparkSession,
     sf_dir: str,
@@ -1245,33 +1271,15 @@ def _sentinel_feed(
     micro-batch can flush all watermark-held state (see
     st_stream_outer_join for the emission-discipline rationale).
 
-    The feed is deterministic in (sf_dir, op, columns), so it is cached
-    under a content-keyed path in the system temp dir and REUSED across
-    calls — repeated gate/bench runs neither rewrite the table nor
-    accumulate orphan dirs. Also pins noDataMicroBatches=true (restored
-    by callers is unnecessary: true IS the Spark default; the pin only
-    guards against a harness having turned it off, and it is scoped to
-    the conf read at query start)."""
-    import hashlib
-    import os
-    import tempfile
-
+    Cached via _cached_feed (deterministic in sf_dir/op/columns +
+    source vintage). Also pins noDataMicroBatches=true (true IS the
+    Spark default; the pin only guards against a harness having turned
+    it off, and it is scoped to the conf read at query start)."""
     from streams_spark.sources.tables import _normalize_event_ts
 
-    # the key includes the source file's (mtime, size) so a REGENERATED
-    # events.parquet at the same path invalidates the cached feed —
-    # path-only keying would silently serve the previous vintage's data
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{op}|{','.join(columns)}"
-        f"|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    feed = os.path.join(
-        tempfile.gettempdir(), "pystreams_sentinel_feeds", f"{op}_{key}"
-    )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+
+    def build(feed: str) -> None:
         schema = _events_schema(spark, sf_dir)
         ev = (
             spark.read.schema(schema)
@@ -1286,7 +1294,8 @@ def _sentinel_feed(
         ev.unionByName(sentinel.select(*columns)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(feed)
-    return feed
+
+    return _cached_feed(sf_dir, op, ",".join(columns), build)
 
 
 # ---------------------------------------------------------------------------
@@ -1493,8 +1502,6 @@ def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise the cross-batch duplicate path this op exists for; the
     prefix key genuinely collides (the mirrored-boilerplate case the
     batch twin reports)."""
-    import tempfile
-
     from streams_spark.functions.text_funcs import tokens
     from streams_spark.operators.dedup import PREFIX_TOKENS
 
@@ -1504,10 +1511,15 @@ def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
         ).alias("content_md5"),
     )
-    tmp = tempfile.mkdtemp(prefix="ingest_")
-    feed = f"{tmp}/feed"
     # 3 doc_id-ranged files -> 3 ordered micro-batches
-    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(feed)
+    feed = _cached_feed(
+        sf_dir,
+        "docingest",
+        "id3",
+        lambda d: docs.repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, content_md5 string")
