@@ -1537,13 +1537,18 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if i % 2 == 0:
                 ranks = ranks.localCheckpoint()
+        # materialize the final join INSIDE the conf scope: the returned
+        # frame is lazy, and its rank/deg join would otherwise execute
+        # after the finally restores the session's full shuffle width
+        # (~200 near-empty tasks in a bare session for a graph-sized
+        # join — the exact overhead the scoped cap exists to avoid)
         return ranks.join(deg, ranks.doc_id == deg.src).select(
             "doc_id",
             (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias(
                 "rank"
             ),
             F.col("out_deg").cast("long").alias("out_deg"),
-        )
+        ).localCheckpoint()
     finally:
         spark.conf.set(shuffle_conf, orig)
 
@@ -1766,6 +1771,22 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                 converged = True
                 break
             sig = new_sig
+        if converged:
+            # final union/distinct runs INSIDE the conf scope — the
+            # returned frame is lazy, and this last graph-sized shuffle
+            # would otherwise execute at the restored full session
+            # width (the bare-session overhead the cap exists to avoid)
+            roots = cur.select(
+                F.col("v").alias("u"), F.col("v").alias("v")
+            ).distinct()
+            out = (
+                cur.union(roots)
+                .distinct()
+                .select(
+                    F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+                )
+                .localCheckpoint()
+            )
     finally:
         spark.conf.set(shuffle_conf, orig)
     if not converged:
@@ -1773,11 +1794,7 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "large-star/small-star did not converge in 20 rounds; "
             "the dup graph is adversarial — raise the cap"
         )
-    # fixpoint edges are (node, root); roots label themselves
-    roots = cur.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
-    return cur.union(roots).distinct().select(
-        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1845,13 +1862,16 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 @register("d_minhash_lsh_md5", oracle=_MINHASH_MD5)
 def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH with ENGINE-PORTABLE permutations: the s-th
-    permutation of shingle g is the 60-bit integer prefix of
-    md5(f"{{s}}:{{g}}"), identical in Spark and DuckDB — so unlike
-    d_minhash_lsh (xxhash64 seeds, rows-only by necessity) this twin
-    carries a full value-level oracle through the ENTIRE approximate
-    pipeline: signatures, banding, candidate join, exact verify. Band
-    keys join as raw 4-long arrays (no band-hash function to match).
+    """MinHash-LSH with ENGINE-PORTABLE permutations: each shingle g
+    hashes ONCE to the 32-bit integer prefix of md5(g), and the s-th
+    permutation is the universal-hash map (MINHASH_A[s] * h +
+    MINHASH_B[s]) mod 2^31-1 — exact 64-bit integer arithmetic
+    identical in Spark and DuckDB (and 5.5x cheaper than the earlier
+    64-md5s-per-shingle scheme) — so unlike d_minhash_lsh (xxhash64
+    seeds, rows-only by necessity) this twin carries a full value-level
+    oracle through the ENTIRE approximate pipeline: signatures,
+    banding, candidate join, exact verify. Band keys join as raw
+    4-long arrays (no band-hash function to match).
     Same b=16, r=4 geometry; candidates differ from the xxhash twin
     only by hash luck, verified output is exact-Jaccard >= {JACCARD_T}
     either way.
@@ -1934,12 +1954,15 @@ SIMHASH60_BAND = 15  # 4 bands x 15 bits; hamming <= 3 pigeonholes a match
 
 _SIMHASH_MD5 = f"""
 WITH d AS (
-  SELECT doc_id, list_distinct(str_split(text, ' '))[1:8192] AS toks
+  -- cap = 8192 smallest token hashes (order-independent; see the Spark
+  -- side's note on list_distinct vs array_distinct ordering)
+  SELECT doc_id,
+         list_sort(list_transform(list_distinct(str_split(text, ' ')),
+             t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+         ))[1:8192] AS hvs
   FROM documents
 ), h AS (
-  SELECT doc_id,
-         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS hv
-  FROM d
+  SELECT doc_id, unnest(hvs) AS hv FROM d
 ), bits AS (
   SELECT doc_id, unnest(range({SIMHASH60_BITS})) AS i, hv FROM h
 ), votes AS (
@@ -1994,12 +2017,18 @@ def d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     per token costs ~3x xxhash64 map-side — the oracle-visibility
     premium, same trade as d_minhash_lsh_md5."""
     docs = load_table(spark, sf_dir, "documents")
+    # The 8k feature cap selects the 8192 SMALLEST token hashes — an
+    # order-independent criterion both engines compute identically.
+    # Capping the first 8192 of the distinct-token LIST is not portable:
+    # Spark's array_distinct keeps first-occurrence order while DuckDB's
+    # list_distinct returns hash order, so the two caps would pick
+    # different token subsets whenever the cap binds.
     ex = docs.selectExpr(
         "doc_id",
-        "explode(slice(array_distinct(split(text, ' ')), 1, 8192)) AS tok",
-    ).selectExpr(
-        "doc_id",
-        "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+        "explode(slice(sort_array(transform("
+        "  array_distinct(split(text, ' ')),"
+        "  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        ")), 1, 8192)) AS h",
     )
     # SWAR: slot k of packed column j counts bit j + 15*k (k = 0..3)
     mask = 1 | (1 << 15) | (1 << 30) | (1 << 45)

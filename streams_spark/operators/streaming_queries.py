@@ -1126,8 +1126,6 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per batch one partial-agg'd shuffle to <= DxW rows; the
     running state IS the sketch — 2048 longs per stream, regardless of
     corpus or batch count."""
-    import tempfile
-
     from streams_spark.operators.text import (
         CMS_A,
         CMS_B,
@@ -1137,10 +1135,13 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="cms_")
-    feed_dir = f"{tmp}/feed"
-    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
-        feed_dir
+    feed_dir = _cached_feed(
+        sf_dir,
+        "doccms",
+        "id3",
+        lambda d: docs.repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(d),
     )
     stream = (
         spark.readStream.schema(docs.schema)

@@ -42,16 +42,38 @@ def read_event_log(spark: SparkSession, log_dir: str) -> DataFrame:
     return spark.read.parquet(log_dir)
 
 
+def _log_partition_cols(log_dir: str) -> list[str]:
+    """Partition scheme of an existing log dir: the plain store layout
+    (`space=`) or the idempotent produce sink's two-level layout
+    (`commit_batch=<id>/space=`, streaming/produce.py). Maintenance ops
+    must write the SAME scheme — mixing them in one directory makes
+    every subsequent read fail with CONFLICTING_PARTITION_COLUMN_NAMES
+    and the sink's per-batch replay filter depends on commit_batch
+    surviving compaction."""
+    for entry in os.listdir(log_dir):
+        if entry.startswith("commit_batch="):
+            return ["commit_batch", "space"]
+    return ["space"]
+
+
 def log_file_stats(spark: SparkSession, log_dir: str) -> dict[str, int]:
-    """Files per space partition (the small-file pressure gauge)."""
+    """Files per space (the small-file pressure gauge), aggregated
+    across commit_batch= dirs when the log uses the sink layout."""
     out: dict[str, int] = {}
+
+    def count_space_dirs(root: str) -> None:
+        for entry in sorted(os.listdir(root)):
+            if entry.startswith("space="):
+                space = entry.split("=", 1)[1]
+                part_dir = os.path.join(root, entry)
+                out[space] = out.get(space, 0) + sum(
+                    1 for f in os.listdir(part_dir) if f.endswith(".parquet")
+                )
+
+    count_space_dirs(log_dir)
     for entry in sorted(os.listdir(log_dir)):
-        if entry.startswith("space="):
-            space = entry.split("=", 1)[1]
-            part_dir = os.path.join(log_dir, entry)
-            out[space] = sum(
-                1 for f in os.listdir(part_dir) if f.endswith(".parquet")
-            )
+        if entry.startswith("commit_batch="):
+            count_space_dirs(os.path.join(log_dir, entry))
     return out
 
 
@@ -61,23 +83,29 @@ def compact(
     spaces: list[str] | None = None,
     files_per_space: int = 1,
 ) -> None:
-    """Rewrite each space partition into `files_per_space` sorted files.
+    """Rewrite each partition into `files_per_space` sorted files,
+    PRESERVING the log's partition scheme (plain `space=` or the
+    produce sink's `commit_batch=/space=` — see _log_partition_cols;
+    commit_batch must survive so the sink's committed-batch filter and
+    replay idempotence keep working on compacted logs).
 
     Per-partition dynamic overwrite (`replaceWhere`-style via
-    partitionOverwriteMode=dynamic) so untouched spaces keep their files;
-    readers see the old files until the atomic directory swap. Sequence
-    order within the new files is restored by sortWithinPartitions, so
-    compaction preserves the layout contract of write_event_log.
+    partitionOverwriteMode=dynamic) so untouched partitions keep their
+    files; readers see the old files until the atomic directory swap.
+    Sequence order within the new files is restored by
+    sortWithinPartitions, so compaction preserves the layout contract
+    of write_event_log.
     """
+    cols = _log_partition_cols(log_dir)
     df = read_event_log(spark, log_dir)
     if spaces is not None:
         df = df.where(F.col("space").isin(spaces))
     with _dynamic_overwrite(spark):
         (
-            df.repartition(files_per_space, "space")
-            .sortWithinPartitions("space", "segment", "sequence")
+            df.repartition(files_per_space, *cols)
+            .sortWithinPartitions(*cols, "segment", "sequence")
             .write.mode("overwrite")
-            .partitionBy("space")
+            .partitionBy(*cols)
             .parquet(log_dir)
         )
 

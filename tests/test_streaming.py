@@ -608,3 +608,32 @@ def test_events_stream_reads_directory_shaped_table(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert spark.table(sink).count() == n
+
+
+def test_compact_preserves_sink_commit_batch_layout(spark, tmp_path):
+    """Compacting a log produced by IdempotentLogSink (commit_batch=/
+    space= two-level layout) must preserve that scheme: reads keep
+    working, rows are intact, the committed-batch replay filter still
+    applies, and log_file_stats sees the files. (A space=-only rewrite
+    used to corrupt the dir with CONFLICTING_PARTITION_COLUMN_NAMES.)"""
+    from streams_spark.store import compact, log_file_stats
+
+    log_dir = str(tmp_path / "log")
+    ledger = str(tmp_path / "ledger")
+    sink = IdempotentLogSink(log_dir, ledger)
+    sink(_entries(spark, "s0", "g0", range(1, 11)), batch_id=0)
+    sink(_entries(spark, "s1", "g0", range(1, 6)), batch_id=1)
+
+    before = {(r.space, r.segment, r.sequence) for r in sink.read_committed(spark).collect()}
+    compact(spark, log_dir)
+
+    after_df = sink.read_committed(spark)
+    after = {(r.space, r.segment, r.sequence) for r in after_df.collect()}
+    assert after == before and len(after) == 15
+
+    stats = log_file_stats(spark, log_dir)
+    assert stats.get("s0") and stats.get("s1")
+
+    # replay of an already-committed batch is still a no-op post-compact
+    sink(_entries(spark, "s0", "g0", range(1, 11)), batch_id=0)
+    assert sink.read_committed(spark).count() == 15
