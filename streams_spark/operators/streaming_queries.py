@@ -1253,7 +1253,19 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
         tempfile.gettempdir(), "pystreams_feeds", f"{op}_{key}"
     )
     if not os.path.exists(os.path.join(feed, "_SUCCESS")):
-        build(feed)
+        # build into a unique sibling, then rename into place: the
+        # rename is atomic on one filesystem, so a concurrent process
+        # either sees the complete feed or builds its own copy — never
+        # a half-written directory
+        stage = f"{feed}.build-{os.getpid()}"
+        build(stage)
+        try:
+            os.rename(stage, feed)
+        except OSError:
+            # another builder won the race; its complete feed stands
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return feed
 
 
