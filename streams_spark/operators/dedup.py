@@ -95,8 +95,9 @@ WITH d AS (
   GROUP BY doc_a, doc_b
 )
 SELECT p.doc_a, p.doc_b,
-       round(CAST(p.n_common AS DOUBLE)
-             / (len(sa.shingles) + len(sb.shingles) - p.n_common), 6) AS jaccard
+       floor(CAST(p.n_common AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - p.n_common)
+             * 1000000 + 0.5) / 1000000 AS jaccard
 FROM pairs p
 JOIN sh sa ON sa.doc_id = p.doc_a
 JOIN sh sb ON sb.doc_id = p.doc_b
@@ -202,7 +203,11 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return pairs.where(jac >= JACCARD_T).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        # floor rule: jaccard is a ratio of small ints — a dyadic
+        # denominator (e.g. union=128) makes EXACT 6dp midpoint doubles
+        # where Spark HALF_UP and DuckDB HALF_EVEN diverge
+        "doc_a", "doc_b",
+        (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard")
     )
 
 
@@ -311,7 +316,10 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.where(F.col("jaccard") >= 0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b",
+        (F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "jaccard"
+        )
     )
 
 
@@ -832,8 +840,8 @@ WITH d AS (
 SELECT doc_id,
        count(*) AS n_dup_spans,
        CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
-       round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens), 4)
-           AS dup_frac
+       floor(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens)
+             * 10000 + 0.5) / 10000 AS dup_frac
 FROM merged GROUP BY doc_id
 """
 
@@ -914,10 +922,14 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-        F.round(
-            F.sum(F.col("e") - F.col("s") + 1).cast("double")
-            / F.first("n_tokens"),
-            4,
+        (
+            F.floor(
+                F.sum(F.col("e") - F.col("s") + 1).cast("double")
+                / F.first("n_tokens")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
         ).alias("dup_frac"),
     )
 
@@ -946,7 +958,8 @@ WITH d AS (
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_common AS DOUBLE) / least(na, nb), 6) AS containment
+       floor(CAST(n_common AS DOUBLE) / least(na, nb) * 1000000 + 0.5)
+           / 1000000 AS containment
 FROM pairs
 WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= {CONTAINMENT_T}
 """
@@ -988,7 +1001,8 @@ def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = F.col("n_common").cast("double") / F.least("na", "nb")
     return pairs.where(cont >= CONTAINMENT_T).select(
-        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+        "doc_a", "doc_b",
+        (F.floor(cont * 1000000 + F.lit(0.5)) / 1000000).alias("containment")
     )
 
 
@@ -1847,9 +1861,10 @@ WITH d AS (
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
              / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                - len(list_intersect(sa.shingles, sb.shingles)))
+             * 1000000 + 0.5) / 1000000
          AS jaccard
 FROM cand c
 JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1941,7 +1956,11 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
+        )
     )
 
 
