@@ -240,7 +240,8 @@ WITH sized AS (
 )
 SELECT CAST(n_tokens // 10 AS BIGINT) * 10 AS bucket_lo,
        count(*) AS n_docs,
-       round(count(*) * 100.0 / (SELECT count(*) FROM sized), 4) AS pct
+       floor(count(*) * 100.0 / (SELECT count(*) FROM sized)
+             * 10000 + 0.5) / 10000 AS pct
 FROM sized
 GROUP BY 1
 """
@@ -261,7 +262,12 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.join(F.broadcast(total)).select(
         "bucket_lo",
         "n_docs",
-        F.round(F.col("n_docs") * 100.0 / F.col("total"), 4).alias("pct"),
+        (
+            F.floor(
+                F.col("n_docs") * 100.0 / F.col("total") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("pct"),
     )
 
 

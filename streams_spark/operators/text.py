@@ -35,12 +35,12 @@ WITH d AS (
 SELECT doc_id, lang, source, n_chars,
        CAST(len(w) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
-       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-           AS distinct_ratio,
-       round(list_sum(list_transform(w, t -> CAST(length(t) AS DOUBLE)))
-             / len(w), 6) AS avg_token_len,
-       round(CAST(len(list_filter(w, t -> t IN ({_SW}))) AS DOUBLE) / len(w), 6)
-           AS stopword_ratio
+       floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+             * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+       floor(list_sum(list_transform(w, t -> CAST(length(t) AS DOUBLE)))
+             / len(w) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       floor(CAST(len(list_filter(w, t -> t IN ({_SW}))) AS DOUBLE) / len(w)
+             * 1000000 + 0.5) / 1000000 AS stopword_ratio
 FROM d
 """
 
@@ -56,11 +56,24 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        # floor rule throughout: these are ratios of ints, so a dyadic
+        # denominator (n_tokens = 128, say) yields EXACT 6dp midpoint
+        # doubles where engine round() modes diverge
+        (
+            F.floor(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
         ).alias("distinct_ratio"),
-        F.round(avg_token_len(toks), 6).alias("avg_token_len"),
-        F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
+        (F.floor(avg_token_len(toks) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "avg_token_len"
+        ),
+        (F.floor(stopword_ratio(toks) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "stopword_ratio"
+        ),
     )
 
 
@@ -144,7 +157,7 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, lang AS actual_lang,
-       round(score_en, 6) AS score_en,
+       floor(score_en * 1000000 + 0.5) / 1000000 AS score_en,
        CASE
          WHEN score_en >= score_de AND score_en >= score_fr
               AND score_en >= score_es AND score_en >= score_zh THEN 'en'
@@ -210,7 +223,9 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         "actual_lang",
-        F.round("score_en", 6).alias("score_en"),
+        (F.floor(F.col("score_en") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "score_en"
+        ),
         pred.alias("predicted_lang"),
     )
 
@@ -279,9 +294,9 @@ SELECT doc_id,
            AS n_alpha_runs,
        CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT)
            AS n_digit_runs,
-       round(CAST(length(text) AS DOUBLE)
-             / greatest(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 1), 4)
-           AS chars_per_token
+       floor(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 1)
+             * 10000 + 0.5) / 10000 AS chars_per_token
 FROM documents
 """
 
@@ -306,10 +321,14 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r" ?[0-9]+"), 0))
         .cast("long")
         .alias("n_digit_runs"),
-        F.round(
-            F.length("text").cast("double")
-            / F.greatest(F.size(bpe), F.lit(1)),
-            4,
+        (
+            F.floor(
+                F.length("text").cast("double")
+                / F.greatest(F.size(bpe), F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
         ).alias("chars_per_token"),
     )
 
@@ -393,7 +412,8 @@ WITH d AS (
 SELECT doc_id,
        count(*) AS n_overlap,
        CAST(min(n_ngrams) AS BIGINT) AS n_ngrams,
-       round(CAST(count(*) AS DOUBLE) / min(n_ngrams), 6) AS contaminated_frac
+       floor(CAST(count(*) AS DOUBLE) / min(n_ngrams) * 1000000 + 0.5)
+           / 1000000 AS contaminated_frac
 FROM corpus JOIN probe USING (h)
 GROUP BY doc_id
 """
@@ -454,8 +474,14 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_overlap",
             "n_ngrams",
-            F.round(
-                F.col("n_overlap").cast("double") / F.col("n_ngrams"), 6
+            (
+                F.floor(
+                    F.col("n_overlap").cast("double")
+                    / F.col("n_ngrams")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
             ).alias("contaminated_frac"),
         )
     )
@@ -617,9 +643,10 @@ WITH d AS (
   FROM d
 ), rep AS (
   SELECT t.doc_id,
-         round(CAST(t.top_cnt AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
-         round(1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2), 6)
-             AS dup_2gram_frac
+         floor(CAST(t.top_cnt AS DOUBLE) / t.n_tokens * 1000000 + 0.5)
+             / 1000000 AS top_token_frac,
+         floor((1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2))
+               * 1000000 + 0.5) / 1000000 AS dup_2gram_frac
   FROM top_tok t JOIN grams g USING (doc_id)
 )
 SELECT doc_id, top_token_frac, dup_2gram_frac,
@@ -668,10 +695,16 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = top.join(grams, "doc_id").select(
         "doc_id",
-        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
-            "top_token_frac"
+        (
+            F.floor(
+                F.col("top_cnt").cast("double") / F.col("n_tokens") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("top_token_frac"),
+        (F.floor(F.col("raw_dup") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "dup_2gram_frac"
         ),
-        F.round(F.col("raw_dup"), 6).alias("dup_2gram_frac"),
     )
     return rep.withColumn(
         "is_repetitive",
@@ -696,8 +729,8 @@ WITH tok AS (
 SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
-       round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*), 6)
-           AS hapax_ratio,
+       floor(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*)
+             * 1000000 + 0.5) / 1000000 AS hapax_ratio,
        any_value(t.top_token) AS top_token,
        CAST(any_value(t.top_token_freq) AS BIGINT) AS top_token_freq
 FROM freq CROSS JOIN tops t
@@ -726,10 +759,14 @@ def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
-            F.round(
-                F.sum((F.col("cnt") == 1).cast("long")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.floor(
+                    F.sum((F.col("cnt") == 1).cast("long")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
             ).alias("hapax_ratio"),
         )
         .join(F.broadcast(tops))
@@ -878,7 +915,8 @@ WITH tf AS (
   SELECT term, count(*) AS cnt FROM tf WHERE term <> '' GROUP BY term
 )
 SELECT term, cnt,
-       round(cnt * 1.0 / (SELECT sum(cnt) FROM counted), 6) AS frac
+       floor(cnt * 1.0 / (SELECT sum(cnt) FROM counted) * 1000000 + 0.5)
+           / 1000000 AS frac
 FROM counted
 ORDER BY cnt DESC, term
 LIMIT {HH_K}
@@ -911,7 +949,10 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "cnt",
-            F.round(F.col("cnt") / F.col("tot"), 6).alias("frac"),
+            (
+                F.floor(F.col("cnt") / F.col("tot") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("frac"),
         )
         .orderBy(F.desc("cnt"), "term")
         .limit(HH_K)

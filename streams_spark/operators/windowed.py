@@ -178,7 +178,7 @@ WITH flagged AS (
 SELECT user_id,
        count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS total_events,
-       round(avg(n_events), 4) AS avg_session_events,
+       floor(avg(n_events) * 10000 + 0.5) / 10000 AS avg_session_events,
        CAST(max(span_us) AS BIGINT) AS max_session_span_us
 FROM sessions GROUP BY user_id
 """
@@ -206,7 +206,9 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("total_events"),
-        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        (F.floor(F.avg("n_events") * 10000 + F.lit(0.5)) / 10000).alias(
+            "avg_session_events"
+        ),
         F.max("span_us").alias("max_session_span_us"),
     )
 
