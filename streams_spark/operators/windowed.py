@@ -1120,8 +1120,8 @@ SELECT state,
        (valid_to IS NULL) AS is_current,
        count(*) AS n_intervals,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(avg((epoch_us(valid_to) - epoch_us(valid_from)) / 1e6), 2)
-         AS avg_duration_sec
+       floor(avg((epoch_us(valid_to) - epoch_us(valid_from)) / 1e6)
+             * 100 + 0.5) / 100 AS avg_duration_sec
 FROM intervals
 GROUP BY state, is_current
 """
@@ -1176,7 +1176,9 @@ def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg(dur_sec), 2).alias("avg_duration_sec"),
+        (F.floor(F.avg(dur_sec) * 100 + F.lit(0.5)) / 100).alias(
+            "avg_duration_sec"
+        ),
     )
 
 
