@@ -444,3 +444,47 @@ def test_cdc_chunks_match_independent_python_chunker(spark, texts):
         for (a, b, h) in py_chunks(s)
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_floor_rounding_rule_agrees_across_engines(spark, pairs):
+    """The repo-wide cross-engine rounding convention — floor(x * 10^k
+    + 0.5) / 10^k on BOTH engines — must agree between Spark and DuckDB
+    for ANY ratio of integers at 4dp and 6dp, including the dyadic
+    midpoints (e.g. a/128) where round()'s HALF_UP (Spark) vs HALF_EVEN
+    (DuckDB) genuinely diverge. This pins the convention every
+    oracle-paired ratio output relies on."""
+    import duckdb
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): (r.r4, r.r6)
+        for r in df.select(
+            "a",
+            "b",
+            (
+                F.floor(F.col("a") / F.col("b") * 10000 + F.lit(0.5)) / 10000
+            ).alias("r4"),
+            (
+                F.floor(F.col("a") / F.col("b") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("r6"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in set(pairs):
+        r4, r6 = con.sql(
+            f"SELECT floor({a} / {b}::DOUBLE * 10000 + 0.5) / 10000,"
+            f"       floor({a} / {b}::DOUBLE * 1000000 + 0.5) / 1000000"
+        ).fetchone()
+        assert got[(a, b)] == (r4, r6), (a, b, got[(a, b)], (r4, r6))
