@@ -680,7 +680,7 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", F.size(tokens("text")).alias("n_words")
-    )
+    ).localCheckpoint()  # doc-sized; one tokenize pass feeds hist/count/phase
     hist = t.groupBy(F.col("n_words").alias("w")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1385,29 +1385,35 @@ def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     already partial-aggregates."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    cs = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c_s"))
-    ct = (
-        ex.where(F.col("lang") == "en")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # BOTH count tables in one aggregation pass (conditional count for
+    # the target slice), and all three totals derived from the
+    # vocab-sized freq table — the corpus token stream is scanned
+    # exactly twice (freq build, scoring join), never more. The naive
+    # separate-CTE form measured 12 scans / 16 shuffles in PLANS.md.
+    freq = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
     )
-    tot = ex.agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
-        F.countDistinct("term").alias("v"),
+    tot = freq.agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
     )
     ratio = F.avg(
-        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v")))
+        F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
         - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.col("v")))
     )
     scored = (
-        ex.join(cs, "term")
-        .join(ct, "term", "left")
+        ex.join(freq, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.floor(ratio * 10000 + F.lit(0.5)).cast("long").alias("s")
         )
+        # doc-count-sized; materialize so the histogram build, the
+        # total count, and the final filter reuse ONE scoring pass
+        # instead of each re-running the corpus explode + join
+        .localCheckpoint()
     )
     hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.select(

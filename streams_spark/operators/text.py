@@ -1172,11 +1172,17 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs — only the histogram (bounded by the 4dp score range) is
     windowed.
     """
-    scored = t_unigram_lm(spark, sf_dir).select(
-        "doc_id",
-        F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("s"),
+    scored = (
+        t_unigram_lm(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("s"),
+        )
+        # doc-sized; materialize so histogram/count/filter reuse one
+        # LM-scoring pass instead of re-running the corpus explode+join
+        .localCheckpoint()
     )
     hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.select(
