@@ -248,7 +248,8 @@ WITH m AS (
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_bytes,
-       round(CAST(byte_sum AS DOUBLE) / n, 4) AS mean_byte,
+       floor(CAST(byte_sum AS DOUBLE) / n * 10000 + 0.5) / 10000
+           AS mean_byte,
        CAST(byte_sum % 256 AS INTEGER) AS hash_bucket
 FROM m
 """
@@ -282,7 +283,9 @@ def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_bytes",
-        F.round("mean_byte", 4).alias("mean_byte"),
+        (F.floor(F.col("mean_byte") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_byte"
+        ),
         "hash_bucket",
     )
 

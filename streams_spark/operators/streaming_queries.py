@@ -230,7 +230,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WATERMARK_ORACLE = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*) AS n_events,
-       round(avg("value"), 4) AS avg_value
+       floor(avg("value") * 10000 + 0.5) / 10000 AS avg_value
 FROM events
 GROUP BY window_start
 HAVING window_start + INTERVAL 1 HOUR
@@ -261,7 +261,11 @@ def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # floor rule: value is exactly 2dp, so the average is an
+            # integer-cents ratio with possible exact 4dp midpoints
+            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_value"
+            ),
         )
     )
     sink = f"wm_{uuid.uuid4().hex[:8]}"
