@@ -86,9 +86,20 @@ def build_stress_corpus(spark) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(STRESS_DIR, f"sf0.1x{N_COPIES}")
+    # the marker carries a builder version: a dir built by an OLDER
+    # builder (e.g. before events/orders/lineitem expanded) must be
+    # rebuilt, not silently reused — a stale reuse once timed "100x"
+    # fact queries against symlinked 1x tables
+    BUILD_VERSION = "v2-facts-events"
     done_marker = os.path.join(out, "_BUILT")
     if os.path.exists(done_marker):
-        return out
+        with open(done_marker) as f:
+            if f.read().strip() == BUILD_VERSION:
+                return out
+        import shutil
+
+        shutil.rmtree(out)
+        os.makedirs(out, exist_ok=True)
     os.makedirs(out, exist_ok=True)
 
     copies = F.explode(F.sequence(F.lit(0), F.lit(N_COPIES - 1))).alias("copy")
@@ -217,7 +228,7 @@ def build_stress_corpus(spark) -> str:
             os.symlink(src, dst)
 
     with open(done_marker, "w") as f:
-        f.write("ok\n")
+        f.write(BUILD_VERSION + "\n")
     return out
 
 
