@@ -43,81 +43,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 4 window (first 50) ---
-    # head: the 22 queries with no driver-oracle row yet (all local-green
-    # in the judge's round-3 check_oracle run)
-    "w_scd2_user_state",
-    "p_weighted_sample",
-    "p_domain_cap",
-    "q_merge_upsert",
-    "v_segment_manifest",
-    "q_mode_median",
-    "w_ewma",
-    "w_interpolate",
-    "t_c4_rules",
-    "s_range_search",
-    "q_string_agg",
-    "w_anomaly_mad",
-    "s_maxsim",
-    "p_curriculum",
-    "d_semdedup",
-    "q_lateral_topk",
-    "q_variant_payload",
-    "d_transitive_containment",
-    "q_sql_udf",
-    "q_collated_group",
-    "q_bitmap_distinct",
-    "t_ccnet_buckets",
-    # newly oracle-paired / changed / added this round
-    "d_sample_stratified",  # md5-bucket draw replaced seeded sampleBy
-    "q_semi_anti_join",  # folded into one plan this round
-    "t_bm25",
-    "t_zipf_fit",
-    "p_temperature_mix",
-    "s_multiprobe_lsh",
-    "d_cluster_survivors",
-    "s_ivf_pq_search",
-    "q_pipe_syntax",
-    "s_knn_classify",
-    "st_running_stats",
-    "t_chunk_overlap",
-    "w_cusum",
-    "s_embedding_stats",
-    "p_split_leakage",
-    "q_skyline",
-    "d_pagerank",
-    "t_bigram_lm",
-    "t_novelty",
-    "t_bpe_pairs",
-    "p_dataset_card",
-    "w_seasonality",
-    "d_tfidf_cosine",
-    "m_media_dedup",
-    "s_centroid_shift",
-    "d_dup_clusters_star",
-    "w_drawdown",
-    "w_wow_change",
-    # ---- 50-query window boundary: everything below is the round-5 ----
-    # ---- head (TPC-H r1-only regrades, then late round-4 additions) ----
-    # carry-over regrades: oldest evidence first (r1-only rows)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    # --- round-5 window head: round-4 late additions + r1-only rows ---
+    # --- round 5 window (first 50) ---
+    # head: the 38 queries with no driver-oracle row yet after r4 (all
+    # judge-verified green via tools/check_oracle.py in the round-4
+    # VERDICT; q_hll_union is the one deliberate rows-only entry)
     "st_transform_with_state",
     "q_python_udtf",
     "q_pandas_udaf",
@@ -136,7 +65,49 @@ ROUND_PRIORITY = [
     "p_epoch_plan",
     "t_source_divergence",
     "d_dup_graph_stats",
+    "s_diversity",
+    "t_langid_confusion",
+    "p_pad_efficiency",
+    "q_snapshot_diff",
+    "s_binary_search",
+    "p_e2e_pipeline",
+    "s_mrl_search",
+    "q_benford",
+    "p_quality_ablation",
+    "v_flagship_consume_enrich",
+    "d_minhash_lsh_md5",
+    "d_simhash_md5",
+    "st_flagship_stream",
+    "q_kmv_distinct",
+    "m_cdc_chunks",
+    "st_stream_outer_join",
+    "st_session_stream",
+    "p_dsir_resample",
+    "st_ingest_dedup",
     "q_hll_union",
+    # new queries added this round (need first driver evidence)
+    "m_frames_real",
+    "q_grid_percentile",
+    # remaining slots: oldest r1-only regrades (TPC-H head)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    # ---- 50-query window boundary: everything below is the round-6 ----
+    # ---- head (remaining r1-only TPC-H regrades, then r1 relational) ----
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
@@ -157,27 +128,7 @@ ROUND_PRIORITY = [
     "q_approx_count_distinct",
     "q_approx_percentile",
     "w_topk_suppliers_per_nation",
-    # late round-4 additions (round-5 window tail)
-    "s_diversity",
-    "t_langid_confusion",
-    "p_pad_efficiency",
-    "q_snapshot_diff",
-    "s_binary_search",
-    "p_e2e_pipeline",
-    "s_mrl_search",
-    "q_benford",
-    "p_quality_ablation",
-    "v_flagship_consume_enrich",
-    "d_minhash_lsh_md5",
-    "d_simhash_md5",
-    "st_flagship_stream",
-    "q_kmv_distinct",
-    "m_cdc_chunks",
-    "st_stream_outer_join",
-    "st_session_stream",
-    "p_dsir_resample",
-    "st_ingest_dedup",
-    # round-3-window queries stay registered behind these (import order)
+    # round-4-window queries stay registered behind these (import order)
 ]
 
 
