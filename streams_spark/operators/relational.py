@@ -2470,10 +2470,13 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refolding into a fresh leaked temp dir per call
     from streams_spark.operators.streaming_queries import _cached_feed
 
+    # cache key carries the cutoff + a state-schema version token so a
+    # code change to either invalidates the persisted state instead of
+    # serving stale cross-session parquet
     state_dir = _cached_feed(
         sf_dir,
         "incragg",
-        "state",
+        f"state|v2|{_INCR_CUTOFF}|event_type,n_events,sum_cents,min_cents,max_cents",
         lambda d: partial(ev.where(F.col("ts") < cutoff))
         .write.mode("overwrite")
         .parquet(d),

@@ -1253,23 +1253,40 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
         f"{os.path.abspath(sf_dir)}|{op}|{extra_key}"
         f"|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:10]
-    feed = os.path.join(
-        tempfile.gettempdir(), "pystreams_feeds", f"{op}_{key}"
+    # per-user cache root (0700): a world-shared temp path would let
+    # another uid pre-create the dir (permission failures) or serve
+    # foreign parquet as query input
+    root = os.path.join(
+        tempfile.gettempdir(), f"pystreams_feeds-{os.getuid()}"
     )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    feed = os.path.join(root, f"{op}_{key}")
     if not os.path.exists(os.path.join(feed, "_SUCCESS")):
         # build into a unique sibling, then rename into place: the
         # rename is atomic on one filesystem, so a concurrent process
         # either sees the complete feed or builds its own copy — never
         # a half-written directory
+        import shutil
+
         stage = f"{feed}.build-{os.getpid()}"
         build(stage)
         try:
             os.rename(stage, feed)
         except OSError:
-            # another builder won the race; its complete feed stands
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
+            # feed already exists: either a concurrent builder's
+            # complete copy (has _SUCCESS — keep it) or a stale/partial
+            # remnant (no _SUCCESS — evict and retry with our stage)
+            if os.path.exists(os.path.join(feed, "_SUCCESS")):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                shutil.rmtree(feed, ignore_errors=True)
+                try:
+                    os.rename(stage, feed)
+                except OSError:
+                    # lost a second race; fall back to serving the stage
+                    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+                        return stage
+                    shutil.rmtree(stage, ignore_errors=True)
     return feed
 
 
@@ -1576,4 +1593,10 @@ def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if state["df"] is None:
+        # zero micro-batches (empty documents source): return an empty
+        # frame with the contract schema rather than None
+        return spark.createDataFrame(
+            [], "content_md5 string, survivor_id bigint, n_seen bigint"
+        )
     return state["df"]

@@ -637,3 +637,71 @@ def test_compact_preserves_sink_commit_batch_layout(spark, tmp_path):
     # replay of an already-committed batch is still a no-op post-compact
     sink(_entries(spark, "s0", "g0", range(1, 11)), batch_id=0)
     assert sink.read_committed(spark).count() == 15
+
+
+def test_cached_feed_evicts_stale_partial_dir(sf_dir, monkeypatch, tmp_path):
+    """A pre-existing feed dir WITHOUT _SUCCESS (interrupted cleanup,
+    disk-full remnant) must be evicted and replaced by the fresh build,
+    not returned broken forever; a complete dir must be reused without
+    rebuilding. Cache root is per-uid and 0700."""
+    import os
+    import stat
+
+    from streams_spark.operators.streaming_queries import _cached_feed
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    builds = []
+
+    def build(stage: str) -> None:
+        os.makedirs(stage)
+        with open(os.path.join(stage, "_SUCCESS"), "w"):
+            pass
+        builds.append(stage)
+
+    feed = _cached_feed(sf_dir, "evtest", "k", build)
+    assert os.path.exists(os.path.join(feed, "_SUCCESS")) and len(builds) == 1
+    root = os.path.dirname(feed)
+    assert root.endswith(f"pystreams_feeds-{os.getuid()}")
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    # complete dir is reused: no rebuild
+    assert _cached_feed(sf_dir, "evtest", "k", build) == feed
+    assert len(builds) == 1
+
+    # stale partial: drop _SUCCESS, leave junk; next call must rebuild
+    os.remove(os.path.join(feed, "_SUCCESS"))
+    with open(os.path.join(feed, "part-junk"), "w") as fh:
+        fh.write("torn")
+    feed2 = _cached_feed(sf_dir, "evtest", "k", build)
+    assert len(builds) == 2
+    assert os.path.exists(os.path.join(feed2, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(feed2, "part-junk"))
+
+
+def test_ingest_dedup_empty_source_returns_empty_frame(spark, tmp_path):
+    """st_ingest_dedup's zero-micro-batch path (empty documents source)
+    must return an empty DataFrame with the contract schema, not None."""
+    import os
+
+    from streams_spark.registry import load_all
+
+    sf = str(tmp_path / "sf-empty")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = load_all()["st_ingest_dedup"].fn(spark, sf)
+    assert out is not None
+    assert out.count() == 0
+    assert set(out.columns) == {"content_md5", "survivor_id", "n_seen"}
