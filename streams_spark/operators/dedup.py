@@ -1219,36 +1219,78 @@ FROM closure GROUP BY src, dst
 """
 
 
+# Below this edge count the semi-naive loop wins: the recursive CTE
+# bypasses AQE, so every level pays its static task-launch width even
+# when a level carries a handful of rows (~7 s bare-session at sf0.01,
+# all scheduling). The DataFrame loop goes through AQE, which collapses
+# near-empty shuffles, and BFS levels on a sparse DAG are few.
+_TC_SEMI_NAIVE_MAX_EDGES = 1_000_000
+
+
+def _closure_semi_naive(edges: DataFrame) -> DataFrame:
+    """Semi-naive BFS transitive closure over a DAG edge list
+    (src, dst): delta-frontier join per level, per-level distinct +
+    anti-join against the known closure, so each (src, dst) pair is
+    emitted exactly once at its minimum hop count. Same loop skeleton
+    as d_dup_clusters (localCheckpoint per round truncates lineage).
+
+    Scale: work per level is |frontier| x avg-out-degree — the
+    semi-naive delta property (only NEW pairs join forward) keeps dense
+    diamonds from re-deriving known pairs level after level."""
+    closure = edges.select("src", "dst", F.lit(1).alias("min_hops"))
+    frontier = closure.select("src", "dst").localCheckpoint()
+    depth = 1
+    while not frontier.isEmpty():
+        depth += 1
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("e.src") == F.col("f.dst"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(
+                closure.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            .localCheckpoint()
+        )
+        closure = closure.unionByName(
+            frontier.withColumn("min_hops", F.lit(depth))
+        ).localCheckpoint()
+    return closure.select(
+        F.col("src").alias("excerpt_id"),
+        F.col("dst").alias("container_id"),
+        F.col("min_hops").cast("int").alias("min_hops"),
+    )
+
+
 @register("d_transitive_containment", oracle=_TRANSITIVE_CONTAINMENT)
 def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the excerpt-containment relation: if A is
     contained in B and B in C, report (A, C) with the minimum hop count
     — the chain a provenance/dedup audit follows to find the ultimate
-    container of every excerpt. Runs as a RECURSIVE CTE (Spark 4) over
-    edges directed small -> large shingle-set (ties by id), which makes
-    the graph a DAG so UNION ALL recursion terminates (Spark does not
-    yet support UNION-distinct recursion; cyclic propagation uses the
-    iterative d_dup_clusters loop instead).
+    container of every excerpt. Edges are directed small -> large
+    shingle-set (ties by id), which makes the graph a DAG so the
+    closure terminates.
 
-    Scale: recursion depth = longest containment chain (shallow in real
-    corpora); each level is one equi-join on the edge key. Path
-    multiplicity can amplify rows on dense DAGs — the iterative
-    semi-naive variant with per-level distinct (d_dup_clusters' loop) is
-    the fallback when closure density bites; stated here so nobody
-    "simplifies" one into the other.
+    Two physical strategies, picked by measured edge count:
+    - sparse (<= _TC_SEMI_NAIVE_MAX_EDGES): semi-naive BFS DataFrame
+      loop (_closure_semi_naive). Each level runs under AQE, so
+      near-empty frontier shuffles coalesce to a handful of tasks —
+      this is what the recursive CTE cannot do (CTE levels execute at
+      the static shuffle width, turning a sparse sf0.01 closure into
+      ~7 s of task-launch overhead).
+    - dense: the RECURSIVE CTE (Spark 4, _TRANSITIVE_SQL). When levels
+      genuinely carry millions of rows the per-level fixed cost is
+      amortized and the CTE avoids the loop's per-level driver round
+      trip and isEmpty() action; path multiplicity on dense DAGs is
+      bounded by the GROUP BY min(depth) at the end.
 
-    Bare-session cost control: each recursion level shuffles on the
-    edge key, and a bare session's default 200 shuffle partitions make
-    every level pay ~200 near-empty task launches (measured 14.7 s at
-    sf0.01, ~10x the family median — scheduling overhead, not data).
-    The streaming family's save/restore conf cap can't work here as a
-    plain decorator because this query returns a LAZY frame — the conf
-    would be restored before execution — so the closure is materialized
-    eagerly (localCheckpoint) while the scoped 32-partition cap is in
-    force, and the edge list is checkpointed first so recursion levels
-    rescan a materialized edge table instead of re-executing the
-    shingle-join subplan per level. Both checkpoints are the pattern
-    d_dup_clusters already uses for its iterative loop.
+    Bare-session cost control (dense path): the edge list is
+    localCheckpoint-ed so recursion levels rescan a materialized table
+    instead of re-executing the shingle-join subplan per level, and the
+    closure is materialized eagerly while a scoped shuffle-width cap
+    (sized from the real edge count) is in force — the conf must not be
+    restored before execution, hence the eager checkpoint rather than a
+    save/restore decorator around a lazy frame.
     """
     shuffle_conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(shuffle_conf)
@@ -1281,13 +1323,16 @@ def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        n_edges = edges.count()
+        if n_edges <= _TC_SEMI_NAIVE_MAX_EDGES:
+            return _closure_semi_naive(edges)
         edges.createOrReplaceTempView("cont_edges")
         # Recursive CTE execution bypasses AQE, so every level's join
         # pays the STATIC conf width in task launches regardless of
         # data size. The edge list is already materialized — size the
         # width from the real edge count (~50k edges/partition) instead
         # of inheriting a width meant for corpus-scale shuffles.
-        width = max(1, min(32, edges.count() // 50_000 + 1))
+        width = max(1, min(32, n_edges // 50_000 + 1))
         spark.conf.set(shuffle_conf, str(width))
         return spark.sql(_TRANSITIVE_SQL).localCheckpoint()
     finally:

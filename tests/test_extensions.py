@@ -1903,3 +1903,49 @@ def test_dsir_selects_target_like_documents(spark, sf_dir):
     sel_en = sum(1 for r in rows if r.lang == "en") / len(rows)
     assert sel_en > corpus_en
     assert len(rows) <= max(1, round(0.12 * n_docs))
+
+
+def test_closure_semi_naive_matches_recursive_cte(spark):
+    """The sparse-path semi-naive loop and the dense-path recursive CTE
+    are the same operator: on a DAG with a chain, a diamond (two paths
+    of different length to the same node) and a disconnected edge, both
+    emit identical (pair -> min_hops) maps; min_hops is the SHORTEST
+    path even when a longer derivation exists."""
+    from streams_spark.operators.dedup import (
+        _TRANSITIVE_SQL,
+        _closure_semi_naive,
+    )
+
+    #      1 -> 2 -> 3 -> 4   (chain)
+    #      5 -> 6, 5 -> 7 -> 6 -> 8   (diamond: 5->6 direct and via 7)
+    #      90 -> 91   (island)
+    edge_rows = [
+        (1, 2), (2, 3), (3, 4),
+        (5, 6), (5, 7), (7, 6), (6, 8),
+        (90, 91),
+    ]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+
+    got_iter = {
+        (r.excerpt_id, r.container_id): r.min_hops
+        for r in _closure_semi_naive(edges).collect()
+    }
+    edges.createOrReplaceTempView("cont_edges")
+    got_cte = {
+        (r.excerpt_id, r.container_id): r.min_hops
+        for r in spark.sql(_TRANSITIVE_SQL).collect()
+    }
+    assert got_iter == got_cte
+    assert got_iter[(5, 6)] == 1  # shortest path wins over 5->7->6
+    assert got_iter[(5, 8)] == 2  # via the direct 5->6 edge, not 3 hops
+    assert got_iter[(1, 4)] == 3 and (90, 91) in got_iter
+
+
+def test_closure_semi_naive_empty_edges(spark):
+    from streams_spark.operators.dedup import _closure_semi_naive
+
+    out = _closure_semi_naive(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    assert out.count() == 0
+    assert out.columns == ["excerpt_id", "container_id", "min_hops"]
