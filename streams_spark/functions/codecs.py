@@ -183,6 +183,46 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
     return samples, rate, ch
 
 
+_FRAMES_MAGIC = b"PSMF\x01"
+
+
+def frames_encode(frames: list[np.ndarray]) -> bytes:
+    """Encode a frame sequence as a multi-frame container: magic+version,
+    big-endian frame count, then length-prefixed PNG-encoded frames
+    (each a full png_encode output; the filter cycles per frame so a
+    decode exercises every un-filter path). An APNG-lite: same idea as
+    APNG's PNG-stream-per-frame, minus the animation-timing chunks the
+    engine has no use for."""
+    parts = [_FRAMES_MAGIC, struct.pack(">I", len(frames))]
+    for i, arr in enumerate(frames):
+        png = png_encode(arr, filter_type=i % 5)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def frames_decode(data: bytes) -> list[np.ndarray]:
+    """Decode a frames_encode container back to its list of arrays.
+    Raises on bad magic, a torn frame, or trailing garbage — undecodable
+    video blobs are quarantined explicitly, like media_probe."""
+    if data[: len(_FRAMES_MAGIC)] != _FRAMES_MAGIC:
+        raise ValueError("not a PSMF frame container")
+    (n,) = struct.unpack(">I", data[5:9])
+    pos, frames = 9, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("torn frame container")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        if pos + length > len(data):
+            raise ValueError("torn frame payload")
+        frames.append(png_decode(data[pos : pos + length]))
+        pos += length
+    if pos != len(data):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
 def media_probe(payload: bytes) -> tuple[int, int, int, int]:
     """decode_media-compatible codec over REAL bytes: sniffs the format
     and returns (width, height, n_channels, checksum-of-decoded-content).

@@ -607,6 +607,117 @@ def m_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAMES_REAL_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS w,
+         6 + (doc_id * 5) % 11 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS frame_no FROM v
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (i % w + 3 * (i // w) + 7 * frame_no + doc_id) % 256))
+            % 1000000007 AS BIGINT) AS checksum
+FROM f
+"""
+
+
+def video_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video analog of media_table_real: one REAL multi-frame
+    container per video doc (doc_id % 3 = 2, matching m_frame_sample's
+    subset), built by frames_encode — 2..6 PNG frames whose pixels are a
+    deterministic function of (doc_id, frame_no), filters cycling per
+    frame so decode exercises every un-filter path."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import frames_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2)
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 6 + (d * 5) % 11
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                frames = [
+                    ((x + 3 * y + 7 * f + d) % 256).astype(np.uint8)
+                    for f in range(2 + d % 5)
+                ]
+                rows.append((d, frames_encode(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+@register("m_frames_real", oracle=_FRAMES_REAL_ORACLE)
+def m_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec twin of m_frame_sample: every video payload is a
+    valid PSMF multi-frame container (functions/codecs.py — magic +
+    length-prefixed PNG stream per frame, an APNG-lite), the sampler
+    DECODES the container and keeps every 2nd frame (stride-2 temporal
+    sampling, the bounded-subset contract real frame samplers honor),
+    and the checksum is over the sampled frame's DECODED pixels. The
+    oracle predicts frame count, geometry and per-frame checksum in
+    closed form from doc_id, so a green row proves the container parse,
+    the per-frame zlib/un-filter round-trip, and the stride arithmetic
+    together. Retires the last _fake_decode-only media path
+    (m_frame_sample stays registered as the no-codec fallback).
+
+    Reference contract: payloads are opaque bytes the consumer decodes
+    (/root/reference/server/messages.go:65).
+
+    Scale: two chained map-only Arrow stages (synthesize+encode,
+    decode+sample), fan-out rows-per-blob bounded by the stride — no
+    shuffle anywhere; at 100 TB the synth stage is replaced by reading
+    real blobs (read_media_dir) and the sampler is unchanged."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import frames_decode
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = frames_decode(bytes(payload))
+                nf = len(frames)
+                for f in range(0, nf, 2):
+                    arr = frames[f]
+                    rows.append(
+                        (
+                            int(doc_id), f, nf,
+                            int(arr.shape[1]), int(arr.shape[0]),
+                            int(arr.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames",
+                    "width", "height", "checksum",
+                ],
+            )
+
+    return video_table_real(spark, sf_dir).mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, "
+            "width int, height int, checksum bigint"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------

@@ -61,3 +61,35 @@ def test_media_probe_dispatch_and_content_checksum():
     assert csum2 == int(samples.astype(np.int64).sum()) % CHECKSUM_MOD
     with pytest.raises(ValueError):
         media_probe(b"\x00" * 32)
+
+
+def test_frames_container_roundtrip_mixed_shapes():
+    from streams_spark.functions.codecs import frames_decode, frames_encode
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(5, 9), dtype=np.uint8).astype(np.uint8),
+        rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8).astype(np.uint8),
+        rng.integers(0, 256, size=(3, 3), dtype=np.uint8).astype(np.uint8),
+        rng.integers(0, 256, size=(8, 2), dtype=np.uint8).astype(np.uint8),
+        rng.integers(0, 256, size=(2, 8), dtype=np.uint8).astype(np.uint8),
+        rng.integers(0, 256, size=(4, 4), dtype=np.uint8).astype(np.uint8),
+    ]
+    # 6 frames -> filter types 0..4 then 0 again: every un-filter path runs
+    out = frames_decode(frames_encode(frames))
+    assert len(out) == len(frames)
+    for got, want in zip(out, frames):
+        assert got.shape == want.shape and (got == want).all()
+    assert frames_decode(frames_encode([])) == []
+
+
+def test_frames_container_rejects_torn_and_foreign_bytes():
+    from streams_spark.functions.codecs import frames_decode, frames_encode
+
+    good = frames_encode([np.zeros((4, 4), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        frames_decode(b"AVI " + good[4:])  # bad magic
+    with pytest.raises(ValueError):
+        frames_decode(good[:-3])  # torn frame payload
+    with pytest.raises(ValueError):
+        frames_decode(good + b"\x00\x01")  # trailing garbage
