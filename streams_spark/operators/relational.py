@@ -563,7 +563,8 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch, accuracy 10000) — no
     oracle: quantile sketches are engine-specific (DuckDB uses t-digest).
     Rows-only check here; tests/ bounds it against the exact
-    q_percentiles twin. The sketch is the 100 TB path: exact percentile
+    q_percentiles twin, and q_grid_percentile is the deterministic
+    oracle-paired member of this family. The sketch is the 100 TB path: exact percentile
     materializes the full sorted group, GK merges bounded-size summaries
     map-side and ships one small state per group through the shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -574,6 +575,108 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
         ).alias("p90_price"),
+    )
+
+
+# The value-checked twin of q_approx_percentile (the q_kmv_distinct move
+# applied to quantiles): a fixed-grid histogram sketch whose every
+# intermediate is integer arithmetic, so DuckDB reproduces the ESTIMATE
+# bit for bit. Rank test is cross-multiplied (cum * den >= num * n)
+# instead of ceil(q * n): 0.9 parses as an IEEE double in Spark but a
+# DECIMAL in DuckDB, and the two ceil()s disagree near exact multiples.
+_GRID_PERCENTILE = """
+WITH qh AS (
+  SELECT l_returnflag, CAST(floor(l_quantity * 100) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), qc AS (
+  SELECT l_returnflag, cell,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM qh
+), qm AS (
+  SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n_rows,
+         min(cell) AS cell
+  FROM qc WHERE cum * 2 >= n GROUP BY l_returnflag
+), ph AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), pc AS (
+  SELECT l_returnflag, cell,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM ph
+), pm AS (
+  SELECT l_returnflag, min(cell) AS cell
+  FROM pc WHERE cum * 10 >= n * 9 GROUP BY l_returnflag
+)
+SELECT qm.l_returnflag, qm.n_rows,
+       CAST(qm.cell AS DOUBLE) / 100 AS grid_median_qty,
+       CAST(pm.cell AS DOUBLE) AS grid_p90_price
+FROM qm JOIN pm ON pm.l_returnflag = qm.l_returnflag
+"""
+
+
+GRID_QTY_SCALE = 100  # 0.01 cells for quantity
+GRID_PRICE_SCALE = 1  # 1.0 cells for price
+
+
+def _grid_quantile(
+    df: DataFrame, key: str, value, scale: int, num: int, den: int
+):
+    """Smallest grid cell whose cumulative count covers rank num/den:
+    histogram on floor(value * scale), per-key cumulative sum in cell
+    order, integer cross-multiplied rank test. Returns
+    (key, n_rows, cell)."""
+    hist = df.groupBy(
+        key, F.floor(value * scale).cast("long").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        key,
+        "cell",
+        F.sum("c").over(Window.partitionBy(key).orderBy("cell")).alias("cum"),
+        F.sum("c").over(Window.partitionBy(key)).alias("n"),
+    )
+    return (
+        cum.where(F.col("cum") * den >= F.col("n") * num)
+        .groupBy(key)
+        .agg(F.min("n").alias("n_rows"), F.min("cell").alias("cell"))
+    )
+
+
+@register("q_grid_percentile", oracle=_GRID_PERCENTILE)
+def q_grid_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grid-quantile sketch — the value-checked twin that
+    upgrades the approximate-percentile family from rows-only to a full
+    oracle row (exactly how q_kmv_distinct twins approx_count_distinct):
+    quantize values to a fixed grid (0.01 for quantity, 1.0 for price),
+    build a per-group cell histogram, and read the quantile as the
+    smallest cell whose cumulative count covers the target rank. Error
+    is bounded by the grid pitch a priori — unlike GK/t-digest, whose
+    state is engine-private — and every intermediate is integer
+    arithmetic, so the oracle checks the ESTIMATE value for value.
+
+    At 100 TB: the histogram is mergeable (cell counts add) and builds
+    with one partial-agg'd shuffle on (group, cell); sketch state is
+    |occupied cells| per group, bounded by value-range/pitch regardless
+    of row count. The rank scan is a per-group window over cells only.
+    This is the classic fixed-bin "histogram quantile" (Prometheus-style)
+    as opposed to q_percentiles' exact sort-based path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = _grid_quantile(
+        li, "l_returnflag", F.col("l_quantity"), GRID_QTY_SCALE, 1, 2
+    )
+    p90 = _grid_quantile(
+        li, "l_returnflag", F.col("l_extendedprice"), GRID_PRICE_SCALE, 9, 10
+    ).select("l_returnflag", F.col("cell").alias("pcell"))
+    return med.join(p90, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("cell").cast("double") / GRID_QTY_SCALE).alias(
+            "grid_median_qty"
+        ),
+        F.col("pcell").cast("double").alias("grid_p90_price"),
     )
 
 

@@ -1949,3 +1949,40 @@ def test_closure_semi_naive_empty_edges(spark):
     )
     assert out.count() == 0
     assert out.columns == ["excerpt_id", "container_id", "min_hops"]
+
+
+def test_grid_percentile_matches_exact_rank_on_grid(spark, sf_dir):
+    """The grid-quantile estimate equals the exact rank statistic
+    computed over grid-quantized values (numpy recompute), and sits
+    within one grid pitch of the true discrete percentile."""
+    import numpy as np
+
+    from streams_spark.sources.tables import load_table
+
+    got = {
+        r.l_returnflag: (r.n_rows, r.grid_median_qty, r.grid_p90_price)
+        for r in _rows(spark, sf_dir, "q_grid_percentile")
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, ([], []))
+        by_flag[r.l_returnflag][0].append(r.l_quantity)
+        by_flag[r.l_returnflag][1].append(r.l_extendedprice)
+    assert set(got) == set(by_flag)
+    for flag, (qty, price) in by_flag.items():
+        n = len(qty)
+        qcells = np.sort(np.floor(np.array(qty) * 100).astype(np.int64))
+        pcells = np.sort(np.floor(np.array(price)).astype(np.int64))
+        # smallest cell with cum >= rank  ==  sorted[rank-1], rank=ceil(qn)
+        want_med = qcells[-(-n // 2) - 1] / 100.0
+        want_p90 = float(pcells[-(-9 * n // 10) - 1])
+        assert got[flag] == (n, want_med, want_p90)
+        exact_med = float(np.sort(qty)[-(-n // 2) - 1])
+        exact_p90 = float(np.sort(price)[-(-9 * n // 10) - 1])
+        assert 0 <= exact_med - got[flag][1] < 0.01 + 1e-9
+        assert 0 <= exact_p90 - got[flag][2] < 1.0
