@@ -798,7 +798,25 @@ def has_transform_with_state() -> bool:
     package (the API crashes in StateMessage_pb2 import), so the real
     path is guarded exactly like the multimodal Pillow codec
     (multimodal.py): activated when the dependency exists, with a
-    semantics-identical fallback otherwise."""
+    semantics-identical fallback otherwise.
+
+    Why the dependency is genuinely unreachable in this sandbox (and a
+    stdlib shim is not honest to attempt): pyspark's generated
+    `sql/streaming/proto/StateMessage_pb2.py` is not a self-contained
+    codec — it (1) calls `runtime_version.ValidateProtobufRuntimeVersion`
+    pinning protobuf gencode 6.33.0 against the installed runtime, then
+    (2) feeds a serialized FileDescriptorProto into
+    `descriptor_pool`/`internal.builder` to MANUFACTURE the message
+    classes at import time, and (3) the worker-side state client then
+    round-trips those messages over a socket to the JVM, which parses
+    them with the Java protobuf runtime — so the Python side must be
+    wire-format complete (varint/zigzag/length-delimited submessages,
+    field presence, enum semantics), i.e. the full ~15 kLoC pure-Python
+    protobuf runtime, not a varint encoder. Vendoring a fake
+    `google.protobuf` that imports cleanly would convert an honest skip
+    into a runtime wire-protocol crash inside the streaming worker.
+    The fallback (`applyInPandasWithState` fold) is asserted
+    semantics-identical in tests/test_streaming.py."""
     try:
         import google.protobuf  # noqa: F401
 

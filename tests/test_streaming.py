@@ -482,7 +482,12 @@ def test_transform_with_state_real_api_path(spark):
     from streams_spark.operators import streaming_queries as sq
 
     if not sq.has_transform_with_state():
-        pytest.skip("google.protobuf not installed; real path unavailable")
+        pytest.skip(
+            "google.protobuf not installed; real path unavailable — "
+            "see has_transform_with_state() for why a stdlib shim "
+            "cannot close this (full protobuf runtime + JVM wire "
+            "compatibility required)"
+        )
     stream = sq._events_stream(spark, "/root/testdata/sf0.001")
     out = sq._type_profile_tws(stream, spark)
     assert [f.name for f in out.schema.fields] == [
