@@ -699,48 +699,59 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = fwd.union(rev).cache()
         width = max(1, min(32, edges.count() // 50_000 + 1))
         spark.conf.set(shuffle_conf, str(width))
-        labels = (
-            edges.select(F.col("src").alias("node")).distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
-        )
-        n_changed = 0
-        for _ in range(20):  # >= any real dup-cluster diameter; exits early
-            neighbor_min = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy(F.col("dst").alias("node2"))
-                .agg(F.min("label").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                    (F.col("label") != F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    )).alias("changed"),
-                )
-            ).localCheckpoint()
-            n_changed = new_labels.where(F.col("changed")).count()
-            labels = new_labels.drop("changed")
-            if n_changed == 0:
-                break
+        labels = cc_min_label(edges, max_rounds=20)
     finally:
         spark.conf.set(shuffle_conf, orig)
-    if n_changed != 0:
-        # A silent non-converged return would assign wrong clusters to any
-        # chain with diameter > 20 (and diverge from the recursive-CTE
-        # oracle); fail loudly instead — no real dup corpus gets here.
-        raise RuntimeError(
-            f"dup-cluster label propagation did not converge in 20 rounds "
-            f"({n_changed} labels still changing); raise the round cap or "
-            f"switch to the O(log d) doubling variant"
-        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def cc_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation CC loop over a BIDIRECTED (src, dst) edge
+    list: rounds = graph diameter, one shuffle-join + one aggregate per
+    round, labels localCheckpoint-ed. Returns (node, label). The caller
+    owns shuffle-width scoping and edge materialization; the skew-stress
+    harness (tools/stress_cc_skew.py) drives this directly on synthetic
+    hub graphs."""
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    n_changed = 0
+    for _ in range(max_rounds):  # >= any real dup-cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("label") != F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                )).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    if n_changed != 0:
+        # A silent non-converged return would assign wrong clusters to any
+        # chain with diameter > max_rounds (and diverge from the
+        # recursive-CTE oracle); fail loudly instead.
+        raise RuntimeError(
+            f"dup-cluster label propagation did not converge in "
+            f"{max_rounds} rounds ({n_changed} labels still changing); "
+            f"raise the round cap or use cc_star"
+        )
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -1789,71 +1800,74 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         width = max(1, min(32, cur.count() // 50_000 + 1))
         spark.conf.set(shuffle_conf, str(width))
-
-        def checksum(e: DataFrame):
-            row = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
-                F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("h2"),
-            ).first()
-            return (row.n, row.h1, row.h2)
-
-        sig = checksum(cur)
-        converged = False
-        for _ in range(20):  # O(log n) expected; 2^20 nodes of slack
-            # LARGE-STAR over the bidirected view: for each u,
-            # m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u
-            bidir = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
-            m = F.least(F.col("mn"), F.col("u"))
-            ls = (
-                bidir.join(mins, "u")
-                .where(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), m.alias("v"))
-                .where(F.col("u") != F.col("v"))
-                .distinct()
-            )
-            # SMALL-STAR over the (u > v) orientation: for each u,
-            # m = min(N⁻(u)); re-hang every smaller neighbor and u on m
-            mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
-            ss = (
-                ls.join(mins2, "u")
-                .where(F.col("v") != F.col("mn"))
-                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-                .union(mins2.select("u", F.col("mn").alias("v")))
-                .distinct()
-                .localCheckpoint()
-            )
-            new_sig = checksum(ss)
-            cur = ss
-            if new_sig == sig:
-                converged = True
-                break
-            sig = new_sig
-        if converged:
-            # final union/distinct runs INSIDE the conf scope — the
-            # returned frame is lazy, and this last graph-sized shuffle
-            # would otherwise execute at the restored full session
-            # width (the bare-session overhead the cap exists to avoid)
-            roots = cur.select(
-                F.col("v").alias("u"), F.col("v").alias("v")
-            ).distinct()
-            out = (
-                cur.union(roots)
-                .distinct()
-                .select(
-                    F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
-                )
-                .localCheckpoint()
-            )
+        out = cc_star(cur, max_rounds=20)
     finally:
         spark.conf.set(shuffle_conf, orig)
+    return out
+
+
+def cc_star(cur: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Alternating large-star/small-star CC loop over a canonical
+    (u, v) edge list with v < u. Returns (doc_id, cluster_id) with
+    roots = component minima — identical output contract to
+    cc_min_label after relabeling. The caller owns shuffle-width
+    scoping; the loop localCheckpoints each round and the final output
+    (so the last graph-sized shuffle runs inside the caller's conf
+    scope, not lazily at restored session width). The skew-stress
+    harness (tools/stress_cc_skew.py) drives this directly."""
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
+            F.sum(F.xxhash64("u", "v") % 1_000_000_007).alias("h2"),
+        ).first()
+        return (row.n, row.h1, row.h2)
+
+    sig = checksum(cur)
+    converged = False
+    for _ in range(max_rounds):  # O(log n) expected
+        # LARGE-STAR over the bidirected view: for each u,
+        # m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u
+        bidir = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        ls = (
+            bidir.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over the (u > v) orientation: for each u,
+        # m = min(N⁻(u)); re-hang every smaller neighbor and u on m
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = checksum(ss)
+        cur = ss
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
     if not converged:
         raise RuntimeError(
-            "large-star/small-star did not converge in 20 rounds; "
-            "the dup graph is adversarial — raise the cap"
+            f"large-star/small-star did not converge in {max_rounds} "
+            f"rounds; the dup graph is adversarial — raise the cap"
         )
-    return out
+    roots = cur.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return (
+        cur.union(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .localCheckpoint()
+    )
 
 
 # ---------------------------------------------------------------------------
