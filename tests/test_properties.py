@@ -488,3 +488,63 @@ def test_floor_rounding_rule_agrees_across_engines(spark, pairs):
             f"       floor({a} / {b}::DOUBLE * 1000000 + 0.5) / 1000000"
         ).fetchone()
         assert got[(a, b)] == (r4, r6), (a, b, got[(a, b)], (r4, r6))
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),   # h
+            st.integers(min_value=1, max_value=9),   # w
+            st.booleans(),                           # rgb?
+            st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_frames_container_roundtrips_arbitrary_sequences(frames):
+    """PSMF container round-trips ANY sequence of valid frames (mixed
+    shapes/channel counts, any length incl. empty), bit-exact."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import frames_decode, frames_encode
+
+    arrays = []
+    for h, w, rgb, seed in frames:
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        arrays.append(rng.integers(0, 256, size=shape, dtype=np.uint8))
+    out = frames_decode(frames_encode(arrays))
+    assert len(out) == len(arrays)
+    for got, want in zip(out, arrays):
+        assert got.shape == want.shape and (got == want).all()
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=200,
+    ),
+    num=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_grid_quantile_rank_rule_equals_sorted_index(values, num):
+    """The integer cross-multiplied rank rule (smallest cell with
+    cum * 10 >= num * n) must pick exactly sorted[ceil(num/10 * n) - 1]
+    for every value multiset and decile — the property both engines'
+    SQL relies on."""
+    n = len(values)
+    cells = sorted(values)
+    # rule as implemented: first cell where cumulative count crosses
+    from collections import Counter
+
+    cum = 0
+    picked = None
+    for cell, c in sorted(Counter(values).items()):
+        cum += c
+        if cum * 10 >= num * n:
+            picked = cell
+            break
+    want = cells[-(-num * n // 10) - 1]  # ceil(num*n/10), 1-indexed
+    assert picked == want
