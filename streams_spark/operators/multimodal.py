@@ -718,6 +718,83 @@ def m_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOTION_ORACLE = """
+WITH v AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + (doc_id * 5) % 11 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+), pairs AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf - 1)) AS f FROM v
+), diffs AS (
+  -- synthesis pixel v = (x + 3y + 7f + d) % 256; the next frame adds 7
+  -- mod 256, so |p(f+1)-p(f)| is 7 unless v wraps (v >= 249), then 249
+  SELECT doc_id, nf, w, h,
+         list_sum(list_transform(range(w * h),
+           i -> CASE WHEN (i % w + 3 * (i // w) + 7 * f + doc_id) % 256 < 249
+                     THEN 7 ELSE 249 END)) AS dsum
+  FROM pairs
+)
+SELECT doc_id, CAST(min(nf) AS INTEGER) AS n_frames,
+       CAST(sum(dsum) AS BIGINT) AS motion_sum,
+       floor(CAST(sum(dsum) AS DOUBLE) / (min(nf) - 1) / (min(w) * min(h))
+             * 10000 + 0.5) / 10000 AS mean_abs_diff
+FROM diffs GROUP BY doc_id
+"""
+
+
+@register("m_motion_real", oracle=_MOTION_ORACLE)
+def m_motion_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motion energy over REALLY decoded frame sequences: per
+    video, the sum and per-pixel mean of absolute frame-to-frame
+    differences — the standard cheap static-vs-dynamic signal a video
+    curation pipeline uses to drop slideshows/freeze frames before
+    expensive model scoring. Every subtraction happens on pixels that
+    came out of the PSMF/PNG decode, and the oracle derives both
+    features in closed form from the synthesis formula (the +7-mod-256
+    frame step makes the wrap case explicit), so a green row proves the
+    whole decode→diff pipeline, not just plumbing.
+
+    Scale: one map-only Arrow stage per video (all consecutive-frame
+    math inside the UDF batch, int64-exact), no shuffle; output is one
+    row per video."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import frames_decode
+
+    def motion(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    a.astype(np.int64) for a in frames_decode(bytes(payload))
+                ]
+                nf = len(frames)
+                h, w = frames[0].shape[0], frames[0].shape[1]
+                dsum = sum(
+                    int(np.abs(b - a).sum())
+                    for a, b in zip(frames[:-1], frames[1:])
+                )
+                mean = dsum / (nf - 1) / (w * h)
+                rows.append(
+                    (
+                        int(doc_id), nf, dsum,
+                        int(mean * 10000 + 0.5) / 10000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "motion_sum", "mean_abs_diff"],
+            )
+
+    return video_table_real(spark, sf_dir).mapInPandas(
+        motion,
+        schema=(
+            "doc_id long, n_frames int, motion_sum bigint, "
+            "mean_abs_diff double"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------

@@ -88,6 +88,7 @@ ROUND_PRIORITY = [
     # new queries added this round (need first driver evidence)
     "m_frames_real",
     "q_grid_percentile",
+    "m_motion_real",
     # remaining slots: oldest r1-only regrades (TPC-H head)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
