@@ -99,9 +99,9 @@ ROUND_PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_items",
     # ---- 50-query window boundary: everything below is the round-6 ----
     # ---- head (remaining r1-only TPC-H regrades, then r1 relational) ----
+    "q10_returned_items",
     "q11_important_stock",
     "q12_late_shipments",
     "q13_order_distribution",
