@@ -1042,7 +1042,9 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = _cached_feed(
         sf_dir,
         "cdc",
-        "ts3",
+        # version + projected schema in the key: a code change to either
+        # must invalidate the persisted feed (the q_incremental_agg rule)
+        "ts3|v2|event_id,ts,user_id,event_type,value",
         lambda d: batch_ev.repartitionByRange(3, "ts")
         .write.mode("overwrite")
         .parquet(d),
@@ -1160,7 +1162,7 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = _cached_feed(
         sf_dir,
         "doccms",
-        "id3",
+        "id3|v2|doc_id,text",
         lambda d: docs.repartitionByRange(3, "doc_id")
         .write.mode("overwrite")
         .parquet(d),
@@ -1567,7 +1569,7 @@ def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _cached_feed(
         sf_dir,
         "docingest",
-        "id3",
+        f"id3|v2|doc_id,prefix_md5_{PREFIX_TOKENS}",
         lambda d: docs.repartitionByRange(3, "doc_id")
         .write.mode("overwrite")
         .parquet(d),
