@@ -75,6 +75,10 @@ STRESS_QUERIES = [
     "d_cluster_survivors",
     "s_ivf_pq_search",
     "s_knn_classify",
+    # round-5 additions
+    "d_transitive_containment",
+    "m_frames_real",
+    "q_grid_percentile",
 ]
 
 
