@@ -207,6 +207,8 @@ def frames_decode(data: bytes) -> list[np.ndarray]:
     video blobs are quarantined explicitly, like media_probe."""
     if data[: len(_FRAMES_MAGIC)] != _FRAMES_MAGIC:
         raise ValueError("not a PSMF frame container")
+    if len(data) < 9:
+        raise ValueError("torn frame container header")
     (n,) = struct.unpack(">I", data[5:9])
     pos, frames = 9, []
     for _ in range(n):

@@ -1263,6 +1263,7 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
     system temp dir and built once — repeated gate/bench runs reuse it,
     and a regenerated source at the same path invalidates it. `build`
     receives the target dir and must leave a parquet _SUCCESS marker."""
+    import getpass
     import hashlib
     import os
     import tempfile
@@ -1276,19 +1277,42 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
     # per-user cache root (0700): a world-shared temp path would let
     # another uid pre-create the dir (permission failures) or serve
     # foreign parquet as query input
-    root = os.path.join(
-        tempfile.gettempdir(), f"pystreams_feeds-{os.getuid()}"
-    )
+    uid = os.getuid() if hasattr(os, "getuid") else None  # POSIX; else user name
+    who = uid if uid is not None else getpass.getuser()
+    root = os.path.join(tempfile.gettempdir(), f"pystreams_feeds-{who}")
     os.makedirs(root, mode=0o700, exist_ok=True)
+    if uid is not None:
+        # exist_ok=True accepts a PRE-EXISTING dir without checking who
+        # made it — verify the root really is ours and private, else an
+        # attacker who pre-created it could swap feeds under us (the
+        # sticky-bit /tmp attack the per-user path exists to stop)
+        rst = os.lstat(root)
+        import stat as stat_mod
+
+        if (
+            rst.st_uid != uid
+            or not stat_mod.S_ISDIR(rst.st_mode)
+            or stat_mod.S_IMODE(rst.st_mode) & 0o077
+        ):
+            raise RuntimeError(
+                f"feed-cache root {root} is not an owned private "
+                f"directory (uid={rst.st_uid}, mode="
+                f"{oct(stat_mod.S_IMODE(rst.st_mode))}); refusing to "
+                f"serve query input from it"
+            )
     feed = os.path.join(root, f"{op}_{key}")
     if not os.path.exists(os.path.join(feed, "_SUCCESS")):
         # build into a unique sibling, then rename into place: the
         # rename is atomic on one filesystem, so a concurrent process
         # either sees the complete feed or builds its own copy — never
-        # a half-written directory
+        # a half-written directory. The stage name is unique PER CALL
+        # (not just per pid): a stage returned by the race-loss path
+        # below may still be serving a reader, so a later call in this
+        # process must never rebuild over it.
         import shutil
+        import uuid as uuid_mod
 
-        stage = f"{feed}.build-{os.getpid()}"
+        stage = f"{feed}.build-{os.getpid()}-{uuid_mod.uuid4().hex[:8]}"
         build(stage)
         try:
             os.rename(stage, feed)
@@ -1304,6 +1328,8 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
                     os.rename(stage, feed)
                 except OSError:
                     # lost a second race; fall back to serving the stage
+                    # (complete — we built it; uniquely named, so no
+                    # later call can clobber it while it is being read)
                     if not os.path.exists(os.path.join(feed, "_SUCCESS")):
                         return stage
                     shutil.rmtree(stage, ignore_errors=True)

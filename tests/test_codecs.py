@@ -93,3 +93,7 @@ def test_frames_container_rejects_torn_and_foreign_bytes():
         frames_decode(good[:-3])  # torn frame payload
     with pytest.raises(ValueError):
         frames_decode(good + b"\x00\x01")  # trailing garbage
+    with pytest.raises(ValueError):
+        frames_decode(good[:5])  # magic only, torn header
+    with pytest.raises(ValueError):
+        frames_decode(good[:7])  # truncated inside the frame count

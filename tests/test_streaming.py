@@ -686,6 +686,15 @@ def test_cached_feed_evicts_stale_partial_dir(sf_dir, monkeypatch, tmp_path):
     assert os.path.exists(os.path.join(feed2, "_SUCCESS"))
     assert not os.path.exists(os.path.join(feed2, "part-junk"))
 
+    # a cache root that is not a private owned dir is REFUSED, not used
+    # (exist_ok=True would otherwise accept an attacker-pre-created root)
+    os.chmod(root, 0o750)
+    try:
+        with pytest.raises(RuntimeError):
+            _cached_feed(sf_dir, "evtest", "k", build)
+    finally:
+        os.chmod(root, 0o700)
+
 
 def test_ingest_dedup_empty_source_returns_empty_frame(spark, tmp_path):
     """st_ingest_dedup's zero-micro-batch path (empty documents source)

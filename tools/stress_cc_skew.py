@@ -118,8 +118,18 @@ def main() -> None:
 
     results = {}
 
-    # correctness cross-check on a small mixed graph first
-    small = hub_graph(spark, 50, 2, 100).union(chain_graph(spark, 40, 0))
+    # correctness cross-check on a small mixed graph first; the chain's
+    # ids are offset past the hub graph's range so the two shapes stay
+    # DISJOINT components (ids 0.. would otherwise weld the chain onto
+    # hub 0 and collapse the mixed topology into one component)
+    from pyspark.sql import functions as F2
+
+    hub_part = hub_graph(spark, 50, 2, 100)
+    offset = 2 + 2 * 50 + 2 * 100  # hubs + leaves + background pairs
+    chain_part = chain_graph(spark, 40, 0).select(
+        (F2.col("u") + offset).alias("u"), (F2.col("v") + offset).alias("v")
+    )
+    small = hub_part.union(chain_part)
     _, ml, st = run(spark, "small", small, max_rounds=64)
     got_ml = {r.node: r.label for r in ml.collect()}
     got_st = {r.doc_id: r.cluster_id for r in st.collect()}
