@@ -2239,6 +2239,218 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV set operations: the q_kmv_distinct sketch extended to PAIRWISE
+# intersection/union estimation (the theta-sketch set-op story). Every
+# intermediate is md5-derived integer or IEEE-double arithmetic shared
+# by both engines, so the oracle value-checks the ESTIMATES themselves.
+_KMV_U = 1 << 60  # hash universe: 15 hex chars = 60 bits
+
+_KMV_SETOPS = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+), h AS (
+  SELECT p, c,
+         CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM d
+), ranked AS (
+  SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rn FROM h
+), s AS (
+  SELECT p, h FROM ranked WHERE rn <= {KMV_K}
+), stat AS (
+  SELECT p, count(*) AS n_in, max(h) AS hk FROM s GROUP BY p
+), th AS (
+  SELECT p, CASE WHEN n_in < {KMV_K} THEN CAST({_KMV_U} AS BIGINT)
+                 ELSE hk END AS theta
+  FROM stat
+), cnt AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY p
+), pairs AS (
+  SELECT a.p AS prio_a, b.p AS prio_b
+  FROM (SELECT DISTINCT p FROM d) a
+  JOIN (SELECT DISTINCT p FROM d) b ON a.p < b.p
+), ex AS (
+  SELECT x.p AS prio_a, y.p AS prio_b, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM d x JOIN d y ON y.c = x.c AND x.p < y.p
+  GROUP BY 1, 2
+), com AS (
+  SELECT sa.p AS prio_a, sb.p AS prio_b, count(*) AS cb
+  FROM s sa
+  JOIN s sb ON sb.h = sa.h AND sa.p < sb.p
+  JOIN th ta ON ta.p = sa.p
+  JOIN th tb ON tb.p = sb.p
+  WHERE sa.h < least(ta.theta, tb.theta)
+  GROUP BY 1, 2
+), uh AS (
+  SELECT pr.prio_a, pr.prio_b, s.h
+  FROM pairs pr JOIN s ON s.p = pr.prio_a OR s.p = pr.prio_b
+  GROUP BY 1, 2, s.h
+), ur AS (
+  SELECT prio_a, prio_b, h,
+         row_number() OVER (PARTITION BY prio_a, prio_b ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY prio_a, prio_b) AS nu
+  FROM uh
+), uth AS (
+  SELECT prio_a, prio_b,
+         max(CASE WHEN rn <= {KMV_K} THEN h END) AS thu,
+         min(nu) AS nu
+  FROM ur GROUP BY 1, 2
+)
+SELECT pr.prio_a, pr.prio_b,
+       ca.n AS exact_a, cb2.n AS exact_b,
+       coalesce(ex.exact_inter, 0) AS exact_inter,
+       ca.n + cb2.n - coalesce(ex.exact_inter, 0) AS exact_union,
+       CAST(floor(coalesce(com.cb, 0) * CAST({_KMV_U} AS DOUBLE)
+                  / least(ta.theta, tb.theta) + 0.5) AS BIGINT) AS kmv_inter,
+       CAST(CASE WHEN u.nu < {KMV_K} THEN u.nu
+            ELSE CAST(floor(({KMV_K} - 1) * CAST({_KMV_U} AS DOUBLE)
+                      / u.thu + 0.5) AS BIGINT) END AS BIGINT) AS kmv_union
+FROM pairs pr
+JOIN cnt ca ON ca.p = pr.prio_a
+JOIN cnt cb2 ON cb2.p = pr.prio_b
+JOIN th ta ON ta.p = pr.prio_a
+JOIN th tb ON tb.p = pr.prio_b
+JOIN uth u ON u.prio_a = pr.prio_a AND u.prio_b = pr.prio_b
+LEFT JOIN ex ON ex.prio_a = pr.prio_a AND ex.prio_b = pr.prio_b
+LEFT JOIN com ON com.prio_a = pr.prio_a AND com.prio_b = pr.prio_b
+"""
+
+
+@register("q_kmv_setops", oracle=_KMV_SETOPS)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-set OVERLAP estimation from mergeable sketches —
+    the theta-sketch set-operation story on the q_kmv_distinct KMV base:
+    for every pair of order priorities, estimate |A∩B| and |A∪B| of
+    distinct customers USING ONLY the two k-minimum-values sketches
+    (k={KMV_K} 60-bit md5 hashes per group), with the exact answers
+    carried alongside. Intersection: common sketch hashes below
+    theta = min(theta_A, theta_B), scaled by U/theta; union: re-take the
+    k smallest of the merged sketch (the KMV merge), (k-1)*U/theta_U.
+    Saturation degrades gracefully — a group smaller than k has
+    theta = U and its terms become exact.
+
+    Why it matters at 100 TB: overlap questions ("how many users appear
+    in BOTH segments?") are where sketches earn their keep — the exact
+    answer needs a distinct-join across the full corpus per pair
+    (quadratic in segments), while sketches answer ALL pairs from
+    |segments| x k longs computed in one scan. The same merge serves
+    cross-partition rollup: partial sketches combine associatively.
+
+    Plan: one distinct-shuffle on (group, key) + one k-bounded window;
+    everything pairwise happens on |groups| x k rows (tiny, broadcast).
+    The exact twin costs one more distinct self-join — the thing the
+    sketch exists to avoid, kept here as the verification baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    u_f = F.lit(float(_KMV_U))
+    d = orders.select(
+        F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
+    ).distinct()
+    hashed = d.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("c").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    w = Window.partitionBy("p").orderBy("h")
+    s = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("p", "h")
+        .localCheckpoint()  # |groups| x k rows, reused by 3 consumers
+    )
+    stat = s.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_in"), F.max("h").alias("hk")
+    )
+    th = stat.select(
+        "p",
+        F.when(F.col("n_in") < KMV_K, F.lit(_KMV_U))
+        .otherwise(F.col("hk"))
+        .alias("theta"),
+    )
+    cnt = d.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    ps = d.select("p").distinct()
+    pairs = (
+        ps.alias("a")
+        .join(ps.alias("b"), F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("prio_a"), F.col("b.p").alias("prio_b"))
+    )
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("y.c") == F.col("x.c")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(
+            F.col("x.p").alias("prio_a"), F.col("y.p").alias("prio_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    tha = th.select(F.col("p").alias("pa2"), F.col("theta").alias("theta_a"))
+    thb = th.select(F.col("p").alias("pb2"), F.col("theta").alias("theta_b"))
+    com = (
+        s.alias("sa")
+        .join(
+            s.alias("sb"),
+            (F.col("sb.h") == F.col("sa.h")) & (F.col("sa.p") < F.col("sb.p")),
+        )
+        .join(tha, F.col("sa.p") == F.col("pa2"))
+        .join(thb, F.col("sb.p") == F.col("pb2"))
+        .where(F.col("sa.h") < F.least("theta_a", "theta_b"))
+        .groupBy(F.col("sa.p").alias("prio_a"), F.col("sb.p").alias("prio_b"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    uh = (
+        pairs.join(
+            s, (F.col("p") == F.col("prio_a")) | (F.col("p") == F.col("prio_b"))
+        )
+        .select("prio_a", "prio_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("prio_a", "prio_b").orderBy("h")
+    wc = Window.partitionBy("prio_a", "prio_b")
+    ur = uh.withColumn("rn", F.row_number().over(wu)).withColumn(
+        "nu", F.count(F.lit(1)).over(wc)
+    )
+    uth = ur.groupBy("prio_a", "prio_b").agg(
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("thu"),
+        F.min("nu").alias("nu"),
+    )
+    res = (
+        pairs.join(
+            cnt.select(F.col("p").alias("prio_a"), F.col("n").alias("exact_a")),
+            "prio_a",
+        )
+        .join(
+            cnt.select(F.col("p").alias("prio_b"), F.col("n").alias("exact_b")),
+            "prio_b",
+        )
+        .join(tha.withColumnRenamed("pa2", "prio_a"), "prio_a")
+        .join(thb.withColumnRenamed("pb2", "prio_b"), "prio_b")
+        .join(uth, ["prio_a", "prio_b"])
+        .join(ex, ["prio_a", "prio_b"], "left")
+        .join(com, ["prio_a", "prio_b"], "left")
+    )
+    inter = F.coalesce(F.col("exact_inter"), F.lit(0))
+    cb = F.coalesce(F.col("cb"), F.lit(0))
+    theta = F.least("theta_a", "theta_b")
+    return res.select(
+        "prio_a",
+        "prio_b",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        inter.cast("long").alias("exact_inter"),
+        (F.col("exact_a") + F.col("exact_b") - inter)
+        .cast("long")
+        .alias("exact_union"),
+        F.floor(cb * u_f / theta + F.lit(0.5)).cast("long").alias("kmv_inter"),
+        F.when(F.col("nu") < KMV_K, F.col("nu"))
+        .otherwise(
+            F.floor(F.lit(KMV_K - 1) * u_f / F.col("thu") + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("kmv_union"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF (Spark 4 table function) — word-run-length encoding
 # ---------------------------------------------------------------------------

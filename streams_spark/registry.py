@@ -89,6 +89,7 @@ ROUND_PRIORITY = [
     "m_frames_real",
     "q_grid_percentile",
     "m_motion_real",
+    "q_kmv_setops",
     # remaining slots: oldest r1-only regrades (TPC-H head)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -98,9 +99,9 @@ ROUND_PRIORITY = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
-    "q9_profit_by_nation_year",
     # ---- 50-query window boundary: everything below is the round-6 ----
     # ---- head (remaining r1-only TPC-H regrades, then r1 relational) ----
+    "q9_profit_by_nation_year",
     "q10_returned_items",
     "q11_important_stock",
     "q12_late_shipments",

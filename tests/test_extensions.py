@@ -1986,3 +1986,68 @@ def test_grid_percentile_matches_exact_rank_on_grid(spark, sf_dir):
         exact_p90 = float(np.sort(price)[-(-9 * n // 10) - 1])
         assert 0 <= exact_med - got[flag][1] < 0.01 + 1e-9
         assert 0 <= exact_p90 - got[flag][2] < 1.0
+
+
+def test_kmv_setops_matches_python_recompute(spark, sf_dir):
+    """q_kmv_setops must equal a from-scratch pure-Python KMV
+    implementation on the same parquet (exact counts AND the sketch
+    estimates — the estimates are deterministic md5 arithmetic), and
+    estimates stay within 50% of exact (k=64 => ~12.7% std; the fixed
+    md5 draw on this corpus sits ~2 sigma low, so the bound is loose
+    on purpose)."""
+    import hashlib
+
+    from streams_spark.operators.relational import _KMV_U, KMV_K
+    from streams_spark.sources.tables import load_table
+
+    got = {
+        (r.prio_a, r.prio_b): (
+            r.exact_a, r.exact_b, r.exact_inter, r.exact_union,
+            r.kmv_inter, r.kmv_union,
+        )
+        for r in _rows(spark, sf_dir, "q_kmv_setops")
+    }
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .collect()
+    )
+    sets: dict = {}
+    for r in d:
+        sets.setdefault(r.o_orderpriority, set()).add(r.o_custkey)
+
+    def h(c):
+        return int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16)
+
+    def sketch(cs):
+        return sorted(h(c) for c in cs)[:KMV_K]
+
+    import math
+
+    want = {}
+    for pa in sorted(sets):
+        for pb in sorted(sets):
+            if pa >= pb:
+                continue
+            A, B = sets[pa], sets[pb]
+            sa, sb = sketch(A), sketch(B)
+            tha = _KMV_U if len(sa) < KMV_K else sa[-1]
+            thb = _KMV_U if len(sb) < KMV_K else sb[-1]
+            theta = min(tha, thb)
+            cb = len({x for x in sa if x < theta} & {x for x in sb if x < theta})
+            kmv_inter = math.floor(cb * float(_KMV_U) / theta + 0.5)
+            merged = sorted(set(sa) | set(sb))
+            if len(merged) < KMV_K:
+                kmv_union = len(merged)
+            else:
+                kmv_union = math.floor(
+                    (KMV_K - 1) * float(_KMV_U) / merged[KMV_K - 1] + 0.5
+                )
+            want[(pa, pb)] = (
+                len(A), len(B), len(A & B), len(A | B), kmv_inter, kmv_union,
+            )
+    assert got == want
+    for (pa, pb), (_, _, ei, eu, ki, ku) in want.items():
+        assert abs(ki - ei) <= 0.5 * eu
+        assert abs(ku - eu) <= 0.5 * eu
