@@ -227,9 +227,11 @@ def frames_decode(data: bytes) -> list[np.ndarray]:
 
 def media_probe(payload: bytes) -> tuple[int, int, int, int]:
     """decode_media-compatible codec over REAL bytes: sniffs the format
-    and returns (width, height, n_channels, checksum-of-decoded-content).
-    PNG → (w, h, channels, Σpixels mod M); WAV → (n_samples, 1, channels,
-    Σsamples mod M — Python mod, so non-negative). Raises on anything
+    and returns (width, height, multiplicity, checksum-of-decoded-content)
+    where multiplicity is the format's natural third axis. PNG →
+    (w, h, channels, Σpixels mod M); WAV → (n_samples, 1, channels,
+    Σsamples mod M — Python mod, so non-negative); PSMF multi-frame →
+    (w, h, n_frames, Σ all frames' pixels mod M). Raises on anything
     else: a real pipeline quarantines undecodable blobs explicitly
     (m_decode_media's deterministic fake is the stand-in for that path).
     """
@@ -246,4 +248,11 @@ def media_probe(payload: bytes) -> tuple[int, int, int, int]:
             ch,
             int(samples.astype(np.int64).sum()) % CHECKSUM_MOD,
         )
+    if payload[: len(_FRAMES_MAGIC)] == _FRAMES_MAGIC:
+        frames = frames_decode(payload)
+        if not frames:
+            return 0, 0, 0, 0
+        h, w = frames[0].shape[0], frames[0].shape[1]
+        csum = sum(int(a.astype(np.int64).sum()) for a in frames)
+        return w, h, len(frames), csum % CHECKSUM_MOD
     raise ValueError("unrecognized media payload")

@@ -97,3 +97,17 @@ def test_frames_container_rejects_torn_and_foreign_bytes():
         frames_decode(good[:5])  # magic only, torn header
     with pytest.raises(ValueError):
         frames_decode(good[:7])  # truncated inside the frame count
+
+
+def test_media_probe_dispatches_frame_containers():
+    from streams_spark.functions.codecs import frames_encode, media_probe
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(6, 9), dtype=np.uint8) for _ in range(3)
+    ]
+    w, h, nf, csum = media_probe(frames_encode(frames))
+    assert (w, h, nf) == (9, 6, 3)
+    want = sum(int(a.astype(np.int64).sum()) for a in frames) % CHECKSUM_MOD
+    assert csum == want
+    assert media_probe(frames_encode([])) == (0, 0, 0, 0)
