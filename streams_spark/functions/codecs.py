@@ -1,9 +1,10 @@
-"""Dependency-free media codecs: PNG (stdlib zlib) and WAV (stdlib wave).
+"""Dependency-free media codecs: PNG (stdlib zlib), WAV (stdlib wave),
+and the PSMF multi-frame container (length-prefixed PNG stream).
 
 The reference's payload contract is opaque bytes the consumer decodes
 (/root/reference/server/messages.go:65). The container ships no Pillow/
 ffmpeg, so until round 4 the engine's decode step was a declared
-deterministic fake. These codecs close that gap for two real formats
+deterministic fake. These codecs close that gap for three real formats
 using ONLY the standard library + numpy:
 
 - PNG: 8-bit greyscale (color type 0) and RGB (color type 2), no
