@@ -254,6 +254,12 @@ def media_probe(payload: bytes) -> tuple[int, int, int, int]:
         if not frames:
             return 0, 0, 0, 0
         h, w = frames[0].shape[0], frames[0].shape[1]
+        if any(a.shape[:2] != (h, w) for a in frames[1:]):
+            # the container format permits mixed shapes, but the probe's
+            # (w, h, n_frames) geometry contract is only meaningful when
+            # frames agree — quarantine rather than report frames[0]'s
+            # size as if it covered all of them
+            raise ValueError("mixed-shape frame container")
         csum = sum(int(a.astype(np.int64).sum()) for a in frames)
         return w, h, len(frames), csum % CHECKSUM_MOD
     raise ValueError("unrecognized media payload")

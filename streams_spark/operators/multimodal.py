@@ -769,6 +769,13 @@ def m_motion_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a.astype(np.int64) for a in frames_decode(bytes(payload))
                 ]
                 nf = len(frames)
+                if nf < 2:
+                    # motion needs a consecutive pair; single-frame and
+                    # empty containers are quarantined (skipped) rather
+                    # than dividing by zero — unreachable from
+                    # video_table_real (2..6 frames) but real blobs via
+                    # read_media_dir can be degenerate
+                    continue
                 h, w = frames[0].shape[0], frames[0].shape[1]
                 dsum = sum(
                     int(np.abs(b - a).sum())

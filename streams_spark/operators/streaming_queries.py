@@ -1277,10 +1277,21 @@ def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
     # per-user cache root (0700): a world-shared temp path would let
     # another uid pre-create the dir (permission failures) or serve
     # foreign parquet as query input
-    uid = os.getuid() if hasattr(os, "getuid") else None  # POSIX; else user name
-    who = uid if uid is not None else getpass.getuser()
-    root = os.path.join(tempfile.gettempdir(), f"pystreams_feeds-{who}")
-    os.makedirs(root, mode=0o700, exist_ok=True)
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    if uid is None:
+        # no getuid => no way to verify a pre-existing root's owner, so
+        # a username-suffixed shared path would leave the pre-created-
+        # root attack open there. Use a per-PROCESS private root instead:
+        # loses cross-process feed reuse on such platforms, keeps the
+        # in-process cache (the _cached_feed key dedupes within a run).
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"pystreams_feeds-{getpass.getuser()}-{os.getpid()}",
+        )
+        os.makedirs(root, mode=0o700, exist_ok=True)
+    else:
+        root = os.path.join(tempfile.gettempdir(), f"pystreams_feeds-{uid}")
+        os.makedirs(root, mode=0o700, exist_ok=True)
     if uid is not None:
         # exist_ok=True accepts a PRE-EXISTING dir without checking who
         # made it — verify the root really is ours and private, else an

@@ -111,3 +111,13 @@ def test_media_probe_dispatches_frame_containers():
     want = sum(int(a.astype(np.int64).sum()) for a in frames) % CHECKSUM_MOD
     assert csum == want
     assert media_probe(frames_encode([])) == (0, 0, 0, 0)
+
+
+def test_media_probe_rejects_mixed_shape_frame_container():
+    from streams_spark.functions.codecs import frames_encode, media_probe
+
+    mixed = frames_encode(
+        [np.zeros((4, 4), dtype=np.uint8), np.zeros((3, 5), dtype=np.uint8)]
+    )
+    with pytest.raises(ValueError):
+        media_probe(mixed)

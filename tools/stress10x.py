@@ -79,6 +79,8 @@ STRESS_QUERIES = [
     "d_transitive_containment",
     "m_frames_real",
     "q_grid_percentile",
+    "m_motion_real",
+    "q_kmv_setops",
 ]
 
 

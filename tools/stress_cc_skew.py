@@ -122,12 +122,11 @@ def main() -> None:
     # ids are offset past the hub graph's range so the two shapes stay
     # DISJOINT components (ids 0.. would otherwise weld the chain onto
     # hub 0 and collapse the mixed topology into one component)
-    from pyspark.sql import functions as F2
-
-    hub_part = hub_graph(spark, 50, 2, 100)
-    offset = 2 + 2 * 50 + 2 * 100  # hubs + leaves + background pairs
+    deg, hubs, bg = 50, 2, 100
+    hub_part = hub_graph(spark, deg, hubs, bg)
+    offset = hubs + hubs * deg + 2 * bg  # one past hub_graph's id range
     chain_part = chain_graph(spark, 40, 0).select(
-        (F2.col("u") + offset).alias("u"), (F2.col("v") + offset).alias("v")
+        (F.col("u") + offset).alias("u"), (F.col("v") + offset).alias("v")
     )
     small = hub_part.union(chain_part)
     _, ml, st = run(spark, "small", small, max_rounds=64)
