@@ -2342,9 +2342,18 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch exists to avoid, kept here as the verification baseline."""
     orders = load_table(spark, sf_dir, "orders")
     u_f = F.lit(float(_KMV_U))
-    d = orders.select(
-        F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
-    ).distinct()
+    # materialize the distinct (group, key) set once: FIVE consumers
+    # (hash/sketch, exact counts, group list, both sides of the exact
+    # intersection join) would otherwise each re-scan and re-distinct
+    # the fact table — this is the "distinct key table" a production
+    # pipeline maintains anyway, |groups x keys| rows
+    d = (
+        orders.select(
+            F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     hashed = d.withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("c").cast("string")), 1, 15), 16, 10)
