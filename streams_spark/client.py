@@ -79,15 +79,21 @@ def peek(log: DataFrame, space: str, segment: str) -> DataFrame:
     produces exactly one (all-null) row to coalesce defaults onto.
     """
     cols = [c for c in log.columns if c not in ("space", "segment")]
+    # ONE max_by over the packed struct, not one per column: independent
+    # per-column max_by calls may break a duplicated-max-sequence tie
+    # differently per column and stitch together a row that never
+    # existed; the struct form always returns one coherent entry.
     agg = (
         log.where((F.col("space") == space) & (F.col("segment") == segment))
-        .agg(*[F.max_by(c, "sequence").alias(c) for c in cols])
+        .agg(F.max_by(F.struct(*cols), "sequence").alias("e"))
     )
     return agg.select(
         F.lit(space).alias("space"),
         F.lit(segment).alias("segment"),
         *[
-            F.coalesce(F.col(c), F.lit(0)).alias(c) if c == "sequence" else F.col(c)
+            F.coalesce(F.col(f"e.{c}"), F.lit(0)).alias(c)
+            if c == "sequence"
+            else F.col(f"e.{c}").alias(c)
             for c in cols
         ],
     )
@@ -98,8 +104,14 @@ def peek_all(log: DataFrame) -> DataFrame:
     denormalized LAST_ENTRY rows (/root/reference/server/azure/service.go:399-413)
     as one aggregation: max_by over sequence, no window shuffle needed."""
     cols = [c for c in log.columns if c not in ("space", "segment")]
-    return log.groupBy("space", "segment").agg(
-        *[F.max_by(c, "sequence").alias(c) for c in cols]
+    # single struct max_by: one coherent last entry per segment even
+    # when the max sequence is duplicated (see peek)
+    return (
+        log.groupBy("space", "segment")
+        .agg(F.max_by(F.struct(*cols), "sequence").alias("e"))
+        .select(
+            "space", "segment", *[F.col(f"e.{c}").alias(c) for c in cols]
+        )
     )
 
 
@@ -283,21 +295,26 @@ def produce(
     (space, segment, last_sequence) — pass `peek_all` output of the
     current log, or None for an empty log.
     """
-    from streams_spark.streaming.produce import stamp_records, validate_batch
+    from streams_spark.store import write_event_log
+    from streams_spark.streaming.produce import (
+        segment_status,
+        stamp_records,
+        validate_batch,
+    )
 
-    stamped = stamp_records(records, last_sequences=last_sequences)
+    # materialize the stamped batch ONCE: validation, the write, and the
+    # status agg would otherwise each re-run the join+window plan, and
+    # current_timestamp() would differ between the validated and written
+    # copies
+    stamped = stamp_records(
+        records, last_sequences=last_sequences
+    ).localCheckpoint()
     validate_batch(stamped)
     out = stamped.drop("last_sequence", "expected", "valid")
-    out.write.mode("append").partitionBy("space").parquet(log_dir)
-    status = (
-        out.groupBy("space", "segment")
-        .agg(
-            F.min("sequence").alias("first_sequence"),
-            F.max("sequence").alias("last_sequence"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
+    # canonical layout by contract (partitioned by space, files sorted
+    # by segment/sequence), not incidentally via upstream sort order
+    write_event_log(out, log_dir)
+    status = segment_status(out)
     if hub is not None:
         hub.notify_batch(-1, [r.asDict() for r in status])
     return status
@@ -318,12 +335,8 @@ def publish(
     Sequence+1 → one-record Produce).
     """
     if log is not None:
-        tail = (
-            log.where((F.col("space") == space) & (F.col("segment") == segment))
-            .agg(F.max("sequence").alias("last_sequence"))
-            .collect()[0]
-        )
-        last = tail.last_sequence or 0
+        tail = get_segment_offset(log, space, segment).collect()[0]
+        last = tail.offset_sequence or 0
     else:
         last = 0
     rec = spark.createDataFrame(

@@ -54,6 +54,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Set the conf unconditionally — runtime-settable, harmless for
         # micros files — then convert based on what the read produced, so
         # either vintage of the file yields a micro-precision timestamp.
+        # The conf stays set for the SESSION deliberately: frames built
+        # here are lazy, and flipping it back before they execute would
+        # change how their scans decode. Side effect to know about: any
+        # LATER raw spark.read.parquet of an unrelated nanos-timestamp
+        # file in the same session decodes that column as epoch-nanos
+        # BIGINT instead of erroring — route such reads through
+        # _normalize_event_ts (or a fresh session) if that matters.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

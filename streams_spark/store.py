@@ -100,10 +100,26 @@ def compact(
     df = read_event_log(spark, log_dir)
     if spaces is not None:
         df = df.where(F.col("space").isin(spaces))
+    # Bucket by SEGMENT hash within each partition: a plain
+    # repartition(files_per_space, *cols) would hash every row of a
+    # space onto one task (one file per space, files_per_space a no-op,
+    # and the whole rewrite serialized through files_per_space tasks).
+    # Salting on segment spreads partitions across tasks while keeping
+    # whole segments together, so each output file stays sorted by
+    # (segment, sequence) with tight row-group min/max stats — hashing
+    # on sequence too would interleave sequences across files and
+    # destroy the pruning the layout exists for.
+    salt = F.pmod(F.xxhash64("segment"), F.lit(files_per_space))
+    # explicit partition count: AQE would otherwise coalesce the small
+    # shuffle back into one task and re-collapse the file count
+    n_spaces = df.select("space").distinct().count()
+    n_parts = max(1, n_spaces * files_per_space)
     with _dynamic_overwrite(spark):
         (
-            df.repartition(files_per_space, *cols)
+            df.withColumn("__bucket", salt)
+            .repartition(n_parts, *cols, "__bucket")
             .sortWithinPartitions(*cols, "segment", "sequence")
+            .drop("__bucket")
             .write.mode("overwrite")
             .partitionBy(*cols)
             .parquet(log_dir)

@@ -101,9 +101,13 @@ class ConsumerContext:
 
 
 def write_event_log(df: DataFrame, log_dir: str) -> None:
-    """Append a batch of entries to the event-log directory, partitioned by
-    space — the layout every verb query prunes on (SURVEY.md §1.2)."""
-    df.write.mode("append").partitionBy("space").parquet(log_dir)
+    """Append a batch of entries to the event-log directory in the
+    canonical layout (partitioned by space, files sorted by
+    segment/sequence) — delegates to store.write_event_log so the sort
+    contract lives in exactly one place."""
+    from streams_spark.store import write_event_log as _write
+
+    _write(df, log_dir)
 
 
 def read_event_log(spark: SparkSession, log_dir: str) -> DataFrame:

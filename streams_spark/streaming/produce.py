@@ -53,14 +53,27 @@ def stamp_records(
         "expected",
         F.coalesce(F.lag("sequence").over(w), F.col("last_sequence")) + 1,
     )
+    # trx_number = the segment's 1-based index within the batch. A
+    # dense_rank over an UNPARTITIONED window would shuffle the whole
+    # batch onto one task to compute it; ranking the tiny distinct
+    # (space, segment) frame and broadcasting it back yields identical
+    # values with the global sort confined to |segments| rows.
+    seg_rank = (
+        df.select("space", "segment")
+        .distinct()
+        .withColumn(
+            "trx_number",
+            F.row_number()
+            .over(Window.orderBy("space", "segment"))
+            .cast("long"),
+        )
+    )
     return (
         df.withColumn("valid", F.col("sequence") == F.col("expected"))
         .withColumn("timestamp", F.current_timestamp())
         .withColumn("trx_id", F.lit(trx_id))
         .withColumn("trx_node", F.lit(node))
-        .withColumn("trx_number", F.dense_rank().over(
-            Window.orderBy("space", "segment")
-        ).cast("long"))
+        .join(F.broadcast(seg_rank), ["space", "segment"])
     )
 
 
@@ -74,6 +87,42 @@ def validate_batch(stamped: DataFrame) -> None:
             f"sequence mismatch in ({r.space}, {r.segment}): "
             f"got {r.sequence}, expected {r.expected}"
         )
+
+
+def segment_status(batch: DataFrame) -> list:
+    """SegmentStatus rows of a committed batch (server/messages.go:38-45):
+    per (space, segment) first/last sequence and count. Shared by the
+    batch produce verb and the streaming sink so the status shape cannot
+    drift between the two commit paths."""
+    return (
+        batch.groupBy("space", "segment")
+        .agg(
+            F.min("sequence").alias("first_sequence"),
+            F.max("sequence").alias("last_sequence"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+
+
+def _log_has_data(spark, log_dir: str) -> bool:
+    """True iff the log path exists and contains at least one
+    non-hidden entry — resolved through the Hadoop FileSystem of the
+    path's scheme, so s3a://, hdfs:// and file:// logs all answer
+    correctly. A driver-local os.path check would silently report a
+    REMOTE log as absent and let validation run against
+    last_sequence=0 (the duplicate-append failure mode the explicit
+    check exists to prevent)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(log_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (name.startswith(".") or name.startswith("_")):
+            return True
+    return False
 
 
 class IdempotentLogSink:
@@ -126,8 +175,15 @@ class IdempotentLogSink:
         """The read-committed view of the log: only batches whose ledger
         record exists. The isin filter prunes whole `commit_batch=`
         partition directories at the scan, so uncommitted residue is
-        never read, let alone surfaced."""
+        never read, let alone surfaced. A sink that has committed
+        nothing yet reads as an EMPTY frame (canonical event-log
+        schema), not a PATH_NOT_FOUND crash — 'only committed batches'
+        includes the zero-batches case."""
         ids = self.committed_ids()
+        if not ids or not _log_has_data(spark, self.log_dir):
+            from streams_spark.schema import EVENT_LOG_SCHEMA
+
+            return spark.createDataFrame([], EVENT_LOG_SCHEMA)
         df = spark.read.parquet(self.log_dir)
         return df.where(F.col("commit_batch").isin(ids)).drop("commit_batch")
 
@@ -135,21 +191,16 @@ class IdempotentLogSink:
         if self.committed(batch_id):
             return  # duplicate delivery — exactly-once no-op
         self.rollback(batch_id)  # clear residue of a crashed prior attempt
+        # materialize once: the write and the status agg would otherwise
+        # each re-execute the batch plan
+        batch_df = batch_df.localCheckpoint()
         (
             batch_df.withColumn("commit_batch", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("commit_batch", "space")
             .parquet(self.log_dir)
         )
-        status = (
-            batch_df.groupBy("space", "segment")
-            .agg(
-                F.min("sequence").alias("first_sequence"),
-                F.max("sequence").alias("last_sequence"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
+        status = segment_status(batch_df)
         # SegmentStatus notification analog (server/messages.go:38-45)
         tmp = self._ledger_path(batch_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -207,17 +258,16 @@ def streaming_produce(
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if sink.committed(batch_id):
             return
-        # Empty-log detection is EXPLICIT (path check), not
-        # exception-driven: a transient read error on a NON-empty log must
-        # abort the batch, not silently validate against last_sequence=0
-        # and append duplicate sequences. Only genuinely-absent logs take
-        # the tails=None path. Tails come from the READ-COMMITTED view:
+        # Empty-log detection is EXPLICIT (Hadoop-FS path check, so
+        # s3a://hdfs:// logs resolve correctly), not exception-driven: a
+        # transient read error on a NON-empty log must abort the batch,
+        # not silently validate against last_sequence=0 and append
+        # duplicate sequences. Only genuinely-absent logs take the
+        # tails=None path. Tails come from the READ-COMMITTED view:
         # peeking raw files would count phase-1 residue of a crashed
         # batch and push the expected sequence past the committed tail,
         # wedging every retry on a phantom gap.
-        if os.path.isdir(log_dir) and any(
-            not n.startswith((".", "_")) for n in os.listdir(log_dir)
-        ):
+        if _log_has_data(batch_df.sparkSession, log_dir):
             log = sink.read_committed(batch_df.sparkSession)
             tails = client.peek_all(log).select(
                 "space", "segment", F.col("sequence").alias("last_sequence")

@@ -719,3 +719,67 @@ def test_ingest_dedup_empty_source_returns_empty_frame(spark, tmp_path):
     assert out is not None
     assert out.count() == 0
     assert set(out.columns) == {"content_md5", "survivor_id", "n_seen"}
+
+
+def test_peek_returns_one_coherent_entry_on_duplicated_max_sequence(spark):
+    """With a duplicated max sequence, peek/peek_all must return fields
+    of ONE physical entry, never a stitched row mixing two entries."""
+    from streams_spark import client
+    from streams_spark.schema import EVENT_LOG_SCHEMA
+
+    rows = []
+    for trx, payload in (("trxA", b"pA"), ("trxB", b"pB")):
+        rows.append(
+            ("s0", "g0", 7, BASE_TS, trx, "node", 1, payload, {})
+        )
+    log = spark.createDataFrame(rows, EVENT_LOG_SCHEMA)
+    for r in (
+        client.peek(log, "s0", "g0").collect()
+        + client.peek_all(log).collect()
+    ):
+        assert (r.trx_id, bytes(r.payload)) in {
+            ("trxA", b"pA"),
+            ("trxB", b"pB"),
+        }, "stitched row from two different entries"
+
+
+def test_read_committed_empty_sink_returns_empty_frame(spark, tmp_path):
+    """A sink that committed nothing reads as an empty canonical-schema
+    frame, not PATH_NOT_FOUND."""
+    sink = IdempotentLogSink(str(tmp_path / "log"), str(tmp_path / "ledger"))
+    out = sink.read_committed(spark)
+    assert out.count() == 0
+    assert "space" in out.columns and "sequence" in out.columns
+
+
+def test_compact_files_per_space_controls_file_count(spark, tmp_path):
+    """compact(files_per_space=N) must actually produce up to N sorted
+    files per space (segment-hash buckets), not silently one."""
+    from streams_spark.store import compact, log_file_stats, write_event_log
+
+    log_dir = str(tmp_path / "log")
+    # 8 segments x 2 appends -> 2 files initially, many segments
+    for batch in range(2):
+        write_event_log(
+            _entries(spark, "s0", f"g{batch}", range(1, 6)).unionByName(
+                _entries(spark, "s0", f"h{batch}", range(1, 6))
+            ),
+            log_dir,
+        )
+    compact(spark, log_dir, files_per_space=4)
+    stats = log_file_stats(spark, log_dir)
+    # 4 segments hash into up to 4 buckets; must be >1 file (the old
+    # repartition(N, 'space') bug collapsed everything into one)
+    assert 1 < stats["s0"] <= 4, stats
+    # data intact and per-segment order preserved
+    from streams_spark.store import read_event_log
+
+    df = read_event_log(spark, log_dir)
+    assert df.count() == 20
+    seqs = [
+        r.sequence
+        for r in df.where(F.col("segment") == "g0")
+        .orderBy("sequence")
+        .collect()
+    ]
+    assert seqs == list(range(1, 6))
