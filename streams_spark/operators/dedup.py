@@ -233,26 +233,19 @@ def minhash_signatures(
     """
     if sh is None:
         sh = hashed_shingle_sets(docs)
-    ex = sh.select(
-        "doc_id",
-        F.size("hs").alias("n_shingles"),
-        F.explode("hs").alias("shingle"),
-    )
+    ex = sh.select("doc_id", F.explode("hs").alias("shingle"))
     hashed = ex.select(
         "doc_id",
-        "n_shingles",
         *[
             F.xxhash64(F.col("shingle"), F.lit(s)).alias(f"h{s}")
             for s in range(n_perm)
         ],
     )
     mins = hashed.groupBy("doc_id").agg(
-        F.first("n_shingles").alias("n_shingles"),
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_perm)],
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_perm)]
     )
     return mins.select(
         "doc_id",
-        "n_shingles",
         F.array(*[F.col(f"m{s}") for s in range(n_perm)]).alias("sig"),
     )
 
@@ -686,9 +679,12 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     shuffle_conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(shuffle_conf)
-    if int(orig) > 32:
-        spark.conf.set(shuffle_conf, "32")
     try:
+        # pair generation (the corpus-scale shingle join) runs at the
+        # SESSION width — capping it too would squeeze the module's
+        # largest shuffle into 32 tasks on a cluster legitimately
+        # configured wider. Only the graph-sized loop below runs capped:
+        # edges.count() materializes the cache at session width first.
         pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         fwd = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -698,8 +694,10 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = fwd.union(rev).cache()
         width = max(1, min(32, edges.count() // 50_000 + 1))
-        spark.conf.set(shuffle_conf, str(width))
+        if width < int(orig):
+            spark.conf.set(shuffle_conf, str(width))
         labels = cc_min_label(edges, max_rounds=20)
+        edges.unpersist()
     finally:
         spark.conf.set(shuffle_conf, orig)
     return labels.select(
@@ -1305,9 +1303,9 @@ def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     shuffle_conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(shuffle_conf)
-    if int(orig) > 32:
-        spark.conf.set(shuffle_conf, "32")
     try:
+        # pair generation at session width; only the closure runs at the
+        # edge-sized width (see d_dup_clusters for the rationale)
         cont = d_containment(spark, sf_dir)
         sizes = shingle_table(spark, sf_dir).select(
             "doc_id", F.size("hs").alias("n")
@@ -1335,16 +1333,18 @@ def d_transitive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         n_edges = edges.count()
+        # closure width sized from the real edge count (~50k edges per
+        # partition), never wider than the session
+        width = max(1, min(32, n_edges // 50_000 + 1))
+        if width < int(orig):
+            spark.conf.set(shuffle_conf, str(width))
         if n_edges <= _TC_SEMI_NAIVE_MAX_EDGES:
             return _closure_semi_naive(edges)
         edges.createOrReplaceTempView("cont_edges")
         # Recursive CTE execution bypasses AQE, so every level's join
         # pays the STATIC conf width in task launches regardless of
-        # data size. The edge list is already materialized — size the
-        # width from the real edge count (~50k edges/partition) instead
-        # of inheriting a width meant for corpus-scale shuffles.
-        width = max(1, min(32, n_edges // 50_000 + 1))
-        spark.conf.set(shuffle_conf, str(width))
+        # data size — the computed width above is what makes the dense
+        # path affordable in a bare session.
         return spark.sql(_TRANSITIVE_SQL).localCheckpoint()
     finally:
         spark.conf.set(shuffle_conf, orig)
@@ -1571,9 +1571,9 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     shuffle_conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(shuffle_conf)
-    if int(orig) > 32:
-        spark.conf.set(shuffle_conf, "32")
     try:
+        # pair generation at session width; only the power iterations
+        # are capped (see d_dup_clusters for the rationale)
         pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         edges = (
             pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1586,7 +1586,8 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_edges = edges.count()
         width = max(1, min(32, n_edges // 50_000 + 1))
-        spark.conf.set(shuffle_conf, str(width))
+        if width < int(orig):
+            spark.conf.set(shuffle_conf, str(width))
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
         n = float(deg.count())
         ranks = deg.select(
@@ -1612,13 +1613,18 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after the finally restores the session's full shuffle width
         # (~200 near-empty tasks in a bare session for a graph-sized
         # join — the exact overhead the scoped cap exists to avoid)
-        return ranks.join(deg, ranks.doc_id == deg.src).select(
+        out = ranks.join(deg, ranks.doc_id == deg.src).select(
             "doc_id",
             (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias(
                 "rank"
             ),
             F.col("out_deg").cast("long").alias("out_deg"),
         ).localCheckpoint()
+        # the checkpoint pins the result; release the per-call graph
+        # caches instead of leaking one pair per invocation
+        edges.unpersist()
+        deg.unpersist()
+        return out
     finally:
         spark.conf.set(shuffle_conf, orig)
 
@@ -1785,9 +1791,9 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the sibling; loud failure at the round cap."""
     shuffle_conf = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(shuffle_conf)
-    if int(orig) > 32:
-        spark.conf.set(shuffle_conf, "32")
     try:
+        # pair generation at session width; only the star loop is capped
+        # (see d_dup_clusters for the rationale)
         pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         # canonical directed form: (u, v) with v < u ("child points down")
         cur = (
@@ -1799,7 +1805,8 @@ def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         width = max(1, min(32, cur.count() // 50_000 + 1))
-        spark.conf.set(shuffle_conf, str(width))
+        if width < int(orig):
+            spark.conf.set(shuffle_conf, str(width))
         out = cc_star(cur, max_rounds=20)
     finally:
         spark.conf.set(shuffle_conf, orig)

@@ -408,8 +408,11 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         updated: dict[int, list[float]] = {}
         for r in new_rows:
             updated.setdefault(r.cluster, [0.0] * 64)[r.dim] = r.m
-        # an emptied cluster keeps its previous centroid
-        cents = {**cents, **updated}
+        # an emptied cluster is DROPPED, exactly like the oracle's
+        # update CTE (whose GROUP BY only yields clusters with members)
+        # — keeping the stale centroid would diverge from DuckDB the
+        # first time any cluster empties mid-iteration
+        cents = updated
 
     final = corpus.withColumn("a", assigner(cents)("v"))
     return final.groupBy(F.col("a.cluster").alias("cluster")).agg(
@@ -721,23 +724,45 @@ def _pq_update_sql(assign_cte: str) -> str:
 """
 
 
+# One cached element stream per (session, sf_dir), shared by PQ train /
+# assign / search — the dedup module's _SHINGLE_CACHE pattern, with the
+# same explicit release hook (Spark's CacheManager would dedupe repeated
+# .cache() calls on the identical plan anyway, but the keyed dict makes
+# the lifetime visible and clearable instead of pinned forever).
+_PQ_ELEMENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_vector_caches() -> None:
+    for df in _PQ_ELEMENT_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PQ_ELEMENT_CACHE.clear()
+
+
 def _pq_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding element stream keyed by (vec, subspace, in-subspace
     dim) — the shared input of PQ training, assignment, and search."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "vec_id",
-            F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PQ_ELEMENT_CACHE.get(key)
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = (
+            emb.select(
+                "vec_id",
+                F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+            )
+            .select(
+                "vec_id",
+                (F.col("dim") / PQ_SUBDIM).cast("int").alias("s"),
+                (F.col("dim") % PQ_SUBDIM).alias("i"),
+                "x",
+            )
+            .cache()
         )
-        .select(
-            "vec_id",
-            (F.col("dim") / PQ_SUBDIM).cast("int").alias("s"),
-            (F.col("dim") % PQ_SUBDIM).alias("i"),
-            "x",
-        )
-        .cache()
-    )
+        _PQ_ELEMENT_CACHE[key] = df
+    return df
 
 
 def _pq_assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -1696,7 +1721,7 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long")),
         )
 
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nrm = norm(v)
     sig = emb.select(
         "vec_id",
         v.alias("v"),
@@ -1721,10 +1746,8 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("srnk", F.row_number().over(ws))
         .where(F.col("srnk") <= BINARY_SHORTLIST)
     )
-    from streams_spark.functions.vector import dot as vdot
-
     cos = F.round(
-        vdot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("vec_id")
@@ -1803,15 +1826,12 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     tv = F.slice(v, 1, MRL_DIMS)
 
-    def _norm(col):
-        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-
     base = emb.select(
         "vec_id",
         v.alias("v"),
-        _norm(v).alias("nrm"),
+        norm(v).alias("nrm"),
         tv.alias("tv"),
-        _norm(tv).alias("tnrm"),
+        norm(tv).alias("tnrm"),
     ).cache()
     probes = base.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"),
@@ -1820,9 +1840,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv").alias("qtv"),
         F.col("tnrm").alias("qtnrm"),
     )
-    from streams_spark.functions.vector import dot as vdot
-
-    tcos = vdot(F.col("qtv"), F.col("tv")) / (
+    tcos = dot(F.col("qtv"), F.col("tv")) / (
         F.col("qtnrm") * F.col("tnrm")
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -1835,7 +1853,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srnk") <= BINARY_SHORTLIST)
     )
     cos = F.round(
-        vdot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("vec_id")

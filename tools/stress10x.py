@@ -273,10 +273,13 @@ def main() -> None:
         # the 10x run doesn't reuse 1x shingles (keyed by sf_dir anyway,
         # but the cache holds executor memory)
         from streams_spark.operators.dedup import clear_shingle_cache
+        from streams_spark.operators.similarity import clear_vector_caches
 
         clear_shingle_cache()
+        clear_vector_caches()
         t1 = time_query(registry, spark, name, BASE_SF)
         clear_shingle_cache()
+        clear_vector_caches()
         t10 = time_query(registry, spark, name, stress_dir)
         alpha = math.log(t10 / t1) / math.log(N_COPIES)
         rows.append((name, round(t1, 2), round(t10, 2), round(alpha, 2)))
