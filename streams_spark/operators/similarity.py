@@ -58,6 +58,58 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids(corpus):
+    """Element-wise mean vector (+ norm) per label partition — the IVF
+    coarse-quantizer table, shared by s_centroid_search and
+    s_ivf_pq_search so the centroid assembly (array_sort over
+    (dim, mean) structs) lives in one place."""
+    dims = corpus.select("label", F.posexplode("v").alias("dim", "x"))
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("sm", lambda s: s.m).alias("cv"),
+        )
+        .withColumn("c_nrm", norm(F.col("cv")))
+    )
+
+
+def _route_probes(corpus, cent, nprobe: int = 2):
+    """(query_id, qv, qnrm, label): each probe routed to its nprobe
+    nearest centroids. Cosine is rounded to 6dp BEFORE ranking so the
+    centroid order is engine-stable (same convention as the final top-k
+    stages and t_tfidf_keywords); ties beyond 6dp break on c_label."""
+    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        probes.join(F.broadcast(cent))
+        .withColumn(
+            "c_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("c_nrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "c_rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_sim"), F.col("c_label")
+                )
+            ),
+        )
+        .where(F.col("c_rnk") <= nprobe)
+        .select("query_id", "qv", "qnrm", F.col("c_label").alias("label"))
+    )
+
+
 _COSINE_TOPK = (
     _DUCK_VEC
     + f"""
@@ -475,49 +527,8 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), the classic IVF trade: nprobe/nlist controls recall.
     """
     corpus = _corpus(spark, sf_dir)
-    # centroids: element-wise mean per label — aggregate posexploded dims
-    dims = corpus.select(
-        "label", F.posexplode("v").alias("dim", "x")
-    )
-    cent = (
-        dims.groupBy("label", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("sm", lambda s: s.m).alias("cv"),
-        )
-        .withColumn("c_nrm", norm(F.col("cv")))
-    )
-    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    routed = (
-        probes.join(F.broadcast(cent))
-        .withColumn(
-            # rounded to 6dp BEFORE ranking so the centroid order is
-            # engine-stable (same convention as the final top-k below and
-            # t_tfidf_keywords); ties beyond 6dp break on c_label
-            "c_sim",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("c_nrm")),
-                6,
-            ),
-        )
-        .withColumn(
-            "c_rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("c_sim"), F.col("c_label")
-                )
-            ),
-        )
-        .where(F.col("c_rnk") <= 2)
-        .select("query_id", "qv", "qnrm", F.col("c_label").alias("label"))
-    )
+    cent = _label_centroids(corpus)
+    routed = _route_probes(corpus, cent, nprobe=2)
     scored = (
         corpus.join(
             routed,
@@ -765,6 +776,19 @@ def _pq_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _pq_query_lut(ex: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-probe (M x K) asymmetric-distance lookup table: squared
+    distance from each probe's subvector to every code centroid —
+    shared by s_pq_search and s_ivf_pq_search."""
+    return (
+        ex.where(F.col("vec_id") < N_PROBES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), ["s", "i"])
+        .groupBy("query_id", "s", "code")
+        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("d"))
+    )
+
+
 def _pq_assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest code per (vector, subspace); ties to the lowest code id
     (struct-min), matching the oracle's row_number order."""
@@ -918,13 +942,7 @@ def s_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _pq_elements(spark, sf_dir)
     cb = _pq_train_cb(ex)
     final = _pq_assign(ex, cb)
-    lut = (
-        ex.where(F.col("vec_id") < N_PROBES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb), ["s", "i"])
-        .groupBy("query_id", "s", "code")
-        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("d"))
-    )
+    lut = _pq_query_lut(ex, cb)
     adc = (
         final.join(F.broadcast(lut), ["s", "code"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1245,54 +1263,12 @@ def s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus x M adds — the IVF-PQ cost model exactly.
     """
     corpus = _corpus(spark, sf_dir)
-    dims = corpus.select("label", F.posexplode("v").alias("dim", "x"))
-    cent = (
-        dims.groupBy("label", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("sm", lambda s: s.m).alias("cv"),
-        )
-        .withColumn("c_nrm", norm(F.col("cv")))
-    )
-    probes = corpus.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    routed = (
-        probes.join(F.broadcast(cent))
-        .withColumn(
-            "c_sim",
-            F.round(
-                dot(F.col("qv"), F.col("cv"))
-                / (F.col("qnrm") * F.col("c_nrm")),
-                6,
-            ),
-        )
-        .withColumn(
-            "c_rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("c_sim"), F.col("c_label")
-                )
-            ),
-        )
-        .where(F.col("c_rnk") <= 2)
-        .select("query_id", F.col("c_label").alias("label"))
-    )
+    cent = _label_centroids(corpus)
+    routed = _route_probes(corpus, cent, nprobe=2).select("query_id", "label")
     ex = _pq_elements(spark, sf_dir)
     cb = _pq_train_cb(ex)
     final = _pq_assign(ex, cb)
-    lut = (
-        ex.where(F.col("vec_id") < N_PROBES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb), ["s", "i"])
-        .groupBy("query_id", "s", "code")
-        .agg(F.sum(F.pow(F.col("x") - F.col("cx"), 2)).alias("d"))
-    )
+    lut = _pq_query_lut(ex, cb)
     labels = corpus.select("vec_id", "label")
     candidates = (
         final.join(labels, "vec_id")
