@@ -115,13 +115,44 @@ JACCARD_T = 0.5
 _SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
+# Bidirected near-dup edge list per (session, sf_dir), shared by the
+# graph operators (min-label CC, PageRank, dup-graph stats): computed
+# once from the Jaccard pairs, reused and warm across repeated calls,
+# released via clear_shingle_cache.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def clear_shingle_cache() -> None:
-    for df in _SHINGLE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _SHINGLE_CACHE.clear()
+    for cache in (_SHINGLE_CACHE, _EDGE_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
+def dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached bidirected (src, dst) edge list of the near-dup pair graph
+    (both directions of every d_ngram_jaccard pair). Materialized at the
+    SESSION shuffle width on first use."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        df = (
+            pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+            .union(
+                pairs.select(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                )
+            )
+            .cache()
+        )
+        _EDGE_CACHE[key] = df
+    return df
 
 
 def shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -684,20 +715,12 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SESSION width — capping it too would squeeze the module's
         # largest shuffle into 32 tasks on a cluster legitimately
         # configured wider. Only the graph-sized loop below runs capped:
-        # edges.count() materializes the cache at session width first.
-        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        fwd = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
-        rev = pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-        )
-        edges = fwd.union(rev).cache()
+        # edges.count() materializes the shared cache at session width.
+        edges = dup_edges(spark, sf_dir)
         width = max(1, min(32, edges.count() // 50_000 + 1))
         if width < int(orig):
             spark.conf.set(shuffle_conf, str(width))
         labels = cc_min_label(edges, max_rounds=20)
-        edges.unpersist()
     finally:
         spark.conf.set(shuffle_conf, orig)
     return labels.select(
@@ -1574,16 +1597,7 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # pair generation at session width; only the power iterations
         # are capped (see d_dup_clusters for the rationale)
-        pairs = d_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .union(
-                pairs.select(
-                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-                )
-            )
-            .cache()
-        )
+        edges = dup_edges(spark, sf_dir)
         n_edges = edges.count()
         width = max(1, min(32, n_edges // 50_000 + 1))
         if width < int(orig):
@@ -1620,9 +1634,8 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("out_deg").cast("long").alias("out_deg"),
         ).localCheckpoint()
-        # the checkpoint pins the result; release the per-call graph
-        # caches instead of leaking one pair per invocation
-        edges.unpersist()
+        # the checkpoint pins the result; the shared edge cache stays
+        # warm for sibling graph ops, but deg is per-call — release it
         deg.unpersist()
         return out
     finally:
