@@ -140,9 +140,7 @@ def p_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
+        _md5_bucket(F.col("doc_id"), 1, 100)
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -172,16 +170,33 @@ _TIER_RATE = {0: 0.8, 1: 0.5, 2: 0.2}
 
 
 def _tier(source_col):
-    # src0-src4 -> tier 0, src5-src9 -> tier 1, rest -> tier 2
-    n = F.regexp_extract(source_col, r"(\d+)", 1).cast("int")
+    # src0-src4 -> tier 0, src5-src9 -> tier 1, rest -> tier 2.
+    # try_cast, not cast: under ANSI mode (on in this repo's sessions) a
+    # digit-less source would make cast('' AS INT) THROW instead of
+    # falling through to tier 2 as documented — try_cast yields NULL and
+    # the otherwise() branch really is reachable.
+    n = F.regexp_extract(source_col, r"(\d+)", 1).try_cast("int")
     return F.when(n < 5, 0).when(n < 10, 1).otherwise(2)
+
+
+def _md5_bucket(col, start: int, mod: int):
+    """Deterministic bucket in [0, mod): integer value of 4 hex chars of
+    md5(col) starting at `start` (1-based), mod `mod`. THE shared draw
+    for split assignment (chars 1-4) and sampling (chars 5-8) — the
+    oracles repeat the same arithmetic in SQL, so every consumer must
+    use this helper rather than a hand-rolled copy."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), start, 4), 16, 10)
+        .cast("int")
+        % mod
+    )
 
 
 _MIX = """
 WITH tiered AS (
   SELECT doc_id, source,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
-              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
+              WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
               ELSE 2 END AS tier,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
               AS INTEGER) % 10 AS r
@@ -208,11 +223,7 @@ def p_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
     tier = _tier(F.col("source"))
-    draw = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
-        .cast("int")
-        % 10
-    )
+    draw = _md5_bucket(F.col("doc_id"), 5, 10)
     rate10 = (
         F.when(tier == 0, 8).when(tier == 1, 5).otherwise(2)
     )
@@ -280,8 +291,8 @@ TOKEN_BUDGET = 30_000
 _BUDGET = f"""
 WITH sized AS (
   SELECT source,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
-              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
+              WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
               ELSE 2 END AS tier,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
@@ -518,8 +529,14 @@ def p_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the priority rank is a pure projection (no source dimension join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    prio = F.substring("source", 4, 10).cast("int")
-    w = Window.partitionBy(F.md5("text")).orderBy(prio, "doc_id")
+    # try_cast: a source shorter than 4 chars or with a non-numeric
+    # suffix ranks LAST (explicit nulls-last — Spark's asc default is
+    # nulls-first, DuckDB's is nulls-last) instead of throwing under
+    # ANSI mode
+    prio = F.substring("source", 4, 10).try_cast("int")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.asc_nulls_last(prio), "doc_id"
+    )
     ranked = docs.select(
         "source", F.row_number().over(w).alias("rn")
     )
@@ -890,9 +907,7 @@ def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; group state is two bits + two counters."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
+        _md5_bucket(F.col("doc_id"), 1, 100)
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -1135,9 +1150,9 @@ WITH sized AS (
               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5
               THEN 0
-              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10
+              WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10
               THEN 1 ELSE 2 END AS tier,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
               AS INTEGER) % 10 AS r
@@ -1188,18 +1203,12 @@ def p_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
+        _md5_bucket(F.col("doc_id"), 1, 100)
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    draw = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
-        .cast("int")
-        % 10
-    )
+    draw = _md5_bucket(F.col("doc_id"), 5, 10)
     rate = (
         F.when(F.col("tier") == 0, 8)
         .when(F.col("tier") == 1, 5)
@@ -1275,14 +1284,6 @@ def p_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     are conditional sums inside a single partial-agg'd reduction to one
     row, then stack() unpivots driver-free — no per-ablation rescan,
     no union of six jobs (the naive formulation the oracle states)."""
-    from streams_spark.operators.text import (
-        C4_MAX_WORD_LEN,
-        C4_MAX_WORDS,
-        C4_MEAN_LEN_HI,
-        C4_MEAN_LEN_LO,
-        C4_MIN_WORDS,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n_words = F.size(toks)

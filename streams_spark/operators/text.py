@@ -608,8 +608,6 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -822,6 +820,21 @@ def t_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred tokens, so cross-engine float-sum drift (~1e-13) is far
     below the rounding quantum.
     """
+    return _unigram_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_raw", 4).alias("avg_logprob"),
+    )
+
+
+def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_raw): the UNROUNDED mean log-prob under
+    the corpus unigram MLE. t_unigram_lm rounds it for display;
+    t_ccnet_buckets floor-snaps the RAW value (snapping the rounded
+    column would double-round — round() is decimal HALF_UP while the
+    snap is floor(x*1e4+0.5), and the two disagree on double
+    midpoints, exactly the 1-ulp boundary class the bucket op was
+    redesigned to eliminate)."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     freq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -832,9 +845,9 @@ def t_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4
-            ).alias("avg_logprob"),
+            F.avg(F.log(F.col("c").cast("double") / F.col("n"))).alias(
+                "avg_raw"
+            ),
         )
     )
 
@@ -1173,10 +1186,10 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed.
     """
     scored = (
-        t_unigram_lm(spark, sf_dir)
+        _unigram_scores(spark, sf_dir)
         .select(
             "doc_id",
-            F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5))
+            F.floor(F.col("avg_raw") * 10000 + F.lit(0.5))
             .cast("long")
             .alias("s"),
         )

@@ -1657,7 +1657,7 @@ def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     curve = ev.withColumn("equity", F.sum("value").over(w)).withColumn(
-        "peak", F.max(F.sum("value").over(w)).over(w)
+        "peak", F.max(F.col("equity")).over(w)
     )
     dd = F.col("peak") - F.col("equity")
 

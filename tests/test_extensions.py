@@ -2051,3 +2051,26 @@ def test_kmv_setops_matches_python_recompute(spark, sf_dir):
     for (pa, pb), (_, _, ei, eu, ki, ku) in want.items():
         assert abs(ki - ei) <= 0.5 * eu
         assert abs(ku - eu) <= 0.5 * eu
+
+
+def test_tier_and_priority_survive_digitless_sources(spark):
+    """Under ANSI mode, a digit-less source name must fall through to
+    tier 2 / rank-last (try_cast), not throw CAST_INVALID_INPUT."""
+    import pyspark.sql.functions as F
+
+    from streams_spark.operators.pipeline import _tier
+
+    df = spark.createDataFrame(
+        [("web",), ("src3",), ("src7",), ("ab",)], "source string"
+    )
+    got = {
+        r.source: r.tier
+        for r in df.select(
+            "source", _tier(F.col("source")).alias("tier")
+        ).collect()
+    }
+    assert got == {"web": 2, "src3": 0, "src7": 1, "ab": 2}
+    # the priority expression: digit-less suffix orders LAST, no throw
+    prio = F.substring("source", 4, 10).try_cast("int")
+    ranked = df.orderBy(F.asc_nulls_last(prio)).collect()
+    assert ranked[-1].source in ("web", "ab")
