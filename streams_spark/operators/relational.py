@@ -923,9 +923,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct, then plain aggregation — all JVM-side (Jackson parse +
     codegen agg), no UDF. The map/array twin of the same surface is
     exercised via element_at on the parsed struct-as-map."""
-    from streams_spark.sources.tables import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
         F.from_json("props", "k INT").alias("p"),
@@ -2792,7 +2790,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per source vintage (repeat invocations reuse the parquet
     # state), matching the "history cost is paid once" claim instead of
     # refolding into a fresh leaked temp dir per call
-    from streams_spark.operators.streaming_queries import _cached_feed
+    from streams_spark.sources.feed_cache import cached_feed as _cached_feed
 
     # cache key carries the cutoff + a state-schema version token so a
     # code change to either invalidates the persisted state instead of

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_spark.registry import register
+from streams_spark.sources.feed_cache import cached_feed as _cached_feed
 from streams_spark.sources.tables import load_table
 
 _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
@@ -172,10 +173,14 @@ FROM numbered GROUP BY user_id, session_id
 
 
 @register("st_session_window", oracle=_SESSION_ORACLE)
-@_capped_state_shuffle
 def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window (30 min gap) — Spark's native session operator;
-    session end = last event + gap, matching the SQL formulation."""
+    session end = last event + gap, matching the SQL formulation.
+
+    Batch twin (no .start(), no state store): the genuinely streaming
+    stateful session op is st_session_stream. No shuffle cap here — the
+    decorator restores the conf before a LAZY frame executes, so on a
+    batch op it would be a misleading no-op."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -208,7 +213,6 @@ GROUP BY window_start, event_type
 
 
 @register("st_sliding_window", oracle=_SLIDING_ORACLE)
-@_capped_state_shuffle
 def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hour windows sliding by 1 hour (each event lands in 2 windows)."""
     ev = load_table(spark, sf_dir, "events")
@@ -372,15 +376,20 @@ def st_sequence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     be accepted (n_ok == segment count, zero violations, last == max) —
     which is what the oracle asserts relationally.
     """
-    import tempfile
-
     from streams_spark.streaming.state import streaming_sequence_validation
 
     log = event_log(spark, sf_dir).select(
         "space", "segment", "sequence", "timestamp"
     )
-    stage_dir = tempfile.mkdtemp(prefix="seqstate_")
-    log.write.mode("overwrite").parquet(stage_dir)
+    # staged through the shared feed cache (built once per source
+    # vintage) — a fresh mkdtemp per call would leak one parquet copy
+    # of the log per invocation and re-pay the staging write every run
+    stage_dir = _cached_feed(
+        sf_dir,
+        "seqstate",
+        "v1|space,segment,sequence,timestamp",
+        lambda d: log.write.mode("overwrite").parquet(d),
+    )
     stream = spark.readStream.schema(log.schema).parquet(stage_dir)
     validated = streaming_sequence_validation(stream)
     sink = f"seqstate_{uuid.uuid4().hex[:8]}"
@@ -413,12 +422,11 @@ def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join per batch. The canonical 'attach user profile to each
     event' pipeline stage.
     """
-    schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .where(F.col("event_type") == "purchase")
+    # layout-robust helper, not the raw glob form: pathGlobFilter
+    # matches leaf file names only, so a directory-shaped events.parquet
+    # would read as silently EMPTY (see _events_stream's docstring)
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
     )
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -538,7 +546,8 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    holder: dict[str, list] = {}
+    # pre-seeded so a zero-micro-batch source yields an empty frame
+    holder: dict[str, list] = {"rows": []}
 
     def rank_sink(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("window_start").orderBy(
@@ -1084,6 +1093,12 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     final = state["df"]
+    if final is None:
+        # zero micro-batches (empty events source): contract schema,
+        # not an AttributeError (the st_ingest_dedup guard, generalized)
+        return spark.createDataFrame(
+            [], "user_id bigint, last_value double, updated_at timestamp"
+        )
     return final.where(F.col("event_type") != "error").select(
         "user_id",
         F.round("value", 2).alias("last_value"),
@@ -1221,6 +1236,11 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     sketch = state["df"]
+    if sketch is None:
+        # zero micro-batches: an empty counter table makes every probe
+        # estimate 0 through the coalesce below, matching a CMS built
+        # over an empty corpus
+        sketch = spark.createDataFrame([], "r int, slot int, cnt bigint")
 
     probes = spark.createDataFrame(
         [(t,) for t in _CMS_PROBES], "term string"
@@ -1255,96 +1275,6 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sentinel-heartbeat feeds: finalize watermark state on a bounded stream
 # ---------------------------------------------------------------------------
 
-
-def _cached_feed(sf_dir: str, op: str, extra_key: str, build) -> str:
-    """Deterministic staged-feed cache shared by the feed-building
-    streaming ops (sentinel feeds, CDC feed, ingest feed): the feed dir
-    is keyed on (sf_dir, op, extra_key, source mtime+size) under the
-    system temp dir and built once — repeated gate/bench runs reuse it,
-    and a regenerated source at the same path invalidates it. `build`
-    receives the target dir and must leave a parquet _SUCCESS marker."""
-    import getpass
-    import hashlib
-    import os
-    import tempfile
-
-    src_name = "documents.parquet" if op.startswith("doc") else "events.parquet"
-    st = os.stat(os.path.join(sf_dir, src_name))
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{op}|{extra_key}"
-        f"|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    # per-user cache root (0700): a world-shared temp path would let
-    # another uid pre-create the dir (permission failures) or serve
-    # foreign parquet as query input
-    uid = os.getuid() if hasattr(os, "getuid") else None
-    if uid is None:
-        # no getuid => no way to verify a pre-existing root's owner, so
-        # a username-suffixed shared path would leave the pre-created-
-        # root attack open there. Use a per-PROCESS private root instead:
-        # loses cross-process feed reuse on such platforms, keeps the
-        # in-process cache (the _cached_feed key dedupes within a run).
-        root = os.path.join(
-            tempfile.gettempdir(),
-            f"pystreams_feeds-{getpass.getuser()}-{os.getpid()}",
-        )
-        os.makedirs(root, mode=0o700, exist_ok=True)
-    else:
-        root = os.path.join(tempfile.gettempdir(), f"pystreams_feeds-{uid}")
-        os.makedirs(root, mode=0o700, exist_ok=True)
-    if uid is not None:
-        # exist_ok=True accepts a PRE-EXISTING dir without checking who
-        # made it — verify the root really is ours and private, else an
-        # attacker who pre-created it could swap feeds under us (the
-        # sticky-bit /tmp attack the per-user path exists to stop)
-        rst = os.lstat(root)
-        import stat as stat_mod
-
-        if (
-            rst.st_uid != uid
-            or not stat_mod.S_ISDIR(rst.st_mode)
-            or stat_mod.S_IMODE(rst.st_mode) & 0o077
-        ):
-            raise RuntimeError(
-                f"feed-cache root {root} is not an owned private "
-                f"directory (uid={rst.st_uid}, mode="
-                f"{oct(stat_mod.S_IMODE(rst.st_mode))}); refusing to "
-                f"serve query input from it"
-            )
-    feed = os.path.join(root, f"{op}_{key}")
-    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
-        # build into a unique sibling, then rename into place: the
-        # rename is atomic on one filesystem, so a concurrent process
-        # either sees the complete feed or builds its own copy — never
-        # a half-written directory. The stage name is unique PER CALL
-        # (not just per pid): a stage returned by the race-loss path
-        # below may still be serving a reader, so a later call in this
-        # process must never rebuild over it.
-        import shutil
-        import uuid as uuid_mod
-
-        stage = f"{feed}.build-{os.getpid()}-{uuid_mod.uuid4().hex[:8]}"
-        build(stage)
-        try:
-            os.rename(stage, feed)
-        except OSError:
-            # feed already exists: either a concurrent builder's
-            # complete copy (has _SUCCESS — keep it) or a stale/partial
-            # remnant (no _SUCCESS — evict and retry with our stage)
-            if os.path.exists(os.path.join(feed, "_SUCCESS")):
-                shutil.rmtree(stage, ignore_errors=True)
-            else:
-                shutil.rmtree(feed, ignore_errors=True)
-                try:
-                    os.rename(stage, feed)
-                except OSError:
-                    # lost a second race; fall back to serving the stage
-                    # (complete — we built it; uniquely named, so no
-                    # later call can clobber it while it is being read)
-                    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
-                        return stage
-                    shutil.rmtree(stage, ignore_errors=True)
-    return feed
 
 
 def _sentinel_feed(

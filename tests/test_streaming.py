@@ -652,7 +652,7 @@ def test_cached_feed_evicts_stale_partial_dir(sf_dir, monkeypatch, tmp_path):
     import os
     import stat
 
-    from streams_spark.operators.streaming_queries import _cached_feed
+    from streams_spark.sources.feed_cache import cached_feed as _cached_feed
 
     monkeypatch.setenv("TMPDIR", str(tmp_path))
     import tempfile
