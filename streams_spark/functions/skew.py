@@ -29,6 +29,22 @@ _STAGE1 = {
 _STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+
+def _row_salt(df: DataFrame, n_salts: int):
+    """Deterministic per-row salt in [0, n_salts): xxhash64 over every
+    hashable column (maps are excluded — Spark's hash functions reject
+    MapType), so a recomputed task assigns identical salts. See
+    salted_agg's docstring for why nondeterministic salts corrupt
+    results under fetch-failure recovery."""
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -41,17 +57,17 @@ def salted_agg(
     {'sum', 'count', 'min', 'max'}. Returns one row per key combination,
     identical to ``df.groupBy(keys).agg(...)``.
 
-    The salt is `pmod(xxhash64(all columns referenced), n_salts)`-free:
-    a uniform random int per row (monotonically_increasing_id pmod) would
-    be non-deterministic under retries; instead we hash the row's key
-    columns PLUS a fast row discriminator (spark_partition_id,
-    monotonically_increasing_id) — determinism per task attempt is not
-    required for decomposable aggregates, only uniformity.
+    The salt is DETERMINISTIC per row content (hash of every hashable
+    column): a (spark_partition_id, monotonically_increasing_id)
+    discriminator is not stable across task re-execution, and after a
+    fetch failure Spark recomputes stage-1 map tasks — a row whose salt
+    changed would be double-counted by a reducer that already finished
+    and skipped by its new one (SQL-level nondeterministic expressions
+    are NOT covered by the INDETERMINATE-stage rollback; only
+    repartition() is). Full-row duplicates share a salt, which only
+    skews the spread when the data is dominated by identical rows.
     """
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    ).alias("__salt")
+    salt = _row_salt(df, n_salts).alias("__salt")
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             _STAGE1[fn](col).alias(f"__p_{alias}")
@@ -84,10 +100,7 @@ def salted_join(
     cannot). The replication multiplies the small side n_salts x — keep
     n_salts at the skew factor, not the cluster size.
     """
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    )
+    salt = _row_salt(big, n_salts)
     bs = big.withColumn("__salt", salt)
     ss = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

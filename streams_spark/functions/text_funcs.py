@@ -55,6 +55,12 @@ def gram_rows(docs, n: int):
     fingerprint path: posexplode tokens, lead the next n-1 words over a
     (doc_id, pos) window, emit one row per gram as (doc_id, gram).
 
+    PRECONDITION: doc_id is unique per row (true of every corpus table).
+    Duplicate doc_id rows would collide on (doc_id, pos) and the window
+    would stitch grams across the two texts non-deterministically —
+    callers with non-unique ids must use word_shingles (per-row array
+    op, no window) instead.
+
     Short-doc semantics: a doc with < n tokens keeps its pos==0 row —
     concat_ws skips the NULL leads, yielding ONE truncated gram, the
     same behavior as word_shingles and every DuckDB oracle. This is the

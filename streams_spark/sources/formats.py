@@ -89,11 +89,23 @@ def write_event_log_csv(df: DataFrame, path: str, mode: str = "error") -> None:
     CSV carries neither maps nor binary, so metadata travels as a JSON
     string and payload as base64."""
     (
+        # column order pinned to the read-side wire schema: the reader
+        # maps by POSITION (enforceSchema), so relying on _encode's
+        # append-order would silently shear columns if EVENT_LOG_SCHEMA
+        # ever grows or reorders
         _encode(df, metadata_as_json=True)
+        .select(*[f.name for f in _wire_schema(metadata_as_json=True).fields])
         .write.mode(mode)
         .partitionBy("space")
         .option("header", "true")
         .option("timestampFormat", _TS_FMT)
+        # explicit NULL sentinel: with the default ("" for both), an
+        # empty payload/string is indistinguishable from NULL on read
+        # and came back as NULL (round-trip corruption). The writer
+        # keeps its default emptyValue (QUOTED ""), which the reader's
+        # emptyValue="" maps back to an empty string — an unquoted
+        # empty field would be parsed as null regardless of options.
+        .option("nullValue", "\\N")
         .csv(path)
     )
 
@@ -103,6 +115,8 @@ def read_event_log_csv(spark: SparkSession, path: str) -> DataFrame:
         spark.read.schema(_wire_schema(metadata_as_json=True))
         .option("header", "true")
         .option("timestampFormat", _TS_FMT)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path),
         metadata_as_json=True,
     )
@@ -172,10 +186,13 @@ def read_media_dir(
     """Ingest a directory of raw media files into the canonical media
     shape (`operators/multimodal.py`): Spark's built-in `binaryFile`
     source yields (path, modificationTime, length, content); we derive
-    doc_id (stable hash of the FULL path — the key is path-scoped;
-    re-ingesting from a moved directory yields new ids), media_type
-    (extension), and
-    the typed metadata struct the decode operators expect.
+    doc_id (stable 64-bit hash of the FULL path — the key is
+    path-scoped; re-ingesting from a moved directory yields new ids),
+    doc_key (md5 of the path: the COLLISION-SAFE identity — at billions
+    of files the 64-bit doc_id's birthday bound makes silent merges
+    expected, so scale joins key on doc_key or meta.source), media_type
+    (extension), and the typed metadata struct the decode operators
+    expect.
 
     Scale: binaryFile is a real FileFormat — directory listing is
     distributed, each file is one task (files are unsplittable blobs),
@@ -197,6 +214,7 @@ def read_media_dir(
     )
     return raw.select(
         F.xxhash64(F.col("path")).alias("doc_id"),
+        F.md5(F.col("path")).alias("doc_key"),
         media_type.alias("media_type"),
         F.col("content").alias("payload"),
         F.struct(

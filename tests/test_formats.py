@@ -130,6 +130,9 @@ def test_binaryfile_media_ingestion(spark, tmp_path):
         assert bytes(rows[name].payload) == data
         assert rows[name].meta.declared_len == len(data)
     assert len({r.doc_id for r in rows.values()}) == 3
+    # doc_key is the collision-safe (128-bit) identity
+    assert len({r.doc_key for r in rows.values()}) == 3
+    assert all(len(r.doc_key) == 32 for r in rows.values())
 
     only_images = read_media_dir(spark, str(tmp_path), glob="*.jpg")
     assert only_images.count() == 1
@@ -490,3 +493,27 @@ def test_compact_zordered_clusters_both_dims(spark, tmp_path):
     assert hit_u <= 0.5 * tot, (hit_u, tot)
     assert hit_d <= 0.6 * tot, (hit_d, tot)
     assert spark.read.parquet(out).count() == 20_000
+
+
+def test_csv_roundtrip_preserves_empty_vs_null(spark, tmp_path):
+    """CSV must distinguish empty (b'', '') from NULL after the
+    round-trip — the default '' sentinel collapsed both to NULL."""
+    from streams_spark.schema import EVENT_LOG_SCHEMA
+    from streams_spark.sources.formats import (
+        read_event_log_csv,
+        write_event_log_csv,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 7)
+    rows = [
+        ("s0", "g0", 1, ts, "", "node", 1, b"", {}),
+        ("s0", "g0", 2, ts, None, None, 2, None, None),
+        ("s0", "g0", 3, ts, "t3", "n3", 3, b"payload", {"k": ""}),
+    ]
+    df = spark.createDataFrame(rows, EVENT_LOG_SCHEMA)
+    out = str(tmp_path / "csv")
+    write_event_log_csv(df, out)
+    back = {r.sequence: r for r in read_event_log_csv(spark, out).collect()}
+    assert bytes(back[1].payload) == b"" and back[1].trx_id == ""
+    assert back[2].payload is None and back[2].trx_id is None
+    assert bytes(back[3].payload) == b"payload" and back[3].trx_id == "t3"
