@@ -30,18 +30,39 @@ _STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
 
-def _row_salt(df: DataFrame, n_salts: int):
-    """Deterministic per-row salt in [0, n_salts): xxhash64 over every
-    hashable column (maps are excluded — Spark's hash functions reject
-    MapType), so a recomputed task assigns identical salts. See
-    salted_agg's docstring for why nondeterministic salts corrupt
-    results under fetch-failure recovery."""
-    from pyspark.sql.types import MapType
+def _contains_map(dt) -> bool:
+    """True if `dt` is or nests a MapType anywhere (inside a struct
+    field, array element, or map value) — Spark's hash functions reject
+    MapType at ANY depth, not just the top level."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _row_salt(df: DataFrame, n_salts: int, id_col: str | None = None):
+    """Deterministic per-row salt in [0, n_salts), so a recomputed task
+    assigns identical salts (see salted_agg's docstring for why
+    nondeterministic salts corrupt results under fetch-failure
+    recovery).
+
+    With `id_col` (a stable unique row id such as a log sequence or a
+    doc_id): salt = xxhash64(id) — full-row duplicates then land on
+    DIFFERENT salts, so the spread survives duplicate-dominated data.
+    Without it: xxhash64 over every hashable column (map-bearing
+    columns excluded recursively — Spark's hash rejects nested MapType
+    too), and identical rows necessarily share a salt."""
+    if id_col is not None:
+        return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     cols = [
         F.col(f.name)
         for f in df.schema.fields
-        if not isinstance(f.dataType, MapType)
+        if not _contains_map(f.dataType)
     ]
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
 
@@ -50,6 +71,7 @@ def salted_agg(
     keys: list[str],
     aggs: list[tuple[str | Column | None, str, str]],
     n_salts: int = 16,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Two-stage aggregation over `keys` with a random salt.
 
@@ -65,9 +87,11 @@ def salted_agg(
     and skipped by its new one (SQL-level nondeterministic expressions
     are NOT covered by the INDETERMINATE-stage rollback; only
     repartition() is). Full-row duplicates share a salt, which only
-    skews the spread when the data is dominated by identical rows.
+    skews the spread when the data is dominated by identical rows —
+    pass `id_col` (a stable unique row id) to salt on the id instead
+    and keep the spread on duplicate-heavy corpora.
     """
-    salt = _row_salt(df, n_salts).alias("__salt")
+    salt = _row_salt(df, n_salts, id_col).alias("__salt")
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[
             _STAGE1[fn](col).alias(f"__p_{alias}")
@@ -87,6 +111,7 @@ def salted_join(
     small: DataFrame,
     key: str,
     n_salts: int = 8,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Equi-join with explicit salt replication for a hot join key.
 
@@ -98,9 +123,11 @@ def salted_join(
     oversized partitions after the fact, salting prevents them by
     construction (and also spreads the build side, which AQE's split
     cannot). The replication multiplies the small side n_salts x — keep
-    n_salts at the skew factor, not the cluster size.
+    n_salts at the skew factor, not the cluster size. As with
+    salted_agg, pass `id_col` when the big side carries a stable unique
+    row id so full-row duplicates still spread.
     """
-    salt = _row_salt(big, n_salts)
+    salt = _row_salt(big, n_salts, id_col)
     bs = big.withColumn("__salt", salt)
     ss = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -1268,8 +1268,14 @@ def _closure_semi_naive(edges: DataFrame) -> DataFrame:
 
     Scale: work per level is |frontier| x avg-out-degree — the
     semi-naive delta property (only NEW pairs join forward) keeps dense
-    diamonds from re-deriving known pairs level after level."""
-    closure = edges.select("src", "dst", F.lit(1).alias("min_hops"))
+    diamonds from re-deriving known pairs level after level.
+
+    The hop-1 seed is distinct()-ed: duplicate input edges would
+    otherwise emit duplicate closure rows here while the dense-path
+    recursive CTE dedups via GROUP BY src,dst — both physical
+    strategies must share the set-semantics contract."""
+    edges = edges.select("src", "dst").distinct()
+    closure = edges.withColumn("min_hops", F.lit(1))
     frontier = closure.select("src", "dst").localCheckpoint()
     depth = 1
     while not frontier.isEmpty():

@@ -960,7 +960,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a tiny merge aggregate — the standard fix when one GROUP BY key
     dominates (l_returnflag has 3 values over 600M rows at SF 100:
     without salt, 3 reducers do all the merge work). The oracle proves
-    the rewrite is result-identical to the plain groupBy."""
+    the rewrite is result-identical to the plain groupBy.
+
+    Salt source: lineitem rows are unique (composite PK l_orderkey +
+    l_linenumber), so the default full-row content hash spreads every
+    row. On a duplicate-dominated corpus (raw logs, pre-dedup crawls)
+    identical rows share a salt and the spread degrades — pass
+    salted_agg(id_col=...) with a stable unique row id there."""
     from streams_spark.functions.skew import salted_agg
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1323,7 +1329,10 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle proves the rewrite is result-identical to the plain
     equi-join. (At this SF supplier would broadcast and no salt is
     needed; the op exists to pin the rewrite's semantics, the docstring
-    of salted_join states when to reach for it.)
+    of salted_join states when to reach for it.) The projected big side
+    here is (l_suppkey, l_extendedprice) — near-unique pairs, so the
+    content-hash salt spreads; on duplicate-dominated data pass
+    salted_join(id_col=...) with a unique row id.
     """
     from streams_spark.functions.skew import salted_join
 

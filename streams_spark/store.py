@@ -111,13 +111,20 @@ def compact(
     # destroy the pruning the layout exists for.
     salt = F.pmod(F.xxhash64("segment"), F.lit(files_per_space))
     # explicit partition count: AQE would otherwise coalesce the small
-    # shuffle back into one task and re-collapse the file count
-    n_spaces = df.select("space").distinct().count()
-    n_parts = max(1, n_spaces * files_per_space)
+    # shuffle back into one task and re-collapse the file count.
+    # Sized from the distinct count over ALL partition cols (not just
+    # space) so a commit_batch/space layout provisions per (batch,
+    # space) group, and distributed by RANGE on (cols, __bucket): with
+    # n_parts == number of distinct (group, bucket) cells, range
+    # boundaries land between cells, giving a near-bijective
+    # cell-to-task mapping — hash repartition can collide several cells
+    # into one task and silently merge their output files.
+    n_groups = df.select(*cols).distinct().count()
+    n_parts = max(1, n_groups * files_per_space)
     with _dynamic_overwrite(spark):
         (
             df.withColumn("__bucket", salt)
-            .repartition(n_parts, *cols, "__bucket")
+            .repartitionByRange(n_parts, *cols, "__bucket")
             .sortWithinPartitions(*cols, "segment", "sequence")
             .drop("__bucket")
             .write.mode("overwrite")
