@@ -18,7 +18,8 @@ using ONLY the standard library + numpy:
 sniffs the magic bytes and returns (width, height, n_channels,
 content_checksum) where the checksum is over the DECODED samples — so a
 passing oracle proves the zlib round-trip actually recovered the
-pixels, not merely that headers parsed.
+pixels, not merely that headers parsed. JPEG payloads (FFD8) route to
+the baseline Huffman+IDCT decoder in functions/jpeg.py.
 """
 
 from __future__ import annotations
@@ -249,6 +250,13 @@ def media_probe(payload: bytes) -> tuple[int, int, int, int]:
             ch,
             int(samples.astype(np.int64).sum()) % CHECKSUM_MOD,
         )
+    if payload[:2] == b"\xff\xd8":
+        from streams_spark.functions.jpeg import jpeg_decode
+
+        arr = jpeg_decode(payload)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        h, w = arr.shape[0], arr.shape[1]
+        return w, h, ch, int(arr.astype(np.int64).sum()) % CHECKSUM_MOD
     if payload[: len(_FRAMES_MAGIC)] == _FRAMES_MAGIC:
         frames = frames_decode(payload)
         if not frames:

@@ -9,8 +9,9 @@ UDF) is real everywhere; the codec is pluggable via
 `decode_media(decode_fn=...)`: m_decode_media pins the deterministic
 fake (its payloads are text bytes), m_decode_real runs the REAL
 stdlib-only PNG/WAV codecs from functions/codecs.py on genuinely
-encoded payloads, and `pil_decode` is the Pillow swap-in for formats
-beyond those (JPEG etc.) where that library exists.
+encoded payloads, m_jpeg_real runs the baseline JPEG decoder from
+functions/jpeg.py, and `pil_decode` is the Pillow swap-in for formats
+beyond those (WebP etc.) where that library exists.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; the binary column is only read where
@@ -800,6 +801,108 @@ def m_motion_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_diff double"
         ),
     )
+
+
+_JPEG_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS mode,
+         17 + doc_id % 23 AS w,
+         14 + (doc_id * 3) % 19 AS h
+  FROM documents
+), geo AS (
+  SELECT doc_id, w, h,
+         CASE mode WHEN 0 THEN 'grey' WHEN 1 THEN 'rgb444'
+              ELSE 'rgb420' END AS media_type,
+         CASE WHEN mode = 0 THEN 1 ELSE 3 END AS ch,
+         CASE WHEN mode = 2 THEN 16 ELSE 8 END AS b
+  FROM m
+)
+SELECT doc_id, media_type,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(ch * list_sum(list_transform(range(w * h),
+            i -> 2 * (((i % w) // b + 3 * ((i // w) // b) + doc_id) % 128)))
+            % 1000000007 AS BIGINT) AS checksum
+FROM geo
+"""
+
+
+def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A media table whose payloads are REAL baseline JPEGs from the
+    dependency-free encoder in functions/jpeg.py: deterministic
+    block-constant patterns derived from doc_id, rotating through the
+    three realistic shapes — greyscale, RGB 4:4:4, RGB 4:2:0 — with
+    non-MCU-multiple dimensions so the pad/crop path always runs.
+
+    The patterns are block-constant with EVEN values (grey-valued in
+    the RGB cases): the one image class whose quality-50 JPEG
+    round-trip is BIT-exact (see functions/jpeg.py docstring), which is
+    what lets a DuckDB oracle predict the decoded pixels of a lossy
+    format in closed form. The wire bytes are still a genuine
+    entropy-coded scan — Huffman tables, DPCM DC, byte stuffing and
+    all — so a green row proves the full parse+decode, not headers."""
+    import numpy as np
+
+    from streams_spark.functions.jpeg import jpeg_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mode = d % 3
+                w, h = 17 + d % 23, 14 + (d * 3) % 19
+                b = 16 if mode == 2 else 8
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                grey = (2 * ((x // b + 3 * (y // b) + d) % 128)).astype(
+                    np.uint8
+                )
+                if mode == 0:
+                    payload = jpeg_encode(grey, quality=50)
+                    mt = "grey"
+                else:
+                    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+                    sub = "4:4:4" if mode == 1 else "4:2:0"
+                    payload = jpeg_encode(rgb, quality=50, subsampling=sub)
+                    mt = "rgb444" if mode == 1 else "rgb420"
+                rows.append((d, mt, payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "payload"]
+            )
+
+    return docs.mapInPandas(
+        synth, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+@register("m_jpeg_real", oracle=_JPEG_ORACLE)
+def m_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL baseline JPEGs through the same pluggable
+    decode_media plumbing as every other codec: media_probe sniffs the
+    FFD8 magic and routes to the stdlib-only Huffman+IDCT decoder
+    (functions/jpeg.py), and the reported checksum is over the DECODED
+    pixels. With JPEG this completes the realistic format mix —
+    PNG/WAV/PSMF/JPEG — for the reference's opaque-payload contract
+    (/root/reference/server/messages.go:65): a consumer's image blobs
+    are overwhelmingly JPEGs.
+
+    Correctness: the payloads are the bit-exact-round-trip image class
+    (block-constant, even values, quality 50 — functions/jpeg.py), so
+    the oracle predicts width/height/channels AND the pixel checksum in
+    closed form; the scan bytes it decodes are genuinely entropy-coded.
+    pytest covers the lossy general case (bounded error on gradients,
+    spec-assembled byte streams, restart markers) where no SQL oracle
+    can exist.
+
+    Scale: identical to m_decode_real — two chained map-only Arrow
+    stages (synthesize+encode, decode), no shuffle; at 100 TB the synth
+    stage is replaced by read_media_dir over real blobs and the decode
+    stage is unchanged."""
+    from streams_spark.functions.codecs import media_probe
+
+    return decode_media(jpeg_table_real(spark, sf_dir), decode_fn=media_probe)
 
 
 # ---------------------------------------------------------------------------
