@@ -43,64 +43,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 5 window (first 50) ---
-    # head: the 38 queries with no driver-oracle row yet after r4 (all
-    # judge-verified green via tools/check_oracle.py in the round-4
-    # VERDICT; q_hll_union is the one deliberate rows-only entry)
-    "st_transform_with_state",
-    "q_python_udtf",
-    "q_pandas_udaf",
-    "t_cms_heavy",
-    "m_decode_real",
-    "m_thumbnail_real",
-    "m_audio_features_real",
-    "q_grouped_map",
-    "q_arrow_udf",
-    "st_cdc_apply",
-    "s_hybrid_search",
-    "q_incremental_agg",
-    "st_cms_merge",
-    "q_table_profile",
-    "q_window_navigation",
-    "p_epoch_plan",
-    "t_source_divergence",
-    "d_dup_graph_stats",
-    "s_diversity",
-    "t_langid_confusion",
-    "p_pad_efficiency",
-    "q_snapshot_diff",
-    "s_binary_search",
-    "p_e2e_pipeline",
-    "s_mrl_search",
-    "q_benford",
-    "p_quality_ablation",
-    "v_flagship_consume_enrich",
-    "d_minhash_lsh_md5",
-    "d_simhash_md5",
-    "st_flagship_stream",
-    "q_kmv_distinct",
-    "m_cdc_chunks",
-    "st_stream_outer_join",
-    "st_session_stream",
-    "p_dsir_resample",
-    "st_ingest_dedup",
-    "q_hll_union",
-    # new queries added this round (need first driver evidence)
-    "m_frames_real",
-    "q_grid_percentile",
-    "m_motion_real",
-    "q_kmv_setops",
-    # remaining slots: oldest r1-only regrades (TPC-H head)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    # ---- 50-query window boundary: everything below is the round-6 ----
-    # ---- head (remaining r1-only TPC-H regrades, then r1 relational) ----
+    # --- round 6 window (first 50) ---
+    # head: new query added this round (needs first driver evidence)
+    "m_jpeg_real",
+    # the 29 rows whose last driver evidence is round 1 (all re-verified
+    # green via tools/check_oracle.py by the round-5 judge; the two
+    # approx ops are the deliberate rows-only entries)
     "q9_profit_by_nation_year",
     "q10_returned_items",
     "q11_important_stock",
@@ -130,7 +78,62 @@ ROUND_PRIORITY = [
     "q_approx_count_distinct",
     "q_approx_percentile",
     "w_topk_suppliers_per_nation",
-    # round-4-window queries stay registered behind these (import order)
+    # remaining 20 slots: the oldest r2-green rows (verb surface, then
+    # the batch window family)
+    "v_get_spaces",
+    "v_get_segments",
+    "v_peek_all",
+    "v_consume_segment",
+    "v_consume_space",
+    "v_consume_interleave",
+    "v_space_offset",
+    "v_segment_offset",
+    "v_cluster_status",
+    "v_sequence_validate",
+    "v_produce_status",
+    "v_metadata_filter",
+    "w_asof_purchase_click",
+    "w_customer_ranks",
+    "w_funnel",
+    "w_hypertable_rollup",
+    "w_range_join",
+    "w_range_join_bucketed",
+    "w_retention",
+    "w_running_totals",
+    # ---- 50-query window boundary: everything below is the round-7 ----
+    # ---- head (the remaining r2-green rows) ----
+    "w_sessionize",
+    "w_tumbling_hourly",
+    "q_json_props",
+    "q_map_functions",
+    "d_exact_dup_groups",
+    "d_exact_stats",
+    "d_dup_clusters",
+    "d_ngram_jaccard",
+    "d_embedding_cosine",
+    "d_sample_systematic",
+    "s_cosine_topk",
+    "s_nearest_neighbor",
+    "t_contamination",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_ngram_freq",
+    "t_quality_rollup",
+    "t_rolling_hash",
+    "t_text_stats",
+    "t_token_count",
+    "m_decode_media",
+    "m_feature_extract",
+    "m_frame_sample",
+    "m_resize",
+    "st_sequence_state",
+    "st_session_window",
+    "st_sliding_window",
+    "st_stream_join",
+    "st_tumbling_stream",
+    "st_watermark_late",
+    # later-round-window queries stay registered behind these
+    # (import order)
 ]
 
 
