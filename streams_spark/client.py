@@ -67,14 +67,19 @@ def get_cluster_status(spark) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def peek(log: DataFrame, space: str, segment: str) -> DataFrame:
+def peek(
+    log: DataFrame, space: str, segment: str, strict: bool = False
+) -> DataFrame:
     """Last entry of a segment (reverse seek to max key, decode one row).
 
     Reference: /root/reference/server/pebble/service.go:214-219,820-840.
     An empty/new segment yields the reference's zero-value Entry
-    (`&Entry{}` at service.go:832 — sequence 0, null timestamp/payload);
-    we keep the queried space/segment keys in the row rather than empty
-    strings, which is the only divergence (documented in SURVEY §8.1).
+    (`&Entry{}` at service.go:832 — sequence 0, null timestamp/payload).
+    By default we keep the queried space/segment keys in the row rather
+    than the zero-value's empty strings — more useful to a caller
+    fanning peek over many segments, and the only divergence
+    (documented in SURVEY §8.1). `strict=True` reproduces `&Entry{}`
+    exactly: empty-string keys when the segment has no entries.
     Implemented as a max_by aggregation so the "no rows" case still
     produces exactly one (all-null) row to coalesce defaults onto.
     """
@@ -87,9 +92,19 @@ def peek(log: DataFrame, space: str, segment: str) -> DataFrame:
         log.where((F.col("space") == space) & (F.col("segment") == segment))
         .agg(F.max_by(F.struct(*cols), "sequence").alias("e"))
     )
+    if strict:
+        hit = F.col("e.sequence").isNotNull()
+        key_cols = [
+            F.when(hit, F.lit(space)).otherwise(F.lit("")).alias("space"),
+            F.when(hit, F.lit(segment)).otherwise(F.lit("")).alias("segment"),
+        ]
+    else:
+        key_cols = [
+            F.lit(space).alias("space"),
+            F.lit(segment).alias("segment"),
+        ]
     return agg.select(
-        F.lit(space).alias("space"),
-        F.lit(segment).alias("segment"),
+        *key_cols,
         *[
             F.coalesce(F.col(f"e.{c}"), F.lit(0)).alias(c)
             if c == "sequence"

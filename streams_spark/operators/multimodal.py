@@ -114,9 +114,16 @@ def decode_media(media: DataFrame, decode_fn=None) -> DataFrame:
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Arrow batch in, Arrow batch out: no per-row Python call
-        # overhead beyond the codec itself
+        # overhead beyond the codec itself. NULL payloads null-propagate
+        # (SQL semantics — a null blob has null metadata, same as every
+        # oracle's arithmetic over a NULL column); undecodable NON-null
+        # bytes still raise, the explicit-quarantine contract.
+        none4 = (None, None, None, None)
         for pdf in it:
-            decoded = pdf["payload"].map(fn)
+            decoded = [
+                none4 if payload is None else fn(payload)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -137,18 +144,27 @@ WITH m AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         encode(text) AS payload
+         encode(text) AS payload,
+         -- carried through rather than re-joined on doc_id: a self-join
+         -- fans out when doc_id is not unique (duplicate input rows),
+         -- which the Spark side (no join) never does — fuzz finding r6
+         text AS t
   FROM documents
 )
-SELECT m.doc_id, m.media_type,
+SELECT doc_id, media_type,
        CAST(64 + octet_length(payload) % 577 AS INTEGER) AS width,
        CAST(64 + (octet_length(payload) * 31) % 419 AS INTEGER) AS height,
        CAST(1 + octet_length(payload) % 3 AS INTEGER) AS n_channels,
-       -- text is ASCII, so the byte-sum checksum equals the codepoint sum
-       CAST(list_sum(list_transform(range(1, length(d.text) + 1),
-            i -> ascii(substr(d.text, i, 1)))) % 1000000007 AS BIGINT)
-           AS checksum
-FROM m JOIN documents d ON d.doc_id = m.doc_id
+       -- byte-sum checksum over the utf-8 BYTES (via hex pairs) so
+       -- non-ASCII text agrees with the engine's sum over payload
+       -- bytes; coalesce(0) matches sum(b'') = 0 for empty payloads
+       CASE WHEN payload IS NULL THEN NULL
+            ELSE CAST(coalesce(list_sum(list_transform(
+                     range(octet_length(payload)),
+                     i -> CAST(concat('0x', substr(hex(payload), 2 * i + 1, 2))
+                               AS INTEGER))), 0) % 1000000007 AS BIGINT)
+       END AS checksum
+FROM m
 """
 
 

@@ -905,12 +905,17 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JSON_PROPS = """
+-- try_cast, not CAST: Spark's from_json is PERMISSIVE (a non-integer
+-- 'k' value becomes NULL), so the oracle must be equally lenient or a
+-- single malformed prop hard-errors DuckDB while Spark answers
+-- (fuzz finding r6)
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       floor(avg(CAST(props->>'$.k' AS INTEGER)) * 10000 + 0.5) / 10000 AS avg_k,
-       CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
-       CAST(count(DISTINCT CAST(props->>'$.k' AS INTEGER) % 10) AS BIGINT)
+       CAST(sum(try_cast(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       floor(avg(try_cast(props->>'$.k' AS INTEGER)) * 10000 + 0.5) / 10000
+           AS avg_k,
+       CAST(max(try_cast(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(count(DISTINCT try_cast(props->>'$.k' AS INTEGER) % 10) AS BIGINT)
            AS n_k_buckets
 FROM events
 GROUP BY event_type

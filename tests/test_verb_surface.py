@@ -71,6 +71,22 @@ def test_peek_empty_segment_returns_zero_value_entry(fixture_log):
     assert r.timestamp is None and r.payload is None
 
 
+def test_peek_strict_mode_matches_reference_zero_value(fixture_log):
+    # strict=True pins the reference's &Entry{} EXACTLY
+    # (/root/reference/server/pebble/service.go:832): empty-string keys
+    # on an empty segment, untouched keys on a hit.
+    r = client.peek(
+        fixture_log, "space0", "no_such_segment", strict=True
+    ).collect()[0]
+    assert r.space == "" and r.segment == ""
+    assert r.sequence == 0
+    assert r.timestamp is None and r.payload is None
+    hit = client.peek(fixture_log, "space0", "segment0", strict=True)
+    row = hit.collect()[0]
+    assert row.space == "space0" and row.segment == "segment0"
+    assert row.sequence == 253
+
+
 def test_peek_all(fixture_log):
     rows = client.peek_all(fixture_log).collect()
     assert len(rows) == 25

@@ -1,0 +1,224 @@
+"""Seeded differential fuzz sweep over every Spark-vs-DuckDB oracle pair.
+
+The three-scale sweep caught the midpoint-rounding and quantile-tie
+divergence classes MANUALLY; this harness hunts the next class before
+the driver does. From a fixed seed it deterministically perturbs the
+fixture parquet — row-order shuffle, 2-dp money jitter, timestamp
+jitter across window boundaries, unicode/empty/NULL injection into text
+columns, duplicated rows (degenerate groups / broken uniqueness) — and
+reruns EVERY registered query on the perturbed data through the same
+compare used by tools/check_oracle.py. Spark and DuckDB read the same
+perturbed files, so any disagreement is a data-dependent divergence in
+an operator/oracle pair, not a data problem.
+
+Usage:
+    python tools/fuzz_oracle.py [--seeds 1,2,3] [--sf /root/testdata/sf0.001]
+                                [--out FUZZ_r6.json] [name ...]
+
+Each seed runs in a subprocess (fresh bare Spark session, like the
+driver); results land in one JSON file:
+    {"sf": ..., "seeds": {"1": {"pass": N, "fail": [...], "skip": [...]},
+     ...}, "perturbations": [...]}
+Exit code 1 if any seed has failures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+FUZZ_ROOT = "/root/repo/.fuzzdata"
+
+# Unicode stress pool: empties, whitespace, CJK, emoji, combining marks,
+# ligatures, control-ish whitespace, quotes, and a long repeat.
+TEXT_POOL = [
+    "",
+    " ",
+    "café ☕",
+    "中文文本测试",
+    "emoji \U0001f680\U0001f31f",
+    "line\nbreak\ttab",
+    "quote\"quote'",
+    "ÅÆØåæø",
+    "ﬀ ligature",
+    "é combining acute",
+    "ab" * 500,
+]
+
+PERTURBATIONS = [
+    "row-order shuffle in every table",
+    "lineitem: quantity +/-1, price/discount 2-dp jitter, 1% duplicated rows",
+    "orders/customer/supplier: 2-dp money jitter",
+    "events: value 2-dp jitter, ts +/-1s jitter, 0.5% duplicated rows, "
+    "unicode/empty JSON prop values",
+    "documents: 2% unicode/empty text, 1% NULL text (n_chars kept "
+    "consistent), 1% duplicated rows",
+    "embeddings: 1% of vectors jittered by +/-0.01 per coordinate",
+]
+
+
+def _shuffle(df, rng):
+    return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
+
+
+def _dup(df, rng, frac):
+    n = max(1, int(len(df) * frac))
+    idx = rng.choice(len(df), size=n, replace=False)
+    import pandas as pd
+
+    return pd.concat([df, df.iloc[idx]], ignore_index=True)
+
+
+def perturb_table(name: str, df, rng):
+    if name == "lineitem":
+        jit = rng.integers(-1, 2, size=len(df)).astype(float)
+        df["l_quantity"] = np.maximum(df["l_quantity"] + jit, 1.0)
+        df["l_extendedprice"] = np.round(
+            df["l_extendedprice"] * (1 + rng.uniform(-0.05, 0.05, len(df))), 2
+        )
+        df["l_discount"] = np.round(rng.uniform(0, 0.1, len(df)), 2)
+        df = _dup(df, rng, 0.01)
+    elif name == "orders":
+        df["o_totalprice"] = np.round(
+            df["o_totalprice"] * (1 + rng.uniform(-0.05, 0.05, len(df))), 2
+        )
+    elif name in ("customer", "supplier"):
+        col = "c_acctbal" if name == "customer" else "s_acctbal"
+        if col in df.columns:
+            df[col] = np.round(
+                df[col] + rng.uniform(-100, 100, len(df)), 2
+            )
+    elif name == "events":
+        df["value"] = np.round(
+            df["value"] + rng.uniform(-10, 10, len(df)), 2
+        )
+        import pandas as pd
+
+        ms = rng.integers(-1000, 1001, size=len(df))
+        df["ts"] = df["ts"] + pd.to_timedelta(ms, unit="ms")
+        sel = rng.random(len(df)) < 0.005
+        df.loc[sel, "props"] = [
+            json.dumps({"k": TEXT_POOL[i % len(TEXT_POOL)]})
+            for i in range(int(sel.sum()))
+        ]
+        df = _dup(df, rng, 0.005)
+    elif name == "documents":
+        u = rng.random(len(df))
+        uni = u < 0.02
+        nul = (u >= 0.02) & (u < 0.03)
+        picks = rng.integers(0, len(TEXT_POOL), size=len(df))
+        new_text = df["text"].copy()
+        new_text[uni] = [TEXT_POOL[p] for p in picks[uni]]
+        new_text[nul] = None
+        df["text"] = new_text
+        df["n_chars"] = df["text"].map(
+            lambda t: len(t) if t is not None else None
+        )
+        df = _dup(df, rng, 0.01)
+    elif name == "embeddings":
+        sel = np.nonzero(rng.random(len(df)) < 0.01)[0]
+        emb = df["embedding"].to_numpy(copy=False)
+        for i in sel:
+            v = np.asarray(emb[i], dtype=np.float32)
+            emb[i] = v + rng.uniform(-0.01, 0.01, v.shape).astype(np.float32)
+    return _shuffle(df, rng)
+
+
+def build_seed_dir(sf_src: str, seed: int) -> str:
+    dest = os.path.join(FUZZ_ROOT, f"seed{seed}")
+    os.makedirs(dest, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for t in TABLES:
+        src = os.path.join(sf_src, f"{t}.parquet")
+        table = pq.read_table(src)
+        df = table.to_pandas()
+        df = perturb_table(t, df, rng)
+        out = pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
+        pq.write_table(out, os.path.join(dest, f"{t}.parquet"))
+    return dest
+
+
+def run_seed(dest: str, only: list[str]) -> dict:
+    env = dict(os.environ, CHECK_SF_DIR=dest)
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/check_oracle.py", *only],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    passed, failed, skipped = [], [], []
+    detail = []
+    for line in proc.stdout.splitlines():
+        if line.startswith("PASS "):
+            passed.append(line.split()[1])
+        elif line.startswith("FAIL "):
+            failed.append(line.split()[1].rstrip(":"))
+        elif line.startswith("SKIP "):
+            skipped.append(line.split()[1].rstrip(":"))
+        elif line.startswith("  - "):
+            detail.append(f"{failed[-1] if failed else '?'}: {line[4:]}")
+    if proc.returncode not in (0, 1):
+        detail.append(f"runner crashed rc={proc.returncode}: {proc.stderr[-2000:]}")
+    return {
+        "pass": len(passed),
+        "fail": sorted(set(failed)),
+        "skip": sorted(set(skipped)),
+        "detail": detail[:80],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="1,2,3")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="FUZZ_r6.json")
+    ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+    results = {}
+    any_fail = False
+    for seed in seeds:
+        dest = build_seed_dir(args.sf, seed)
+        print(f"seed {seed}: perturbed tables at {dest}; running sweep...")
+        res = run_seed(dest, args.names)
+        results[str(seed)] = res
+        any_fail = any_fail or bool(res["fail"])
+        print(
+            f"seed {seed}: {res['pass']} pass, {len(res['fail'])} fail, "
+            f"{len(res['skip'])} no-oracle"
+        )
+        for d in res["detail"]:
+            print(f"  {d}")
+        if not args.keep_data:
+            shutil.rmtree(dest, ignore_errors=True)
+    payload = {
+        "sf": args.sf,
+        "seeds": results,
+        "perturbations": PERTURBATIONS,
+    }
+    with open(os.path.join("/root/repo", args.out), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {args.out}")
+    if any_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
