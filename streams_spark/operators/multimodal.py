@@ -179,9 +179,12 @@ def m_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_ORACLE = """
+-- n IS NOT NULL: a NULL blob samples zero frames; without the filter
+-- DuckDB's least(4, 1 + NULL // 256) = 4 (least SKIPS nulls) would
+-- fabricate 4 null frames — fuzz finding r6
 WITH m AS (
   SELECT doc_id, octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
 )
 SELECT doc_id,
        CAST(unnest(range(0, least(4, 1 + n // 256))) AS INTEGER) AS frame_no,
@@ -200,6 +203,8 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL blob -> zero sampled frames
                 n = len(payload)
                 for frame in range(min(4, 1 + n // 256)):
                     rows.append((doc_id, frame, n))
@@ -241,13 +246,19 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 w, h, _, _ = _fake_decode(payload)
                 scale = min(224.0 / w, 224.0 / h)
                 rows.append((doc_id, w, h, int(w * scale), int(h * scale)))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "out_width", "out_height"],
             )
+            for c in ("width", "height", "out_width", "out_height"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     return media.mapInPandas(
         resize,
@@ -256,19 +267,29 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEATURES_ORACLE = """
+-- byte-sum over utf-8 BYTES via hex pairs (codepoint ascii() diverges
+-- on non-ASCII text), NULL text null-propagates, empty text keeps the
+-- engine's 0-defaults — fuzz finding r6
 WITH m AS (
-  SELECT doc_id,
-         octet_length(encode(text)) AS n,
-         list_sum(list_transform(range(1, length(text) + 1),
-                  i -> ascii(substr(text, i, 1)))) AS byte_sum
-  FROM documents
+  SELECT doc_id, encode(text) AS payload FROM documents
+), b AS (
+  SELECT doc_id, octet_length(payload) AS n,
+         CASE WHEN payload IS NULL THEN NULL
+              ELSE coalesce(list_sum(list_transform(
+                       range(octet_length(payload)),
+                       i -> CAST(concat('0x', substr(hex(payload),
+                                 2 * i + 1, 2)) AS INTEGER))), 0)
+         END AS byte_sum
+  FROM m
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_bytes,
-       floor(CAST(byte_sum AS DOUBLE) / n * 10000 + 0.5) / 10000
-           AS mean_byte,
+       CASE WHEN n IS NULL THEN NULL
+            WHEN n = 0 THEN 0.0
+            ELSE floor(CAST(byte_sum AS DOUBLE) / n * 10000 + 0.5) / 10000
+       END AS mean_byte,
        CAST(byte_sum % 256 AS INTEGER) AS hash_bucket
-FROM m
+FROM b
 """
 
 
@@ -284,12 +305,20 @@ def m_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
                 n = len(payload)
                 s = sum(payload)
                 rows.append((doc_id, n, (s / n) if n else 0.0, s % 256))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "mean_byte", "hash_bucket"]
             )
+            # nullable dtypes: Arrow must see NULL (not NaN-coerced
+            # floats) for the null-payload rows
+            out["n_bytes"] = out["n_bytes"].astype("Int64")
+            out["hash_bucket"] = out["hash_bucket"].astype("Int32")
+            yield out
 
     out = media.mapInPandas(
         feats,

@@ -556,9 +556,14 @@ SAMPLE_K = 500
 _WEIGHTED_SAMPLE = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                   AS BIGINT) + 0.5) / 4294967296.0)
-           / n_chars AS k
+         -- zero/NULL weight -> +inf key: a weightless doc is NEVER
+         -- drawn (Efraimidis-Spirakis limit), rather than erroring on
+         -- /0 or sorting NULL first (fuzz finding r6)
+         CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 'infinity'::DOUBLE
+              ELSE -ln((CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0) / n_chars
+         END AS k
   FROM documents
 )
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
@@ -590,7 +595,10 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    key = -F.log(u) / F.col("n_chars")
+    # zero/NULL weight -> +inf key (never drawn); see the oracle comment
+    key = F.when(
+        F.col("n_chars") > 0, -F.log(u) / F.col("n_chars")
+    ).otherwise(F.lit(float("inf")))
     return (
         docs.select("doc_id", "source", "n_chars", key.alias("k"))
         .orderBy("k", "doc_id")

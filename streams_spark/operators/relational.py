@@ -905,19 +905,25 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JSON_PROPS = """
--- try_cast, not CAST: Spark's from_json is PERMISSIVE (a non-integer
--- 'k' value becomes NULL), so the oracle must be equally lenient or a
--- single malformed prop hard-errors DuckDB while Spark answers
--- (fuzz finding r6)
+-- type-aware extraction, not CAST: Spark's from_json is PERMISSIVE and
+-- type-strict — a 'k' that is a string ("7", " ") or a double (1.5)
+-- becomes NULL for an INT field rather than coercing or erroring, so
+-- the oracle must check the JSON type, not merely try_cast (a
+-- try_cast would coerce "7" to 7 where Spark yields NULL) — fuzz
+-- finding r6
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(props->>'$.k' AS INTEGER) END AS k
+  FROM events
+)
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(try_cast(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       floor(avg(try_cast(props->>'$.k' AS INTEGER)) * 10000 + 0.5) / 10000
-           AS avg_k,
-       CAST(max(try_cast(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
-       CAST(count(DISTINCT try_cast(props->>'$.k' AS INTEGER) % 10) AS BIGINT)
-           AS n_k_buckets
-FROM events
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       floor(avg(k) * 10000 + 0.5) / 10000 AS avg_k,
+       CAST(max(k) AS INTEGER) AS max_k,
+       CAST(count(DISTINCT k % 10) AS BIGINT) AS n_k_buckets
+FROM p
 GROUP BY event_type
 """
 
@@ -1055,6 +1061,10 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAP_FUNCS = """
+-- Spark's from_json to map<string,int> nullifies the WHOLE map when
+-- any value fails the int parse (string-typed or float-typed values
+-- included), so map_size must go NULL in exactly those rows — fuzz
+-- finding r6
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN k_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1063,8 +1073,13 @@ SELECT event_type,
        CAST(max(map_size) AS INTEGER) AS max_map_size
 FROM (
   SELECT event_type,
-         CAST(props->>'$.k' AS INTEGER) AS k_val,
-         len(json_keys(props)) AS map_size
+         CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN CAST(props->>'$.k' AS INTEGER) END AS k_val,
+         CASE WHEN props IS NULL THEN NULL
+              WHEN json_extract(props, '$.k') IS NOT NULL
+                   AND json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT')
+              THEN NULL
+              ELSE len(json_keys(props)) END AS map_size
   FROM events
 )
 GROUP BY event_type
@@ -1691,13 +1706,24 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VARIANT_PAYLOAD = """
+-- try_variant_get semantics by JSON type (probed on Spark 4): int
+-- passes through, double truncates toward zero, string attempts a
+-- numeric parse ("7" -> 7, " " -> NULL): mirrored per-type below
+-- rather than one hard CAST, which aborts on the first non-numeric
+-- string (fuzz finding r6)
 SELECT event_type,
        count(*) AS n_high,
        floor(avg(k) * 10000 + 0.5) / 10000 AS avg_k,
        max(k) AS max_k
 FROM (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         CASE json_type(props, '$.k')
+              WHEN 'UBIGINT' THEN CAST(props->>'$.k' AS BIGINT)
+              WHEN 'BIGINT' THEN CAST(props->>'$.k' AS BIGINT)
+              WHEN 'DOUBLE' THEN
+                  CAST(trunc(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT)
+              WHEN 'VARCHAR' THEN try_cast(props->>'$.k' AS BIGINT)
+              END AS k
   FROM events
 )
 WHERE k >= 50
@@ -1720,7 +1746,9 @@ def q_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on event_type.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_variant_get: a non-numeric payload value filters out as NULL
+    # instead of aborting the scan (fuzz finding r6)
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
         ev.select("event_type", k.alias("k"))
         .where(F.col("k") >= 50)
@@ -2477,23 +2505,31 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UDTF_RUNS = """
-WITH w AS (
-  SELECT doc_id, CAST(unnest(range(len(ss))) AS INTEGER) AS pos,
+-- partitioned by PHYSICAL ROW (doc_id, copy), not doc_id alone: the
+-- UDTF expands each input row independently, so duplicate doc_id rows
+-- must not merge into one token stream (fuzz finding r6)
+WITH d0 AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY doc_id) AS copy
+  FROM documents
+), w AS (
+  SELECT doc_id, copy, CAST(unnest(range(len(ss))) AS INTEGER) AS pos,
          unnest(ss) AS word
-  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+  FROM (SELECT doc_id, copy, string_split(text, ' ') AS ss FROM d0)
 ), m AS (
-  SELECT doc_id, pos, word,
-         CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos) = word
+  SELECT doc_id, copy, pos, word,
+         CASE WHEN lag(word) OVER (PARTITION BY doc_id, copy ORDER BY pos)
+                   = word
               THEN 0 ELSE 1 END AS brk
   FROM w
 )
 SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_pos, word,
        CAST(count(*) AS INTEGER) AS run_len
 FROM (
-  SELECT doc_id, pos, word,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  SELECT doc_id, copy, pos, word,
+         sum(brk) OVER (PARTITION BY doc_id, copy ORDER BY pos) AS grp
   FROM m
-) GROUP BY doc_id, word, grp HAVING count(*) >= 2
+) GROUP BY doc_id, copy, word, grp HAVING count(*) >= 2
 """
 
 
@@ -2523,6 +2559,11 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="start_pos int, word string, run_len int")
     class WordRuns:
         def eval(self, text: str):
+            if text is None:
+                # NULL text expands to zero rows, matching the
+                # relational oracle where split(NULL) never explodes
+                # (fuzz finding r6)
+                return
             words = text.split(" ")
             i = 0
             n = len(words)

@@ -209,10 +209,10 @@ def v_cluster_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT space,
        count(*) AS n_entries,
-       CAST(min(CAST(payload->>'k' AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(max(CAST(payload->>'k' AS BIGINT)) AS BIGINT) AS max_k
+       CAST(min(try_cast(payload->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(try_cast(payload->>'k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events_log
-WHERE CAST(payload->>'k' AS BIGINT) > 90
+WHERE try_cast(payload->>'k' AS BIGINT) > 90
 GROUP BY space
 """,
 )
@@ -222,9 +222,12 @@ def v_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/server/messages.go:66). The event-log mapping parses
     the props JSON into a real MapType column (`with_metadata=True` in
     sources/event_log.py); filtering and extracting stay JVM-side
-    (from_json + element access, no Python)."""
+    (from_json + element access, no Python). try_cast, not cast: the
+    reference's metadata values are free-form strings
+    (map[string]string), so a non-numeric value must filter out as
+    NULL, not abort the scan under ANSI mode (fuzz finding r6)."""
     log = event_log(spark, sf_dir, with_metadata=True)
-    k = F.try_element_at(F.col("metadata"), F.lit("k")).cast("long")
+    k = F.try_element_at(F.col("metadata"), F.lit("k")).try_cast("long")
     return (
         log.withColumn("k", k)
         .where(F.col("k") > 90)
