@@ -81,7 +81,16 @@ def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD = """
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -178,6 +187,12 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     that dominates, swap in the pandas-UDF builder, which is shuffle-free
     and Arrow-batched; semantics are identical.
     """
+    # identity dedup BEFORE gram_rows: its (doc_id, pos) window
+    # precondition breaks on duplicate rows (grams stitch across the
+    # copies), and doc_id is the document identity throughout the dedup
+    # family — re-ingested copies must not change shingle sets
+    # (fuzz finding r6)
+    docs = docs.select("doc_id", "text").distinct()
     hashed = gram_rows(docs, n).select("doc_id", F.xxhash64("gram").alias("h"))
     return hashed.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
@@ -646,7 +661,16 @@ def d_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_CLUSTERS = """
 WITH RECURSIVE d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -810,8 +834,13 @@ def d_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the prefix slice happens in the scan projection.
     """
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(
-        F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+    # null-guarded: concat_ws silently maps a NULL token array to "",
+    # which would merge "document missing" with "document empty" into
+    # one dup group — NULL text must key NULL, as the oracle's
+    # md5(NULL) does (fuzz finding r6)
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))),
     )
     return (
         docs.select(key.alias("prefix_key"), "doc_id")
@@ -974,7 +1003,16 @@ CONTAINMENT_T = 0.8
 
 _CONTAINMENT = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1216,7 +1254,16 @@ FROM closure GROUP BY src, dst
 
 _TRANSITIVE_CONTAINMENT = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1392,7 +1439,9 @@ _CLUSTER_SURVIVORS = (
   SELECT l.cluster_id, l.doc_id, d.n_chars,
          row_number() OVER (PARTITION BY l.cluster_id
                             ORDER BY d.n_chars DESC, l.doc_id) AS rk
-  FROM labeled l JOIN documents d USING (doc_id)
+  FROM labeled l
+  JOIN (SELECT doc_id, max(n_chars) AS n_chars
+        FROM documents GROUP BY doc_id) d USING (doc_id)
 )
 SELECT cluster_id,
        max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc_id,
@@ -1421,7 +1470,13 @@ def d_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate. Nothing corpus-sized beyond the label join.
     """
     clusters = d_dup_clusters(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # identity-deduped quality join: duplicate doc_id rows must not
+    # inflate n_members via join fan-out (fuzz finding r6)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.max("n_chars").alias("n_chars"))
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
@@ -1523,7 +1578,16 @@ PR_DAMP = 0.85
 # cannot re-aggregate per step).
 _PR_BASE = """
 WITH dd AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1656,7 +1720,16 @@ TFIDF_COS_T = 0.8
 
 _TFIDF_COSINE = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1913,7 +1986,16 @@ MINHASH_B = [(s * 97_531 + 12_345) % MINHASH_P for s in range(NUM_PERM)]
 
 _MINHASH_MD5 = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- DISTINCT: doc_id is the document identity, so duplicate
+  -- physical rows (re-ingest) must not change pair counts or
+  -- cluster shapes (fuzz finding r6; Spark side dedups via its
+  -- groupBy(doc_id) shingle build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
+  -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
+  -- shingle and pair missing docs with empty docs
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1984,7 +2066,10 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin when that check isn't needed. (Measured at sf0.1: 64 md5s per
     shingle cost 21.7 s; one md5 + 64 integer perms ~3 s.)"""
     docs = load_table(spark, sf_dir, "documents")
-    grams = gram_rows(docs, 3).distinct()
+    # identity dedup before gram_rows (same contract as
+    # hashed_shingle_sets): duplicate rows break the gram window's
+    # uniqueness precondition and pollute signatures (fuzz finding r6)
+    grams = gram_rows(docs.select("doc_id", "text").distinct(), 3).distinct()
     base = grams.select(
         "doc_id",
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
