@@ -401,7 +401,7 @@ def m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _REAL_DECODE_ORACLE = """
-WITH d AS (SELECT doc_id FROM documents),
+WITH d AS (SELECT DISTINCT doc_id FROM documents),
 png AS (
   SELECT doc_id,
          16 + doc_id % 24 AS w,
@@ -442,7 +442,10 @@ def media_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streams_spark.functions.codecs import png_encode, wav_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # DISTINCT doc_id: the synthetic media tables are keyed by doc
+    # identity, so duplicate corpus rows yield ONE blob per doc
+    # (fuzz finding r6)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -507,7 +510,7 @@ WITH png AS (
          16 + doc_id % 24 AS w,
          12 + (doc_id * 7) % 20 AS h,
          CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS ch
-  FROM documents WHERE doc_id % 2 = 0
+  FROM (SELECT DISTINCT doc_id FROM documents) WHERE doc_id % 2 = 0
 ), sized AS (
   SELECT doc_id, w, h, ch,
          greatest(CAST(floor(w * least(16.0 / w, 16.0 / h)) AS BIGINT), 1)
@@ -588,7 +591,7 @@ def m_thumbnail_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_FEATURES_ORACLE = """
 WITH wav AS (
   SELECT doc_id, 200 + (doc_id * 13) % 300 AS n
-  FROM documents WHERE doc_id % 2 = 1
+  FROM (SELECT DISTINCT doc_id FROM documents) WHERE doc_id % 2 = 1
 ), s AS (
   SELECT doc_id, n,
          list_transform(range(n),
@@ -659,7 +662,7 @@ WITH v AS (
          8 + doc_id % 9 AS w,
          6 + (doc_id * 5) % 11 AS h,
          2 + doc_id % 5 AS nf
-  FROM documents WHERE doc_id % 3 = 2
+  FROM (SELECT DISTINCT doc_id FROM documents) WHERE doc_id % 3 = 2
 ), f AS (
   SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS frame_no FROM v
 )
@@ -688,6 +691,7 @@ def video_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 2)
+        .distinct()
     )
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -768,7 +772,7 @@ _MOTION_ORACLE = """
 WITH v AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 6 + (doc_id * 5) % 11 AS h,
          2 + doc_id % 5 AS nf
-  FROM documents WHERE doc_id % 3 = 2
+  FROM (SELECT DISTINCT doc_id FROM documents) WHERE doc_id % 3 = 2
 ), pairs AS (
   SELECT doc_id, w, h, nf, unnest(range(0, nf - 1)) AS f FROM v
 ), diffs AS (
@@ -853,7 +857,7 @@ WITH m AS (
   SELECT doc_id, doc_id % 3 AS mode,
          17 + doc_id % 23 AS w,
          14 + (doc_id * 3) % 19 AS h
-  FROM documents
+  FROM (SELECT DISTINCT doc_id FROM documents)
 ), geo AS (
   SELECT doc_id, w, h,
          CASE mode WHEN 0 THEN 'grey' WHEN 1 THEN 'rgb444'
@@ -890,7 +894,10 @@ def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streams_spark.functions.jpeg import jpeg_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # DISTINCT doc_id: the synthetic media tables are keyed by doc
+    # identity, so duplicate corpus rows yield ONE blob per doc
+    # (fuzz finding r6)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1035,7 +1035,7 @@ SELECT doc_id,
        w[len(w)] AS last_token,
        array_to_string(list_sort(w[1:3]), ',') AS first3_sorted,
        CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS n_long,
-       CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
+       CAST(coalesce(list_contains(w, 'the'), false) AS BOOLEAN) AS has_the,
        array_to_string(list_reverse(w[1:2]), ',') AS rev2
 FROM d
 """
@@ -1048,15 +1048,24 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains, reverse — all codegen'd, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     w = F.split("text", " ")
+    # NULL text null-propagates: concat_ws would silently render a NULL
+    # array as '' and array_contains as NULL-boolean (whose pandas repr
+    # differs per engine) — wrap the former, coalesce the latter
+    # (fuzz finding r6)
+    nn = F.col("text").isNotNull()
     return docs.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.element_at(w, 1).alias("first_token"),
         F.element_at(w, -1).alias("last_token"),
-        F.concat_ws(",", F.array_sort(F.slice(w, 1, 3))).alias("first3_sorted"),
+        F.when(
+            nn, F.concat_ws(",", F.array_sort(F.slice(w, 1, 3)))
+        ).alias("first3_sorted"),
         F.size(F.filter(w, lambda t: F.length(t) > 4)).alias("n_long"),
-        F.array_contains(w, "the").alias("has_the"),
-        F.concat_ws(",", F.reverse(F.slice(w, 1, 2))).alias("rev2"),
+        F.coalesce(F.array_contains(w, "the"), F.lit(False)).alias("has_the"),
+        F.when(nn, F.concat_ws(",", F.reverse(F.slice(w, 1, 2)))).alias(
+            "rev2"
+        ),
     )
 
 

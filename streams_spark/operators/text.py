@@ -236,7 +236,11 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT = """
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- identity contract: one fingerprint per doc_id, none for NULL text
+  -- (fuzz finding r6 — matches the Spark side's distinct + gram build)
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
@@ -264,6 +268,10 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct selection is dense_rank (duplicate grams share a rank) +
     # collect_set; the gram window, rank window, and final groupBy all
     # key on doc_id, so the exploded stream shuffles once.
+    # identity dedup before gram_rows (window precondition + fingerprint
+    # contract: one signature per doc_id, none for NULL text — fuzz
+    # finding r6, same rule as the dedup family's shingle builder)
+    docs = docs.select("doc_id", "text").distinct()
     h = gram_rows(docs, 5).select("doc_id", F.md5("gram").alias("h"))
     wr = Window.partitionBy("doc_id").orderBy("h")
     top4 = h.withColumn("rk", F.dense_rank().over(wr)).where(F.col("rk") <= 4)
@@ -496,12 +504,17 @@ _RH_MOD = 1_000_000_007
 
 _ROLLING_HASH = f"""
 WITH h AS (
+  -- NULL text -> NULL hash (DuckDB's list_prepend(0, NULL) = [0] would
+  -- otherwise hash a missing doc as if it were empty — fuzz finding r6)
   SELECT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(text) + 1),
-                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-           (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}) AS full_hash,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(text) + 1),
+                                 i -> CAST(ascii(substr(text, i, 1))
+                                           AS BIGINT))),
+                (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})
+         END AS full_hash,
          length(text) AS n_chars
   FROM documents
 )
@@ -1080,13 +1093,17 @@ WITH t AS (
 )
 SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
        floor(mean_wlen * 10000 + 0.5) / 10000 AS mean_wlen,
-       (n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}) AS word_count_ok,
-       (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI})
-           AS mean_len_ok,
-       has_stopword, no_long_word,
-       ((n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS})
-        AND (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI})
-        AND has_stopword AND no_long_word) AS keep
+       -- flags coalesce FALSE: the gate REJECTS a missing document
+       -- rather than emitting undecidable NULL flags (fuzz finding r6)
+       coalesce(n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}, false)
+           AS word_count_ok,
+       coalesce(mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI},
+                false) AS mean_len_ok,
+       coalesce(has_stopword, false) AS has_stopword,
+       coalesce(no_long_word, false) AS no_long_word,
+       coalesce((n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS})
+                AND (mean_wlen BETWEEN {C4_MEAN_LEN_LO} AND {C4_MEAN_LEN_HI})
+                AND has_stopword AND no_long_word, false) AS keep
 FROM m
 """
 
@@ -1118,18 +1135,21 @@ def t_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_long_word = F.array_max(lens) <= C4_MAX_WORD_LEN
     word_count_ok = n_words.between(C4_MIN_WORDS, C4_MAX_WORDS)
     mean_len_ok = mean_wlen.between(C4_MEAN_LEN_LO, C4_MEAN_LEN_HI)
+    false = F.lit(False)
     return docs.select(
         "doc_id",
         "source",
         n_words.cast("long").alias("n_words"),
         (F.floor(mean_wlen * 10000 + F.lit(0.5)) / 10000).alias("mean_wlen"),
-        word_count_ok.alias("word_count_ok"),
-        mean_len_ok.alias("mean_len_ok"),
-        has_stopword.alias("has_stopword"),
-        no_long_word.alias("no_long_word"),
-        (word_count_ok & mean_len_ok & has_stopword & no_long_word).alias(
-            "keep"
-        ),
+        # flags coalesce FALSE: the gate REJECTS a missing document
+        # rather than emitting undecidable NULL flags (fuzz finding r6)
+        F.coalesce(word_count_ok, false).alias("word_count_ok"),
+        F.coalesce(mean_len_ok, false).alias("mean_len_ok"),
+        F.coalesce(has_stopword, false).alias("has_stopword"),
+        F.coalesce(no_long_word, false).alias("no_long_word"),
+        F.coalesce(
+            word_count_ok & mean_len_ok & has_stopword & no_long_word, false
+        ).alias("keep"),
     )
 
 
@@ -1548,7 +1568,13 @@ def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, so tail chunks are the natural remainder."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens("text")
-    sized = docs.select("doc_id", t.alias("t"))
+    # NULL text chunks to NOTHING: without the filter, Spark's
+    # null-skipping greatest/least would fabricate one phantom chunk
+    # (greatest(NULL-1, 0) = 0) where the oracle's range(0, NULL) emits
+    # none (fuzz finding r6)
+    sized = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", t.alias("t")
+    )
     return sized.select(
         "doc_id",
         F.posexplode(
@@ -1581,7 +1607,11 @@ BIGRAM_LAMBDA = 0.75  # weight on the bigram term; 1-λ on the unigram backoff
 
 _BIGRAM_LM = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- corpus LM counts are over DISTINCT documents: duplicate rows must
+  -- not inflate unigram/bigram frequencies (fuzz finding r6)
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), ex AS (
   SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM d
 ), uni AS (
@@ -1627,7 +1657,14 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the count tables get top-K truncation + a smoothing floor
     exactly like the unigram scorer.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # identity dedup (same contract as the oracle): duplicate rows
+    # corrupt both the corpus counts and the lead-window bigram stream
+    # (fuzz finding r6)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .distinct()
+    )
     ex = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
     )
@@ -1664,7 +1701,11 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NOVELTY = """
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- identity contract, NULL text has no shingles (fuzz finding r6 —
+  -- matches the shared hashed-shingle table the Spark side reuses)
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
