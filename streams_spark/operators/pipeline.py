@@ -669,21 +669,27 @@ def p_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CURRICULUM = """
+-- cutoff histogram over MEASURABLE lengths only: a NULL n_words group
+-- sorts NULLS-FIRST in Spark's cumulative window but NULLS-LAST in
+-- DuckDB's, shifting every cutoff; missing docs get phase NULL
+-- (fuzz finding r6)
 WITH t AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
   FROM documents
 ), hist AS (
-  SELECT n_words AS w, count(*) AS c FROM t GROUP BY 1
+  SELECT n_words AS w, count(*) AS c FROM t
+  WHERE n_words IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT w, sum(c) OVER (ORDER BY w) AS cum FROM hist
-), nn AS (SELECT count(*) AS n FROM t),
+), nn AS (SELECT count(*) AS n FROM t WHERE n_words IS NOT NULL),
 cuts AS (
   SELECT min(CASE WHEN cum * 3 >= n THEN w END) AS c1,
          min(CASE WHEN cum * 3 >= 2 * n THEN w END) AS c2
   FROM cum, nn
 )
 SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
-       CAST(CASE WHEN n_words <= c1 THEN 1
+       CAST(CASE WHEN n_words IS NULL THEN NULL
+                 WHEN n_words <= c1 THEN 1
                  WHEN n_words <= c2 THEN 2
                  ELSE 3 END AS INTEGER) AS phase
 FROM t, cuts
@@ -706,7 +712,9 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", F.size(tokens("text")).alias("n_words")
     ).localCheckpoint()  # doc-sized; one tokenize pass feeds hist/count/phase
-    hist = t.groupBy(F.col("n_words").alias("w")).agg(
+    # measurable lengths only (see the oracle's NULLS-ordering note)
+    measured = t.where(F.col("n_words").isNotNull())
+    hist = measured.groupBy(F.col("n_words").alias("w")).agg(
         F.count(F.lit(1)).alias("c")
     )
     cum = hist.select(
@@ -715,7 +723,7 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
     )
-    n = t.agg(F.count(F.lit(1)).alias("n"))
+    n = measured.agg(F.count(F.lit(1)).alias("n"))
     cuts = cum.crossJoin(F.broadcast(n)).agg(
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("w"))).alias("c1"),
         F.min(
@@ -723,7 +731,8 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c2"),
     )
     phase = (
-        F.when(F.col("n_words") <= F.col("c1"), 1)
+        F.when(F.col("n_words").isNull(), F.lit(None))
+        .when(F.col("n_words") <= F.col("c1"), 1)
         .when(F.col("n_words") <= F.col("c2"), 2)
         .otherwise(3)
     )
@@ -869,6 +878,9 @@ def p_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SPLIT_LEAKAGE = """
+-- text IS NOT NULL: missing docs have no fingerprint and cannot form
+-- (or straddle) a dup group — without the filter two NULL texts would
+-- count as a leaking group (fuzz finding r6)
 WITH assigned AS (
   SELECT doc_id,
          md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp,
@@ -877,7 +889,7 @@ WITH assigned AS (
               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), per_group AS (
   SELECT fp, count(*) AS n_docs,
          count(DISTINCT split) AS n_splits,
@@ -920,7 +932,8 @@ def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    assigned = docs.select(
+    # fingerprintable docs only (see the oracle's NULL-text note)
+    assigned = docs.where(F.col("text").isNotNull()).select(
         F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("fp"),
         split.alias("split"),
     )
@@ -947,7 +960,9 @@ _DATASET_CARD = """
 WITH sized AS (
   SELECT doc_id, source, lang,
          len(str_split(text, ' ')) AS n_tokens,
-         md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp
+         CASE WHEN text IS NOT NULL
+              THEN md5(array_to_string(str_split(text, ' ')[1:8], ' '))
+         END AS fp
   FROM documents
 ), base AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -959,8 +974,11 @@ WITH sized AS (
          floor(avg(n_tokens) * 10000 + 0.5) / 10000 AS mean_tokens
   FROM sized
 ), dup AS (
-  SELECT CAST(sum(n - 1) AS BIGINT) AS dup_docs
-  FROM (SELECT count(*) AS n FROM sized GROUP BY fp) g
+  -- fp IS NOT NULL: two missing texts are not duplicates of each other
+  -- (fuzz finding r6)
+  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT count(*) AS n FROM sized
+        WHERE fp IS NOT NULL GROUP BY fp) g
 )
 SELECT base.*, dup.dup_docs,
        floor(dup.dup_docs * 10000.0 / base.n_docs + 0.5) / 10000 AS dup_rate
@@ -991,8 +1009,9 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.size(tokens("text")).alias("n_tokens"),
-        F.md5(
-            F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))),
         ).alias("fp"),
     )
 
@@ -1008,10 +1027,13 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         r4(F.avg("n_tokens")).alias("mean_tokens"),
     )
+    # fp IS NOT NULL: two missing texts are not duplicates of each
+    # other (fuzz finding r6)
     dup = (
-        sized.groupBy("fp")
+        sized.where(F.col("fp").isNotNull())
+        .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.col("n") - 1).alias("dup_docs"))
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("dup_docs"))
     )
     return base.crossJoin(F.broadcast(dup)).select(
         "*",
@@ -1142,7 +1164,9 @@ _E2E_PIPELINE = """
 WITH sized AS (
   SELECT doc_id, source,
          len(str_split(text, ' ')) AS n_tokens,
-         md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp
+         CASE WHEN text IS NOT NULL
+              THEN md5(array_to_string(str_split(text, ' ')[1:8], ' '))
+         END AS fp
   FROM documents
 ), quality AS (
   SELECT * FROM sized WHERE n_tokens >= 10 AND n_tokens <= 5000

@@ -1526,17 +1526,21 @@ def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_spark.functions.text_funcs import tokens
     from streams_spark.operators.dedup import PREFIX_TOKENS
 
+    # null-guarded like d_prefix_dedup: concat_ws would key NULL text as
+    # '' and merge missing docs with empty docs (fuzz finding r6)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, PREFIX_TOKENS))),
         ).alias("content_md5"),
     )
     # 3 doc_id-ranged files -> 3 ordered micro-batches
     feed = _cached_feed(
         sf_dir,
         "docingest",
-        f"id3|v2|doc_id,prefix_md5_{PREFIX_TOKENS}",
+        # v3: NULL text keys NULL (null-guarded md5), not md5('')
+        f"id3|v3|doc_id,prefix_md5_{PREFIX_TOKENS}_nullsafe",
         lambda d: docs.repartitionByRange(3, "doc_id")
         .write.mode("overwrite")
         .parquet(d),

@@ -350,7 +350,10 @@ NGRAM_FREQ_MIN_DF = 5
 
 _NGRAM_FREQ = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- identity contract, NULL text has no n-grams (fuzz finding r6)
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), ex AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(w) - {NGRAM_FREQ_N - 1}, 1) + 1),
@@ -378,7 +381,14 @@ def t_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation; a threshold (not top-k) keeps the result
     deterministic and the plan limit-free. At 100 TB the long tail of
     df=1 shingles never survives the partial aggregate's combiner."""
-    docs = load_table(spark, sf_dir, "documents")
+    # identity dedup + NULL-text filter (fuzz finding r6): a census
+    # over distinct documents, and a missing doc contributes no grams
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .distinct()
+    )
     toks = tokens("text")
     grams = F.transform(
         F.sequence(
@@ -405,7 +415,10 @@ CONTAM_N = 13  # the standard decontamination n-gram size (GPT-3 appendix C)
 
 _CONTAMINATION = f"""
 WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- identity contract, NULL text has no n-grams (fuzz finding r6)
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM (SELECT DISTINCT doc_id, text FROM documents
+        WHERE text IS NOT NULL)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - {CONTAM_N - 1}, 1) + 1),
@@ -447,7 +460,15 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only scan over the corpus; here the probe grows with the corpus
     (an id-slice), so the join is left to AQE rather than
     force-broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    # identity dedup + NULL-text filter (fuzz finding r6): duplicate
+    # rows would double n_overlap (frac > 1), and xxhash64(NULL) is a
+    # non-null seed that fabricates a gram for missing docs
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .distinct()
+    )
     toks = tokens("text")
     grams = F.array_distinct(
         F.transform(

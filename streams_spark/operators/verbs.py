@@ -284,8 +284,13 @@ def v_produce_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT space, user_id, sequence, timestamp, event_id, value, payload
 FROM (
   SELECT space, user_id, sequence, timestamp, event_id, value, payload,
+         -- sequence completes the tie-break: duplicated input events
+         -- share (timestamp, event_id) but receive distinct log
+         -- sequences, so the order must include it to stay total
+         -- (fuzz finding r6)
          row_number() OVER (PARTITION BY space, user_id
-                            ORDER BY timestamp DESC, event_id DESC) AS rn
+                            ORDER BY timestamp DESC, event_id DESC,
+                                     sequence DESC) AS rn
   FROM events_log
 )
 WHERE rn = 1
@@ -307,9 +312,10 @@ def v_latest_entity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break on (timestamp, event_id) is total and deterministic.
     """
     log = event_log(spark, sf_dir)
+    # sequence completes the tie-break (see the oracle comment)
     w = (
         Window.partitionBy("space", "user_id")
-        .orderBy(F.desc("timestamp"), F.desc("event_id"))
+        .orderBy(F.desc("timestamp"), F.desc("event_id"), F.desc("sequence"))
     )
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -410,7 +416,10 @@ def v_chunked_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT space, segment,
        count(*) AS n_entries,
-       CAST(sum(octet_length(CAST(payload AS BLOB))) AS BIGINT)
+       -- encode(), not CAST(... AS BLOB): the blob cast interprets
+       -- backslash escapes and hard-errors on payloads containing a
+       -- literal backslash (e.g. json-escaped unicode) — fuzz finding r6
+       CAST(sum(octet_length(encode(payload))) AS BIGINT)
            AS payload_bytes,
        min(sequence) AS first_sequence,
        max(sequence) AS last_sequence,
