@@ -179,17 +179,25 @@ def shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     if df is None:
         from streams_spark.sources.feed_cache import cached_feed
 
-        feed = cached_feed(
-            sf_dir,
-            "docshingle",
-            f"v1|n{n}|xxhash64_sorted_set",
-            lambda d: hashed_shingle_sets(
-                load_table(spark, sf_dir, "documents"), n
+        try:
+            feed = cached_feed(
+                sf_dir,
+                "docshingle",
+                f"v1|n{n}|xxhash64_sorted_set",
+                lambda d: hashed_shingle_sets(
+                    load_table(spark, sf_dir, "documents"), n
+                )
+                .write.mode("overwrite")
+                .parquet(d),
             )
-            .write.mode("overwrite")
-            .parquet(d),
-        )
-        df = spark.read.parquet(feed).cache()
+            df = spark.read.parquet(feed).cache()
+        except OSError:
+            # no stat-able documents.parquet under sf_dir (in-memory
+            # test fixtures, exotic layouts): keep the artifact as an
+            # optimization only and build in-session
+            df = hashed_shingle_sets(
+                load_table(spark, sf_dir, "documents"), n
+            ).cache()
         _SHINGLE_CACHE[key] = df
     return df
 
