@@ -12,43 +12,61 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-6 set refresh (VERDICT r5 #4): the six heavy round-4/5 additions
+# join the headline set so their plans are regression-gated alongside
+# TPC-H; to hold the <=21 s budget, 12 queries with overlapping coverage
+# rotate out (every family keeps representatives; the rotated queries
+# remain correctness-gated by the driver's oracle sampling every round).
 HEADLINE = [
     "v_consume_interleave",
     "v_peek_all",
     "v_sequence_validate",
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
     "q9_profit_by_nation_year",
     "q13_order_distribution",
     "q16_supplier_part_count",
-    "q18_large_volume_customer",
-    "q21_waiting_suppliers",
     "w_topk_suppliers_per_nation",
     "w_sessionize",
     "w_asof_purchase_click",
     "w_range_join_bucketed",
     "w_tumbling_hourly",
-    "w_funnel",
-    "w_retention",
-    "w_hypertable_rollup",
     "q_json_props",
     "d_ngram_jaccard",
     "d_minhash_lsh",
-    "d_simhash",
     "d_embedding_cosine",
     "d_dup_clusters",
+    "d_transitive_containment",
     "s_cosine_topk",
-    "s_ann_lsh_topk",
+    "s_hybrid_search",
     "t_text_stats",
     "t_token_count",
-    "t_fingerprint",
     "t_contamination",
     "m_decode_media",
+    "m_frames_real",
     "st_tumbling_stream",
+    "st_cdc_apply",
+    "p_e2e_pipeline",
+    "q_kmv_setops",
 ]
+
+# Continuity record: the r5-recorded best-of timings (BENCH_r05.json,
+# sf0.1, local[32]) of the queries rotated OUT in round 6, so future
+# rounds can re-admit any of them with a reference number. Emitted in
+# the bench JSON under "rotated_out_r5_sec".
+ROTATED_OUT_R5 = {
+    "q2_min_cost_supplier": 1.149,
+    "q5_local_supplier_volume": 0.875,
+    "q8_market_share": 0.789,
+    "q18_large_volume_customer": 0.871,
+    "q21_waiting_suppliers": 0.915,
+    "w_funnel": 0.506,
+    "w_retention": 0.381,
+    "w_hypertable_rollup": 0.339,
+    "d_simhash": 0.646,
+    "s_ann_lsh_topk": 0.505,
+    "t_fingerprint": 0.703,
+}
 
 
 def main() -> None:
@@ -98,6 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "set_version": "r6",
+                "rotated_out_r5_sec": ROTATED_OUT_R5,
             }
         )
     )

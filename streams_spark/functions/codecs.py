@@ -137,20 +137,40 @@ def png_decode(data: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the left pixel
-            cur = np.zeros_like(line)
-            left = np.zeros(ch, dtype=np.int32)
-            upleft = np.zeros(ch, dtype=np.int32)
+        elif ft == 1:  # Sub: prefix sum along x (mod distributes)
+            cur = np.cumsum(line, axis=0) % 256
+        elif ft in (3, 4):  # Average/Paeth: inherently sequential in x;
+            # plain-int Python loop beats numpy scalar ops ~5x on the
+            # small tiles the media ops decode
+            lin = line.tolist()
+            prv = prev.tolist()
+            out_rows = []
+            left = [0] * ch
+            upleft = [0] * ch
             for x in range(w):
-                up = prev[x]
-                if ft == 1:
-                    cur[x] = (line[x] + left) % 256
-                elif ft == 3:
-                    cur[x] = (line[x] + (left + up) // 2) % 256
+                up = prv[x]
+                row = lin[x]
+                if ft == 3:
+                    px = [
+                        (row[c] + (left[c] + up[c]) // 2) % 256
+                        for c in range(ch)
+                    ]
                 else:
-                    cur[x] = (line[x] + _paeth(left, up, upleft)) % 256
-                left = cur[x]
+                    px = []
+                    for c in range(ch):
+                        a, b2, c2 = left[c], up[c], upleft[c]
+                        p = a + b2 - c2
+                        pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
+                        pred = (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (b2 if pb <= pc else c2)
+                        )
+                        px.append((row[c] + pred) % 256)
+                out_rows.append(px)
+                left = px
                 upleft = up
+            cur = np.array(out_rows, dtype=np.int32).reshape(w, ch)
         else:
             raise ValueError(f"bad filter {ft}")
         out[y] = cur

@@ -202,7 +202,9 @@ def shingle_table(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return df
 
 
-def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+def hashed_shingle_sets(
+    docs: DataFrame, n: int = 3, assume_unique: bool = False
+) -> DataFrame:
     """(doc_id, hs) where hs = sorted xxhash64s of the distinct n-gram
     shingles. Hashing shrinks every downstream shuffle (8-byte longs
     instead of strings); sorting fixes the global order prefix filtering
@@ -220,8 +222,14 @@ def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     # precondition breaks on duplicate rows (grams stitch across the
     # copies), and doc_id is the document identity throughout the dedup
     # family — re-ingested copies must not change shingle sets
-    # (fuzz finding r6)
-    docs = docs.select("doc_id", "text").distinct()
+    # (fuzz finding r6). The distinct is ONE extra text-sized shuffle
+    # (map-side combined, so duplicate copies collapse before shipping);
+    # a 100 TB deployment whose upstream already guarantees unique
+    # doc_id (e.g. post exact-dedup ingest) passes assume_unique=True
+    # to skip it.
+    docs = docs.select("doc_id", "text")
+    if not assume_unique:
+        docs = docs.distinct()
     hashed = gram_rows(docs, n).select("doc_id", F.xxhash64("gram").alias("h"))
     return hashed.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
