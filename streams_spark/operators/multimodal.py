@@ -729,9 +729,11 @@ def m_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/server/messages.go:65).
 
     Scale: two chained map-only Arrow stages (synthesize+encode,
-    decode+sample), fan-out rows-per-blob bounded by the stride — no
-    shuffle anywhere; at 100 TB the synth stage is replaced by reading
-    real blobs (read_media_dir) and the sampler is unchanged."""
+    decode+sample), fan-out rows-per-blob bounded by the stride; the
+    only shuffle is the doc_id-sized identity distinct in the synth
+    table (absent at 100 TB, where the synth stage is replaced by
+    reading real blobs via read_media_dir and the sampler is
+    unchanged)."""
     import numpy as np
 
     from streams_spark.functions.codecs import frames_decode
