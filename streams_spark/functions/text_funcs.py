@@ -84,3 +84,20 @@ def gram_rows(docs, n: int):
         "doc_id",
         F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("gram"),
     )
+
+def identity_docs(docs):
+    """Normalize a documents frame to ONE text per doc_id: filter NULL
+    text, then take the deterministic min(text) per id. doc_id is the
+    document identity across the dedup/fingerprint/corpus-LM family, so
+    duplicate physical rows — even corrupt copies that DISAGREE on
+    text — must resolve to the same document on both engines (fuzz
+    findings r6; the oracles apply the identical
+    min(text) GROUP BY doc_id). One text-sized, map-side-combined
+    shuffle; callers whose upstream guarantees uniqueness skip it via
+    their assume_unique flags."""
+    return (
+        docs.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )

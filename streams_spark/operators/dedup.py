@@ -81,16 +81,16 @@ def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD = """
 WITH d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -218,18 +218,20 @@ def hashed_shingle_sets(
     that dominates, swap in the pandas-UDF builder, which is shuffle-free
     and Arrow-batched; semantics are identical.
     """
-    # identity dedup BEFORE gram_rows: its (doc_id, pos) window
-    # precondition breaks on duplicate rows (grams stitch across the
-    # copies), and doc_id is the document identity throughout the dedup
-    # family — re-ingested copies must not change shingle sets
-    # (fuzz finding r6). The distinct is ONE extra text-sized shuffle
-    # (map-side combined, so duplicate copies collapse before shipping);
-    # a 100 TB deployment whose upstream already guarantees unique
-    # doc_id (e.g. post exact-dedup ingest) passes assume_unique=True
-    # to skip it.
-    docs = docs.select("doc_id", "text")
-    if not assume_unique:
-        docs = docs.distinct()
+    # identity normalization BEFORE gram_rows: its (doc_id, pos)
+    # window precondition breaks on duplicate rows (grams stitch across
+    # the copies), and doc_id is the document identity throughout the
+    # dedup family — re-ingested copies, even corrupt ones disagreeing
+    # on text, must not change shingle sets (fuzz findings r6; see
+    # functions.text_funcs.identity_docs). One extra text-sized
+    # map-side-combined shuffle; a 100 TB deployment whose upstream
+    # already guarantees unique doc_id passes assume_unique=True.
+    if assume_unique:
+        docs = docs.select("doc_id", "text")
+    else:
+        from streams_spark.functions.text_funcs import identity_docs
+
+        docs = identity_docs(docs)
     hashed = gram_rows(docs, n).select("doc_id", F.xxhash64("gram").alias("h"))
     return hashed.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
@@ -698,16 +700,16 @@ def d_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_CLUSTERS = """
 WITH RECURSIVE d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1040,16 +1042,16 @@ CONTAINMENT_T = 0.8
 
 _CONTAINMENT = f"""
 WITH d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1291,16 +1293,16 @@ FROM closure GROUP BY src, dst
 
 _TRANSITIVE_CONTAINMENT = f"""
 WITH RECURSIVE d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1615,16 +1617,16 @@ PR_DAMP = 0.85
 # cannot re-aggregate per step).
 _PR_BASE = """
 WITH dd AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1757,16 +1759,16 @@ TFIDF_COS_T = 0.8
 
 _TFIDF_COSINE = f"""
 WITH d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -2023,16 +2025,16 @@ MINHASH_B = [(s * 97_531 + 12_345) % MINHASH_P for s in range(NUM_PERM)]
 
 _MINHASH_MD5 = f"""
 WITH d AS (
-  -- DISTINCT: doc_id is the document identity, so duplicate
-  -- physical rows (re-ingest) must not change pair counts or
-  -- cluster shapes (fuzz finding r6; Spark side dedups via its
-  -- groupBy(doc_id) shingle build)
+  -- one text per doc_id (deterministic min): doc_id is the document
+  -- identity, so duplicate physical rows (re-ingest) — even corrupt
+  -- ones whose copies DISAGREE on text — must not change pair counts
+  -- or cluster shapes (fuzz findings r6)
   SELECT doc_id, string_split(text, ' ') AS w
   -- text IS NOT NULL: split(NULL) has NO shingles on the Spark
   -- side, while DuckDB's greatest(NULL,1)=1 would fabricate a ''
   -- shingle and pair missing docs with empty docs
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -2103,10 +2105,12 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin when that check isn't needed. (Measured at sf0.1: 64 md5s per
     shingle cost 21.7 s; one md5 + 64 integer perms ~3 s.)"""
     docs = load_table(spark, sf_dir, "documents")
-    # identity dedup before gram_rows (same contract as
+    # identity normalization before gram_rows (same contract as
     # hashed_shingle_sets): duplicate rows break the gram window's
-    # uniqueness precondition and pollute signatures (fuzz finding r6)
-    grams = gram_rows(docs.select("doc_id", "text").distinct(), 3).distinct()
+    # uniqueness precondition and pollute signatures (fuzz findings r6)
+    from streams_spark.functions.text_funcs import identity_docs
+
+    grams = gram_rows(identity_docs(docs), 3).distinct()
     base = grams.select(
         "doc_id",
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)

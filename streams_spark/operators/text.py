@@ -15,6 +15,7 @@ from streams_spark.functions.text_funcs import (
     gram_rows,
     STOPWORDS,
     avg_token_len,
+    identity_docs,
     stopword_ratio,
     tokens,
 )
@@ -239,8 +240,8 @@ WITH d AS (
   -- identity contract: one fingerprint per doc_id, none for NULL text
   -- (fuzz finding r6 — matches the Spark side's distinct + gram build)
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
@@ -268,10 +269,11 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct selection is dense_rank (duplicate grams share a rank) +
     # collect_set; the gram window, rank window, and final groupBy all
     # key on doc_id, so the exploded stream shuffles once.
-    # identity dedup before gram_rows (window precondition + fingerprint
-    # contract: one signature per doc_id, none for NULL text — fuzz
-    # finding r6, same rule as the dedup family's shingle builder)
-    docs = docs.select("doc_id", "text").distinct()
+    # identity normalization before gram_rows (window precondition +
+    # fingerprint contract: one signature per doc_id, none for NULL
+    # text — fuzz findings r6, same rule as the dedup family's shingle
+    # builder)
+    docs = identity_docs(docs)
     h = gram_rows(docs, 5).select("doc_id", F.md5("gram").alias("h"))
     wr = Window.partitionBy("doc_id").orderBy("h")
     top4 = h.withColumn("rk", F.dense_rank().over(wr)).where(F.col("rk") <= 4)
@@ -352,8 +354,8 @@ _NGRAM_FREQ = f"""
 WITH d AS (
   -- identity contract, NULL text has no n-grams (fuzz finding r6)
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), ex AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(w) - {NGRAM_FREQ_N - 1}, 1) + 1),
@@ -381,14 +383,9 @@ def t_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation; a threshold (not top-k) keeps the result
     deterministic and the plan limit-free. At 100 TB the long tail of
     df=1 shingles never survives the partial aggregate's combiner."""
-    # identity dedup + NULL-text filter (fuzz finding r6): a census
-    # over distinct documents, and a missing doc contributes no grams
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .where(F.col("text").isNotNull())
-        .distinct()
-    )
+    # identity normalization (fuzz findings r6): a census over
+    # distinct documents, and a missing doc contributes no grams
+    docs = identity_docs(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     grams = F.transform(
         F.sequence(
@@ -417,8 +414,8 @@ _CONTAMINATION = f"""
 WITH d AS (
   -- identity contract, NULL text has no n-grams (fuzz finding r6)
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - {CONTAM_N - 1}, 1) + 1),
@@ -460,15 +457,10 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only scan over the corpus; here the probe grows with the corpus
     (an id-slice), so the join is left to AQE rather than
     force-broadcast."""
-    # identity dedup + NULL-text filter (fuzz finding r6): duplicate
-    # rows would double n_overlap (frac > 1), and xxhash64(NULL) is a
-    # non-null seed that fabricates a gram for missing docs
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .where(F.col("text").isNotNull())
-        .distinct()
-    )
+    # identity normalization (fuzz findings r6): duplicate rows would
+    # double n_overlap (frac > 1), and xxhash64(NULL) is a non-null
+    # seed that fabricates a gram for missing docs
+    docs = identity_docs(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     grams = F.array_distinct(
         F.transform(
@@ -1631,8 +1623,8 @@ WITH d AS (
   -- corpus LM counts are over DISTINCT documents: duplicate rows must
   -- not inflate unigram/bigram frequencies (fuzz finding r6)
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), ex AS (
   SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos FROM d
 ), uni AS (
@@ -1678,14 +1670,10 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the count tables get top-K truncation + a smoothing floor
     exactly like the unigram scorer.
     """
-    # identity dedup (same contract as the oracle): duplicate rows
-    # corrupt both the corpus counts and the lead-window bigram stream
-    # (fuzz finding r6)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .distinct()
-    )
+    # identity normalization (same contract as the oracle): duplicate
+    # rows corrupt both the corpus counts and the lead-window bigram
+    # stream (fuzz findings r6)
+    docs = identity_docs(load_table(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
     )
@@ -1725,8 +1713,8 @@ WITH d AS (
   -- identity contract, NULL text has no shingles (fuzz finding r6 —
   -- matches the shared hashed-shingle table the Spark side reuses)
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM (SELECT DISTINCT doc_id, text FROM documents
-        WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, min(text) AS text FROM documents
+        WHERE text IS NOT NULL GROUP BY doc_id)
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),

@@ -7,9 +7,11 @@ deterministically:
 
 - space    = event_type                      (5 spaces)
 - segment  = 'seg' || (user_id % 8)          (8 segments per space)
-- sequence = row_number over (space, segment) ordered by (ts, event_id)
-             -- gapless, starting at 1, like the reference's produce path
-             (/root/reference/server/pebble/service.go:345-363)
+- sequence = row_number over (space, segment) ordered by
+             (ts, event_id, value, props) -- gapless, starting at 1, like
+             the reference's produce path
+             (/root/reference/server/pebble/service.go:345-363); the
+             trailing keys make the order total under corrupt re-ingest
 - payload  = props (JSON string; the reference's payload is opaque bytes)
 
 `EVENT_LOG_CTE` is the identical mapping as a DuckDB CTE so every verb
@@ -38,7 +40,7 @@ WITH events_log AS (
     'seg' || CAST(user_id % 8 AS VARCHAR) AS segment,
     ROW_NUMBER() OVER (
       PARTITION BY event_type, user_id % 8
-      ORDER BY ts, event_id
+      ORDER BY ts, event_id, value, props
     ) AS sequence,
     ts AS timestamp,
     event_id,
@@ -90,7 +92,14 @@ def event_log(
         ev = ev.where((F.col("user_id") % NUM_SEGMENTS).isin(segs))
     if max_timestamp is not None:
         ev = ev.where(F.col("ts") <= F.lit(max_timestamp))
-    w = Window.partitionBy("space", "segment").orderBy("ts", "event_id")
+    # value/props extend the order so it is TOTAL even when corrupt
+    # re-ingest produces two events sharing (ts, event_id) but
+    # disagreeing on payload — a partial order would pair sequences
+    # with values nondeterministically per engine (fuzz finding r6);
+    # for well-formed logs (unique event_id) the extra keys are inert
+    w = Window.partitionBy("space", "segment").orderBy(
+        "ts", "event_id", "value", "props"
+    )
     cols = [
         F.col("space"),
         F.col("segment"),

@@ -65,9 +65,11 @@ PERTURBATIONS = [
     "lineitem: quantity +/-1, price/discount 2-dp jitter, 1% duplicated rows",
     "orders/customer/supplier: 2-dp money jitter",
     "events: value 2-dp jitter, ts +/-1s jitter, 0.5% duplicated rows, "
-    "unicode/empty JSON prop values",
+    "unicode/empty JSON prop values, 0.3% CONFLICTING duplicates "
+    "(same event_id/ts, different value)",
     "documents: 2% unicode/empty text, 1% NULL text (n_chars kept "
-    "consistent), 1% duplicated rows",
+    "consistent), 1% duplicated rows, 0.5% CONFLICTING duplicates "
+    "(same doc_id, different text)",
     "embeddings: 1% of vectors jittered by +/-0.01 per coordinate",
 ]
 
@@ -117,6 +119,17 @@ def perturb_table(name: str, df, rng):
             for i in range(int(sel.sum()))
         ]
         df = _dup(df, rng, 0.005)
+        # CONFLICTING duplicates: same (event_id, ts), different value —
+        # the log's sequence assignment must stay a TOTAL order
+        import pandas as pd
+
+        n_conf = max(1, int(len(df) * 0.003))
+        idx = rng.choice(len(df), size=n_conf, replace=False)
+        conf = df.iloc[idx].copy()
+        conf["value"] = np.round(
+            conf["value"].to_numpy() + rng.uniform(1, 50, n_conf), 2
+        )
+        df = pd.concat([df, conf], ignore_index=True)
     elif name == "documents":
         u = rng.random(len(df))
         uni = u < 0.02
@@ -130,6 +143,22 @@ def perturb_table(name: str, df, rng):
             lambda t: len(t) if t is not None else None
         )
         df = _dup(df, rng, 0.01)
+        # CONFLICTING duplicates: same doc_id, DIFFERENT text (corrupt
+        # re-ingest) — the identity contract must resolve these
+        # deterministically (min text per doc) on both engines
+        import pandas as pd
+
+        n_conf = max(1, int(len(df) * 0.005))
+        idx = rng.choice(len(df), size=n_conf, replace=False)
+        conf = df.iloc[idx].copy()
+        donor = df.iloc[
+            rng.choice(len(df), size=n_conf, replace=False)
+        ]["text"].to_numpy()
+        conf["text"] = donor
+        conf["n_chars"] = conf["text"].map(
+            lambda t: len(t) if t is not None else None
+        )
+        df = pd.concat([df, conf], ignore_index=True)
     elif name == "embeddings":
         sel = np.nonzero(rng.random(len(df)) < 0.01)[0]
         emb = df["embedding"].to_numpy(copy=False)
