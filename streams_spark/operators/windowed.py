@@ -908,7 +908,7 @@ WITH e AS (
          last_value("value")  OVER w AS close
   FROM events
   WINDOW w AS (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
-               ORDER BY ts, event_id
+               ORDER BY ts, event_id, "value"
                ROWS BETWEEN UNBOUNDED PRECEDING
                         AND UNBOUNDED FOLLOWING)
 )
@@ -942,7 +942,10 @@ def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling pass: one shuffle on (space, hour), output is
     bars-sized, and AQE coalesces the tiny result partitions."""
     ev = load_table(spark, sf_dir, "events")
-    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    # value completes the tie-break: two corrupt-re-ingest copies
+    # sharing (ts, event_id) but disagreeing on value must yield the
+    # same open/close in both engines (fuzz finding r6)
+    order_key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
     return (
         ev.groupBy(
             F.col("event_type").alias("space"),

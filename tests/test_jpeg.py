@@ -144,3 +144,50 @@ def test_media_probe_routes_jpeg_checksum_over_decoded_pixels():
     )
     assert (w, h, ch) == (26, 19, 3)
     assert csum == 3 * int(img.astype(np.int64).sum()) % CHECKSUM_MOD
+
+
+# --- property-based coverage (no Spark jobs: pure codec laws) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    block=st.sampled_from([8, 16]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    color=st.booleans(),
+)
+def test_property_block_constant_roundtrip_exact(h, w, block, seed, color):
+    """The oracle contract, for EVERY geometry: block-constant
+    even-valued images round-trip bit-exactly at quality 50 (grey and
+    grey-valued RGB, both subsampling modes)."""
+    img = _block_constant(h, w, block, seed)
+    if color:
+        rgb = np.stack([img] * 3, axis=2)
+        sub = "4:2:0" if block == 16 else "4:4:4"
+        out = J.jpeg_decode(J.jpeg_encode(rgb, quality=50, subsampling=sub))
+        assert np.array_equal(out, rgb)
+    else:
+        out = J.jpeg_decode(J.jpeg_encode(img, quality=50))
+        assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    q=st.integers(min_value=5, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_arbitrary_image_decodes_in_range(h, w, q, seed):
+    """Any uint8 image at any quality must decode without error to the
+    stated geometry with in-range pixels — the no-crash/no-garbage law
+    a quarantine pipeline relies on."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode(img, quality=q))
+    assert out.shape == (h, w)
+    assert out.dtype == np.uint8

@@ -202,6 +202,14 @@ def run_seed(dest: str, only: list[str]) -> dict:
             skipped.append(line.split()[1].rstrip(":"))
         elif line.startswith("  - "):
             detail.append(f"{failed[-1] if failed else '?'}: {line[4:]}")
+        elif (
+            failed
+            and not line.startswith(" ")
+            and ("Error" in line or "Exception" in line)
+        ):
+            # terminal line of a spark/oracle error traceback — without
+            # this, error-class failures carry no detail at all
+            detail.append(f"{failed[-1]}: {line[:300]}")
     if proc.returncode not in (0, 1):
         detail.append(f"runner crashed rc={proc.returncode}: {proc.stderr[-2000:]}")
     return {
