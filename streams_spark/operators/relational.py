@@ -2684,9 +2684,16 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GROUPED_MAP = """
+-- a NULL value has NO rank (pct_rank NULL), rather than DuckDB's
+-- rank-the-nulls-last; non-null ranks and the n-1 denominator are
+-- unchanged because nulls still count toward n on both sides
+-- (fuzz finding r6)
 SELECT event_id, user_id, "value",
-       floor(percent_rank() OVER (PARTITION BY user_id ORDER BY "value")
-             * 10000 + 0.5) / 10000 AS pct_rank
+       CASE WHEN "value" IS NULL THEN NULL
+            ELSE floor(percent_rank()
+                       OVER (PARTITION BY user_id ORDER BY "value")
+                  * 10000 + 0.5) / 10000
+       END AS pct_rank
 FROM events
 """
 
@@ -2718,14 +2725,21 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct = pdf["value"] * 0.0
         import numpy as np
 
-        return pd.DataFrame(
+        # NULL value -> NULL rank (nullable Float64, so Arrow ships a
+        # real NULL, not NaN) — see the oracle's CASE (fuzz finding r6)
+        ranked = np.floor(pct * 10000 + 0.5) / 10000
+        out = pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "value": pdf["value"],
-                "pct_rank": np.floor(pct * 10000 + 0.5) / 10000,
             }
         )
+        out["pct_rank"] = pd.array(
+            [None if pd.isna(v) else r for v, r in zip(pdf["value"], ranked)],
+            dtype="Float64",
+        )
+        return out
 
     return (
         ev.select("event_id", "user_id", "value")

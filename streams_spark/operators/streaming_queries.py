@@ -587,8 +587,10 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_STATS_ORACLE = """
 WITH c AS (
+  -- NULL value = no measurement: skipped entirely, not counted
+  -- (fuzz finding r6)
   SELECT user_id, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE "value" IS NOT NULL
 ), a AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_events,
@@ -640,21 +642,25 @@ def st_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, s, ss = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             for v in pdf["value"]:
+                if v is None or v != v:  # NULL/NaN = no measurement
+                    continue  # (fuzz finding r6)
                 c = int(math.floor(v * 100 + 0.5))
                 n += 1
                 s += c
                 ss += c * c
         state.update((n, s, ss))
-        mc = float(s) / n if n else 0.0
+        if n == 0:
+            # every value so far was NULL: no measurements, no row —
+            # matching the oracle's WHERE-filtered aggregate
+            return
+        mc = float(s) / n
         yield pd.DataFrame(
             [
                 {
                     "user_id": user,
                     "n_events": n,
                     "mean_raw": mc / 100,
-                    "var_raw": ((float(ss) / n - mc * mc) / 10000)
-                    if n
-                    else 0.0,
+                    "var_raw": (float(ss) / n - mc * mc) / 10000,
                 }
             ]
         )

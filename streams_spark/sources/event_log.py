@@ -40,7 +40,7 @@ WITH events_log AS (
     'seg' || CAST(user_id % 8 AS VARCHAR) AS segment,
     ROW_NUMBER() OVER (
       PARTITION BY event_type, user_id % 8
-      ORDER BY ts, event_id, value, props
+      ORDER BY ts, event_id, value NULLS LAST, props NULLS LAST
     ) AS sequence,
     ts AS timestamp,
     event_id,
@@ -97,8 +97,14 @@ def event_log(
     # disagreeing on payload — a partial order would pair sequences
     # with values nondeterministically per engine (fuzz finding r6);
     # for well-formed logs (unique event_id) the extra keys are inert
+    # NULLS LAST explicitly: Spark's ascending default is nulls-first,
+    # DuckDB's is nulls-last — the tie-break keys must agree on where a
+    # NULL payload sorts or degenerate ties renumber differently
     w = Window.partitionBy("space", "segment").orderBy(
-        "ts", "event_id", "value", "props"
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value").asc_nulls_last(),
+        F.col("props").asc_nulls_last(),
     )
     cols = [
         F.col("space"),

@@ -62,11 +62,12 @@ TEXT_POOL = [
 
 PERTURBATIONS = [
     "row-order shuffle in every table",
-    "lineitem: quantity +/-1, price/discount 2-dp jitter, 1% duplicated rows",
+    "lineitem: quantity +/-1, price/discount 2-dp jitter, 0.5% NULL "
+    "l_returnflag, 1% duplicated rows",
     "orders/customer/supplier: 2-dp money jitter",
     "events: value 2-dp jitter, ts +/-1s jitter, 0.5% duplicated rows, "
-    "unicode/empty JSON prop values, 0.3% CONFLICTING duplicates "
-    "(same event_id/ts, different value)",
+    "unicode/empty JSON prop values, 0.5% NULL props, 0.5% NULL value, "
+    "0.3% CONFLICTING duplicates (same event_id/ts, different value)",
     "documents: 2% unicode/empty text, 1% NULL text (n_chars kept "
     "consistent), 1% duplicated rows, 0.5% CONFLICTING duplicates "
     "(same doc_id, different text)",
@@ -94,6 +95,11 @@ def perturb_table(name: str, df, rng):
             df["l_extendedprice"] * (1 + rng.uniform(-0.05, 0.05, len(df))), 2
         )
         df["l_discount"] = np.round(rng.uniform(0, 0.1, len(df)), 2)
+        # NULL group keys: a NULL l_returnflag row must land in the same
+        # NULL group (and rollup/cube subtotal rows must stay distinct
+        # from it) in both engines
+        nul = rng.random(len(df)) < 0.005
+        df.loc[nul, "l_returnflag"] = None
         df = _dup(df, rng, 0.01)
     elif name == "orders":
         df["o_totalprice"] = np.round(
@@ -119,6 +125,12 @@ def perturb_table(name: str, df, rng):
             for i in range(int(sel.sum()))
         ]
         df = _dup(df, rng, 0.005)
+        # NULL payloads/values: the reference permits empty Entry
+        # payloads — NULL props/value must null-propagate identically
+        nulp = rng.random(len(df)) < 0.005
+        df.loc[nulp, "props"] = None
+        nulv = rng.random(len(df)) < 0.005
+        df.loc[nulv, "value"] = None
         # CONFLICTING duplicates: same (event_id, ts), different value —
         # the log's sequence assignment must stay a TOTAL order
         import pandas as pd
