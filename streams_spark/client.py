@@ -132,23 +132,36 @@ def peek_all(log: DataFrame) -> DataFrame:
 
 def get_segment_offset(log: DataFrame, space: str, segment: str) -> DataFrame:
     """Max sequence in a segment (offset key, not row) —
-    /root/reference/server/pebble/service.go:209-212."""
+    /root/reference/server/pebble/service.go:209-212. An empty or
+    unknown segment yields the zero-value offset 0 (the reference
+    returns `&Offset{}`, and consumption then starts at sequence 1),
+    not a NULL row — degenerate-fixture fuzz class."""
     return (
         log.where((F.col("space") == space) & (F.col("segment") == segment))
-        .agg(F.max("sequence").alias("offset_sequence"))
+        .agg(
+            F.coalesce(F.max("sequence"), F.lit(0)).alias("offset_sequence")
+        )
     )
 
 
 def get_space_offset(log: DataFrame, space: str) -> DataFrame:
     """Max (timestamp, segment, sequence) key of a space —
-    /root/reference/server/pebble/service.go:148-151,842-856."""
+    /root/reference/server/pebble/service.go:148-151,842-856. An empty
+    or unknown space yields the zero-value offset (epoch timestamp,
+    empty segment, sequence 0) exactly as the reference's `&Offset{}`,
+    rather than a NULL-field row — degenerate-fixture fuzz class."""
     m = (
         log.where(F.col("space") == space)
         .agg(
             F.max(F.struct("timestamp", "segment", "sequence")).alias("k")
         )
     )
-    return m.select(
+    zero = F.struct(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("timestamp"),
+        F.lit("").alias("segment"),
+        F.lit(0).alias("sequence"),
+    )
+    return m.select(F.coalesce(F.col("k"), zero).alias("k")).select(
         F.col("k.timestamp").alias("offset_timestamp"),
         F.col("k.segment").alias("offset_segment"),
         F.col("k.sequence").alias("offset_sequence"),

@@ -32,4 +32,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not /: a zero-norm vector (an empty document embeds to
+    # all-zeros) makes the denominator 0; ANSI Spark raises DIVIDE_BY_ZERO
+    # where DuckDB's double division yields NULL. try_divide restores the
+    # NULL contract, and NULL cosine then drops out of >=threshold filters
+    # and sorts NULLS LAST in both engines.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

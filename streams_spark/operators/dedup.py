@@ -1255,8 +1255,7 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("vec_id"))
         .where(
             F.round(
-                dot(F.col("av"), F.col("bv"))
-                / (F.col("anrm") * F.col("bnrm")),
+                F.try_divide(dot(F.col("av"), F.col("bv")), F.col("anrm") * F.col("bnrm")),
                 6,
             )
             >= SEMDEDUP_T
@@ -1713,6 +1712,17 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(shuffle_conf, str(width))
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
         n = float(deg.count())
+        if n == 0.0:
+            # empty graph (e.g. an empty corpus): the oracle's rank CTE
+            # is empty too, so the contract is a 0-row frame — deg IS
+            # that frame, projected to the output schema (degenerate-
+            # fixture fuzz class; 1.0/n would raise ZeroDivisionError
+            # on the driver)
+            return deg.select(
+                F.col("src").alias("doc_id"),
+                F.lit(0.0).alias("rank"),
+                F.lit(0).cast("long").alias("out_deg"),
+            )
         ranks = deg.select(
             F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
         ).localCheckpoint()
@@ -1847,7 +1857,15 @@ def d_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
     u = w.join(norms, "doc_id").select(
-        "doc_id", "f", "df", (F.col("w") / F.col("nrm")).alias("u")
+        "doc_id",
+        "f",
+        "df",
+        # try_divide: a doc whose every feature appears in every doc has
+        # an all-zero idf vector (nrm == 0, e.g. a 1-doc corpus); ANSI
+        # Spark raises DIVIDE_BY_ZERO where the DuckDB oracle's 0/0
+        # yields NULL, which drops the doc from the prefix filter in
+        # both engines (degenerate-fixture fuzz class)
+        F.try_divide(F.col("w"), F.col("nrm")).alias("u"),
     )
     # suffix norm at each posting under the global (df asc, hash) order;
     # rowsBetween includes the current row, so s(d,i) covers position i

@@ -1038,7 +1038,13 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(F.broadcast(dup)).select(
         "*",
         (
-            F.floor(F.col("dup_docs") * 10000.0 / F.col("n_docs") + F.lit(0.5))
+            # try_divide: n_docs == 0 on an empty corpus — ANSI Spark
+            # raises DIVIDE_BY_ZERO where the DuckDB oracle's division
+            # yields NULL (degenerate-fixture fuzz class)
+            F.floor(
+                F.try_divide(F.col("dup_docs") * 10000.0, F.col("n_docs"))
+                + F.lit(0.5)
+            )
             / 10000
         ).alias("dup_rate"),
     )
@@ -1332,7 +1338,10 @@ def p_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def n(cond):
-        return F.sum(cond.cast("long"))
+        # coalesce: these are conditional COUNTs stated as sums — on an
+        # empty corpus SUM yields NULL but the oracle's count(*) FILTER
+        # yields 0 (degenerate-fixture fuzz class)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
 
     one = flags.agg(
         n(F.col("wc") & F.col("ml") & F.col("hs") & F.col("nl")).alias("a"),

@@ -472,12 +472,49 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 @register("q_rollup_revenue", oracle=_ROLLUP)
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with SQL-standard empty-input semantics: the ()
+    grouping set is a global aggregate, so it emits its row (count 0,
+    NULL sums) even over an empty table. Spark's Expand-based rollup
+    emits nothing on empty input (no rows to expand — degenerate-fixture
+    fuzz class), so the () row is derived instead by re-aggregating the
+    subtotal tier and unioned on. The rollup aggregate is
+    localCheckpoint'd first: it is k rows (|flag|x|status| + |flag|), and
+    without the lineage break Catalyst pushes each branch's grouping-id
+    filter below the partial aggregate, splitting the shared exchange
+    into TWO full scans of lineitem — the checkpoint keeps it at one
+    scan + one shuffle + two trivial k-row jobs."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev).alias("raw_rev"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    detail = base.where(F.col("gid") != 3).select(
+        "l_returnflag", "l_linestatus", "raw_rev", "n"
+    )
+    grand = (
+        base.where(F.col("gid") == 1)
+        .agg(
+            F.sum("raw_rev").alias("raw_rev"),
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            "raw_rev",
+            "n",
+        )
+    )
+    return detail.unionByName(grand).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("raw_rev", 2).alias("revenue"),
+        "n",
     )
 
 
@@ -492,10 +529,43 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 @register("q_cube_orders", oracle=_CUBE)
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE with the same derived grand-total row as
+    q_rollup_revenue (see there): Spark's Expand emits no () row over an
+    empty table where SQL-standard CUBE emits one; re-aggregate the
+    (o_orderstatus) tier and union it on. localCheckpoint'd for the same
+    reason as q_rollup_revenue: one scan + one shuffle, then two trivial
+    jobs over the k-row cube result."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.count(F.lit(1)).alias("n"),
+    base = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("raw_total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    detail = base.where(F.col("gid") != 3).select(
+        "o_orderstatus", "o_orderpriority", "raw_total", "n"
+    )
+    grand = (
+        base.where(F.col("gid") == 1)
+        .agg(
+            F.sum("raw_total").alias("raw_total"),
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            "raw_total",
+            "n",
+        )
+    )
+    return detail.unionByName(grand).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("raw_total", 2).alias("total"),
+        "n",
     )
 
 

@@ -92,8 +92,7 @@ def _route_probes(corpus, cent, nprobe: int = 2):
         .withColumn(
             "c_sim",
             F.round(
-                dot(F.col("qv"), F.col("cv"))
-                / (F.col("qnrm") * F.col("c_nrm")),
+                F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qnrm") * F.col("c_nrm")),
                 6,
             ),
         )
@@ -149,7 +148,7 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
     )
@@ -202,7 +201,7 @@ def s_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
     )
@@ -331,7 +330,7 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
     )
@@ -537,7 +536,7 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
     )
@@ -614,7 +613,13 @@ def s_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x")
             - (
                 F.col("lo")
-                + F.round((F.col("x") - F.col("lo")) / scale) * scale
+                # try_divide: a constant dimension (hi == lo, e.g. a
+                # zero-padded coordinate or a 1-row corpus) makes scale 0;
+                # ANSI Spark raises DIVIDE_BY_ZERO where DuckDB's double
+                # division yields NULL, which then null-propagates through
+                # the reconstruction error identically in both engines.
+                + F.round(F.try_divide(F.col("x") - F.col("lo"), scale))
+                * scale
             ),
             2,
         ).alias("sq"),
@@ -1003,7 +1008,7 @@ def s_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
         .where(F.col("cos_sim") >= RANGE_T)
@@ -1064,7 +1069,7 @@ def s_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
             ),
         )
         .groupBy(
@@ -1159,7 +1164,7 @@ def s_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cos_sim",
         F.round(
-            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1355,7 +1360,7 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")),
                 6,
             ),
         )
@@ -1723,7 +1728,7 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srnk") <= BINARY_SHORTLIST)
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("vec_id")
@@ -1816,8 +1821,8 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv").alias("qtv"),
         F.col("tnrm").alias("qtnrm"),
     )
-    tcos = dot(F.col("qtv"), F.col("tv")) / (
-        F.col("qtnrm") * F.col("tnrm")
+    tcos = F.try_divide(
+        dot(F.col("qtv"), F.col("tv")), F.col("qtnrm") * F.col("tnrm")
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("tcos"), F.col("vec_id")
@@ -1829,7 +1834,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srnk") <= BINARY_SHORTLIST)
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("vec_id")
@@ -1951,7 +1956,7 @@ def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cos_sim"),
         )

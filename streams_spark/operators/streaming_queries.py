@@ -1315,6 +1315,14 @@ def _sentinel_feed(
             .select(*columns)
         )
         max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+        if max_ts is None:
+            # empty events source: F.lit(None) + INTERVAL resolves to an
+            # INTERVAL column and the union below fails analysis with
+            # INCOMPATIBLE_COLUMN_TYPE — anchor the watermark-advancing
+            # sentinel at epoch instead (degenerate-fixture fuzz class)
+            import datetime as _dt
+
+            max_ts = _dt.datetime(1970, 1, 1)
         sentinel = spark.createDataFrame(
             sentinel_rows, sentinel_schema
         ).withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 DAYS"))

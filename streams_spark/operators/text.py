@@ -782,18 +782,31 @@ def t_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.agg(
             F.sum("cnt").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+            # coalesce + try_divide: on an empty corpus the oracle's
+            # count(*) FILTER is 0 (not NULL) and its 0/0 ratio is NULL;
+            # a bare SUM would be NULL and a bare / would raise ANSI
+            # DIVIDE_BY_ZERO (degenerate-fixture fuzz class)
+            F.coalesce(
+                F.sum((F.col("cnt") == 1).cast("long")), F.lit(0).cast("long")
+            ).alias("n_hapax"),
             (
                 F.floor(
-                    F.sum((F.col("cnt") == 1).cast("long")).cast("double")
-                    / F.count(F.lit(1))
+                    F.try_divide(
+                        F.coalesce(
+                            F.sum((F.col("cnt") == 1).cast("long")), F.lit(0)
+                        ).cast("double"),
+                        F.count(F.lit(1)),
+                    )
                     * 1000000
                     + F.lit(0.5)
                 )
                 / 1000000
             ).alias("hapax_ratio"),
         )
-        .join(F.broadcast(tops))
+        # left join on TRUE, not inner: `tops` is EMPTY for an empty
+        # corpus, and the card must still emit its one row (with NULL
+        # modal token), exactly like the oracle's aggregate-after-join
+        .join(F.broadcast(tops), F.lit(True), "left")
         .select(
             "n_tokens",
             "n_distinct",

@@ -143,11 +143,15 @@ def v_consume_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_space_offset",
     oracle=EVENT_LOG_CTE
     + """
-SELECT timestamp AS offset_timestamp,
-       segment   AS offset_segment,
-       sequence  AS offset_sequence
-FROM events_log WHERE space = 'signup'
-ORDER BY timestamp DESC, segment DESC, sequence DESC LIMIT 1
+, top AS (
+  SELECT timestamp, segment, sequence
+  FROM events_log WHERE space = 'signup'
+  ORDER BY timestamp DESC, segment DESC, sequence DESC LIMIT 1
+)
+SELECT coalesce((SELECT timestamp FROM top),
+                TIMESTAMP '1970-01-01 00:00:00') AS offset_timestamp,
+       coalesce((SELECT segment FROM top), '')   AS offset_segment,
+       coalesce((SELECT sequence FROM top), 0)   AS offset_sequence
 """,
 )
 def v_space_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +161,8 @@ def v_space_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v_segment_offset",
     oracle=EVENT_LOG_CTE
-    + "SELECT max(sequence) AS offset_sequence FROM events_log "
+    + "SELECT coalesce(max(sequence), 0) AS offset_sequence "
+    "FROM events_log "
     "WHERE space = 'purchase' AND segment = 'seg5'",
 )
 def v_segment_offset(spark: SparkSession, sf_dir: str) -> DataFrame:

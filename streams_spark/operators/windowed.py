@@ -562,21 +562,48 @@ def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.grouping("d") == 0, F.lit("day"))
         .otherwise(F.lit("all"))
     )
-    return (
+    # localCheckpoint: the rollup result is |minutes|+|hours|+|days| rows
+    # (still distributed); without the lineage break Catalyst pushes the
+    # two grouping-id filters below the partial aggregate and the union
+    # branches each rescan events (see q_rollup_revenue)
+    base = (
         ev.rollup("d", "h", "m")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+            F.sum("value").cast("double").alias("raw_sum"),
             # grouping() is only resolvable inside the aggregate
             grain.alias("grain"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    detail = base.where(F.col("gid") != 7).select(
+        "grain",
+        F.coalesce("m", "h", "d").alias("bucket_ts"),
+        "n_events",
+        F.round("raw_sum", 2).alias("sum_value"),
+    )
+    # 'all' grain derived from the day tier, not taken from Spark's ()
+    # grouping set: SQL-standard ROLLUP emits the grand-total row (count
+    # 0) even over an empty table, Spark's Expand emits nothing
+    # (degenerate-fixture fuzz class; see q_rollup_revenue) — both
+    # branches share the rollup exchange (ReusedExchange, one scan)
+    grand = (
+        base.where(F.col("gid") == 3)
+        .agg(
+            F.coalesce(F.sum("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            F.sum("raw_sum").alias("raw_sum"),
         )
         .select(
-            "grain",
-            F.coalesce("m", "h", "d").alias("bucket_ts"),
+            F.lit("all").alias("grain"),
+            F.lit(None).cast("timestamp").alias("bucket_ts"),
             "n_events",
-            "sum_value",
+            F.round("raw_sum", 2).alias("sum_value"),
         )
     )
+    return detail.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------

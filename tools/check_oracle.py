@@ -43,7 +43,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v))
+            # NULL markers diverge by conversion path, not by engine:
+            # Spark's toPandas yields None where DuckDB's df() yields
+            # float NaN (e.g. a BOOLEAN column with NULLs) — canonicalize
+            # both to 'None' before string comparison
+            df[c] = df[c].map(
+                lambda v: "None"
+                if v is None
+                or (isinstance(v, float) and math.isnan(v))
+                or v is pd.NaT
+                else str(v)
+            )
     sort_cols = list(df.columns)
     try:
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)

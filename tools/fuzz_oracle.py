@@ -58,6 +58,10 @@ TEXT_POOL = [
     "ﬀ ligature",
     "é combining acute",
     "ab" * 500,
+    "   \t   ",
+    "x",
+    "z" * 4000,
+    "1234?!.,;:5678",
 ]
 
 PERTURBATIONS = [
@@ -67,12 +71,20 @@ PERTURBATIONS = [
     "orders/customer/supplier: 2-dp money jitter",
     "events: value 2-dp jitter, ts +/-1s jitter, 0.5% duplicated rows, "
     "unicode/empty JSON prop values, 0.5% NULL props, 0.5% NULL value, "
-    "0.3% CONFLICTING duplicates (same event_id/ts, different value)",
-    "documents: 2% unicode/empty text, 1% NULL text (n_chars kept "
-    "consistent), 1% duplicated rows, 0.5% CONFLICTING duplicates "
-    "(same doc_id, different text)",
-    "embeddings: 1% of vectors jittered by +/-0.01 per coordinate",
+    "0.3% CONFLICTING duplicates (same event_id/ts, different value), "
+    "0.2% ts outliers +/-7 days (window/spine boundary stress)",
+    "documents: 2% unicode/empty/whitespace-only/unbroken-4k-token text, "
+    "1% NULL text (n_chars kept consistent), 1% duplicated rows, "
+    "0.5% CONFLICTING duplicates (same doc_id, different text)",
+    "embeddings: 1% of vectors jittered by +/-0.01 per coordinate, "
+    "0.3% all-zero vectors (zero-norm cosine guard)",
 ]
+
+# Degenerate fixtures for --degenerate mode: the same schema with zero
+# rows (empty spaces/segments are a first-class reference state) and with
+# exactly one physical row per table (no referential integrity — joins
+# legitimately come up empty; windows/lag/sessionize see a single point).
+DEGENERATE_KINDS = ["empty", "single"]
 
 
 def _shuffle(df, rng):
@@ -142,6 +154,18 @@ def perturb_table(name: str, df, rng):
             conf["value"].to_numpy() + rng.uniform(1, 50, n_conf), 2
         )
         df = pd.concat([df, conf], ignore_index=True)
+        # Timestamp outliers: corrupt ingest clocks land rows days away
+        # from the corpus; window buckets, gap-fill spines, and
+        # sessionization must not explode or disagree at the far
+        # boundaries. +/-7 days keeps any per-entity spine bounded.
+        out_sel = np.nonzero(rng.random(len(df)) < 0.002)[0]
+        if len(out_sel):
+            days = rng.choice([-7, 7], size=len(out_sel))
+            ts = df["ts"].copy()
+            ts.iloc[out_sel] = ts.iloc[out_sel] + pd.to_timedelta(
+                days, unit="D"
+            )
+            df["ts"] = ts
     elif name == "documents":
         u = rng.random(len(df))
         uni = u < 0.02
@@ -177,6 +201,13 @@ def perturb_table(name: str, df, rng):
         for i in sel:
             v = np.asarray(emb[i], dtype=np.float32)
             emb[i] = v + rng.uniform(-0.01, 0.01, v.shape).astype(np.float32)
+        # Zero-norm vectors: an empty document embeds to the zero vector
+        # in practice; cosine against it divides by zero, and Spark-ANSI
+        # and DuckDB need not agree on double x/0. Operators must guard.
+        zsel = np.nonzero(rng.random(len(df)) < 0.003)[0]
+        for i in zsel:
+            v = np.asarray(emb[i], dtype=np.float32)
+            emb[i] = np.zeros_like(v)
     return _shuffle(df, rng)
 
 
@@ -191,6 +222,21 @@ def build_seed_dir(sf_src: str, seed: int) -> str:
         df = perturb_table(t, df, rng)
         out = pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
         pq.write_table(out, os.path.join(dest, f"{t}.parquet"))
+    return dest
+
+
+def build_degenerate_dir(sf_src: str, kind: str) -> str:
+    """Write the fixture with zero rows (kind='empty') or exactly one
+    physical row per table (kind='single'), schema preserved bit-for-bit.
+    Zero-row spaces/segments are a first-class state in the reference
+    (a freshly created space is empty); single-row tables exercise every
+    lag/lead/spine/sessionize path at its n=1 boundary."""
+    dest = os.path.join(FUZZ_ROOT, kind)
+    os.makedirs(dest, exist_ok=True)
+    n = 0 if kind == "empty" else 1
+    for t in TABLES:
+        table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
+        pq.write_table(table.slice(0, n), os.path.join(dest, f"{t}.parquet"))
     return dest
 
 
@@ -238,19 +284,30 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="FUZZ_r6.json")
     ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument(
+        "--degenerate",
+        action="store_true",
+        help="run the empty/single-row fixtures instead of seeded perturbations",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    seeds = [int(s) for s in args.seeds.split(",")]
+    if args.degenerate:
+        runs = [(k, lambda k=k: build_degenerate_dir(args.sf, k)) for k in DEGENERATE_KINDS]
+    else:
+        runs = [
+            (str(s), lambda s=s: build_seed_dir(args.sf, int(s)))
+            for s in args.seeds.split(",")
+        ]
     results = {}
     any_fail = False
-    for seed in seeds:
-        dest = build_seed_dir(args.sf, seed)
-        print(f"seed {seed}: perturbed tables at {dest}; running sweep...")
+    for key, build in runs:
+        dest = build()
+        print(f"{key}: fixture at {dest}; running sweep...")
         res = run_seed(dest, args.names)
-        results[str(seed)] = res
+        results[key] = res
         any_fail = any_fail or bool(res["fail"])
         print(
-            f"seed {seed}: {res['pass']} pass, {len(res['fail'])} fail, "
+            f"{key}: {res['pass']} pass, {len(res['fail'])} fail, "
             f"{len(res['skip'])} no-oracle"
         )
         for d in res["detail"]:
@@ -260,7 +317,11 @@ def main() -> None:
     payload = {
         "sf": args.sf,
         "seeds": results,
-        "perturbations": PERTURBATIONS,
+        "perturbations": (
+            ["degenerate fixtures: zero rows / one row per table"]
+            if args.degenerate
+            else PERTURBATIONS
+        ),
     }
     with open(os.path.join("/root/repo", args.out), "w") as f:
         json.dump(payload, f, indent=2)
