@@ -573,7 +573,14 @@ def d_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL embeddings (a failed embed job — nullmeas-fixture fuzz class)
+    # would reach np.stack as None rows; the oracle's unnest drops them
+    # with no row, so filter symmetrically before blocking
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     blk = F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int")
     # left side owns block bi and visits every group (bi, j>=bi);
     # right side owns block bj and visits every group (i<=bj, bj).
@@ -933,14 +940,14 @@ WITH d AS (
                                ROWS UNBOUNDED PRECEDING) AS island_id
   FROM fl
 ), merged AS (
-  SELECT doc_id, any_value(n_tokens) AS n_tokens, island_id,
+  SELECT doc_id, max(n_tokens) AS n_tokens, island_id,
          min(start) AS s, max(e) AS e
   FROM isl GROUP BY doc_id, island_id
 )
 SELECT doc_id,
        count(*) AS n_dup_spans,
        CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
-       floor(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens)
+       floor(CAST(sum(e - s + 1) AS DOUBLE) / max(n_tokens)
              * 10000 + 0.5) / 10000 AS dup_frac
 FROM merged GROUP BY doc_id
 """
@@ -1014,8 +1021,13 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island_id",
         F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # max(n_tokens), not first/any_value: a conflicting-duplicate doc_id
+    # (two rows, different texts — seeded-fuzz class) contributes TWO
+    # n_tokens values to the merged span stream, and a nondeterministic
+    # representative lets the engines pick different dup_frac
+    # denominators; max is the deterministic (conservative) choice.
     merged = islands.groupBy("doc_id", "island_id").agg(
-        F.first("n_tokens").alias("n_tokens"),
+        F.max("n_tokens").alias("n_tokens"),
         F.min("start").alias("s"),
         F.max("e").alias("e"),
     )
@@ -1025,7 +1037,7 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.sum(F.col("e") - F.col("s") + 1).cast("double")
-                / F.first("n_tokens")
+                / F.max("n_tokens")
                 * 10000
                 + F.lit(0.5)
             )

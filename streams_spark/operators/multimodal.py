@@ -994,7 +994,7 @@ idx AS (
 ),
 c AS (
   SELECT media_type, md5(substr(s, st[k] + 1, en[k] - st[k])) AS h,
-         en[k] - st[k] AS bytes
+         length(substr(s, st[k] + 1, en[k] - st[k])) AS bytes
   FROM idx WHERE en[k] > st[k]
 ),
 g AS (
@@ -1086,6 +1086,17 @@ def cdc_chunks_of(
             F.concat(F.col("bs"), F.array(F.col("n"))).alias("end"),
         )
     )
+    # bytes = length of the ACTUAL sliced content, not end-start
+    # arithmetic: a conflicting-duplicate doc_id (two rows, different
+    # payloads — seeded-fuzz class) merges both rows' boundary lists,
+    # and a boundary beyond the shorter payload clamps its slice, so
+    # end-start would attach DIFFERENT byte counts to occurrences of
+    # the SAME chunk_md5 — and first()/any_value() then pick different
+    # representatives per engine. Content length is a pure function of
+    # the hash, so the group representative is deterministic.
+    chunk = F.substring(
+        "s", F.col("z.start") + 1, F.col("z.end") - F.col("z.start")
+    )
     return (
         withb.select("doc_id", "media_type", "s", z.alias("z"))
         .select(
@@ -1093,12 +1104,8 @@ def cdc_chunks_of(
             "media_type",
             F.col("z.start").alias("start"),
             F.col("z.end").alias("end"),
-            F.md5(
-                F.substring(
-                    "s", F.col("z.start") + 1, F.col("z.end") - F.col("z.start")
-                )
-            ).alias("chunk_md5"),
-            (F.col("z.end") - F.col("z.start")).cast("long").alias("bytes"),
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("long").alias("bytes"),
         )
         .where(F.col("end") > F.col("start"))
     )

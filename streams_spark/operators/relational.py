@@ -476,46 +476,34 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping set is a global aggregate, so it emits its row (count 0,
     NULL sums) even over an empty table. Spark's Expand-based rollup
     emits nothing on empty input (no rows to expand — degenerate-fixture
-    fuzz class), so the () row is derived instead by re-aggregating the
-    subtotal tier and unioned on. The rollup aggregate is
-    localCheckpoint'd first: it is k rows (|flag|x|status| + |flag|), and
-    without the lineage break Catalyst pushes each branch's grouping-id
-    filter below the partial aggregate, splitting the shared exchange
-    into TWO full scans of lineitem — the checkpoint keeps it at one
-    scan + one shuffle + two trivial k-row jobs."""
+    fuzz class), so a zero-valued () row is synthesized — but ONLY when
+    the input is empty: for non-empty input Spark's own () row is kept,
+    because re-deriving it from the subtotal tier changes the
+    floating-point summation tree vs the oracle's whole-input sum and
+    can flip a cent at a 2-dp rounding boundary (seeded-fuzz class).
+    The rollup aggregate is localCheckpoint'd — it is k rows — so the
+    () existence probe is a trivial job, not a second lineitem scan."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(rev).alias("raw_rev"),
+            F.round(F.sum(rev), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().alias("gid"),
         )
         .localCheckpoint()
     )
-    detail = base.where(F.col("gid") != 3).select(
-        "l_returnflag", "l_linestatus", "raw_rev", "n"
-    )
-    grand = (
-        base.where(F.col("gid") == 1)
-        .agg(
-            F.sum("raw_rev").alias("raw_rev"),
-            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
-        )
-        .select(
+    out = base.select("l_returnflag", "l_linestatus", "revenue", "n")
+    if base.where(F.col("gid") == 3).limit(1).count() == 0:
+        zero = spark.range(1).select(
             F.lit(None).cast("string").alias("l_returnflag"),
             F.lit(None).cast("string").alias("l_linestatus"),
-            "raw_rev",
-            "n",
+            F.lit(None).cast("double").alias("revenue"),
+            F.lit(0).cast("long").alias("n"),
         )
-    )
-    return detail.unionByName(grand).select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("raw_rev", 2).alias("revenue"),
-        "n",
-    )
+        out = out.unionByName(zero)
+    return out
 
 
 _CUBE = """
@@ -529,44 +517,32 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 @register("q_cube_orders", oracle=_CUBE)
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE with the same derived grand-total row as
+    """GROUP BY CUBE with the same empty-input () row as
     q_rollup_revenue (see there): Spark's Expand emits no () row over an
-    empty table where SQL-standard CUBE emits one; re-aggregate the
-    (o_orderstatus) tier and union it on. localCheckpoint'd for the same
-    reason as q_rollup_revenue: one scan + one shuffle, then two trivial
-    jobs over the k-row cube result."""
+    empty table where SQL-standard CUBE emits one, so a zero row is
+    synthesized for empty input only — Spark's native () row is kept
+    otherwise (re-derivation changes the fp summation tree and can flip
+    a rounded cent)."""
     orders = load_table(spark, sf_dir, "orders")
     base = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum("o_totalprice").alias("raw_total"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().alias("gid"),
         )
         .localCheckpoint()
     )
-    detail = base.where(F.col("gid") != 3).select(
-        "o_orderstatus", "o_orderpriority", "raw_total", "n"
-    )
-    grand = (
-        base.where(F.col("gid") == 1)
-        .agg(
-            F.sum("raw_total").alias("raw_total"),
-            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
-        )
-        .select(
+    out = base.select("o_orderstatus", "o_orderpriority", "total", "n")
+    if base.where(F.col("gid") == 3).limit(1).count() == 0:
+        zero = spark.range(1).select(
             F.lit(None).cast("string").alias("o_orderstatus"),
             F.lit(None).cast("string").alias("o_orderpriority"),
-            "raw_total",
-            "n",
+            F.lit(None).cast("double").alias("total"),
+            F.lit(0).cast("long").alias("n"),
         )
-    )
-    return detail.unionByName(grand).select(
-        "o_orderstatus",
-        "o_orderpriority",
-        F.round("raw_total", 2).alias("total"),
-        "n",
-    )
+        out = out.unionByName(zero)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2119,8 +2095,15 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
     )
+    # NULL-price parts: under the oracle's NOT-EXISTS semantics a NULL
+    # dimension can neither dominate nor be dominated (NULL < x is never
+    # true), so such parts are ALWAYS on the frontier and never in the
+    # spine — the plain equi-join below would silently drop them instead
+    # (nullmeas-fixture fuzz class)
+    priced = part.where(F.col("p_retailprice").isNotNull())
+    unpriced = part.where(F.col("p_retailprice").isNull())
     # distinct-price spine with the best (smallest) size at each price
-    spine = part.groupBy("p_retailprice").agg(
+    spine = priced.groupBy("p_retailprice").agg(
         F.min("p_size").alias("best_size")
     )
     # min size over all strictly lower prices: running min shifted by one
@@ -2132,12 +2115,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice", F.min("best_size").over(w).alias("lower_min")
     )
     return (
-        part.join(F.broadcast(spine), "p_retailprice")
+        priced.join(F.broadcast(spine), "p_retailprice")
         .where(
             F.col("lower_min").isNull()
             | (F.col("lower_min") >= F.col("p_size"))
         )
         .select("p_partkey", "p_retailprice", "p_size")
+        .unionByName(unpriced.select("p_partkey", "p_retailprice", "p_size"))
     )
 
 
@@ -2201,7 +2185,18 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy(change.alias("change")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("n2") - F.col("n1")).alias("order_delta"),
-        F.round(F.sum(F.col("t2") - F.col("t1")), 2).alias("revenue_delta"),
+        # coalesce each snapshot total to 0 BEFORE differencing, exactly
+        # like the oracle's coalesce(s2.total, 0) - coalesce(s1.total, 0):
+        # a customer whose every price is NULL has a NULL snapshot sum,
+        # and NULL - NULL would poison the whole group's delta where the
+        # oracle reports 0 (nullmeas-fixture fuzz class)
+        F.round(
+            F.sum(
+                F.coalesce(F.col("t2"), F.lit(0.0))
+                - F.coalesce(F.col("t1"), F.lit(0.0))
+            ),
+            2,
+        ).alias("revenue_delta"),
     )
 
 
@@ -2673,7 +2668,7 @@ _TRIMMED_MEAN = """
 WITH c AS (
   SELECT l_returnflag AS flag,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), r AS (
   SELECT flag, cents,
          row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
@@ -2734,9 +2729,17 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(v)
 
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        trimmed_mean_cents(F.col("l_extendedprice")).alias("raw_mean"),
-        group_size(F.col("l_extendedprice")).alias("n"),
+    # NULL measurements are excluded BEFORE the trim (the standard SQL
+    # aggregate contract): NaN cents would crash the int64 quantization,
+    # and a group whose every price is NULL has no trimmed mean — it
+    # drops out on both engines (nullmeas-fixture fuzz class)
+    agg = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            trimmed_mean_cents(F.col("l_extendedprice")).alias("raw_mean"),
+            group_size(F.col("l_extendedprice")).alias("n"),
+        )
     )
     return agg.select(
         "flag",

@@ -388,6 +388,7 @@ def _kmeans_update_sql(assign_cte: str) -> str:
 _KMEANS = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), c0 AS (
   SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
 ), a0 AS ({_kmeans_pairs_sql('c0')}
@@ -426,7 +427,15 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    corpus = _corpus(spark, sf_dir).select("vec_id", "v").cache()
+    # NULL embeddings are untrainable and excluded (the oracle's e CTE
+    # filters them; np.vstack would crash on a None row, and the init
+    # collect would seed a None centroid — nullmeas-fixture fuzz class)
+    corpus = (
+        _corpus(spark, sf_dir)
+        .where(F.col("v").isNotNull())
+        .select("vec_id", "v")
+        .cache()
+    )
     cents: dict[int, list[float]] = {
         r.vec_id: list(r.v)
         for r in corpus.where(F.col("vec_id") < K_CLUSTERS).collect()
@@ -831,6 +840,7 @@ def _pq_train_cb(ex: DataFrame) -> DataFrame:
 _PQ = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -894,6 +904,7 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SEARCH = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -1558,7 +1569,7 @@ WITH ex AS (
   SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id
 ), u AS (
   SELECT ex.vec_id, ex.label, ex.dim, ex.v / nrm.n AS uv
-  FROM ex JOIN nrm USING (vec_id)
+  FROM ex JOIN nrm USING (vec_id) WHERE nrm.n > 0
 ), pairs AS (
   SELECT a.label, a.vec_id AS va, b.vec_id AS vb, sum(a.uv * b.uv) AS cos
   FROM u a JOIN u b
@@ -1588,7 +1599,11 @@ def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space never materializes, the same trick as variance via
     sum-of-squares. n_vectors counts distinct-va+1 in the oracle purely
     to stay single-pass there; labels with one vector have no pairs and
-    drop out on both engines."""
+    drop out on both engines. Zero-norm vectors (an empty document
+    embeds to all-zeros) have NO cosine with anything, so both engines
+    exclude them BEFORE the identity: keeping them would both divide by
+    zero and break the unit-vector assumption the closed form rests on
+    (seeded-fuzz zero-norm class)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id",
@@ -1597,17 +1612,20 @@ def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "v"
         ),
     )
-    nrm = ex.groupBy("vec_id").agg(
+    nrm = ex.groupBy("vec_id", "label").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
     )
-    u = ex.join(nrm, "vec_id").select(
+    valid = nrm.where(F.col("n") > 0)
+    u = ex.join(valid.select("vec_id", "n"), "vec_id").select(
         "vec_id", "label", "dim", (F.col("v") / F.col("n")).alias("uv")
     )
     sums = u.groupBy("label", "dim").agg(F.sum("uv").alias("s"))
     gram = sums.groupBy("label").agg(
         F.sum(F.col("s") * F.col("s")).alias("ss")
     )
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    counts = valid.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
     j = gram.join(F.broadcast(counts), "label").where(F.col("n_vectors") > 1)
     mean_cos = (F.col("ss") - F.col("n_vectors")) / (
         F.col("n_vectors") * (F.col("n_vectors") - 1)

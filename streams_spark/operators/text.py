@@ -1081,10 +1081,17 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # when/otherwise, not a bare boolean cast: a NULL-text doc has
+        # NULL match counts, and the contract counts it as NOT having
+        # PII (0) — a bare cast propagates NULL and an all-NULL source
+        # then sums to NULL where the oracle's CASE yields 0
+        # (nullmeas-fixture fuzz class)
         F.sum(
-            ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0)
-            .cast("long")
-        ).alias("docs_with_pii"),
+            F.when(
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("docs_with_pii"),
         F.sum("n_email").alias("total_emails"),
         F.sum("n_ipv4").alias("total_ipv4"),
         F.sum("n_phone").alias("total_phones"),

@@ -563,47 +563,40 @@ def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("all"))
     )
     # localCheckpoint: the rollup result is |minutes|+|hours|+|days| rows
-    # (still distributed); without the lineage break Catalyst pushes the
-    # two grouping-id filters below the partial aggregate and the union
-    # branches each rescan events (see q_rollup_revenue)
+    # (still distributed); the lineage break makes the empty-input probe
+    # below a trivial job instead of a second events scan. The 'all'
+    # grain row comes from Spark's NATIVE () grouping set — SQL-standard
+    # ROLLUP emits it (count 0) even over an empty table where Spark's
+    # Expand emits nothing (degenerate-fixture fuzz class), so a zero
+    # row is synthesized for empty input ONLY; re-deriving it from a
+    # subtotal tier would change the fp summation tree vs the oracle
+    # (see q_rollup_revenue).
     base = (
         ev.rollup("d", "h", "m")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").cast("double").alias("raw_sum"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
             # grouping() is only resolvable inside the aggregate
             grain.alias("grain"),
             F.grouping_id().alias("gid"),
         )
         .localCheckpoint()
     )
-    detail = base.where(F.col("gid") != 7).select(
+    out = base.select(
         "grain",
         F.coalesce("m", "h", "d").alias("bucket_ts"),
         "n_events",
-        F.round("raw_sum", 2).alias("sum_value"),
+        "sum_value",
     )
-    # 'all' grain derived from the day tier, not taken from Spark's ()
-    # grouping set: SQL-standard ROLLUP emits the grand-total row (count
-    # 0) even over an empty table, Spark's Expand emits nothing
-    # (degenerate-fixture fuzz class; see q_rollup_revenue) — both
-    # branches share the rollup exchange (ReusedExchange, one scan)
-    grand = (
-        base.where(F.col("gid") == 3)
-        .agg(
-            F.coalesce(F.sum("n_events"), F.lit(0).cast("long")).alias(
-                "n_events"
-            ),
-            F.sum("raw_sum").alias("raw_sum"),
-        )
-        .select(
+    if base.where(F.col("gid") == 7).limit(1).count() == 0:
+        zero = base.sparkSession.range(1).select(
             F.lit("all").alias("grain"),
             F.lit(None).cast("timestamp").alias("bucket_ts"),
-            "n_events",
-            F.round("raw_sum", 2).alias("sum_value"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
         )
-    )
-    return detail.unionByName(grand)
+        out = out.unionByName(zero)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -916,10 +909,15 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(a)
     lo = F.element_at(a, F.floor((n + 1) / 2).cast("int"))
     hi = F.element_at(a, F.ceil((n + 1) / 2).cast("int"))
+    # collect_list SKIPS NULL values, so a frame of 5 NULL measurements
+    # collects an EMPTY array — element_at(a, 0) then errors where
+    # DuckDB's null-skipping median yields NULL. The lazy when-branch
+    # only indexes non-empty frames (nullmeas-fixture fuzz class);
+    # mixed frames agree for free (both engines median the non-nulls).
     return ev.select(
         "user_id",
         "event_id",
-        F.round((lo + hi) / 2.0, 4).alias("med5"),
+        F.when(n > 0, F.round((lo + hi) / 2.0, 4)).alias("med5"),
     )
 
 

@@ -81,10 +81,29 @@ PERTURBATIONS = [
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
-# rows (empty spaces/segments are a first-class reference state) and with
+# rows (empty spaces/segments are a first-class reference state), with
 # exactly one physical row per table (no referential integrity — joins
-# legitimately come up empty; windows/lag/sessionize see a single point).
-DEGENERATE_KINDS = ["empty", "single"]
+# legitimately come up empty; windows/lag/sessionize see a single point),
+# and with every MEASUREMENT column NULL while identity/key columns are
+# kept (a corpus whose payloads all failed extraction: aggregates land in
+# the all-NULL regime — SUM/AVG → NULL, COUNT(col) → 0 — where engines
+# disagree most readily on conditional counts, ratios, and NULL ordering).
+DEGENERATE_KINDS = ["empty", "single", "nullmeas"]
+
+# Measurement columns per table for the nullmeas fixture. Identity (keys,
+# timestamps, categorical flags) stays; everything a query would SUM/AVG/
+# ratio over goes NULL. documents.text drags n_chars with it (the seeded
+# perturbation keeps the two consistent; nullmeas must too).
+NULLMEAS_COLS = {
+    "events": ["value", "props"],
+    "documents": ["text", "n_chars"],
+    "embeddings": ["embedding"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+}
 
 
 def _shuffle(df, rng):
@@ -226,17 +245,27 @@ def build_seed_dir(sf_src: str, seed: int) -> str:
 
 
 def build_degenerate_dir(sf_src: str, kind: str) -> str:
-    """Write the fixture with zero rows (kind='empty') or exactly one
-    physical row per table (kind='single'), schema preserved bit-for-bit.
-    Zero-row spaces/segments are a first-class state in the reference
-    (a freshly created space is empty); single-row tables exercise every
-    lag/lead/spine/sessionize path at its n=1 boundary."""
+    """Write the fixture with zero rows (kind='empty'), exactly one
+    physical row per table (kind='single'), or all measurement columns
+    NULL (kind='nullmeas'), schema preserved bit-for-bit. Zero-row
+    spaces/segments are a first-class state in the reference (a freshly
+    created space is empty); single-row tables exercise every
+    lag/lead/spine/sessionize path at its n=1 boundary; nullmeas drives
+    every aggregate into the all-NULL regime at full row count."""
+    import pyarrow as pa
+
     dest = os.path.join(FUZZ_ROOT, kind)
     os.makedirs(dest, exist_ok=True)
-    n = 0 if kind == "empty" else 1
     for t in TABLES:
         table = pq.read_table(os.path.join(sf_src, f"{t}.parquet"))
-        pq.write_table(table.slice(0, n), os.path.join(dest, f"{t}.parquet"))
+        if kind == "nullmeas":
+            for col in NULLMEAS_COLS.get(t, []):
+                i = table.schema.get_field_index(col)
+                nulls = pa.nulls(len(table), type=table.schema.field(i).type)
+                table = table.set_column(i, table.schema.field(i), nulls)
+        else:
+            table = table.slice(0, 0 if kind == "empty" else 1)
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
     return dest
 
 
