@@ -2095,16 +2095,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
     )
-    # NULL-price parts: under the oracle's NOT-EXISTS semantics a NULL
-    # dimension can neither dominate nor be dominated (NULL < x is never
-    # true), so such parts are ALWAYS on the frontier and never in the
-    # spine — the plain equi-join below would silently drop them instead
-    # (nullmeas-fixture fuzz class)
-    priced = part.where(F.col("p_retailprice").isNotNull())
-    unpriced = part.where(F.col("p_retailprice").isNull())
-    # distinct-price spine with the best (smallest) size at each price
-    spine = priced.groupBy("p_retailprice").agg(
-        F.min("p_size").alias("best_size")
+    # distinct-price spine with the best (smallest) size at each price;
+    # NULL prices never enter the spine — under the oracle's NOT-EXISTS
+    # semantics a NULL dimension can neither dominate nor be dominated
+    # (NULL < x is never true)
+    spine = (
+        part.where(F.col("p_retailprice").isNotNull())
+        .groupBy("p_retailprice")
+        .agg(F.min("p_size").alias("best_size"))
     )
     # min size over all strictly lower prices: running min shifted by one
     w = (
@@ -2114,14 +2112,17 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spine.select(
         "p_retailprice", F.min("best_size").over(w).alias("lower_min")
     )
+    # LEFT join, not inner: a NULL-price part has no spine row, its
+    # lower_min stays NULL, and the isNull arm keeps it — always on the
+    # frontier, in the same single scan (nullmeas-fixture fuzz class;
+    # an inner equi-join silently drops NULL keys)
     return (
-        priced.join(F.broadcast(spine), "p_retailprice")
+        part.join(F.broadcast(spine), "p_retailprice", "left")
         .where(
             F.col("lower_min").isNull()
             | (F.col("lower_min") >= F.col("p_size"))
         )
         .select("p_partkey", "p_retailprice", "p_size")
-        .unionByName(unpriced.select("p_partkey", "p_retailprice", "p_size"))
     )
 
 
