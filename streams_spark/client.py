@@ -67,6 +67,40 @@ def get_cluster_status(spark) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _peek_key(log: DataFrame, cols: list[str]):
+    """TOTAL ordering key for peek winners: sequence first, then every
+    remaining entry column with NULLs coalesced to type-minimum
+    sentinels. A duplicated max sequence (corrupt re-ingest whose copies
+    DISAGREE on payload — seeded-fuzz class) must resolve to the SAME
+    winner in Spark and the SQL oracle; a bare max_by(…, sequence) lets
+    each engine break the tie arbitrarily, and NULL fields inside a raw
+    struct comparison order differently per engine, so the key is
+    NULL-free by construction. Fully-identical duplicate rows still tie,
+    harmlessly — every pick is the same row."""
+    dtypes = dict(log.dtypes)
+    fields = [F.col("sequence")]
+    for c in cols:
+        if c == "sequence":
+            continue
+        col, dt = F.col(c), dtypes[c]
+        if dt == "string":
+            fields.append(F.coalesce(col, F.lit("")))
+        elif dt in ("double", "float"):
+            fields.append(F.coalesce(col, F.lit(float("-inf"))))
+        elif dt == "timestamp":
+            fields.append(
+                F.coalesce(col, F.to_timestamp(F.lit("1970-01-01")))
+            )
+        elif dt in ("bigint", "int", "smallint", "tinyint"):
+            fields.append(F.coalesce(col, F.lit(-(2**62))))
+        elif dt == "binary":
+            fields.append(F.coalesce(col, F.lit(b"")))
+        # anything unorderable (map, array-of-map, …) is left OUT of the
+        # key: max_by rejects it, and the orderable prefix already
+        # separates any two rows that differ in an orderable field
+    return F.struct(*fields)
+
+
 def peek(
     log: DataFrame, space: str, segment: str, strict: bool = False
 ) -> DataFrame:
@@ -87,10 +121,11 @@ def peek(
     # ONE max_by over the packed struct, not one per column: independent
     # per-column max_by calls may break a duplicated-max-sequence tie
     # differently per column and stitch together a row that never
-    # existed; the struct form always returns one coherent entry.
+    # existed; the struct form always returns one coherent entry, and
+    # the _peek_key total order makes WHICH entry deterministic.
     agg = (
         log.where((F.col("space") == space) & (F.col("segment") == segment))
-        .agg(F.max_by(F.struct(*cols), "sequence").alias("e"))
+        .agg(F.max_by(F.struct(*cols), _peek_key(log, cols)).alias("e"))
     )
     if strict:
         hit = F.col("e.sequence").isNotNull()
@@ -120,10 +155,11 @@ def peek_all(log: DataFrame) -> DataFrame:
     as one aggregation: max_by over sequence, no window shuffle needed."""
     cols = [c for c in log.columns if c not in ("space", "segment")]
     # single struct max_by: one coherent last entry per segment even
-    # when the max sequence is duplicated (see peek)
+    # when the max sequence is duplicated, deterministic via the
+    # _peek_key total order (see peek)
     return (
         log.groupBy("space", "segment")
-        .agg(F.max_by(F.struct(*cols), "sequence").alias("e"))
+        .agg(F.max_by(F.struct(*cols), _peek_key(log, cols)).alias("e"))
         .select(
             "space", "segment", *[F.col(f"e.{c}").alias(c) for c in cols]
         )

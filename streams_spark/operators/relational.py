@@ -268,7 +268,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9 = """
 SELECT n_name AS nation_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) + 50) / 100) / 100 AS profit
 FROM part, supplier, lineitem, orders, nation
 WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
   AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -279,6 +280,19 @@ GROUP BY nation_name, o_year
 
 @register("q9_profit_by_nation_year", oracle=_Q9)
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp). Profit is accumulated in
+    EXACT integer 1e-4 units, not a double sum: l_extendedprice and
+    l_discount are 2-dp, so each row's ext*(1-disc) lies on the 1e-4
+    grid and both engines quantize it to the SAME int64 (the double
+    product is identical bit-for-bit; round() just snaps the ~1e-9 fp
+    residue back to the grid). Int64 addition is order-free, so the
+    group sum cannot drift with partition/merge order — the double-sum
+    formulation flipped a rounded cent on two (nation, year) groups
+    under seed-6 money jitter (fuzz class: cross-engine fp summation
+    trees straddling a .005 boundary). The final 2-dp rounding is pure
+    integer arithmetic ((s+50)/100 then /100), so no tie can re-enter
+    through the division; group sums stay < 2^53, exact under the
+    double-typed floor()."""
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -287,6 +301,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation_name"))
+    q4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -294,9 +311,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("nation_name", "o_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit")
+            (F.floor((F.sum(q4) + 50) / 100) / 100).alias("profit")
         )
     )
 

@@ -45,14 +45,24 @@ def v_get_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_peek_all",
     oracle=EVENT_LOG_CTE
     + """
-SELECT space, segment,
-       arg_max(sequence, sequence)  AS sequence,
-       arg_max(timestamp, sequence) AS timestamp,
-       arg_max(event_id, sequence)  AS event_id,
-       arg_max(user_id, sequence)   AS user_id,
-       arg_max(value, sequence)     AS value,
-       arg_max(payload, sequence)   AS payload
-FROM events_log GROUP BY space, segment
+-- TOTAL tie-break matching client._peek_key: a duplicated max sequence
+-- (corrupt re-ingest, copies disagreeing on payload — seeded-fuzz
+-- class) must pick the same winner as Spark's max_by; NULLs are
+-- coalesced to type minima so row comparison never hits engine-specific
+-- NULL ordering
+SELECT space, segment, sequence, timestamp, event_id, user_id,
+       value, payload
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY space, segment
+    ORDER BY sequence DESC,
+             coalesce(timestamp, TIMESTAMP '1970-01-01') DESC,
+             coalesce(event_id, -4611686018427387904) DESC,
+             coalesce(user_id, -4611686018427387904) DESC,
+             coalesce(value, CAST('-infinity' AS DOUBLE)) DESC,
+             coalesce(payload, '') DESC) AS rn
+  FROM events_log
+) WHERE rn = 1
 """,
 )
 def v_peek_all(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,8 +44,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # and runnable regardless of position.
 ROUND_PRIORITY = [
     # --- round 6 window (first 50) ---
-    # head: new query added this round (needs first driver evidence)
+    # head: new queries added this round (need first driver evidence)
     "m_jpeg_real",
+    "p_ingest_guard",
     # the 29 rows whose last driver evidence is round 1 (all re-verified
     # green via tools/check_oracle.py by the round-5 judge; the two
     # approx ops are the deliberate rows-only entries)
@@ -99,9 +100,9 @@ ROUND_PRIORITY = [
     "w_range_join",
     "w_range_join_bucketed",
     "w_retention",
-    "w_running_totals",
     # ---- 50-query window boundary: everything below is the round-7 ----
     # ---- head (the remaining r2-green rows) ----
+    "w_running_totals",
     "w_sessionize",
     "w_tumbling_hourly",
     "q_json_props",
