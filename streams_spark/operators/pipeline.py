@@ -559,7 +559,10 @@ WITH keyed AS (
          -- zero/NULL weight -> +inf key: a weightless doc is NEVER
          -- drawn (Efraimidis-Spirakis limit), rather than erroring on
          -- /0 or sorting NULL first (fuzz finding r6)
-         CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 'infinity'::DOUBLE
+         -- <= 0 (not just = 0): the engine's when(n_chars > 0) sends
+         -- every non-positive weight to +inf, so a negative n_chars
+         -- must not compute a negative key here (ADVICE r6)
+         CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 'infinity'::DOUBLE
               ELSE -ln((CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) + 0.5) / 4294967296.0) / n_chars

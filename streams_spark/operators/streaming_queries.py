@@ -587,10 +587,12 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_STATS_ORACLE = """
 WITH c AS (
-  -- NULL value = no measurement: skipped entirely, not counted
-  -- (fuzz finding r6)
+  -- NULL/NaN/Inf value = no measurement: skipped entirely, not counted
+  -- (fuzz finding r6; isfinite mirrors the engine's math.isfinite skip
+  -- so a NaN row cannot error the CAST here while the engine drops it,
+  -- ADVICE r6) — isfinite(NULL) is NULL, so it subsumes IS NOT NULL
   SELECT user_id, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
-  FROM events WHERE "value" IS NOT NULL
+  FROM events WHERE isfinite("value")
 ), a AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_events,
@@ -642,8 +644,10 @@ def st_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, s, ss = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             for v in pdf["value"]:
-                if v is None or v != v:  # NULL/NaN = no measurement
-                    continue  # (fuzz finding r6)
+                if v is None or not math.isfinite(v):
+                    # NULL/NaN/Inf = no measurement (fuzz finding r6;
+                    # Inf added ADVICE r6 to mirror the oracle isfinite)
+                    continue
                 c = int(math.floor(v * 100 + 0.5))
                 n += 1
                 s += c

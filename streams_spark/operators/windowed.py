@@ -933,7 +933,12 @@ WITH e AS (
          last_value("value")  OVER w AS close
   FROM events
   WINDOW w AS (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
-               ORDER BY ts, event_id, "value"
+               -- NULLS FIRST pins DuckDB to Spark's struct ordering,
+               -- where a NULL field sorts before any value: duplicated
+               -- (ts, event_id) rows where one copy has NULL value must
+               -- pick the same open/close in both engines (ADVICE r6)
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                        "value" NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING
                         AND UNBOUNDED FOLLOWING)
 )

@@ -100,9 +100,13 @@ def event_log(
     # NULLS LAST explicitly: Spark's ascending default is nulls-first,
     # DuckDB's is nulls-last — the tie-break keys must agree on where a
     # NULL payload sorts or degenerate ties renumber differently
+    # ts/event_id also pin NULLS LAST: Spark's ascending default is
+    # nulls-first, DuckDB's is nulls-last, so a NULL ts or event_id
+    # would renumber sequences differently per engine (ADVICE r6);
+    # inert for well-formed logs where both are non-NULL
     w = Window.partitionBy("space", "segment").orderBy(
-        F.col("ts"),
-        F.col("event_id"),
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
         F.col("value").asc_nulls_last(),
         F.col("props").asc_nulls_last(),
     )
