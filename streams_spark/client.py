@@ -76,15 +76,30 @@ def _peek_key(log: DataFrame, cols: list[str]):
     each engine break the tie arbitrarily, and NULL fields inside a raw
     struct comparison order differently per engine, so the key is
     NULL-free by construction. Fully-identical duplicate rows still tie,
-    harmlessly — every pick is the same row."""
+    harmlessly — every pick is the same row.
+
+    Width (r7): string/binary fields enter the key as a 33-byte
+    'v'+md5 digest, not the raw value, so the max_by agg payload stays
+    fixed-size no matter how wide the payload column is (the r6
+    whole-row struct roughly doubled v_peek_all's agg cost). Any
+    deterministic total order works as long as BOTH engines use the
+    same one — the oracle orders by the identical md5 expression. The
+    'v' prefix keeps a NULL ('' after the CASE) strictly below an
+    EMPTY value, a distinction the old coalesce-to-'' sentinel
+    collapsed. Numeric/timestamp fields stay native: 8 bytes, exact,
+    no cross-engine float-formatting hazard."""
     dtypes = dict(log.dtypes)
     fields = [F.col("sequence")]
     for c in cols:
         if c == "sequence":
             continue
         col, dt = F.col(c), dtypes[c]
-        if dt == "string":
-            fields.append(F.coalesce(col, F.lit("")))
+        if dt in ("string", "binary"):
+            fields.append(
+                F.when(col.isNull(), F.lit("")).otherwise(
+                    F.concat(F.lit("v"), F.md5(col))
+                )
+            )
         elif dt in ("double", "float"):
             fields.append(F.coalesce(col, F.lit(float("-inf"))))
         elif dt == "timestamp":
@@ -93,8 +108,6 @@ def _peek_key(log: DataFrame, cols: list[str]):
             )
         elif dt in ("bigint", "int", "smallint", "tinyint"):
             fields.append(F.coalesce(col, F.lit(-(2**62))))
-        elif dt == "binary":
-            fields.append(F.coalesce(col, F.lit(b"")))
         # anything unorderable (map, array-of-map, …) is left OUT of the
         # key: max_by rejects it, and the orderable prefix already
         # separates any two rows that differ in an orderable field

@@ -91,13 +91,31 @@ def identity_docs(docs):
     document identity across the dedup/fingerprint/corpus-LM family, so
     duplicate physical rows — even corrupt copies that DISAGREE on
     text — must resolve to the same document on both engines (fuzz
-    findings r6; the oracles apply the identical
-    min(text) GROUP BY doc_id). One text-sized, map-side-combined
-    shuffle; callers whose upstream guarantees uniqueness skip it via
-    their assume_unique flags."""
-    return (
-        docs.select("doc_id", "text")
-        .where(F.col("text").isNotNull())
+    findings r6; the oracles apply the identical min(text) GROUP BY
+    doc_id).
+
+    Digest-narrow (r7, reversing the r6 hardening tax): instead of one
+    corpus-wide full-text shuffle, find the duplicated doc_ids with an
+    8-byte-key count aggregate, route ONLY those (normally zero) rows
+    through the min(text) aggregate, and pass everything else through
+    map-only. The join against the duplicated-id set is AQE-sized: tiny
+    in every real corpus -> runtime broadcast, map-only; pathological
+    all-duplicate fixtures degrade to a shuffle join, never OOM. Net
+    shuffle payload at 100 TB: doc_id longs corpus-wide + full text for
+    the duplicated rows only, vs full text corpus-wide before. Callers
+    whose upstream guarantees uniqueness skip even that via their
+    assume_unique flags."""
+    base = docs.select("doc_id", "text").where(F.col("text").isNotNull())
+    dup_ids = (
+        base.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("doc_id")
+    )
+    uniq = base.join(dup_ids, "doc_id", "left_anti")
+    deduped = (
+        base.join(dup_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"))
     )
+    return uniq.unionByName(deduped)

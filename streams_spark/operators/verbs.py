@@ -49,7 +49,10 @@ def v_get_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 -- (corrupt re-ingest, copies disagreeing on payload — seeded-fuzz
 -- class) must pick the same winner as Spark's max_by; NULLs are
 -- coalesced to type minima so row comparison never hits engine-specific
--- NULL ordering
+-- NULL ordering. The payload enters the order as the identical
+-- 'v'+md5 digest Spark's key uses ('' for NULL, strictly below any
+-- value) — hash order, not lexicographic, but the SAME deterministic
+-- total order in both engines, at fixed width (r7)
 SELECT space, segment, sequence, timestamp, event_id, user_id,
        value, payload
 FROM (
@@ -60,7 +63,8 @@ FROM (
              coalesce(event_id, -4611686018427387904) DESC,
              coalesce(user_id, -4611686018427387904) DESC,
              coalesce(value, CAST('-infinity' AS DOUBLE)) DESC,
-             coalesce(payload, '') DESC) AS rn
+             CASE WHEN payload IS NULL THEN ''
+                  ELSE 'v' || md5(payload) END DESC) AS rn
   FROM events_log
 ) WHERE rn = 1
 """,
