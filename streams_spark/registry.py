@@ -43,96 +43,97 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 6 window (first 50) ---
-    # head: new queries added this round (need first driver evidence)
-    "m_jpeg_real",
-    "p_ingest_guard",
-    # the 29 rows whose last driver evidence is round 1 (all re-verified
-    # green via tools/check_oracle.py by the round-5 judge; the two
-    # approx ops are the deliberate rows-only entries)
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "q_setops",
-    "q_cube_orders",
-    "q_grouping_sets",
-    "q_rollup_revenue",
-    "q_scalar_functions",
-    "q_date_functions",
-    "q_array_functions",
-    "q_distinct_aggs",
-    "q_percentiles",
-    "q_pivot_linestatus",
-    "q_unpivot",
-    "q_salted_agg",
-    "q_approx_count_distinct",
-    "q_approx_percentile",
-    "w_topk_suppliers_per_nation",
-    # remaining 20 slots: the oldest r2-green rows (verb surface, then
-    # the batch window family)
-    "v_get_spaces",
-    "v_get_segments",
+    # --- round 7 window (first 50) ---
+    # head: queries CHANGED this round (perf narrowing of the identity
+    # dedup + peek key, ADVICE r6 oracle alignments) — they need fresh
+    # driver evidence on the new code paths
     "v_peek_all",
-    "v_consume_segment",
-    "v_consume_space",
-    "v_consume_interleave",
-    "v_space_offset",
-    "v_segment_offset",
-    "v_cluster_status",
-    "v_sequence_validate",
-    "v_produce_status",
-    "v_metadata_filter",
-    "w_asof_purchase_click",
-    "w_customer_ranks",
-    "w_funnel",
-    "w_hypertable_rollup",
-    "w_range_join",
-    "w_range_join_bucketed",
-    "w_retention",
-    # ---- 50-query window boundary: everything below is the round-7 ----
-    # ---- head (the remaining r2-green rows) ----
-    "w_running_totals",
-    "w_sessionize",
-    "w_tumbling_hourly",
     "q_json_props",
-    "q_map_functions",
+    "w_ohlc_bars",
+    "st_running_stats",
+    "p_weighted_sample",
+    "d_ngram_jaccard",
+    "d_containment",
+    "d_dup_clusters",
+    "t_fingerprint",
+    "t_ngram_freq",
+    # then the rotation debt: every remaining row whose latest driver
+    # evidence is round 2, oldest first (the r6 verdict's stale-80 list;
+    # all green in the r6 sf0.1 cross-scale gate + fuzz sweep)
+    "d_embedding_cosine",
     "d_exact_dup_groups",
     "d_exact_stats",
-    "d_dup_clusters",
-    "d_ngram_jaccard",
-    "d_embedding_cosine",
     "d_sample_systematic",
-    "s_cosine_topk",
-    "s_nearest_neighbor",
-    "t_contamination",
-    "t_fingerprint",
-    "t_lang_id",
-    "t_ngram_freq",
-    "t_quality_rollup",
-    "t_rolling_hash",
-    "t_text_stats",
-    "t_token_count",
     "m_decode_media",
     "m_feature_extract",
     "m_frame_sample",
     "m_resize",
+    "q_map_functions",
+    "s_cosine_topk",
+    "s_nearest_neighbor",
     "st_sequence_state",
     "st_session_window",
     "st_sliding_window",
     "st_stream_join",
     "st_tumbling_stream",
     "st_watermark_late",
+    "t_contamination",
+    "t_lang_id",
+    "t_quality_rollup",
+    "t_rolling_hash",
+    "t_text_stats",
+    "t_token_count",
+    "w_running_totals",
+    "w_sessionize",
+    "w_tumbling_hourly",
+    # r3-latest rows, filling the window to 50
+    "d_dup_spans",
+    "d_incremental_dedup",
+    "d_prefix_dedup",
+    "p_corpus_shuffle",
+    "p_funnel_report",
+    "p_pack_sequences",
+    "p_source_mix",
+    "p_source_priority",
+    "p_token_budget",
+    "p_train_val_split",
+    "q_correlated_exists",
+    "q_full_outer",
+    "q_lateral_explode",
+    "q_outliers",
+    # ---- 50-query window boundary: everything below is the round-8 ----
+    # ---- head (the remaining r3-green rows) ----
+    "q_salted_join",
+    "q_stats_functions",
+    "q_window_frames",
+    "s_ann_lsh_topk",
+    "s_centroid_search",
+    "s_kmeans_train",
+    "s_pq_search",
+    "s_pq_train",
+    "s_recall_eval",
+    "s_vector_quantize",
+    "st_stream_dedup",
+    "st_stream_enrich",
+    "st_stream_topk",
+    "t_char_entropy",
+    "t_heavy_hitters",
+    "t_length_histogram",
+    "t_pii_redact",
+    "t_repetition",
+    "t_tfidf_keywords",
+    "t_unigram_lm",
+    "t_vocab_stats",
+    "v_chunked_produce",
+    "v_latest_entity_state",
+    "v_watermark_lag",
+    "w_asof_forward",
+    "w_attribution",
+    "w_gap_fill",
+    "w_pareto_customers",
+    "w_rolling_dau",
+    "w_rolling_median",
+    "w_user_streaks",
     # later-round-window queries stay registered behind these
     # (import order)
 ]
