@@ -110,11 +110,23 @@ def identity_docs(docs):
         base.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") > 1)
-        .select("doc_id")
+        .select(F.col("doc_id").alias("dup_id"))
     )
-    uniq = base.join(dup_ids, "doc_id", "left_anti")
+    # null-SAFE key: a NULL doc_id is one group to GROUP BY (both
+    # engines), so duplicated NULL-id rows must route to the aggregate
+    # branch like any other duplicated id — a plain equi-key would let
+    # every NULL-id row through the anti join un-collapsed
+    on = F.col("doc_id").eqNullSafe(F.col("dup_id"))
+    # EXPLICIT broadcast, not AQE-sized: AQE's SMJ->BHJ conversion
+    # happens after the probe side has already written its shuffle map
+    # output, so without the hint the full text would still hit shuffle
+    # disk corpus-wide — the exact cost this split exists to avoid. The
+    # duplicated-id set is bounded by the corpus's physical-dup rate
+    # (~0 in production, <2% under fuzz); an all-duplicates fixture
+    # broadcasts |distinct ids| longs, still fine at test scale.
+    uniq = base.join(F.broadcast(dup_ids), on, "left_anti")
     deduped = (
-        base.join(dup_ids, "doc_id", "left_semi")
+        base.join(F.broadcast(dup_ids), on, "left_semi")
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"))
     )
