@@ -76,11 +76,13 @@ def _clear_session_caches(spark) -> None:
     on-disk staged-feed parquet is deliberately KEPT — it persists
     across processes too, so a fresh judge session would also see it."""
     spark.catalog.clearCache()
+    from streams_spark.functions import text_funcs
     from streams_spark.operators import dedup, similarity
 
     dedup._SHINGLE_CACHE.clear()
     dedup._EDGE_CACHE.clear()
     similarity._PQ_ELEMENT_CACHE.clear()
+    text_funcs._IDENTITY_CACHE.clear()
 
 
 def main() -> None:

@@ -131,3 +131,26 @@ def identity_docs(docs):
         .agg(F.min("text").alias("text"))
     )
     return uniq.unionByName(deduped)
+
+
+_IDENTITY_CACHE: dict = {}
+
+
+def identity_documents(spark, sf_dir: str):
+    """Session-cached identity_docs over the documents table. The split
+    subtree (three pruned scans + two narrow aggregates) re-expands at
+    EVERY reference to the returned frame — a query using the identity
+    view twice (t_contamination's probe/corpus split, t_bigram_lm's
+    count tables) would re-plan and re-run it per reference. Caching
+    collapses all of them onto one InMemoryRelation, the same pattern
+    (and the same 100 TB analog: a materialized staged view next to the
+    corpus) as shingle_table. Callers holding an arbitrary frame rather
+    than a (spark, sf_dir) table keep calling identity_docs directly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _IDENTITY_CACHE.get(key)
+    if df is None:
+        from streams_spark.sources.tables import load_table
+
+        df = identity_docs(load_table(spark, sf_dir, "documents")).cache()
+        _IDENTITY_CACHE[key] = df
+    return df

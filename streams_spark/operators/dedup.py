@@ -255,9 +255,16 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT (it is the verification twin for LSH), so no posting is
     dropped here; at 100 TB either cap hot hashes above a df threshold
     (a standard PPJoin concession — near-zero Jaccard signal, but a
-    documented divergence from the exact definition) or use the
-    suffix-norm prefix filter exactly as d_tfidf_cosine does, which
-    bounds the join with NO semantic change.
+    documented divergence from the exact definition) or add the PPJoin
+    prefix filter, which bounds the join with NO semantic change.
+    Measured note (r7, SCALING.md): the prefix must be taken in
+    DOCUMENT-FREQUENCY order (rarest token first) to pay off — with the
+    feed's hash order (≈ random frequency) the prefix cut postings 2x
+    at sf0.1 but still emitted 430k candidate pairs needing an
+    array_intersect verify each, costing more than the one
+    co-occurrence aggregate it replaced. The deployed 100 TB variant
+    bakes a df pass + per-doc (df, hash) re-sort into the shingle feed
+    and prefixes THAT order.
     """
     # cached signature table (shared session-wide — see shingle_table):
     # the self-join re-plans (and would re-execute) each side after
@@ -2134,13 +2141,13 @@ def d_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash-check an LSH pipeline end to end; deploy the xxhash
     twin when that check isn't needed. (Measured at sf0.1: 64 md5s per
     shingle cost 21.7 s; one md5 + 64 integer perms ~3 s.)"""
-    docs = load_table(spark, sf_dir, "documents")
     # identity normalization before gram_rows (same contract as
     # hashed_shingle_sets): duplicate rows break the gram window's
-    # uniqueness precondition and pollute signatures (fuzz findings r6)
-    from streams_spark.functions.text_funcs import identity_docs
+    # uniqueness precondition and pollute signatures (fuzz findings
+    # r6); session-cached so the split subtree plans and runs once
+    from streams_spark.functions.text_funcs import identity_documents
 
-    grams = gram_rows(identity_docs(docs), 3).distinct()
+    grams = gram_rows(identity_documents(spark, sf_dir), 3).distinct()
     base = grams.select(
         "doc_id",
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)

@@ -15,7 +15,7 @@ from streams_spark.functions.text_funcs import (
     gram_rows,
     STOPWORDS,
     avg_token_len,
-    identity_docs,
+    identity_documents,
     stopword_ratio,
     tokens,
 )
@@ -272,8 +272,8 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identity normalization before gram_rows (window precondition +
     # fingerprint contract: one signature per doc_id, none for NULL
     # text — fuzz findings r6, same rule as the dedup family's shingle
-    # builder)
-    docs = identity_docs(docs)
+    # builder); session-cached so the split subtree plans once
+    docs = identity_documents(spark, sf_dir)
     h = gram_rows(docs, 5).select("doc_id", F.md5("gram").alias("h"))
     wr = Window.partitionBy("doc_id").orderBy("h")
     top4 = h.withColumn("rk", F.dense_rank().over(wr)).where(F.col("rk") <= 4)
@@ -385,7 +385,7 @@ def t_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     df=1 shingles never survives the partial aggregate's combiner."""
     # identity normalization (fuzz findings r6): a census over
     # distinct documents, and a missing doc contributes no grams
-    docs = identity_docs(load_table(spark, sf_dir, "documents"))
+    docs = identity_documents(spark, sf_dir)
     toks = tokens("text")
     grams = F.transform(
         F.sequence(
@@ -460,7 +460,7 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identity normalization (fuzz findings r6): duplicate rows would
     # double n_overlap (frac > 1), and xxhash64(NULL) is a non-null
     # seed that fabricates a gram for missing docs
-    docs = identity_docs(load_table(spark, sf_dir, "documents"))
+    docs = identity_documents(spark, sf_dir)
     toks = tokens("text")
     grams = F.array_distinct(
         F.transform(
@@ -1693,7 +1693,7 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identity normalization (same contract as the oracle): duplicate
     # rows corrupt both the corpus counts and the lead-window bigram
     # stream (fuzz findings r6)
-    docs = identity_docs(load_table(spark, sf_dir, "documents"))
+    docs = identity_documents(spark, sf_dir)
     ex = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
     )
