@@ -179,6 +179,72 @@ def peek_all(log: DataFrame) -> DataFrame:
     )
 
 
+def peek_all_tail(unnumbered: DataFrame) -> DataFrame:
+    """peek_all FUSED with sequence assignment: given the event-log
+    mapping WITHOUT the row_number window (event_log(numbered=False)),
+    the last entry per (space, segment) is the max row under the
+    numbering order, and its sequence is simply the partition row
+    count — so the whole per-partition sort the window needs collapses
+    into ONE partial-aggregable groupBy (count + max_by). This is the
+    Spark analog of the reference's SeekLT tail read
+    (/root/reference/server/pebble/service.go:820-840): O(1)-ish work
+    per segment instead of materializing a numbering nobody consumes.
+    At 100 TB the win is structural — no sort, and the shuffle carries
+    one partial (count, argmax-struct) pair per (space, segment) per
+    map task instead of every event.
+
+    The argmax key replicates the numbering order's asc_nulls_last
+    exactly: each column is (is-null flag, coalesced value), so a NULL
+    sorts ABOVE every value — the position nulls-last gives it — while
+    the struct comparison itself never sees a NULL field. payload stays
+    RAW (not digested) because the numbering order is lexicographic on
+    it; the key travels only in the per-group agg state, never row-wise
+    through a shuffle, so width is harmless here."""
+    null_high = [
+        (
+            F.col("timestamp").isNull().cast("int"),
+            F.coalesce(F.col("timestamp"), F.to_timestamp(F.lit("1970-01-01"))),
+        ),
+        (
+            F.col("event_id").isNull().cast("int"),
+            F.coalesce(F.col("event_id"), F.lit(0)),
+        ),
+        (
+            F.col("value").isNull().cast("int"),
+            F.coalesce(F.col("value"), F.lit(0.0)),
+        ),
+        (
+            F.col("payload").isNull().cast("int"),
+            F.coalesce(F.col("payload"), F.lit("")),
+        ),
+    ]
+    key = F.struct(
+        *[
+            e.alias(f"k{i}")
+            for i, pair in enumerate(null_high)
+            for e in pair
+        ]
+    )
+    entry = F.struct("timestamp", "event_id", "user_id", "value", "payload")
+    return (
+        unnumbered.groupBy("space", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("sequence"),
+            F.max_by(entry, key).alias("e"),
+        )
+        .select(
+            "space",
+            "segment",
+            "sequence",
+            F.col("e.timestamp").alias("timestamp"),
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.value").alias("value"),
+            F.col("e.payload").alias("payload"),
+        )
+    )
+
+
 def get_segment_offset(log: DataFrame, space: str, segment: str) -> DataFrame:
     """Max sequence in a segment (offset key, not row) —
     /root/reference/server/pebble/service.go:209-212. An empty or

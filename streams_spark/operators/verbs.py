@@ -70,7 +70,11 @@ FROM (
 """,
 )
 def v_peek_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return client.peek_all(event_log(spark, sf_dir))
+    """Fused tail peek (r7): sequence numbering + top-1 collapse into
+    one aggregate — client.peek_all_tail docstring has the plan
+    argument; the oracle still derives the same rows through the full
+    numbered CTE, proving the fusion is semantics-preserving."""
+    return client.peek_all_tail(event_log(spark, sf_dir, numbered=False))
 
 
 @register(

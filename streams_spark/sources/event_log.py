@@ -59,6 +59,7 @@ def event_log(
     segments: list[str] | None = None,
     max_timestamp=None,
     with_metadata: bool = False,
+    numbered: bool = True,
 ) -> DataFrame:
     """Canonical event log, with explicit predicate pushdown BELOW the
     sequence-assignment window (the analog of the reference turning
@@ -113,7 +114,7 @@ def event_log(
     cols = [
         F.col("space"),
         F.col("segment"),
-        F.col("sequence"),
+        *([F.col("sequence")] if numbered else []),
         F.col("ts").alias("timestamp"),
         F.col("event_id"),
         F.col("user_id"),
@@ -129,12 +130,10 @@ def event_log(
             ),
             F.col("event_id").alias("trx_number"),
         ]
-    return (
-        ev.withColumn("space", F.col("event_type"))
-        .withColumn(
-            "segment",
-            F.concat(F.lit("seg"), (F.col("user_id") % NUM_SEGMENTS).cast("string")),
-        )
-        .withColumn("sequence", F.row_number().over(w))
-        .select(*cols)
+    out = ev.withColumn("space", F.col("event_type")).withColumn(
+        "segment",
+        F.concat(F.lit("seg"), (F.col("user_id") % NUM_SEGMENTS).cast("string")),
     )
+    if numbered:
+        out = out.withColumn("sequence", F.row_number().over(w))
+    return out.select(*cols)
