@@ -670,7 +670,7 @@ _STRATA_PRED = " OR ".join(
 _STRATIFIED = f"""
 WITH drawn AS (
   SELECT lang,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
               AS INTEGER) % 1000 AS r
   FROM documents
 )
@@ -2081,7 +2081,7 @@ WITH d AS (
   SELECT doc_id, unnest(shingles) AS g FROM sh
 ), hashed AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
   FROM ex
 ), perms AS (
   SELECT doc_id, s.s,
@@ -2225,7 +2225,7 @@ WITH d AS (
   -- side's note on list_distinct vs array_distinct ordering)
   SELECT doc_id,
          list_sort(list_transform(list_distinct(str_split(text, ' ')),
-             t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
          ))[1:8192] AS hvs
   FROM documents
 ), h AS (

@@ -44,7 +44,12 @@ DECODED_SCHEMA = (
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents: payload = utf-8 bytes of
     the text (stand-in for image bytes), typed metadata struct."""
-    docs = load_table(spark, sf_dir, "documents")
+    # identity-keyed: a NULL doc_id has no media identity (it would
+    # otherwise fall into the CASE's ELSE class and fabricate a video) —
+    # null-key fuzz class r7; the paired oracles filter identically
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -149,7 +154,7 @@ WITH m AS (
          -- fans out when doc_id is not unique (duplicate input rows),
          -- which the Spark side (no join) never does — fuzz finding r6
          text AS t
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT doc_id, media_type,
        CAST(64 + octet_length(payload) % 577 AS INTEGER) AS width,
@@ -161,7 +166,7 @@ SELECT doc_id, media_type,
        CASE WHEN payload IS NULL THEN NULL
             ELSE CAST(coalesce(list_sum(list_transform(
                      range(octet_length(payload)),
-                     i -> CAST(concat('0x', substr(hex(payload), 2 * i + 1, 2))
+                     i -> CAST(('0x' || substr(hex(payload), 2 * i + 1, 2))
                                AS INTEGER))), 0) % 1000000007 AS BIGINT)
        END AS checksum
 FROM m
@@ -272,12 +277,13 @@ _FEATURES_ORACLE = """
 -- engine's 0-defaults — fuzz finding r6
 WITH m AS (
   SELECT doc_id, encode(text) AS payload FROM documents
+  WHERE doc_id IS NOT NULL
 ), b AS (
   SELECT doc_id, octet_length(payload) AS n,
          CASE WHEN payload IS NULL THEN NULL
               ELSE coalesce(list_sum(list_transform(
                        range(octet_length(payload)),
-                       i -> CAST(concat('0x', substr(hex(payload),
+                       i -> CAST(('0x' || substr(hex(payload),
                                  2 * i + 1, 2)) AS INTEGER))), 0)
          END AS byte_sum
   FROM m
@@ -347,7 +353,7 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          md5(text) AS payload_md5
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), groups AS (
   SELECT media_type, payload_md5, count(*) AS n,
          min(doc_id) AS survivor_id
@@ -401,7 +407,7 @@ def m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _REAL_DECODE_ORACLE = """
-WITH d AS (SELECT DISTINCT doc_id FROM documents),
+WITH d AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
 png AS (
   SELECT doc_id,
          16 + doc_id % 24 AS w,
@@ -443,9 +449,15 @@ def media_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_spark.functions.codecs import png_encode, wav_encode
 
     # DISTINCT doc_id: the synthetic media tables are keyed by doc
-    # identity, so duplicate corpus rows yield ONE blob per doc
-    # (fuzz finding r6)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
+    # identity, so duplicate corpus rows yield ONE blob per doc (fuzz
+    # finding r6); a NULL id has no identity to derive bytes from, so
+    # it has no media row (null-key fuzz class r7) — oracles agree
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+    )
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -859,7 +871,7 @@ WITH m AS (
   SELECT doc_id, doc_id % 3 AS mode,
          17 + doc_id % 23 AS w,
          14 + (doc_id * 3) % 19 AS h
-  FROM (SELECT DISTINCT doc_id FROM documents)
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
 ), geo AS (
   SELECT doc_id, w, h,
          CASE mode WHEN 0 THEN 'grey' WHEN 1 THEN 'rgb444'
@@ -897,9 +909,15 @@ def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_spark.functions.jpeg import jpeg_encode
 
     # DISTINCT doc_id: the synthetic media tables are keyed by doc
-    # identity, so duplicate corpus rows yield ONE blob per doc
-    # (fuzz finding r6)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct()
+    # identity, so duplicate corpus rows yield ONE blob per doc (fuzz
+    # finding r6); a NULL id has no identity to derive bytes from, so
+    # it has no media row (null-key fuzz class r7) — oracles agree
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+    )
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -973,12 +991,12 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          text AS s, len(text) AS n
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 b AS (
   SELECT doc_id, i
   FROM (SELECT doc_id, s, unnest(range(8, n + 1)) AS i FROM m)
-  WHERE CAST(concat('0x', substr(md5(substr(s, i - 7, 8)), 1, 4))
+  WHERE CAST(('0x' || substr(md5(substr(s, i - 7, 8)), 1, 4))
              AS INTEGER) % 32 = 0
 ),
 bs AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id),

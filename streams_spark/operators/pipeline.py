@@ -38,8 +38,12 @@ PREFIX_GROUP = 100  # docs per prefix-sum group
 
 _PACK = f"""
 WITH sized AS (
+  -- doc_id IS NOT NULL: the packing layout is keyed by doc identity;
+  -- a NULL id has no position in the concat order (and the engines
+  -- disagree on where NULL sorts), so it is out of the layout on both
+  -- sides (null-key fuzz class r7)
   SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), placed AS (
   SELECT doc_id, n_tokens,
          sum(n_tokens) OVER (ORDER BY doc_id
@@ -66,7 +70,10 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global running total is a two-level distributed prefix sum (see
     module docstring) — no single-task global window anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-id docs are out of the layout (see oracle comment)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     sized = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_tokens"),
@@ -115,7 +122,7 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT = """
 WITH bucketed AS (
   SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
               AS INTEGER) % 100 AS bucket
   FROM documents
 )
@@ -198,7 +205,7 @@ WITH tiered AS (
          CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5 THEN 0
               WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10 THEN 1
               ELSE 2 END AS tier,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
               AS INTEGER) % 10 AS r
   FROM documents
 )
@@ -351,8 +358,8 @@ N_SHARDS = 16
 _SHUFFLE = f"""
 WITH keyed AS (
   SELECT doc_id,
-         md5(concat('shuf-', CAST(doc_id AS VARCHAR))) AS k,
-         CAST(concat('0x', substr(md5(concat('shuf-', CAST(doc_id AS VARCHAR))),
+         md5(('shuf-' || CAST(doc_id AS VARCHAR))) AS k,
+         CAST(('0x' || substr(md5(('shuf-' || CAST(doc_id AS VARCHAR))),
                                   1, 4)) AS INTEGER) % {N_SHARDS} AS shard
   FROM documents
 )
@@ -562,8 +569,10 @@ WITH keyed AS (
          -- <= 0 (not just = 0): the engine's when(n_chars > 0) sends
          -- every non-positive weight to +inf, so a negative n_chars
          -- must not compute a negative key here (ADVICE r6)
-         CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 'infinity'::DOUBLE
-              ELSE -ln((CAST(concat('0x',
+         -- doc_id IS NULL too: no id, no md5 draw (null-key fuzz r7)
+         CASE WHEN doc_id IS NULL OR n_chars IS NULL OR n_chars <= 0
+              THEN 'infinity'::DOUBLE
+              ELSE -ln((CAST(('0x' ||
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) + 0.5) / 4294967296.0) / n_chars
          END AS k
@@ -571,7 +580,9 @@ WITH keyed AS (
 )
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM keyed
-ORDER BY k, doc_id
+-- NULLS FIRST matches Spark's ascending default on the doc_id
+-- tie-break (matters only if the LIMIT cuts inside the +inf tie group)
+ORDER BY k, doc_id NULLS FIRST
 LIMIT {SAMPLE_K}
 """
 
@@ -598,9 +609,12 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    # zero/NULL weight -> +inf key (never drawn); see the oracle comment
+    # zero/NULL weight OR NULL doc_id -> +inf key (never drawn): a NULL
+    # id has no md5 draw, and a NULL key would sort nulls-FIRST in Spark
+    # vs nulls-LAST in DuckDB (null-key fuzz class r7); see the oracle
     key = F.when(
-        F.col("n_chars") > 0, -F.log(u) / F.col("n_chars")
+        F.col("doc_id").isNotNull() & (F.col("n_chars") > 0),
+        -F.log(u) / F.col("n_chars"),
     ).otherwise(F.lit(float("inf")))
     return (
         docs.select("doc_id", "source", "n_chars", key.alias("k"))
@@ -887,9 +901,9 @@ _SPLIT_LEAKAGE = """
 WITH assigned AS (
   SELECT doc_id,
          md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp,
-         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 80 THEN 'train'
-              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM documents WHERE text IS NOT NULL
@@ -1071,8 +1085,10 @@ WITH sized AS (
   FROM naive GROUP BY batch_id
 ), bucketed AS (
   SELECT n_tokens, n_tokens // {LEN_BUCKET} AS bucket,
+         -- NULLS FIRST: Spark's window default; a NULL doc_id must
+         -- land in the same batch slot per engine (null-key fuzz r7)
          row_number() OVER (PARTITION BY n_tokens // {LEN_BUCKET}
-                            ORDER BY doc_id) - 1 AS rn
+                            ORDER BY doc_id NULLS FIRST) - 1 AS rn
   FROM sized
 ), bucketed_b AS (
   SELECT bucket, rn // {BATCH_DOCS} AS batch_id, count(*) AS n,
@@ -1181,21 +1197,24 @@ WITH sized AS (
   SELECT * FROM sized WHERE n_tokens >= 10 AND n_tokens <= 5000
 ), dedup AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    -- NULLS FIRST: Spark's window default — a NULL-id doc colliding
+    -- with a real doc on fp must win keep-first in BOTH engines
+    -- (null-key fuzz class r7)
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id NULLS FIRST) AS rn
     FROM quality
   ) WHERE rn = 1
 ), split AS (
   SELECT *,
-         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 80 THEN 'train'
-              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                    AS INTEGER) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
          CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 5
               THEN 0
               WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) < 10
               THEN 1 ELSE 2 END AS tier,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
               AS INTEGER) % 10 AS r
   FROM dedup
 ), mixed AS (

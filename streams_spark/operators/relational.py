@@ -79,7 +79,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3 = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       -- exact integer 1e-4 accumulation, same rationale as q9: a
+       -- double sum straddled a .005 midpoint differently per engine
+       -- under seed-11 money jitter
+       floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) + 50) / 100) / 100 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -104,9 +108,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # exact integer 1e-4 accumulation (q9's pattern): int64 addition
+        # is order-free, so the 2-dp rounding cannot flip with the
+        # partition/merge order of a double sum
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100
+                )
+                / 100
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -867,7 +887,7 @@ SELECT p_partkey,
        upper(p_name)                                    AS name_upper,
        substr(p_name, 1, 5)                             AS name_prefix,
        CAST(length(p_name) AS INTEGER)                  AS name_len,
-       concat(p_brand, ':', p_type)                     AS brand_type,
+       p_brand || ':' || p_type                         AS brand_type,
        regexp_extract(p_brand, 'Brand#([0-9]+)', 1)     AS brand_num,
        replace(p_name, ' ', '_')                        AS name_snake,
        round(abs(p_retailprice - 1000.0), 2)            AS price_dev,
@@ -2298,7 +2318,7 @@ KMV_K = 64
 _KMV_DISTINCT = f"""
 WITH hashed AS (
   SELECT DISTINCT o_orderpriority,
-         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
               AS BIGINT) AS h
   FROM orders
 ), ranked AS (
@@ -2384,7 +2404,7 @@ WITH d AS (
   SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
 ), h AS (
   SELECT p, c,
-         CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+         CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))
               AS BIGINT) AS h
   FROM d
 ), ranked AS (
@@ -2881,6 +2901,11 @@ def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf("int", useArrow=True)
     def luhn(uid):
+        if uid is None:
+            # NULL user_id -> NULL digit, matching the oracle's
+            # NULL-propagating list_sum over reverse(CAST(NULL))
+            # (null-key fuzz class r7)
+            return None
         total = 0
         for i, c in enumerate(reversed(str(uid))):
             d = int(c)

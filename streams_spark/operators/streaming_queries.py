@@ -453,7 +453,10 @@ def st_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_DEDUP_ORACLE = """
-SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), ':', event_type))
+-- || not concat: DuckDB's concat SKIPS NULLs where Spark's
+-- null-propagates, so a NULL user_id must hash to NULL on both sides
+-- and dedup to ONE null-key row (null-key fuzz class r7)
+SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || ':' || event_type)
     AS content_hash
 FROM events
 """
@@ -799,7 +802,10 @@ WITH c AS (
   FROM c
 )
 SELECT a.user_id, a.n_types, a.n_events, t.top_type
-FROM a JOIN t ON t.user_id = a.user_id AND t.rn = 1
+-- IS NOT DISTINCT FROM: the NULL user is a real state key in the
+-- engine's keyed fold; a plain equi-join would drop its profile row
+-- here (null-key fuzz class r7)
+FROM a JOIN t ON t.user_id IS NOT DISTINCT FROM a.user_id AND t.rn = 1
 """
 
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
@@ -1131,7 +1137,7 @@ def _cms_stream_oracle() -> str:
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS t FROM documents
 ), h AS (
-  SELECT t, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
+  SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
 ), rows_ AS (
   SELECT r.r, a.a, b.b
   FROM (SELECT unnest(range({CMS_D})) AS r) r
@@ -1146,7 +1152,7 @@ WITH tok AS (
   GROUP BY 1, 2
 ), probe AS (
   SELECT t AS term,
-         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS x
   FROM (SELECT unnest([{probes}]) AS t)
 )
 SELECT p.term, min(coalesce(c.cnt, 0)) AS est_count
@@ -1487,11 +1493,18 @@ def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).where(F.col("user_id") >= 0).select(
-        "user_id",
-        F.col("sw.start").alias("session_start"),
-        F.col("sw.end").alias("session_end"),
-        "n_events",
+    # the sentinel filter must not also drop NULL-user sessions: a NULL
+    # user_id is a real (single) session group in both engines, and
+    # NULL >= 0 is NULL, not false (null-key fuzz class r7)
+    return (
+        spark.table(sink)
+        .where(F.col("user_id").isNull() | (F.col("user_id") >= 0))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

@@ -1652,8 +1652,12 @@ WITH d AS (
 ), tot AS (
   SELECT CAST(count(*) AS DOUBLE) AS n FROM ex
 ), big AS (
+  -- IS NOT DISTINCT FROM: the NULL-id document is one document (the
+  -- engine's lead() window treats NULL doc_id as one partition), so
+  -- its bigrams must survive this self-align too (null-key fuzz r7)
   SELECT a.doc_id, a.pos, a.term AS w_prev, b.term AS w_cur
-  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  FROM ex a JOIN ex b ON a.doc_id IS NOT DISTINCT FROM b.doc_id
+                     AND b.pos = a.pos + 1
 ), bfreq AS (
   SELECT w_prev, w_cur, count(*) AS cb FROM big GROUP BY 1, 2
 )
@@ -1747,9 +1751,13 @@ WITH d AS (
 )
 SELECT ex.doc_id,
        count(*) AS n_grams,
-       CAST(sum(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
-            AS BIGINT) AS novel_grams,
-       floor(sum(CASE WHEN o.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+       -- IS NOT DISTINCT FROM: the NULL-id document owns a gram iff
+       -- min() skipped every id, matching the engine's eqNullSafe
+       -- (null-key fuzz class r7)
+       CAST(sum(CASE WHEN o.first_doc IS NOT DISTINCT FROM ex.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       floor(sum(CASE WHEN o.first_doc IS NOT DISTINCT FROM ex.doc_id
+                 THEN 1 ELSE 0 END)
              * 10000.0 / count(*) + 0.5) / 10000 AS novelty
 FROM ex JOIN owner o USING (shingle)
 GROUP BY ex.doc_id
@@ -1777,8 +1785,12 @@ def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(spark, sf_dir)  # (doc_id, hs: sorted gram hashes)
     ex = sh.select("doc_id", F.explode("hs").alias("h"))
     owner = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # null-SAFE equality: the NULL-id document owns a gram iff min()
+    # skipped every id (gram appears only there) — a plain == yields
+    # NULL, which sum() skips, leaving novel_grams NULL instead of the
+    # oracle's CASE-else-0 (null-key fuzz class r7)
     novel = F.sum(
-        (F.col("first_doc") == F.col("doc_id")).cast("long")
+        F.col("first_doc").eqNullSafe(F.col("doc_id")).cast("long")
     )
     return (
         ex.join(owner, "h")
@@ -1915,7 +1927,7 @@ _CMS_HEAVY = f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS t FROM documents
 ), h AS (
-  SELECT t, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
+  SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS x FROM tok
 ), rows_ AS (
   SELECT r.r, a.a, b.b
   FROM (SELECT unnest(range({CMS_D})) AS r) r

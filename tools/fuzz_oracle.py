@@ -78,6 +78,12 @@ PERTURBATIONS = [
     "0.5% CONFLICTING duplicates (same doc_id, different text)",
     "embeddings: 1% of vectors jittered by +/-0.01 per coordinate, "
     "0.3% all-zero vectors (zero-norm cosine guard)",
+    "NULL keys (new r7): 0.3% NULL doc_id in documents (identity/dedup "
+    "grouping of the NULL-id class), 0.3% NULL user_id in events "
+    "(NULL segment derivation, NULL window partitions). NULL event_id/"
+    "ts are a documented future class - streaming watermarks DROP "
+    "NULL-event-time rows by design where a batch oracle keeps the "
+    "NULL group, so that axis needs per-query contracts first.",
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
@@ -185,6 +191,13 @@ def perturb_table(name: str, df, rng):
                 days, unit="D"
             )
             df["ts"] = ts
+        # NULL user_id (new r7): the segment derivation ('seg' ||
+        # user_id % 8) must NULL-propagate identically, NULL window
+        # partitions must stay one group in both engines
+        nuluser = rng.random(len(df)) < 0.003
+        if nuluser.any():
+            df["user_id"] = df["user_id"].astype("Int64")
+            df.loc[nuluser, "user_id"] = None
     elif name == "documents":
         u = rng.random(len(df))
         uni = u < 0.02
@@ -214,6 +227,13 @@ def perturb_table(name: str, df, rng):
             lambda t: len(t) if t is not None else None
         )
         df = pd.concat([df, conf], ignore_index=True)
+        # NULL doc_id (new r7): both engines GROUP BY the NULL id as
+        # ONE document; the identity split's null-safe join keys (and
+        # every doc_id aggregate/window downstream) must agree
+        nulid = rng.random(len(df)) < 0.003
+        if nulid.any():
+            df["doc_id"] = df["doc_id"].astype("Int64")
+            df.loc[nulid, "doc_id"] = None
     elif name == "embeddings":
         sel = np.nonzero(rng.random(len(df)) < 0.01)[0]
         emb = df["embedding"].to_numpy(copy=False)
