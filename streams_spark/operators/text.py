@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streams_spark.functions.text_funcs import (
     gram_rows,
+    hashed_gram_rows,
     STOPWORDS,
     avg_token_len,
     identity_documents,
@@ -445,41 +446,36 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the contaminated fraction of their distinct 13-grams.
 
     Scale design: shingles are hashed so the join key is a fixed-width
-    long, not an ~80-char string — and hashed AFTER the explode, as a
-    codegen'd column (hash calls inside a higher-order-function lambda
-    are interpreted per element: measured 3x the whole query). The hash
-    is an internal join key only — the output is counts — so Spark uses
-    xxhash64 while the oracle uses md5; both are collision-free here, so
-    the counts agree. The shingle builder is slice+array_join (one
-    interpreted call per position) rather than n element_at calls.
+    long, not an ~80-char string. The hash is an internal join key only —
+    the output is counts — so Spark uses xxhash64 while the oracle uses
+    md5; both are collision-free here, so the counts agree. The gram
+    builder is hashed_gram_rows (posexplode + lead window over 8-byte
+    token hashes, fully codegen'd, no gram string ever materialized):
+    the previous array-HOF slice+array_join formulation evaluated its
+    lambda INTERPRETED per position and copied a 13-element slice each
+    time — measured 77 s cache-cleared at sf0.1 vs ~9 s for this plan
+    (the shared-warm best-of-3 had hidden the cost behind the .cache()).
+    The distinct-grams-per-doc set and its size are one (doc_id, h)
+    distinct plus a per-doc window count — 16-byte rows, both
+    partial-agg'd.
     In production the probe side is a fixed benchmark suite — tiny and
     scale-invariant — so it gets F.broadcast and the whole check is a
     map-only scan over the corpus; here the probe grows with the corpus
     (an id-slice), so the join is left to AQE rather than
     force-broadcast."""
     # identity normalization (fuzz findings r6): duplicate rows would
-    # double n_overlap (frac > 1), and xxhash64(NULL) is a non-null
-    # seed that fabricates a gram for missing docs
+    # double n_overlap (frac > 1), and it is gram_rows' unique-doc_id
+    # window precondition
     docs = identity_documents(spark, sf_dir)
-    toks = tokens("text")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size(toks) - (CONTAM_N - 1), F.lit(1)),
-            ),
-            lambda i: F.array_join(F.slice(toks, i, CONTAM_N), " "),
-        )
-    )
-    # one pass builds the exploded+hashed signature stream; cached because
-    # the probe and corpus branches both consume it
+    # distinct hashed 13-grams per doc + the per-doc distinct count;
+    # cached because the probe and corpus branches both consume it
     sig = (
-        docs.select(
-            "doc_id",
-            F.size(grams).alias("n_ngrams"),
-            F.explode(grams).alias("s"),
+        hashed_gram_rows(docs, CONTAM_N)
+        .select("doc_id", F.col("gram_hash").alias("h"))
+        .distinct()
+        .withColumn(
+            "n_ngrams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
-        .select("doc_id", "n_ngrams", F.xxhash64("s").alias("h"))
         .cache()
     )
     probe = sig.where(F.col("doc_id") % 10 == 0).select("h").distinct()
