@@ -42,12 +42,16 @@ def stopword_ratio(toks: Column, stopwords: list[str] | None = None) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
 
 
-def avg_token_len(toks: Column) -> Column:
-    return F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size(toks)
+def avg_token_len(text: Column | str, toks: Column) -> Column:
+    """Mean token length of a SINGLE-CHAR-separator split: the tokens
+    partition the text around (n-1) one-char separators, so
+    sum(length(token)) == length(text) - (n_tokens - 1) exactly — pure
+    codegen arithmetic instead of an array-HOF aggregate whose lambda
+    evaluates interpreted per element (r7). Both operands are integers
+    below 2^53, so the double division is bit-identical to summing the
+    per-token lengths. Precondition: toks == split(text, <1-char sep>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - (F.size(toks) - F.lit(1))).cast("double") / F.size(toks)
 
 
 def gram_rows(docs, n: int):

@@ -70,7 +70,7 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000
         ).alias("distinct_ratio"),
-        (F.floor(avg_token_len(toks) * 1000000 + F.lit(0.5)) / 1000000).alias(
+        (F.floor(avg_token_len("text", toks) * 1000000 + F.lit(0.5)) / 1000000).alias(
             "avg_token_len"
         ),
         (F.floor(stopword_ratio(toks) * 1000000 + F.lit(0.5)) / 1000000).alias(
@@ -321,21 +321,24 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is an embarrassingly parallel scan with no shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    # regexp_count, not size(regexp_extract_all): identical count of
+    # non-overlapping leftmost matches, but no array of match strings is
+    # ever materialized — the scan stays a pure counter (r7)
+    bpe_n = F.regexp_count("text", F.lit(_BPE_RE))
     return docs.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
-        F.size(bpe).cast("long").alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r" ?[A-Za-z]+"), 0))
+        bpe_n.cast("long").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(r" ?[A-Za-z]+"))
         .cast("long")
         .alias("n_alpha_runs"),
-        F.size(F.regexp_extract_all("text", F.lit(r" ?[0-9]+"), 0))
+        F.regexp_count("text", F.lit(r" ?[0-9]+"))
         .cast("long")
         .alias("n_digit_runs"),
         (
             F.floor(
                 F.length("text").cast("double")
-                / F.greatest(F.size(bpe), F.lit(1))
+                / F.greatest(bpe_n, F.lit(1))
                 * 10000
                 + F.lit(0.5)
             )
