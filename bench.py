@@ -131,10 +131,17 @@ def main() -> None:
     # memos. Still one JVM (a fresh session per query would measure
     # startup, not the plan); the shared-warm best-of-3 above remains
     # the headline for continuity with rounds 1-6.
+    # min-of-2: the host shows multi-x noise spikes (r7 measured a
+    # 14.8 s d_dup_clusters cold run against a stable 2.4-2.9 s when
+    # repeated); each attempt still clears every cache first, so both
+    # runs are genuinely cold — the min is the plan's cost.
     cold: dict[str, float] = {}
     for name in names:
-        _clear_session_caches(spark)
-        cold[name] = round(run_query(name), 3)
+        attempts = []
+        for _ in range(2):
+            _clear_session_caches(spark)
+            attempts.append(run_query(name))
+        cold[name] = round(min(attempts), 3)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)

@@ -548,3 +548,68 @@ def test_grid_quantile_rank_rule_equals_sorted_index(values, num):
             break
     want = cells[-(-num * n // 10) - 1]  # ceil(num*n/10), 1-indexed
     assert picked == want
+
+
+# token alphabet WITHOUT the split separator; includes "" so texts get
+# consecutive spaces (empty tokens) — the edge the hash-tuple/concat_ws
+# bijection argument must survive
+_tok = st.text(
+    alphabet=st.sampled_from("ab1.'"), min_size=0, max_size=3
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_tok, min_size=1, max_size=18), min_size=1, max_size=6
+    ),
+    n=st.sampled_from([3, 13]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hashed_gram_rows_matches_string_gram_classes(spark, docs, n):
+    """hashed_gram_rows must induce EXACTLY the equality classes of
+    gram_rows' concat_ws strings — per-doc distinct counts and cross-doc
+    overlaps both (t_contamination's correctness rests on this): token
+    tuples are bijective with the joined strings (tokens cannot contain
+    the separator) and multi-column xxhash64 skips NULL leads exactly as
+    concat_ws skips them, truncated short-doc grams included."""
+    from streams_spark.functions.text_funcs import gram_rows, hashed_gram_rows
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    s_str = gram_rows(df, n).distinct()
+    s_hash = hashed_gram_rows(df, n).distinct()
+
+    # per-doc distinct gram counts agree
+    c_str = {
+        r.doc_id: r.c
+        for r in s_str.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    c_hash = {
+        r.doc_id: r.c
+        for r in s_hash.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert c_str == c_hash
+
+    # cross-doc overlap classes agree: |shared distinct grams| per doc
+    # pair is identical under string identity and hash identity
+    def overlaps(s, key):
+        a, b = s.alias("a"), s.alias("b")
+        rows = (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        return {(r.da, r.db): r.c for r in rows}
+
+    assert overlaps(s_str, "gram") == overlaps(s_hash, "gram_hash")
