@@ -1433,7 +1433,13 @@ def st_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).where(F.col("c_user") >= 0).select(
+    # sentinels are NEGATIVE user_ids; a NULL-user click is a real row
+    # the oracle's LEFT JOIN keeps (never matching, emitted with NULL
+    # purchase columns at eviction) and NULL >= 0 is NULL, not false —
+    # the st_session_stream rule (null-key fuzz class r7, seed 6)
+    return spark.table(sink).where(
+        F.col("c_user").isNull() | (F.col("c_user") >= 0)
+    ).select(
         F.col("c_id").alias("click_id"),
         F.col("c_user").alias("user_id"),
         F.col("c_ts").alias("click_ts"),

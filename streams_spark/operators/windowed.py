@@ -462,9 +462,15 @@ def w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).over(w)
     staged = staged.withColumn("t_purchase", t_purchase)
+    # NULL-user rows (null-key fuzz class r7, seed 6): the oracle's v
+    # CTE is a plain GROUP BY, where NULL is one real group — wrap the
+    # key in a struct so countDistinct sees struct(NULL) as a countable
+    # value. The LATER stages stay bare user_id: the oracle reaches
+    # them through equi-joins, which never match the NULL group, and
+    # countDistinct ignoring a NULL key models exactly that.
     return staged.agg(
         F.countDistinct(
-            F.when(F.col("t_view").isNotNull(), F.col("user_id"))
+            F.when(F.col("t_view").isNotNull(), F.struct("user_id"))
         ).alias("n_view"),
         F.countDistinct(
             F.when(F.col("t_click").isNotNull(), F.col("user_id"))
