@@ -303,6 +303,77 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d_ngram_jaccard_prefix", oracle=_NGRAM_JACCARD)
+def d_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d_ngram_jaccard's deployed 100 TB formulation: the PPJoin-style
+    PREFIX-FILTERED join in DOCUMENT-FREQUENCY order (AllPairs/PPJoin,
+    Xiao et al.) — same exact result set, same oracle.
+
+    Why df order: the prefix theorem needs only SOME global token
+    order, but the candidate count depends on which one. The SMALLEST
+    common element of any qualifying pair provably sits in both
+    prefixes (if every common element were past x's prefix of length
+    |x| - ceil(t|x|) + 1, then |x ∩ y| <= ceil(t|x|) - 1 < t|x| <=
+    t|x ∪ y| — contradiction), so joining prefixes on equal tokens is
+    complete for J >= t. Ordering by ascending document frequency puts
+    the RAREST tokens in every prefix: hot boilerplate shingles fall
+    out of the join entirely, which is the difference SCALING.md
+    measured between this and the hash-ordered prefix (430k candidate
+    pairs -> ~the true pair set on the synthetic corpus).
+
+    Plan: df pass (one posting-stream aggregate) -> per-doc (df, h)
+    rank -> prefix self-join with the size-ratio prune -> exact
+    array_intersect verify on the CANDIDATE PAIRS ONLY. Three shuffles
+    + the verify joins; every frame after the prefix cut is
+    candidate-sized. At 100 TB the df table is |distinct shingles|
+    8-byte keys maintained next to the signature feed, and the verify
+    never sees a pair the prefixes didn't vouch for."""
+    sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
+    ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    pref = (
+        ex.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
+        )
+        .select("doc_id", "n", "h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    max_ratio = 1.0 / JACCARD_T
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= F.col("b.n") * max_ratio)
+            & (F.col("b.n") <= F.col("a.n") * max_ratio),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    ver = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+    return ver.where(jac >= JACCARD_T).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (shingle → minhash sig → band → bucket join → verify)
 # ---------------------------------------------------------------------------

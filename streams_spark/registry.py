@@ -48,6 +48,10 @@ ROUND_PRIORITY = [
     # dedup + peek key, ADVICE r6 oracle alignments) — they need fresh
     # driver evidence on the new code paths
     "v_peek_all",
+    "d_ngram_jaccard_prefix",  # NEW r7: df-ordered PPJoin prefix variant
+    "st_stream_outer_join",  # changed r7: NULL-user sentinel filter fix
+    "w_funnel",  # changed r7: NULL-group n_view count fix
+    "t_contamination",  # changed r7: hashed lead-window gram build
     "q_json_props",
     "w_ohlc_bars",
     "st_running_stats",

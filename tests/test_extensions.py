@@ -2118,3 +2118,19 @@ def test_ingest_guard_counts_nonfinite_and_null(spark):
         for r in (a, b)
         for x in (r.min_finite, r.max_finite)
     )
+
+
+def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
+    """The df-ordered PPJoin prefix formulation is an exact rewrite:
+    identical (doc_a, doc_b, jaccard) rows as the inverted-index join
+    (the prefix theorem guarantees completeness for J >= t; the
+    array_intersect verify guarantees precision)."""
+    a = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _rows(spark, sf_dir, "d_ngram_jaccard")
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _rows(spark, sf_dir, "d_ngram_jaccard_prefix")
+    }
+    assert a == b and len(a) > 0
