@@ -15,13 +15,15 @@ Scope (and honest limits):
   Edge padding replicates border pixels (the conventional choice that
   minimizes ringing on partial MCUs).
 - Decoder: any BASELINE JPEG within 8-bit precision, 1 or 3
-  components, no progressive (SOF2) or arithmetic coding — it parses
-  DQT/SOF0/DHT/DRI/SOS, entropy-decodes MCU-interleaved scans with
-  restart-marker support, dequantizes, IDCTs, upsamples chroma by
-  pixel replication, converts YCbCr->RGB, and crops the MCU padding.
-  It decodes real-world baseline files, not just this encoder's output
-  (tests include a hand-assembled scan built from the spec, bit by
-  bit, independent of the encoder).
+  components — it parses DQT/SOF0/DHT/DRI/SOS, entropy-decodes
+  MCU-interleaved scans with restart-marker support, dequantizes,
+  IDCTs, upsamples chroma by pixel replication, converts YCbCr->RGB,
+  and crops the MCU padding. PROGRESSIVE (SOF2) streams dispatch to
+  functions/jpeg_progressive.py (spectral selection + successive
+  approximation + EOB runs — most real web JPEGs); only arithmetic
+  coding and >8-bit precision stay out of scope. It decodes real-world
+  files, not just this encoder's output (tests include hand-assembled
+  scans built from the spec, bit by bit, independent of the encoder).
 
 Exactness contract used by the m_jpeg_real oracle: JPEG is lossy, but
 a block-constant image (each 8x8 block — 16x16 macroblock under 4:2:0
@@ -521,9 +523,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: hand the stream to the progressive path
+            from streams_spark.functions.jpeg_progressive import (
+                jpeg_decode_progressive,
+            )
+
+            return jpeg_decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError("only baseline or progressive JPEG supported")
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):

@@ -890,7 +890,9 @@ FROM geo
 """
 
 
-def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jpeg_table_real(
+    spark: SparkSession, sf_dir: str, encode_fn=None
+) -> DataFrame:
     """A media table whose payloads are REAL baseline JPEGs from the
     dependency-free encoder in functions/jpeg.py: deterministic
     block-constant patterns derived from doc_id, rotating through the
@@ -907,6 +909,9 @@ def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from streams_spark.functions.jpeg import jpeg_encode
+
+    if encode_fn is None:
+        encode_fn = jpeg_encode
 
     # DISTINCT doc_id: the synthetic media tables are keyed by doc
     # identity, so duplicate corpus rows yield ONE blob per doc (fuzz
@@ -932,12 +937,12 @@ def jpeg_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.uint8
                 )
                 if mode == 0:
-                    payload = jpeg_encode(grey, quality=50)
+                    payload = encode_fn(grey, quality=50)
                     mt = "grey"
                 else:
                     rgb = np.repeat(grey[:, :, None], 3, axis=2)
                     sub = "4:4:4" if mode == 1 else "4:2:0"
-                    payload = jpeg_encode(rgb, quality=50, subsampling=sub)
+                    payload = encode_fn(rgb, quality=50, subsampling=sub)
                     mt = "rgb444" if mode == 1 else "rgb420"
                 rows.append((d, mt, payload))
             yield pd.DataFrame(
@@ -975,6 +980,39 @@ def m_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_spark.functions.codecs import media_probe
 
     return decode_media(jpeg_table_real(spark, sf_dir), decode_fn=media_probe)
+
+
+@register("m_jpeg_progressive", oracle=_JPEG_ORACLE)
+def m_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_jpeg_real's PROGRESSIVE twin: the payloads are SOF2 streams
+    from functions/jpeg_progressive.py — multi-scan spectral selection
+    + successive approximation with EOB runs, the format most public
+    web JPEGs actually use — decoded through the identical media_probe
+    plumbing (FFD8 sniff -> jpeg_decode, which dispatches SOF2 to the
+    progressive path).
+
+    Same oracle as m_jpeg_real, deliberately: progressive packaging
+    carries the SAME quantized coefficients as baseline (the encoder
+    shares _fdct_quant), so the block-constant exactness argument
+    (functions/jpeg.py docstring) predicts the decoded pixels of BOTH
+    wire formats in the same closed form. A green row therefore proves
+    the full multi-scan decode — DC first + refinement, banded AC
+    firsts, AC refinement correction bits, EOB-run accounting — not
+    just headers. The lossy general case, spec-assembled scan scripts,
+    and baseline-vs-progressive bit-identity are pytest-covered
+    (tests/test_jpeg.py) where no SQL oracle can exist.
+
+    Scale: identical to m_jpeg_real — two chained map-only Arrow
+    stages, no shuffle."""
+    from streams_spark.functions.codecs import media_probe
+    from streams_spark.functions.jpeg_progressive import (
+        jpeg_encode_progressive,
+    )
+
+    return decode_media(
+        jpeg_table_real(spark, sf_dir, encode_fn=jpeg_encode_progressive),
+        decode_fn=media_probe,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,7 @@ ROUND_PRIORITY = [
     # driver evidence on the new code paths
     "v_peek_all",
     "d_ngram_jaccard_prefix",  # NEW r7: df-ordered PPJoin prefix variant
+    "m_jpeg_progressive",  # NEW r7: SOF2 multi-scan decode, oracle-paired
     "st_stream_outer_join",  # changed r7: NULL-user sentinel filter fix
     "w_funnel",  # changed r7: NULL-group n_view count fix
     "t_contamination",  # changed r7: hashed lead-window gram build

@@ -191,3 +191,176 @@ def test_property_arbitrary_image_decodes_in_range(h, w, q, seed):
     out = J.jpeg_decode(J.jpeg_encode(img, quality=q))
     assert out.shape == (h, w)
     assert out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): functions/jpeg_progressive.py
+# ---------------------------------------------------------------------------
+
+from streams_spark.functions.jpeg_progressive import (  # noqa: E402
+    jpeg_encode_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((8, 8), None),
+        ((24, 17), None),
+        ((16, 16, 3), "4:4:4"),
+        ((33, 29, 3), "4:2:0"),
+        ((7, 5), None),
+        ((64, 48, 3), "4:2:0"),
+    ],
+)
+def test_progressive_equals_baseline_bitexact(shape, sub):
+    """Progressive packaging carries the same quantized coefficients as
+    baseline (shared _fdct_quant), so decoding the SOF2 stream must be
+    BIT-identical to decoding the baseline stream — across greyscale,
+    4:4:4, 4:2:0, and non-MCU-multiple dims. This exercises every scan
+    kind in the default script: interleaved DC first + refinement,
+    banded AC firsts, and AC refinement with correction bits."""
+    rng = np.random.default_rng(sum(shape) * 7 + 1)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    kw = {} if sub is None else {"subsampling": sub}
+    base = J.jpeg_decode(J.jpeg_encode(img, **kw))
+    prog = J.jpeg_decode(jpeg_encode_progressive(img, **kw))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("quality", [10, 50, 95])
+def test_progressive_equals_baseline_across_qualities(quality):
+    rng = np.random.default_rng(quality)
+    img = rng.integers(0, 256, size=(40, 31, 3), dtype=np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(img, quality=quality))
+    prog = J.jpeg_decode(jpeg_encode_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_block_constant_roundtrip_exact():
+    """The m_jpeg_progressive oracle contract: block-constant even-valued
+    images round-trip exactly through the multi-scan wire format."""
+    img = _block_constant(24, 17, 8, seed=5)
+    assert np.array_equal(J.jpeg_decode(jpeg_encode_progressive(img)), img)
+    rgb = np.repeat(_block_constant(19, 22, 16, seed=6)[:, :, None], 3, axis=2)
+    out = J.jpeg_decode(jpeg_encode_progressive(rgb, subsampling="4:2:0"))
+    assert np.array_equal(out, rgb)
+
+
+def _prog_headers(h: int, w: int) -> bytearray:
+    """SOI + DQT(q50 luma) + SOF2(1 comp) + std luma DHTs."""
+    qt = J._quality_scale(J.QUANT_LUMA, 50)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(v) for v in qt.flatten()[J.ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, values) in [(0x00, J._DC_LUMA), (0x10, J._AC_LUMA)]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    return out
+
+
+def _sos(ns_comps: list[tuple[int, int]], ss: int, se: int, ahal: int) -> bytes:
+    ns = len(ns_comps)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tabs in ns_comps:
+        out += struct.pack("BB", cid, tabs)
+    return out + struct.pack("BBB", ss, se, ahal)
+
+
+def test_decodes_hand_assembled_progressive_spec_bytes():
+    # Built bit-by-bit from T.81, never touching the encoder: one 8x8
+    # block of constant 130 split over a DC scan and an (all-zero) AC
+    # scan. DC diff 1 -> Annex K cat-1 code 010 + bit 1, pad: 0x5F;
+    # AC scan: EOB code 1010, pad: 0xAF.
+    out = _prog_headers(8, 8)
+    out += _sos([(1, 0x00)], 0, 0, 0x00) + bytes([0x5F])
+    out += _sos([(1, 0x00)], 1, 63, 0x00) + bytes([0xAF])
+    out += b"\xff\xd9"
+    dec = J.jpeg_decode(bytes(out))
+    assert np.array_equal(dec, np.full((8, 8), 130, np.uint8))
+
+
+def test_progressive_eob_run_spans_blocks():
+    # Three blocks (8x24); the AC scan covers ALL of them with a single
+    # EOB1 symbol (eobrun = 2 + one extra bit = 3) from a custom DHT in
+    # which EOB1 (symbol 0x10) is the one-bit code '0' — the EOBn>0 path
+    # Annex K tables cannot express.
+    out = _prog_headers(8, 24)
+    # DC scan: three cat-1 diffs: 0101 (block1: diff 1), then diff 0 =
+    # cat 0 code 00 twice: 0101 00 00 -> 01010000 = 0x50
+    out += _sos([(1, 0x00)], 0, 0, 0x00) + bytes([0x50])
+    # custom AC table: one symbol 0x10 (EOB1) at length 1
+    out += b"\xff\xc4" + struct.pack(">HB", 20, 0x11)
+    out += bytes([1] + [0] * 15) + bytes([0x10])
+    # AC scan with the custom table: code '0' + 1 extra bit '1' -> run 3
+    out += _sos([(1, 0x01)], 1, 63, 0x00) + bytes([0x5F])
+    out += b"\xff\xd9"
+    dec = J.jpeg_decode(bytes(out))
+    assert dec.shape == (8, 24)
+    assert np.all(dec == 130)
+
+
+def test_progressive_restart_markers_reset_state():
+    # DRI=1 over two blocks: DC predictors and EOB runs must reset at
+    # every RSTn in BOTH scan kinds.
+    out = _prog_headers(8, 16)
+    sof_at = bytes(out).find(b"\xff\xc2")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    out = bytearray(bytes(out)[:sof_at] + dri + bytes(out)[sof_at:])
+    # DC scan: 0101 pad -> 0x5F, RST0, 0101 pad -> 0x5F (same byte only
+    # decodes to the same value if the predictor reset)
+    out += _sos([(1, 0x00)], 0, 0, 0x00)
+    out += bytes([0x5F]) + b"\xff\xd0" + bytes([0x5F])
+    # AC scan: EOB 1010 pad -> 0xAF, RST1, 0xAF
+    out += _sos([(1, 0x00)], 1, 63, 0x00)
+    out += bytes([0xAF]) + b"\xff\xd1" + bytes([0xAF])
+    out += b"\xff\xd9"
+    dec = J.jpeg_decode(bytes(out))
+    assert np.array_equal(dec, np.full((8, 16), 130, np.uint8))
+
+
+def test_progressive_dc_refinement_hand_assembled():
+    # Successive approximation on DC: first scan at Al=1 sends diff 1
+    # (-> coefficient 2 after the shift = quantized DC 2 -> 132), the
+    # refinement scan's 0-bit keeps it (132), a 1-bit variant makes 134.
+    for bit, want in ((0, 132), (1, 134)):
+        out = _prog_headers(8, 8)
+        out += _sos([(1, 0x00)], 0, 0, 0x01) + bytes([0x5F])  # Ah=0 Al=1
+        refine = 0x80 if bit else 0x00  # one raw bit (MSB-first) + pad
+        out += _sos([(1, 0x00)], 0, 0, 0x10) + bytes([refine])  # Ah=1 Al=0
+        out += _sos([(1, 0x00)], 1, 63, 0x00) + bytes([0xAF])
+        out += b"\xff\xd9"
+        dec = J.jpeg_decode(bytes(out))
+        assert np.all(dec == want), (bit, want, dec[0, 0])
+
+
+def test_progressive_rejects_bad_scan_scripts():
+    # a baseline stream relabeled SOF2 carries Ss=0,Se=63 — an illegal
+    # progressive DC scan
+    img = _block_constant(8, 8, 8, seed=1)
+    relabeled = bytearray(J.jpeg_encode(img))
+    relabeled[relabeled.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.jpeg_decode(bytes(relabeled))
+    # interleaved AC scan (ns=3 with Ss>0) is equally illegal
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    prog = bytearray(jpeg_encode_progressive(rgb, subsampling="4:4:4"))
+    # find the first AC SOS (ns=1 at Ss=1) and corrupt ns byte path is
+    # complex; instead assert the encoder itself refuses nothing here
+    # and the decoder validates via a minimal hand-built stream
+    out = _prog_headers(8, 8)
+    out += b"\xff\xda" + struct.pack(">HB", 10, 2)
+    out += bytes([1, 0x00, 1, 0x00]) + struct.pack("BBB", 1, 63, 0)
+    out += bytes([0xAF]) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        J.jpeg_decode(bytes(out))
+
+
+def test_media_probe_routes_progressive_jpeg():
+    img = _block_constant(16, 16, 8, seed=9)
+    payload = jpeg_encode_progressive(img)
+    w, h, ch, checksum = media_probe(payload)
+    assert (w, h, ch) == (16, 16, 1)
+    assert checksum == int(img.astype(np.int64).sum()) % CHECKSUM_MOD
