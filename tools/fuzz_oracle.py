@@ -84,6 +84,10 @@ PERTURBATIONS = [
     "ts are a documented future class - streaming watermarks DROP "
     "NULL-event-time rows by design where a batch oracle keeps the "
     "NULL group, so that axis needs per-query contracts first.",
+    "LENGTH SKEW (new r7b): ~0.2% of documents become ~20k-token texts "
+    "from a 64-word vocabulary - dominating window partitions in the "
+    "gram builders, hot repeated shingles in the dedup joins, "
+    "long-string regex scans, boilerplate-census doc_freq paths.",
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
@@ -234,6 +238,22 @@ def perturb_table(name: str, df, rng):
         if nulid.any():
             df["doc_id"] = df["doc_id"].astype("Int64")
             df.loc[nulid, "doc_id"] = None
+        # LENGTH SKEW (new r7b): ~0.2% of docs become ~20k-token texts
+        # drawn from a 64-word vocabulary — one window partition
+        # dominating the exploded token/gram stream (gram_rows /
+        # hashed_gram_rows skew), hot repeated shingles in every dedup
+        # join, long-string regex scans (BPE token counts), and
+        # boilerplate-census paths (t_ngram_freq doc_freq) all at once
+        n_long = max(1, len(df) // 500)
+        long_idx = rng.choice(len(df), size=n_long, replace=False)
+        long_text = df["text"].copy()
+        for i in long_idx:
+            words = rng.integers(0, 64, size=20_000)
+            long_text.iloc[i] = " ".join(f"w{int(x)}" for x in words)
+        df["text"] = long_text
+        df["n_chars"] = df["text"].map(
+            lambda t: len(t) if t is not None else None
+        )
     elif name == "embeddings":
         sel = np.nonzero(rng.random(len(df)) < 0.01)[0]
         emb = df["embedding"].to_numpy(copy=False)
