@@ -152,10 +152,29 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-serial decoding."""
+class _HuffTable(dict):
+    """(length, code) -> symbol dict plus an 8-bit prefix LUT: lut[b]
+    is (symbol, length) when the code for some symbol is a prefix of
+    the byte b, None when the code is longer than 8 bits (fall back to
+    the bit-serial walk). The standard libjpeg-style fast path."""
+
+    __slots__ = ("lut",)
+
+
+def _decode_table(bits: list[int], values: list[int]) -> "_HuffTable":
+    """(length, code) -> symbol, plus the 8-bit prefix LUT."""
     enc = _canonical_codes(bits, values)
-    return {(length, code): sym for sym, (code, length) in enc.items()}
+    tab = _HuffTable(
+        ((length, code), sym) for sym, (code, length) in enc.items()
+    )
+    lut: list[tuple[int, int] | None] = [None] * 256
+    for sym, (code, length) in enc.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (sym, length)
+    tab.lut = lut
+    return tab
 
 
 # Orthonormal 8-point DCT-II matrix: forward F = M @ b @ M.T
@@ -410,10 +429,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk read from the accumulator: identical bit order to n
+        # bit() calls, without the per-bit call overhead
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_marker(self) -> int:
         """Discard pad bits, expect a marker next; return its code."""
@@ -431,7 +452,31 @@ class _MarkerHit(Exception):
 
 
 def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    # fast path: resolve codes of <= 8 bits with one LUT probe. The
+    # eager 8-bit fill may hit the trailing marker while a SHORT final
+    # code is still decodable from the pad bits — _fill raises BEFORE
+    # advancing pos, so swallowing the hit here loses nothing (a later
+    # fill re-raises identically) and the bit-serial tail below handles
+    # whatever bits remain.
+    lut = getattr(table, "lut", None)
     code, length = 0, 0
+    if lut is not None:
+        if reader.nbits < 8:
+            try:
+                while reader.nbits < 8:
+                    reader._fill()
+            except _MarkerHit:
+                pass
+        if reader.nbits >= 8:
+            probe = (reader.acc >> (reader.nbits - 8)) & 0xFF
+            hit = lut[probe]
+            if hit is not None:
+                sym, ln = hit
+                reader.nbits -= ln
+                return sym
+            # longer than 8 bits: consume the probe, walk the rest
+            reader.nbits -= 8
+            code, length = probe, 8
     while length < 17:
         code = (code << 1) | reader.bit()
         length += 1
@@ -452,9 +497,11 @@ def _decode_block(
     pred: int,
     dc_tab: dict[tuple[int, int], int],
     ac_tab: dict[tuple[int, int], int],
-    qt: np.ndarray,
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int32)
+    zz: np.ndarray,
+) -> int:
+    """Entropy-decode one block's zigzag coefficients into zz (already
+    zeroed); returns the new DC predictor. The IDCT happens once for
+    the whole scan, vectorized — not per block."""
     size = _read_symbol(reader, dc_tab)
     dc = pred + _extend(reader.bits(size), size)
     zz[0] = dc
@@ -472,9 +519,7 @@ def _decode_block(
             raise ValueError("AC run past end of block")
         zz[k] = _extend(reader.bits(size), size)
         k += 1
-    coeffs = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(np.float64)
-    pixels = _M.T @ coeffs @ _M + 128.0
-    return np.clip(np.round(pixels), 0, 255), dc
+    return dc
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -566,14 +611,12 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
     mbx = (fw + mcu_w - 1) // mcu_w
     mby = (fh + mcu_h - 1) // mcu_h
     by_id = {c[0]: c for c in comps}
-    order = []  # (comp index, plane, hi, vi, dc_tab, ac_tab, qt)
-    planes = []
+    order = []  # (comp index, coeff array, hi, vi, dc_tab, ac_tab, qt)
     for ci, (cs, td, ta) in enumerate(scan):
         cid, hi, vi, tq = by_id[cs]
-        plane = np.zeros((mby * vi * 8, mbx * hi * 8), dtype=np.uint8)
-        planes.append((plane, hi, vi))
+        coeff = np.zeros((mby * vi, mbx * hi, 64), dtype=np.int32)
         order.append(
-            (ci, plane, hi, vi, huff[(0, td)], huff[(1, ta)], qts[tq])
+            (ci, coeff, hi, vi, huff[(0, td)], huff[(1, ta)], qts[tq])
         )
     reader = _BitReader(data, pos)
     preds = [0] * len(scan)
@@ -586,20 +629,33 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
                     raise ValueError("expected restart marker")
                 preds = [0] * len(scan)
             try:
-                for ci, plane, hi, vi, dc_tab, ac_tab, qt in order:
+                for ci, coeff, hi, vi, dc_tab, ac_tab, _qt in order:
                     for dy in range(vi):
                         for dx in range(hi):
-                            block, preds[ci] = _decode_block(
-                                reader, preds[ci], dc_tab, ac_tab, qt
+                            preds[ci] = _decode_block(
+                                reader, preds[ci], dc_tab, ac_tab,
+                                coeff[my * vi + dy, mx * hi + dx],
                             )
-                            y0 = (my * vi + dy) * 8
-                            x0 = (mx * hi + dx) * 8
-                            plane[y0 : y0 + 8, x0 : x0 + 8] = block
             except _MarkerHit as hit:
                 raise ValueError(
                     f"marker {hit.marker:#x} interrupted scan"
                 ) from None
             n_mcu += 1
+    # dequantize + IDCT the whole scan at once: one einsum over every
+    # block beats a per-block matmul inside the entropy loop (the same
+    # vectorized reconstruction the progressive path uses)
+    planes = []
+    for _ci, coeff, hi, vi, _dc, _ac, qt in order:
+        nat = coeff[:, :, UNZIGZAG].reshape(
+            coeff.shape[0], coeff.shape[1], 8, 8
+        ) * qt
+        pix = np.einsum("ux,bcuv,vy->bcxy", _M, nat.astype(np.float64), _M)
+        pix += 128.0
+        plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        plane = plane.transpose(0, 2, 1, 3).reshape(
+            coeff.shape[0] * 8, coeff.shape[1] * 8
+        )
+        planes.append((plane, hi, vi))
     if len(scan) == 1:
         return planes[0][0][:fh, :fw].copy()
     full = []
