@@ -238,6 +238,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop the emitted high bits: an unmasked acc grows 8 bits per
+        # byte FOREVER and every later shift goes quadratic (the same
+        # bigint trap as _BitReader._fill)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -419,7 +423,11 @@ class _BitReader:
                 raise _MarkerHit(0xFF00 | nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live window: nbits never exceeds 32, and an
+        # unmasked acc grows 8 bits per fill FOREVER — on a megapixel
+        # scan the accumulator becomes a multi-kilobyte bigint and
+        # every shift goes quadratic
+        self.acc = (((self.acc << 8) | b) & 0xFFFFFFFFFF)
         self.nbits += 8
 
     def bit(self) -> int:
