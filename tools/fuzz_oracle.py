@@ -80,10 +80,18 @@ PERTURBATIONS = [
     "0.3% all-zero vectors (zero-norm cosine guard)",
     "NULL keys (new r7): 0.3% NULL doc_id in documents (identity/dedup "
     "grouping of the NULL-id class), 0.3% NULL user_id in events "
-    "(NULL segment derivation, NULL window partitions). NULL event_id/"
-    "ts are a documented future class - streaming watermarks DROP "
+    "(NULL segment derivation, NULL window partitions). NULL ts stays "
+    "a documented future class - streaming watermarks DROP "
     "NULL-event-time rows by design where a batch oracle keeps the "
     "NULL group, so that axis needs per-query contracts first.",
+    "NULL keys, all-column extension (new r8, VERDICT r7 #3): 0.3% NULL "
+    "event_type + event_id (events: groupBy/window/funnel keys, dedup "
+    "identity), vec_id + label (embeddings: ANN ids, knn/stratify "
+    "labels), lang + source (documents: quality rollups, mix "
+    "proportions), and every TPC-H FK - l_orderkey/l_partkey/l_suppkey, "
+    "o_custkey, c_nationkey, s_nationkey, n_regionkey (equi-join drops, "
+    "outer-join NULL rows, NOT-IN vs anti-join three-valued logic, "
+    "nulls-first/last window winners).",
     "LENGTH SKEW (new r7b): ~0.2% of documents become ~20k-token texts "
     "from a 64-word vocabulary - dominating window partitions in the "
     "gram builders, hot repeated shingles in the dedup joins, "
@@ -120,6 +128,20 @@ def _shuffle(df, rng):
     return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
 
 
+def _null_keys(df, rng, cols, frac=0.003):
+    """r8 all-key NULL class: independently NULL `frac` of each named
+    key column. Integer keys widen to pandas nullable Int64 so the
+    parquet schema (nullable int64) is preserved on write."""
+    for col in cols:
+        sel = rng.random(len(df)) < frac
+        if not sel.any():
+            continue
+        if df[col].dtype.kind in "iu":
+            df[col] = df[col].astype("Int64")
+        df.loc[sel, col] = None
+    return df
+
+
 def _dup(df, rng, frac):
     n = max(1, int(len(df) * frac))
     idx = rng.choice(len(df), size=n, replace=False)
@@ -142,16 +164,26 @@ def perturb_table(name: str, df, rng):
         nul = rng.random(len(df)) < 0.005
         df.loc[nul, "l_returnflag"] = None
         df = _dup(df, rng, 0.01)
+        # r8: NULL FKs — rows must drop from equi-joins, survive outer
+        # joins as NULL rows, and hit NOT-IN three-valued logic
+        # identically in both engines
+        df = _null_keys(df, rng, ["l_orderkey", "l_partkey", "l_suppkey"])
     elif name == "orders":
         df["o_totalprice"] = np.round(
             df["o_totalprice"] * (1 + rng.uniform(-0.05, 0.05, len(df))), 2
         )
+        df = _null_keys(df, rng, ["o_custkey"])
     elif name in ("customer", "supplier"):
         col = "c_acctbal" if name == "customer" else "s_acctbal"
         if col in df.columns:
             df[col] = np.round(
                 df[col] + rng.uniform(-100, 100, len(df)), 2
             )
+        df = _null_keys(
+            df, rng, ["c_nationkey" if name == "customer" else "s_nationkey"]
+        )
+    elif name == "nation":
+        df = _null_keys(df, rng, ["n_regionkey"], frac=0.04)  # 25 rows
     elif name == "events":
         df["value"] = np.round(
             df["value"] + rng.uniform(-10, 10, len(df)), 2
@@ -202,6 +234,10 @@ def perturb_table(name: str, df, rng):
         if nuluser.any():
             df["user_id"] = df["user_id"].astype("Int64")
             df.loc[nuluser, "user_id"] = None
+        # r8: NULL event_type (groupBy/window/funnel key) and event_id
+        # (dedup identity, sequence tie-break). NULL ts stays excluded
+        # (watermark-drop contract, see PERTURBATIONS).
+        df = _null_keys(df, rng, ["event_type", "event_id"])
     elif name == "documents":
         u = rng.random(len(df))
         uni = u < 0.02
@@ -238,6 +274,9 @@ def perturb_table(name: str, df, rng):
         if nulid.any():
             df["doc_id"] = df["doc_id"].astype("Int64")
             df.loc[nulid, "doc_id"] = None
+        # r8: NULL lang/source — quality rollups and mix proportions
+        # must keep the NULL group as ONE group on both sides
+        df = _null_keys(df, rng, ["lang", "source"])
         # LENGTH SKEW (new r7b): ~0.2% of docs become ~20k-token texts
         # drawn from a 64-word vocabulary — one window partition
         # dominating the exploded token/gram stream (gram_rows /
@@ -267,6 +306,9 @@ def perturb_table(name: str, df, rng):
         for i in zsel:
             v = np.asarray(emb[i], dtype=np.float32)
             emb[i] = np.zeros_like(v)
+        # r8: NULL vec_id (ANN result identity / join key) and label
+        # (knn vote, stratified sampling stratum)
+        df = _null_keys(df, rng, ["vec_id", "label"])
     return _shuffle(df, rng)
 
 
