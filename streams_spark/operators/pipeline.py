@@ -338,8 +338,13 @@ def p_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tier")
         .agg(F.sum("toks").alias("n_tokens"))
     )
+    # NULL-source pin (r8 fuzz): a NULL source lands in tier 2 on both
+    # engines (CASE/otherwise fallthrough), but the `source` tie-break
+    # is ASC — Spark defaults NULLS FIRST where DuckDB defaults NULLS
+    # LAST, so the NULL-source row's budget position diverged. Pin to
+    # the oracle's nulls-last (budget fills named sources first).
     w = (
-        Window.orderBy("tier", "source")
+        Window.orderBy(F.col("tier").asc(), F.col("source").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

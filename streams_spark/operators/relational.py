@@ -2180,7 +2180,10 @@ WITH snap1 AS (
   SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
   FROM orders WHERE o_orderdate < DATE '{SNAP_T2}' GROUP BY o_custkey
 )
-SELECT CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+-- IS NOT DISTINCT FROM + n_orders-null insert test (r8 NULL-key fuzz):
+-- the NULL-custkey group is ONE customer class; a plain USING join
+-- drops its snap1 match (NULL <> NULL) and misclassifies it 'insert'
+SELECT CASE WHEN s1.n_orders IS NULL THEN 'insert'
             WHEN s1.n_orders <> s2.n_orders THEN 'update'
             ELSE 'unchanged' END AS change,
        CAST(count(*) AS BIGINT) AS n_customers,
@@ -2188,7 +2191,8 @@ SELECT CASE WHEN s1.o_custkey IS NULL THEN 'insert'
             AS BIGINT) AS order_delta,
        round(sum(coalesce(s2.total, 0) - coalesce(s1.total, 0)), 2)
          AS revenue_delta
-FROM snap2 s2 LEFT JOIN snap1 s1 USING (o_custkey)
+FROM snap2 s2 LEFT JOIN snap1 s1
+  ON s1.o_custkey IS NOT DISTINCT FROM s2.o_custkey
 GROUP BY 1
 """
 
@@ -2317,10 +2321,14 @@ KMV_K = 64
 
 _KMV_DISTINCT = f"""
 WITH hashed AS (
+  -- o_custkey IS NOT NULL (r8 NULL-key fuzz): a NULL key hashes to a
+  -- NULL h that Spark's ASC window ranks FIRST (stealing a sketch
+  -- slot) and DuckDB ranks LAST; the pinned contract is that NULL
+  -- keys never enter the sketch, matching count(DISTINCT)'s exclusion
   SELECT DISTINCT o_orderpriority,
          CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
               AS BIGINT) AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ), ranked AS (
   SELECT o_orderpriority, h,
          row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
@@ -2362,12 +2370,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/sqrt(k) error) — and builds with one distinct-shuffle plus a
     k-bounded per-group window; the sketch state is k longs per group."""
     orders = load_table(spark, sf_dir, "orders")
-    hashed = orders.select(
-        "o_orderpriority",
-        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    hashed = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16, 10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -2401,7 +2416,9 @@ _KMV_U = 1 << 60  # hash universe: 15 hex chars = 60 bits
 
 _KMV_SETOPS = f"""
 WITH d AS (
+  -- o_custkey IS NOT NULL: see q_kmv_distinct's sketch-membership pin
   SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+  WHERE o_custkey IS NOT NULL
 ), h AS (
   SELECT p, c,
          CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))
@@ -2501,8 +2518,12 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection join) would otherwise each re-scan and re-distinct
     # the fact table — this is the "distinct key table" a production
     # pipeline maintains anyway, |groups x keys| rows
+    # c IS NOT NULL (r8 NULL-key fuzz): same sketch-membership contract
+    # as q_kmv_distinct — NULL keys are not distinct customers, and a
+    # NULL hash ranks FIRST in Spark's ASC window vs LAST in DuckDB's
     d = (
-        orders.select(
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(
             F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
         )
         .distinct()
@@ -3174,7 +3195,7 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = W.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     w = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
     # lag/lead take no frame (they navigate the partition, not a frame)
     # — same semantics the SQL window gives them despite the shared

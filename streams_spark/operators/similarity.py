@@ -387,8 +387,12 @@ def _kmeans_update_sql(assign_cte: str) -> str:
 
 _KMEANS = f"""
 WITH e AS (
+  -- vec_id IS NOT NULL (r8 NULL-key fuzz): the per-vector assignment
+  -- window PARTITIONs BY vec_id, so multiple id-less vectors would
+  -- collapse to one row here while Spark's UDF assigns each row —
+  -- id-less vectors are excluded from training on both sides
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ), c0 AS (
   SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
 ), a0 AS ({_kmeans_pairs_sql('c0')}
@@ -429,10 +433,12 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL embeddings are untrainable and excluded (the oracle's e CTE
     # filters them; np.vstack would crash on a None row, and the init
-    # collect would seed a None centroid — nullmeas-fixture fuzz class)
+    # collect would seed a None centroid — nullmeas-fixture fuzz class).
+    # NULL vec_id likewise (r8): the oracle tracks assignment per
+    # vec_id, so id-less vectors train on neither side.
     corpus = (
         _corpus(spark, sf_dir)
-        .where(F.col("v").isNotNull())
+        .where(F.col("v").isNotNull() & F.col("vec_id").isNotNull())
         .select("vec_id", "v")
         .cache()
     )
@@ -772,7 +778,14 @@ def _pq_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PQ_ELEMENT_CACHE.get(key)
     if df is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        # vec_id IS NOT NULL (r8 NULL-key fuzz): every PQ oracle assigns
+        # codes in a PARTITION BY vec_id window, where all id-less
+        # vectors collapse to one row — they are excluded from the PQ
+        # family on both sides (matching e-CTE filters in _PQ,
+        # _PQ_SEARCH, _IVF_PQ_SEARCH).
+        emb = load_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id").isNotNull()
+        )
         df = (
             emb.select(
                 "vec_id",
@@ -839,8 +852,9 @@ def _pq_train_cb(ex: DataFrame) -> DataFrame:
 
 _PQ = f"""
 WITH e AS (
+  -- vec_id IS NOT NULL: see _pq_elements' NULL-key pin
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -903,8 +917,9 @@ def s_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_SEARCH = f"""
 WITH e AS (
+  -- vec_id IS NOT NULL: see _pq_elements' NULL-key pin
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -1200,7 +1215,12 @@ def s_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_PQ_SEARCH = f"""
 WITH e AS (
+  -- vec_id IS NOT NULL: see _pq_elements' NULL-key pin. The PQ stages
+  -- (sub/c0/final) must not see id-less vectors; the centroid stage
+  -- uses dims below, where the NULL-id exclusion is harmless (one
+  -- vector out of a label mean).
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IS NOT NULL
 ), n AS (
   SELECT vec_id, label, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -1278,7 +1298,9 @@ def s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed slice only. Total work per probe: nprobe/nlist of the
     corpus x M adds — the IVF-PQ cost model exactly.
     """
-    corpus = _corpus(spark, sf_dir)
+    # vec_id IS NOT NULL: id-less vectors are excluded from the whole
+    # IVF-PQ index (centroids AND codes), matching the oracle's e CTE
+    corpus = _corpus(spark, sf_dir).where(F.col("vec_id").isNotNull())
     cent = _label_centroids(corpus)
     routed = _route_probes(corpus, cent, nprobe=2).select("query_id", "label")
     ex = _pq_elements(spark, sf_dir)
@@ -1322,7 +1344,9 @@ _KNN_CLASSIFY = (
                           p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
                     c.vec_id
          ) AS rnk
+  -- c.label IS NOT NULL: unlabeled vectors don't vote (r8 NULL-key pin)
   FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
+                    AND c.label IS NOT NULL
 ), votes AS (
   SELECT query_id, c_label, count(*) AS votes
   FROM scored WHERE rnk <= {KNN_K}
@@ -1364,8 +1388,14 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    # label IS NOT NULL (r8 NULL-key fuzz): a kNN classifier votes over
+    # the LABELED seed set — an unlabeled vector can't vote, and its
+    # NULL "vote group" broke ties opposite ways (Spark nulls-first vs
+    # DuckDB nulls-last) and leaked NULL predictions. Probes keep their
+    # (possibly NULL) true_label; only the voting corpus is filtered.
     scored = (
-        corpus.join(
+        corpus.where(F.col("label").isNotNull())
+        .join(
             F.broadcast(probes), F.col("vec_id") != F.col("query_id")
         )
         .withColumn(
@@ -1561,10 +1591,14 @@ def s_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIVERSITY = """
 WITH ex AS (
+  -- vec_id/label IS NOT NULL (r8 NULL-key fuzz): an id-less vector is
+  -- outside every pair (NULL never satisfies a.vec_id < b.vec_id) yet
+  -- a bare groupBy would still count it; an unlabeled vector belongs
+  -- to no label's diversity. Both are excluded up front on BOTH sides.
   SELECT vec_id, label,
          unnest(range(len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
 ), nrm AS (
   SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id
 ), u AS (
@@ -1604,7 +1638,9 @@ def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclude them BEFORE the identity: keeping them would both divide by
     zero and break the unit-vector assumption the closed form rests on
     (seeded-fuzz zero-norm class)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    )
     ex = emb.select(
         "vec_id",
         "label",

@@ -553,8 +553,11 @@ def st_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     holder: dict[str, list] = {"rows": []}
 
     def rank_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL event_type pin (r8 fuzz): the ASC tie-break diverges on
+        # the NULL-type group (Spark nulls-first vs DuckDB nulls-last);
+        # pin to nulls-last, matching the oracle's default.
         w = Window.partitionBy("window_start").orderBy(
-            F.desc("total_value"), "event_type"
+            F.desc("total_value"), F.col("event_type").asc_nulls_last()
         )
         ranked = (
             batch_df.select(
@@ -850,6 +853,30 @@ def has_transform_with_state() -> bool:
         return False
 
 
+# NULL event_type contract (r8 fuzz): the SQL oracle's GROUP BY keeps
+# the NULL type as a real class, but (a) pandas groupby drops NaN keys
+# by default and (b) Spark map state forbids NULL map keys — so both
+# state folds count the NULL class under a sentinel key and translate
+# back on emit. The modal tie-break ranks the NULL class AFTER every
+# real type at equal count, matching the oracle's `ORDER BY n DESC,
+# event_type` under DuckDB's nulls-last default.
+_NULL_TYPE = "\x00<null>"
+
+
+def _count_types(pdf) -> list[tuple[str, int]]:
+    import pandas as pd
+
+    return [
+        (_NULL_TYPE if pd.isna(et) else et, int(n))
+        for et, n in pdf.groupby("event_type", dropna=False).size().items()
+    ]
+
+
+def _modal_type(pairs) -> str | None:
+    top = min(pairs, key=lambda p: (-p[1], p[0] == _NULL_TYPE, p[0]))[0]
+    return None if top == _NULL_TYPE else top
+
+
 def _type_profile_tws(stream: DataFrame, spark: SparkSession) -> DataFrame:
     """Real path: keyed MapState via Spark 4 StatefulProcessor. Requires
     the RocksDB state-store provider (mandated by transformWithState);
@@ -869,16 +896,16 @@ def _type_profile_tws(stream: DataFrame, spark: SparkSession) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             (user,) = key
             for pdf in rows:
-                for et, n in pdf.groupby("event_type").size().items():
+                for et, n in _count_types(pdf):
                     cur = (
                         self._counts.getValue((et,))[0]
                         if self._counts.containsKey((et,))
                         else 0
                     )
-                    self._counts.updateValue((et,), (cur + int(n),))
+                    self._counts.updateValue((et,), (cur + n,))
             pairs = [(k[0], v[0]) for k, v in self._counts.iterator()]
             n_events = sum(n for _, n in pairs)
-            top = min(pairs, key=lambda p: (-p[1], p[0]))[0]
+            top = _modal_type(pairs)
             yield pd.DataFrame(
                 [
                     {
@@ -918,10 +945,10 @@ def _type_profile_legacy(stream: DataFrame, spark: SparkSession) -> DataFrame:
         (user,) = key
         counts = dict(state.get[0]) if state.exists else {}
         for pdf in pdfs:
-            for et, n in pdf.groupby("event_type").size().items():
-                counts[et] = counts.get(et, 0) + int(n)
+            for et, n in _count_types(pdf):
+                counts[et] = counts.get(et, 0) + n
         state.update((counts,))
-        top = min(counts.items(), key=lambda p: (-p[1], p[0]))[0]
+        top = _modal_type(list(counts.items()))
         yield pd.DataFrame(
             [
                 {

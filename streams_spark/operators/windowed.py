@@ -187,7 +187,7 @@ FROM sessions GROUP BY user_id
 @register("w_sessionize", oracle=_SESSIONS)
 def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
@@ -247,7 +247,7 @@ def w_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -788,7 +788,7 @@ def w_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(1, Window.unboundedFollowing)
     )
     p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
@@ -908,7 +908,7 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(-4, 0)
     )
     a = F.array_sort(F.collect_list("value").over(w))
@@ -1107,7 +1107,7 @@ def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.where(F.col("event_type").isin("click", "purchase"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last_click = F.max(
@@ -1183,7 +1183,7 @@ def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution itself.
     """
     ev = load_table(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     ordered = ev.select(
         "user_id",
         "event_type",
@@ -1200,7 +1200,7 @@ def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "event_id",
     )
-    w_next = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    w_next = Window.partitionBy("user_id").orderBy("valid_from", F.asc_nulls_last("event_id"))
     intervals = changes.select(
         "user_id",
         "state",
@@ -1692,7 +1692,7 @@ def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     curve = ev.withColumn("equity", F.sum("value").over(w)).withColumn(

@@ -88,22 +88,33 @@ ROUND_PRIORITY = [
     "w_rolling_dau",
     "w_rolling_median",
     "w_user_streaks",
-    # fill to 50 with the oldest r4-evidence rows (family-spread), so
-    # the r4 cohort starts draining this round too
+    # fill to 50: queries whose CODE changed in the r8 NULL-key fuzz
+    # fixes (pinned NULL-ordering contracts, sketch/vote membership
+    # filters) — fresh evidence on the new code paths takes precedence
+    # over discretionary r4 fill
+    "s_ivf_pq_search",
+    "s_knn_classify",
+    "s_diversity",
+    "q_snapshot_diff",
+    "q_kmv_distinct",
+    "q_kmv_setops",
+    "st_transform_with_state",
+    "q_window_navigation",
+    "p_token_budget",
+    "w_scd2_user_state",
+    # plus the two oldest r4 heavy-dedup rows
     "d_transitive_containment",
     "d_semdedup",
+    # ---- 50-query window boundary: everything below is the round-9 ----
+    # ---- head (the remaining r4-evidence rows) ----
     "d_pagerank",
     "m_media_dedup",
     "q_variant_payload",
     "q_merge_upsert",
     "q_skyline",
-    "s_ivf_pq_search",
     "s_maxsim",
     "t_bm25",
     "t_c4_rules",
-    "w_scd2_user_state",
-    # ---- 50-query window boundary: everything below is the round-9 ----
-    # ---- head (the remaining r4-evidence rows) ----
     "d_cluster_survivors",
     "d_dup_clusters_star",
     "d_sample_stratified",
@@ -123,7 +134,6 @@ ROUND_PRIORITY = [
     "q_string_agg",
     "s_centroid_shift",
     "s_embedding_stats",
-    "s_knn_classify",
     "s_multiprobe_lsh",
     "s_range_search",
     "t_bigram_lm",

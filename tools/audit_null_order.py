@@ -231,6 +231,43 @@ def main() -> None:
         "upstream filter/join resolves the NULL before the sort) or was",
         "fixed this round with an explicit pin on both sides.",
         "",
+        "## Round-8 empirical cross-reference",
+        "",
+        "The all-key NULL fuzz (seeds 16-17, 0.3% NULLs on every join-key",
+        "column) found 12 diverging queries; every one maps to a mechanism",
+        "this audit predicts, and each was fixed with a pinned contract:",
+        "",
+        "| query | mechanism | pin |",
+        "|---|---|---|",
+        "| p_token_budget | ASC `source` tie-break | asc_nulls_last |",
+        "| st_stream_topk | ASC `event_type` rank tie-break | asc_nulls_last |",
+        "| w_rolling_median | ASC `event_id` frame order | asc_nulls_last |",
+        "| q_window_navigation | ASC `event_id` lag/lead order | asc_nulls_last"
+        " (applied to ALL 9 (ts\\|valid_from, event_id) ASC window sites) |",
+        "| st_transform_with_state | pandas groupby drops NaN keys vs SQL"
+        " NULL group | sentinel-keyed NULL class in both state folds |",
+        "| q_snapshot_diff | equi-join drops NULL-key snapshot match |"
+        " IS NOT DISTINCT FROM + n_orders-null insert test |",
+        "| q_kmv_distinct / q_kmv_setops | NULL hash ranks first (Spark)"
+        " vs last (DuckDB) in the sketch window | NULL keys excluded from"
+        " sketch membership, matching count(DISTINCT) |",
+        "| s_kmeans_train / s_pq_train | oracle PARTITION BY vec_id"
+        " collapses id-less vectors | vec_id IS NOT NULL both sides"
+        " (+ s_pq_search / s_ivf_pq_search via shared _pq_elements) |",
+        "| s_diversity | NULL id counted but pair-less; NULL label"
+        " group asymmetric | vec_id/label IS NOT NULL both sides |",
+        "| s_knn_classify | NULL-label vote group breaks ties opposite"
+        " ways | unlabeled vectors don't vote (both sides) |",
+        "",
+        "After the fixes: seeds 16-17 fully green (227 pass / 0 fail /",
+        "5 no-oracle each); prior adversarial seeds 6-8, 11-15 and the",
+        "degenerate fixtures re-run green (FUZZ_r8_regress.json,",
+        "FUZZ_DEGEN_r8.json). Remaining EXPOSED rows below are the",
+        "fuzz-green cohort: their NULL keys are resolved upstream of the",
+        "sort (equi-join drop, non-null tie-break, probe-id filter) or",
+        "tie situations are value-impossible; the empirical gate covers",
+        "them every round the fuzz sweep runs.",
+        "",
     ]
     for verdict in ("EXPOSED", "PINNED", "NONNULL", "DESC"):
         rows = by.get(verdict, [])
