@@ -265,6 +265,14 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence aggregate it replaced. The deployed 100 TB variant
     bakes a df pass + per-doc (df, hash) re-sort into the shingle feed
     and prefixes THAT order.
+
+    Crossover, MEASURED (r8, SCALING.md "PPJoin crossover"): this
+    aggregate wins at low hot-shingle density (its plan is two stages
+    shorter), but once shared boilerplate pushes the co-occurring pair
+    mass past ~1.5M candidates (~300x the true pairs; 25% boilerplate
+    rate at sf0.1) the winner flips, reaching 2.1x for the prefix
+    variant at 50% rate (8.7 s vs 4.0 s) — and real web corpora sit far
+    past that point, hence d_ngram_jaccard_prefix is the deployed form.
     """
     # cached signature table (shared session-wide — see shingle_table):
     # the self-join re-plans (and would re-execute) each side after
@@ -327,7 +335,16 @@ def d_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the verify joins; every frame after the prefix cut is
     candidate-sized. At 100 TB the df table is |distinct shingles|
     8-byte keys maintained next to the signature feed, and the verify
-    never sees a pair the prefixes didn't vouch for."""
+    never sees a pair the prefixes didn't vouch for.
+
+    Crossover, MEASURED (r8, SCALING.md "PPJoin crossover",
+    tools/ppjoin_crossover.py): dialing shared-boilerplate density at
+    sf0.1, this variant's candidate set stays 3-5x smaller and the
+    wall-time winner flips in its favor between 12.8% and 25%
+    boilerplate rate (3.20 s vs 3.32 s at 25%; 4.04 s vs 8.68 s at
+    50%) — the regime every 100 TB web corpus lives in, while the
+    co-occurrence aggregate remains the right call for low-redundancy
+    benchmark corpora."""
     sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
     ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
