@@ -1025,11 +1025,18 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         (F.floor(F.avg("k") * 10000 + F.lit(0.5)) / 10000).alias("avg_k"),
         F.max("k").alias("max_k"),
-        # k % 10 has a <=19-value domain, so size(collect_set) computes
-        # the distinct count inside the SAME single aggregation —
-        # countDistinct planned a second expand/exchange level (r7);
-        # the bounded domain keeps the set scale-safe at 100 TB
-        F.size(F.collect_set(F.col("k") % 10)).cast("long").alias("n_k_buckets"),
+        # k % 10 has a <=19-value domain (k%10 in [-9,9], +10 -> a
+        # unique bit 1..19 per value), so ONE long bitmap per group
+        # computes the distinct count inside the same aggregation —
+        # countDistinct planned a second expand/exchange level (r7),
+        # and collect_set kept a per-group set buffer (r8: bit_or is
+        # pure codegen, measured 0.48 -> 0.42 s solo at sf0.1); bit_or
+        # ignores NULL k like collect_set did, coalesce covers the
+        # all-NULL group (nullmeas fixture)
+        F.expr(
+            "coalesce(bit_count(bit_or(shiftleft(1L,"
+            " cast(k % 10 + 10 as int)))), 0)"
+        ).cast("long").alias("n_k_buckets"),
     )
 
 

@@ -102,11 +102,13 @@ ROUND_PRIORITY = [
     "q_window_navigation",
     "p_token_budget",
     "w_scd2_user_state",
-    # plus the two oldest r4 heavy-dedup rows
+    # q_json_props changed r8 (bitmap distinct); plus the oldest r4
+    # heavy-dedup row
+    "q_json_props",
     "d_transitive_containment",
-    "d_semdedup",
     # ---- 50-query window boundary: everything below is the round-9 ----
     # ---- head (the remaining r4-evidence rows) ----
+    "d_semdedup",
     "d_pagerank",
     "m_media_dedup",
     "q_variant_payload",
