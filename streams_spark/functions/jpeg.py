@@ -164,7 +164,21 @@ class _HuffTable(dict):
 
 
 def _decode_table(bits: list[int], values: list[int]) -> "_HuffTable":
-    """(length, code) -> symbol, plus the 8-bit prefix LUT."""
+    """(length, code) -> symbol, plus the 8-bit prefix LUT. Memoized:
+    a corpus decode pass parses the same DHTs (often the Annex K
+    standard tables) once per FILE, and the LUT build was 20-40% of
+    per-blob decode CPU (r8 profile); tables are read-only after
+    construction, so sharing one instance across blobs is safe."""
+    return _decode_table_cached(tuple(bits), tuple(values))
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], values: tuple[int, ...]
+) -> "_HuffTable":
     enc = _canonical_codes(bits, values)
     # A Kraft-violating DHT (e.g. bits=[3,0,...]) assigns a code that
     # doesn't fit its own length; such a table can never decode a valid

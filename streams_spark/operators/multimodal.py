@@ -949,9 +949,48 @@ def jpeg_table_real(
                 rows, columns=["doc_id", "media_type", "payload"]
             )
 
-    return docs.mapInPandas(
+    blobs = docs.mapInPandas(
         synth, schema="doc_id long, media_type string, payload binary"
     )
+    # Staged-feed the encoded blobs (r8): the per-blob pure-Python
+    # ENCODE is fixture synthesis, not the operator under test — in
+    # production the blobs are read from storage (read_media_dir), so
+    # benchmarks should measure the decode stage over a materialized
+    # blob table, same rule as shingle_table's signature feed. Keyed on
+    # the encoder modules' mtime+size so any codec edit rebuilds the
+    # fixtures (measured: m_jpeg_progressive 12.6 s -> decode-only once
+    # the 5000-blob encode is staged, sf0.1).
+    import os as _os
+
+    from streams_spark.functions import jpeg as _j
+    from streams_spark.functions import jpeg_progressive as _jp
+    from streams_spark.sources.feed_cache import cached_feed
+
+    variant = getattr(encode_fn, "__name__", "custom")
+    enc_key = "|".join(
+        f"{_os.stat(m.__file__).st_mtime_ns}:{_os.stat(m.__file__).st_size}"
+        for m in (_j, _jp)
+    )
+    try:
+        feed = cached_feed(
+            sf_dir,
+            "docjpeg",
+            f"v1|{variant}|{enc_key}",
+            lambda d: blobs.write.mode("overwrite").parquet(d),
+        )
+        # repartition: the staged blobs are a few MB, so the scan packs
+        # them into ONE input partition and the decode stage would run
+        # single-task (measured: 5.4 s serial vs ~1.1 ms/blob x 5000).
+        # The tiny shuffle fans the CPU-bound decode across all cores —
+        # the harness-scale stand-in for the many-file natural
+        # parallelism a real 100 TB blob store gives the scan.
+        return spark.read.parquet(feed).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    except OSError:
+        # no stat-able documents.parquet (in-memory test fixtures):
+        # fall back to the in-session synth
+        return blobs
 
 
 @register("m_jpeg_real", oracle=_JPEG_ORACLE)
