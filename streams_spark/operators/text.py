@@ -570,7 +570,13 @@ TFIDF_TOPK = 3
 
 _TFIDF = f"""
 WITH d AS (
+  -- doc_id IS NOT NULL (r8 grading-scale fuzz, seed 17): df counts
+  -- DISTINCT doc_id, which excludes NULL ids — a term appearing ONLY
+  -- in id-less docs gets df=0 and idf divides by zero (Spark ANSI
+  -- throws, DuckDB emits inf). TF-IDF is per-document output, so
+  -- id-less documents are excluded from corpus and scoring alike.
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id IS NOT NULL
 ), ex AS (
   SELECT doc_id, len(w) AS n_tokens, unnest(w) AS term FROM d
 ), tfd AS (
@@ -610,7 +616,10 @@ def t_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tfidf DESC, term) order is engine-stable; ties beyond 6dp break on
     the term string in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id IS NOT NULL: see the oracle's d-CTE pin (df=0 idf guard)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     toks = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_tokens"),
