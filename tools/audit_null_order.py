@@ -48,8 +48,9 @@ NONNULL_KEYS = {
     # xxhash64/pmod/width_bucket outputs or generated spine values
     "h", "k", "fp", "band", "bucket", "cell", "g", "shard",
     # histogram/spine cells built by sequence()/width_bucket on non-null
-    # measures (NULL measures are filtered at the histogram WHERE)
-    "s", "w", "cents",
+    # measures (NULL measures are filtered at the histogram WHERE);
+    # 'start' is a span index from F.sequence over token positions
+    "s", "w", "cents", "start",
     # time buckets derived from ts (ts is non-NULL by the fuzz contract:
     # NULL event-time is the documented watermark-drop future class)
     "ts", "hour", "day", "d", "week", "window_start", "timestamp",
@@ -76,7 +77,7 @@ NULLABLE_KEYS = {
     "doc_id", "user_id", "event_id", "event_type", "vec_id", "label",
     "lang", "source", "l_partkey", "l_suppkey", "o_custkey",
     "c_nationkey", "s_nationkey", "n_regionkey", "l_returnflag",
-    "text", "n_chars", "value", '"value"', "start", "l.doc_id",
+    "text", "n_chars", "value", '"value"', "l.doc_id",
     "d.n_chars", "c.vec_id", "k.doc_id",
 }
 
