@@ -423,7 +423,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+-- exact integer 1e-4 accumulation, same rationale as q3/q9: under the
+-- r8 3%-NULL-rate probe (seed 18) the double sum straddled a .005
+-- midpoint differently per engine; int64 addition is order-free
+SELECT floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) + 50) / 100) / 100 AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND (
    (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -454,9 +458,24 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             | bundle("Brand#2", 25, 10, 20)
             | bundle("Brand#3", 35, 20, 30)
         )
+        # exact integer 1e-4 accumulation (q3/q9 pattern; r8 seed-18
+        # 3%-NULL probe caught the double sum on a .005 midpoint)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100
+                )
+                / 100
             ).alias("revenue")
         )
     )

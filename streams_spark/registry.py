@@ -102,12 +102,13 @@ ROUND_PRIORITY = [
     "q_window_navigation",
     "p_token_budget",
     "w_scd2_user_state",
-    # q_json_props changed r8 (bitmap distinct); plus the oldest r4
-    # heavy-dedup row
+    # q_json_props (bitmap distinct) and q19 (exact integer revenue
+    # accumulation, seed-18 3%-NULL probe) changed r8
     "q_json_props",
-    "d_transitive_containment",
+    "q19_disjunctive_revenue",
     # ---- 50-query window boundary: everything below is the round-9 ----
     # ---- head (the remaining r4-evidence rows) ----
+    "d_transitive_containment",
     "d_semdedup",
     "d_pagerank",
     "m_media_dedup",

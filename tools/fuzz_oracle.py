@@ -128,12 +128,18 @@ def _shuffle(df, rng):
     return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
 
 
+# scales every _null_keys fraction (and the r7 doc_id/user_id sites):
+# --null-frac-mult 10 turns the 0.3% class into a 3% stress probe that
+# makes NULL-vs-non-NULL ordering ties actually likely
+NULL_FRAC_MULT = 1.0
+
+
 def _null_keys(df, rng, cols, frac=0.003):
     """r8 all-key NULL class: independently NULL `frac` of each named
     key column. Integer keys widen to pandas nullable Int64 so the
     parquet schema (nullable int64) is preserved on write."""
     for col in cols:
-        sel = rng.random(len(df)) < frac
+        sel = rng.random(len(df)) < frac * NULL_FRAC_MULT
         if not sel.any():
             continue
         if df[col].dtype.kind in "iu":
@@ -230,7 +236,7 @@ def perturb_table(name: str, df, rng):
         # NULL user_id (new r7): the segment derivation ('seg' ||
         # user_id % 8) must NULL-propagate identically, NULL window
         # partitions must stay one group in both engines
-        nuluser = rng.random(len(df)) < 0.003
+        nuluser = rng.random(len(df)) < 0.003 * NULL_FRAC_MULT
         if nuluser.any():
             df["user_id"] = df["user_id"].astype("Int64")
             df.loc[nuluser, "user_id"] = None
@@ -270,7 +276,7 @@ def perturb_table(name: str, df, rng):
         # NULL doc_id (new r7): both engines GROUP BY the NULL id as
         # ONE document; the identity split's null-safe join keys (and
         # every doc_id aggregate/window downstream) must agree
-        nulid = rng.random(len(df)) < 0.003
+        nulid = rng.random(len(df)) < 0.003 * NULL_FRAC_MULT
         if nulid.any():
             df["doc_id"] = df["doc_id"].astype("Int64")
             df.loc[nulid, "doc_id"] = None
@@ -400,8 +406,16 @@ def main() -> None:
         action="store_true",
         help="run the empty/single-row fixtures instead of seeded perturbations",
     )
+    ap.add_argument(
+        "--null-frac-mult",
+        type=float,
+        default=1.0,
+        help="scale every NULL-key injection rate (10 -> 3%% stress probe)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    global NULL_FRAC_MULT
+    NULL_FRAC_MULT = args.null_frac_mult
     if args.degenerate:
         runs = [(k, lambda k=k: build_degenerate_dir(args.sf, k)) for k in DEGENERATE_KINDS]
     else:
