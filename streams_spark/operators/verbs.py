@@ -168,7 +168,12 @@ def v_consume_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT coalesce((SELECT timestamp FROM top),
                 TIMESTAMP '1970-01-01 00:00:00') AS offset_timestamp,
-       coalesce((SELECT segment FROM top), '')   AS offset_segment,
+       -- zero-fill '' ONLY for the empty-space case: a winner row whose
+       -- segment derivation is NULL (NULL user_id, r8 3%-NULL probe)
+       -- reports its segment AS IS, matching Spark's whole-struct
+       -- coalesce which never rewrites individual winner fields
+       CASE WHEN EXISTS (SELECT 1 FROM top)
+            THEN (SELECT segment FROM top) ELSE '' END AS offset_segment,
        coalesce((SELECT sequence FROM top), 0)   AS offset_sequence
 """,
 )

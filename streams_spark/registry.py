@@ -49,7 +49,7 @@ ROUND_PRIORITY = [
     # decode path, so those rows need fresh driver evidence
     "m_jpeg_real",
     "m_decode_real",
-    "m_thumbnail_real",
+    "v_space_offset",  # oracle changed r8: NULL-segment winner contract
     # then the r8 rotation target (VERDICT r7 #1): all 35 rows whose
     # latest driver evidence is round 3, so after this window no
     # oracle-paired row's evidence is older than r4
@@ -108,6 +108,7 @@ ROUND_PRIORITY = [
     "q19_disjunctive_revenue",
     # ---- 50-query window boundary: everything below is the round-9 ----
     # ---- head (the remaining r4-evidence rows) ----
+    "m_thumbnail_real",
     "d_transitive_containment",
     "d_semdedup",
     "d_pagerank",
