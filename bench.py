@@ -61,6 +61,14 @@ ROTATED_OUT_R7 = {
     "m_decode_media": 0.318,  # cold 0.389
 }
 
+# Host canary (VERDICT r8 #6): q1's plan is untouched since round 1 and
+# its r1 recording is the denominator. canary_factor > 1 means the host
+# is running slower than the r1 measurement window; dividing the warm
+# total by it gives the host-adjusted headline, so round-over-round
+# comparisons stop needing hand reconstruction.
+CANARY = "q1_pricing_summary"
+CANARY_R1_SEC = 0.377
+
 ROTATED_OUT_R5 = {
     "q2_min_cost_supplier": 1.149,
     "q5_local_supplier_volume": 0.875,
@@ -158,22 +166,32 @@ def main() -> None:
         "unit": "sec",
         "queries": timings or cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "set_version": "r8",
+        "set_version": "r9",
         "cold_total_sec": cold_total,
     }
+    canary_sec = (timings or cold).get(CANARY)
+    if canary_sec:
+        factor = round(canary_sec / CANARY_R1_SEC, 3)
+        summary["canary_factor"] = factor
+        summary["host_adjusted_total_sec"] = round(
+            summary["value"] / factor, 3
+        )
     detail = dict(
         summary,
         queries_cold=cold,
         rotated_out_r7_sec=ROTATED_OUT_R7,
         rotated_out_r5_sec=ROTATED_OUT_R5,
     )
-    # The driver's capture keeps only the LAST ~2000 chars of output
-    # (BENCH_r07.json's parsed field was null because the single fat
-    # JSON line lost its front, including "value"). Emit the full
-    # detail first for humans/SCALING.md, then the compact summary —
-    # complete and well under the capture bound — as the VERY LAST
-    # line so the machine-readable headline always survives.
-    print(json.dumps(detail))
+    # Stdout carries EXACTLY ONE JSON line (ADVICE r8: a second object
+    # breaks any consumer that json.loads() the whole capture). The
+    # per-query cold timings and rotation ledger go to a file next to
+    # SCALING.md instead; the compact summary stays under the driver's
+    # ~2000-char tail capture (the BENCH_r07 truncation lesson).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(json.dumps(summary))
     spark.stop()
 

@@ -460,12 +460,12 @@ class _BitReader:
 
     def bits(self, n: int) -> int:
         # bulk read from the accumulator: identical bit order to n
-        # bit() calls, without the per-bit call overhead. The live
-        # window is 40 bits (see _fill); a valid T.81 size symbol never
-        # requests more than 16 bits, so anything past 32 is a corrupt
-        # symbol (a raw DHT value leaking through as a bit count) and
-        # must be a clean decode error, not truncated garbage.
-        if n > 32:
+        # bit() calls, without the per-bit call overhead. A valid T.81
+        # read never exceeds 16 bits (size symbols cap at 16, EOBn runs
+        # at 14), so anything past 16 is a corrupt symbol (a raw DHT
+        # value leaking through as a bit count) and must be a clean
+        # decode error, not truncated garbage.
+        if n > 16:
             raise ValueError(f"corrupt scan: {n}-bit read exceeds T.81 limits")
         while self.nbits < n:
             self._fill()

@@ -966,11 +966,29 @@ def jpeg_table_real(
     from streams_spark.functions import jpeg_progressive as _jp
     from streams_spark.sources.feed_cache import cached_feed
 
-    variant = getattr(encode_fn, "__name__", "custom")
+    # Key on module+name, not name alone: a test-local encoder that
+    # happens to be called "jpeg_encode" must not be served the stdlib
+    # codec's staged blobs (ADVICE r8). Encoders outside the two keyed
+    # codec modules skip the cache entirely — their source isn't in
+    # enc_key, so staleness couldn't be detected.
+    keyed_modules = {_j.__name__, _jp.__name__}
+    variant = (
+        f"{getattr(encode_fn, '__module__', '?')}."
+        f"{getattr(encode_fn, '__name__', 'custom')}"
+    )
     enc_key = "|".join(
         f"{_os.stat(m.__file__).st_mtime_ns}:{_os.stat(m.__file__).st_size}"
         for m in (_j, _jp)
     )
+    # Narrow fallback (ADVICE r8): only a MISSING source file (the
+    # in-memory test-fixture case) may silently skip staging. Any other
+    # OSError (disk full, cache-root permissions) would switch the
+    # benchmark's workload from decode-only to encode+decode with no
+    # signal — warn loudly instead of hiding it.
+    if getattr(encode_fn, "__module__", None) not in keyed_modules:
+        return blobs
+    if not _os.path.exists(_os.path.join(sf_dir, "documents.parquet")):
+        return blobs
     try:
         feed = cached_feed(
             sf_dir,
@@ -978,19 +996,25 @@ def jpeg_table_real(
             f"v1|{variant}|{enc_key}",
             lambda d: blobs.write.mode("overwrite").parquet(d),
         )
-        # repartition: the staged blobs are a few MB, so the scan packs
-        # them into ONE input partition and the decode stage would run
-        # single-task (measured: 5.4 s serial vs ~1.1 ms/blob x 5000).
-        # The tiny shuffle fans the CPU-bound decode across all cores —
-        # the harness-scale stand-in for the many-file natural
-        # parallelism a real 100 TB blob store gives the scan.
-        return spark.read.parquet(feed).repartition(
-            spark.sparkContext.defaultParallelism
+    except OSError as exc:
+        import warnings
+
+        warnings.warn(
+            f"jpeg staged-feed unavailable ({exc!r}); benchmarks will "
+            "measure encode+decode, not decode-only",
+            RuntimeWarning,
+            stacklevel=2,
         )
-    except OSError:
-        # no stat-able documents.parquet (in-memory test fixtures):
-        # fall back to the in-session synth
         return blobs
+    # repartition: the staged blobs are a few MB, so the scan packs
+    # them into ONE input partition and the decode stage would run
+    # single-task (measured: 5.4 s serial vs ~1.1 ms/blob x 5000).
+    # The tiny shuffle fans the CPU-bound decode across all cores —
+    # the harness-scale stand-in for the many-file natural
+    # parallelism a real 100 TB blob store gives the scan.
+    return spark.read.parquet(feed).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 @register("m_jpeg_real", oracle=_JPEG_ORACLE)
