@@ -391,6 +391,71 @@ def d_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured regime boundary (tools/ppjoin_crossover.py, SCALING.md
+# "PPJoin crossover", sf0.1): the wall-time winner flips from the
+# co-occurrence aggregate to the prefix join between a 12.8% and 25%
+# hot-shingle rate (co-occ ahead 2.57 s vs 3.56 s at 12.8%; behind
+# 3.32 s vs 3.20 s at 25%, 8.68 s vs 4.04 s at 50%). 0.18 sits inside
+# the measured flip interval; corpora probing above it get the prefix
+# formulation. The analog of the reference hard-coding per-backend
+# chunk constants (/root/reference/server/pebble/service.go:308,
+# server/azure/service.go:27) — except this constant is measured and
+# the dispatch is per-corpus, not per-build.
+PPJOIN_HOT_DF_RATIO = 0.18
+
+
+def jaccard_regime(sh: DataFrame) -> tuple[str, float]:
+    """Probe a shingle signature table for the hot-shingle skew that
+    decides the Jaccard-join regime: returns ('prefix'|'cooccurrence',
+    max_df/n_docs). One aggregate over the already-staged feed plus a
+    single-row collect — the co-occurrence candidate mass grows with
+    sum df(h)^2, and its largest term (the hottest shingle) is the
+    cheap sufficient statistic: a boilerplate paragraph shared by a
+    fraction r of docs puts ~38 shingles at df ≈ r * n_docs, so
+    max_df/n_docs tracks r directly (the dial the crossover table
+    varies)."""
+    row = (
+        sh.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .first()
+    )
+    n_docs = sh.count()
+    if not n_docs or row is None or row["max_df"] is None:
+        return "cooccurrence", 0.0
+    ratio = row["max_df"] / n_docs
+    return (
+        "prefix" if ratio >= PPJOIN_HOT_DF_RATIO else "cooccurrence"
+    ), ratio
+
+
+@register("d_ngram_jaccard_auto", oracle=_NGRAM_JACCARD)
+def d_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-dispatched exact Jaccard self-join (VERDICT r8 #4): probes
+    the corpus's hot-shingle skew (jaccard_regime) and runs whichever
+    exact formulation the measured crossover says wins there —
+    d_ngram_jaccard's co-occurrence aggregate on low-redundancy corpora
+    (two stages shorter), d_ngram_jaccard_prefix's df-ordered PPJoin
+    once boilerplate pushes max_df/n_docs past PPJOIN_HOT_DF_RATIO.
+    Both branches return the identical exact pair set, so the dispatch
+    is invisible to the oracle; the probe's df census is the prefix
+    variant's own first stage, so the prefix branch pays it once
+    conceptually (Spark re-executes it — at 100 TB the df table is
+    maintained next to the signature feed and both consumers read it).
+
+    Scale: the probe is one partial-agg'd aggregate over the staged
+    signature feed collecting ONE row — the same cardinality-sniffing a
+    warehouse optimizer does from table stats before picking a join
+    strategy. The decision is pinned on both a low- and a
+    high-boilerplate fixture in tests/test_extensions.py."""
+    sh = shingle_table(spark, sf_dir)
+    regime, _ratio = jaccard_regime(sh)
+    if regime == "prefix":
+        return d_ngram_jaccard_prefix(spark, sf_dir)
+    return d_ngram_jaccard(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (shingle → minhash sig → band → bucket join → verify)
 # ---------------------------------------------------------------------------

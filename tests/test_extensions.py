@@ -2134,3 +2134,60 @@ def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
         for r in _rows(spark, sf_dir, "d_ngram_jaccard_prefix")
     }
     assert a == b and len(a) > 0
+
+
+def test_jaccard_regime_dispatch(spark, sf_dir):
+    """The auto dispatcher picks the measured regime on both fixture
+    classes (VERDICT r8 #4): a low-redundancy corpus probes under
+    PPJOIN_HOT_DF_RATIO and gets the co-occurrence aggregate; a corpus
+    where 30% of docs share a boilerplate paragraph probes above it
+    and gets the PPJoin prefix join. Either way the result set is the
+    same exact pair set as d_ngram_jaccard."""
+    import os
+    import tempfile
+
+    from streams_spark.operators.dedup import (
+        PPJOIN_HOT_DF_RATIO,
+        clear_shingle_cache,
+        d_ngram_jaccard,
+        d_ngram_jaccard_auto,
+        jaccard_regime,
+        shingle_table,
+    )
+
+    boiler = " ".join(f"legal{i}" for i in range(12))
+    low_rows = [
+        (i, " ".join(f"doc{i}tok{j}" for j in range(20))) for i in range(40)
+    ]
+    high_rows = [
+        (
+            i,
+            " ".join(f"doc{i}tok{j}" for j in range(20))
+            + (" " + boiler if i % 10 < 3 else ""),
+        )
+        for i in range(40)
+    ]
+    for rows, expected in ((low_rows, "cooccurrence"), (high_rows, "prefix")):
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            clear_shingle_cache()
+            try:
+                regime, ratio = jaccard_regime(shingle_table(spark, td))
+                assert regime == expected, (regime, ratio)
+                if expected == "prefix":
+                    assert ratio >= PPJOIN_HOT_DF_RATIO
+                else:
+                    assert ratio < PPJOIN_HOT_DF_RATIO
+                auto = {
+                    (r.doc_a, r.doc_b, r.jaccard)
+                    for r in d_ngram_jaccard_auto(spark, td).collect()
+                }
+                exact = {
+                    (r.doc_a, r.doc_b, r.jaccard)
+                    for r in d_ngram_jaccard(spark, td).collect()
+                }
+                assert auto == exact
+            finally:
+                clear_shingle_cache()
