@@ -1338,7 +1338,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 9).alias("inc"),
     )
     exist = h.where(~F.col("inc")).select("ch").distinct()
-    w = Window.partitionBy("ch").orderBy("doc_id")
+    w = Window.partitionBy("ch").orderBy(F.asc_nulls_last("doc_id"))
     b = (
         h.where("inc")
         .withColumn("rn", F.row_number().over(w))
@@ -1648,7 +1648,7 @@ _CLUSTER_SURVIVORS = (
 ), m AS (
   SELECT l.cluster_id, l.doc_id, d.n_chars,
          row_number() OVER (PARTITION BY l.cluster_id
-                            ORDER BY d.n_chars DESC, l.doc_id) AS rk
+                            ORDER BY d.n_chars DESC, l.doc_id NULLS LAST) AS rk
   FROM labeled l
   JOIN (SELECT doc_id, max(n_chars) AS n_chars
         FROM documents GROUP BY doc_id) d USING (doc_id)
@@ -1688,7 +1688,7 @@ def d_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_chars").alias("n_chars"))
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+        F.desc("n_chars"), F.asc_nulls_last("doc_id")
     )
     m = clusters.join(docs, "doc_id").withColumn("rk", F.row_number().over(w))
     out = m.groupBy("cluster_id").agg(

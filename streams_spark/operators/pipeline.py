@@ -8,7 +8,7 @@ every one carries a DuckDB oracle.
 Scale designs (the interesting part of each op is the shuffle shape):
 
 - `p_pack_sequences`: concat-and-chunk packing needs a GLOBAL running
-  token total — a naive `Window.orderBy(doc_id)` collapses to one task.
+  token total — a naive Window ordered by doc_id alone collapses to one task.
   Implemented as a two-level distributed prefix sum: per-group cumsums
   partitioned by `doc_id div G` (parallel), plus a group-offset table
   (one row per group — n_docs/G rows, tiny) prefix-summed and
@@ -46,7 +46,7 @@ WITH sized AS (
   FROM documents WHERE doc_id IS NOT NULL
 ), placed AS (
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id
+         sum(n_tokens) OVER (ORDER BY doc_id NULLS LAST
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
   FROM sized
 )
@@ -82,7 +82,7 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level 1: cumsum within each group (parallel across groups)
     wg = (
         Window.partitionBy("g")
-        .orderBy("doc_id")
+        .orderBy(F.asc_nulls_last("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = sized.withColumn(
@@ -305,7 +305,7 @@ WITH sized AS (
   FROM documents GROUP BY source
 ), ordered AS (
   SELECT source, tier, n_tokens,
-         CAST(sum(n_tokens) OVER (ORDER BY tier, source
+         CAST(sum(n_tokens) OVER (ORDER BY tier, source NULLS LAST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS cum_tokens
   FROM sized
@@ -369,7 +369,7 @@ WITH keyed AS (
   FROM documents
 )
 SELECT shard,
-       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id NULLS LAST)
             AS INTEGER) AS pos,
        doc_id
 FROM keyed
@@ -394,7 +394,7 @@ def p_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.md5(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string")))
     shard = F.conv(F.substring(k, 1, 4), 16, 10).cast("int") % N_SHARDS
     keyed = docs.select("doc_id", k.alias("k"), shard.alias("shard"))
-    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    w = Window.partitionBy("shard").orderBy("k", F.asc_nulls_last("doc_id"))
     return keyed.select(
         "shard", F.row_number().over(w).alias("pos"), "doc_id"
     )
@@ -512,7 +512,7 @@ WITH ranked AS (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY md5(text)
-           ORDER BY CAST(substr(source, 4) AS INT), doc_id
+           ORDER BY CAST(substr(source, 4) AS INT) NULLS LAST, doc_id NULLS LAST
          ) AS rn
   FROM documents
 )
@@ -547,7 +547,7 @@ def p_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI mode
     prio = F.substring("source", 4, 10).try_cast("int")
     w = Window.partitionBy(F.md5("text")).orderBy(
-        F.asc_nulls_last(prio), "doc_id"
+        F.asc_nulls_last(prio), F.asc_nulls_last("doc_id")
     )
     ranked = docs.select(
         "source", F.row_number().over(w).alias("rn")
@@ -623,7 +623,10 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(float("inf")))
     return (
         docs.select("doc_id", "source", "n_chars", key.alias("k"))
-        .orderBy("k", "doc_id")
+        # nulls FIRST: this pair's r7 contract (oracle: ORDER BY k,
+        # doc_id NULLS FIRST) — reachable only if the LIMIT cuts inside
+        # the +inf tie group where every NULL-id doc lives
+        .orderBy("k", F.asc_nulls_first("doc_id"))
         .limit(SAMPLE_K)
         .select("doc_id", "source", "n_chars")
     )
@@ -639,7 +642,7 @@ _DOMAIN_CAP = f"""
 WITH ranked AS (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source
-                            ORDER BY n_chars DESC, doc_id) AS rn
+                            ORDER BY n_chars DESC, doc_id NULLS LAST) AS rn
   FROM documents
 )
 SELECT source,
@@ -671,7 +674,7 @@ def p_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact output contract.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc_nulls_last("doc_id"))
     ranked = docs.select(
         "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
     )
@@ -1143,7 +1146,12 @@ def p_pad_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tok"),
         )
     )
-    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    # NULLS FIRST, explicitly: this pair's contract was pinned r7 on
+    # the ORACLE side (ORDER BY doc_id NULLS FIRST, matching Spark's
+    # ASC default) — the r9 blanket nulls-last pass flipped this side
+    # and the seed-16 fuzz caught it within the same round. Both sides
+    # now state the same direction explicitly.
+    wb = Window.partitionBy("bucket").orderBy(F.asc_nulls_first("doc_id"))
     bucketed_b = (
         sized.withColumn(
             "bucket", (F.col("n_tokens") / LEN_BUCKET).cast("long")
@@ -1261,7 +1269,9 @@ def p_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = sized.where(
         (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000)
     )
-    wd = Window.partitionBy("fp").orderBy("doc_id")
+    # nulls FIRST: the oracle pins ORDER BY doc_id NULLS FIRST (r7) —
+    # a NULL-id doc colliding with a real one must lose/win identically
+    wd = Window.partitionBy("fp").orderBy(F.asc_nulls_first("doc_id"))
     dedup = (
         quality.withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") == 1)

@@ -2832,7 +2832,7 @@ _GROUPED_MAP = """
 SELECT event_id, user_id, "value",
        CASE WHEN "value" IS NULL THEN NULL
             ELSE floor(percent_rank()
-                       OVER (PARTITION BY user_id ORDER BY "value")
+                       OVER (PARTITION BY user_id ORDER BY "value" NULLS LAST)
                   * 10000 + 0.5) / 10000
        END AS pct_rank
 FROM events
@@ -3175,7 +3175,7 @@ SELECT event_id, user_id, v,
        lag(v, 1, -1.0) OVER w AS prev_or_default,
        lead(v, 2) OVER w AS next_next
 FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 

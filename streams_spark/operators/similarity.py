@@ -123,7 +123,7 @@ FROM (
            PARTITION BY q.vec_id
            ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
                           p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
-                    c.vec_id
+                    c.vec_id NULLS LAST
          ) AS rnk
   FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
 ) r
@@ -153,7 +153,7 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("vec_id")
+        F.desc("cos_sim"), F.asc_nulls_last("vec_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -178,7 +178,7 @@ JOIN LATERAL (
                         p -> p[1] * p[2])) / (q.nrm * c.nrm), 6)
              AS cos_sim
   FROM n c WHERE c.vec_id != q.vec_id
-  ORDER BY cos_sim DESC, c.vec_id
+  ORDER BY cos_sim DESC, c.vec_id NULLS LAST
   LIMIT 1
 ) nb ON true
 WHERE q.vec_id < 100
@@ -205,7 +205,7 @@ def s_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc_nulls_last("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
@@ -334,7 +334,7 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc_nulls_last("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
@@ -555,7 +555,7 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc_nulls_last("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
@@ -1194,7 +1194,7 @@ def s_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("vec_id")
+        F.desc("cos_sim"), F.asc_nulls_last("vec_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1342,7 +1342,7 @@ _KNN_CLASSIFY = (
            PARTITION BY q.vec_id
            ORDER BY round(list_sum(list_transform(list_zip(q.v, c.v),
                           p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
-                    c.vec_id
+                    c.vec_id NULLS LAST
          ) AS rnk
   -- c.label IS NOT NULL: unlabeled vectors don't vote (r8 NULL-key pin)
   FROM n q JOIN n c ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
@@ -1409,7 +1409,7 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.desc("cos_sim"), F.col("vec_id")
+                    F.desc("cos_sim"), F.asc_nulls_last("vec_id")
                 )
             ),
         )
@@ -1419,7 +1419,7 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("votes")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("votes"), F.col("label")
+        F.desc("votes"), F.asc_nulls_last("label")
     )
     return (
         votes.withColumn("rn", F.row_number().over(w))
@@ -1700,7 +1700,7 @@ _BINARY_SEARCH = (
          row_number() OVER (
            PARTITION BY q.vec_id
            ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)),
-                    c.vec_id
+                    c.vec_id NULLS LAST
          ) AS srnk
   FROM sig q JOIN sig c
     ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
@@ -1774,7 +1774,7 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         F.col("qlo").bitwiseXOR(F.col("lo"))
     ) + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
-    ws = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    ws = Window.partitionBy("query_id").orderBy("hamming", F.asc_nulls_last("vec_id"))
     short = (
         sig.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
         .withColumn("hamming", hamming)
@@ -1785,7 +1785,7 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("vec_id")
+        F.desc("cos_sim"), F.asc_nulls_last("vec_id")
     )
     return (
         short.withColumn("cos_sim", cos)
@@ -1820,7 +1820,7 @@ _MRL_SEARCH = (
            PARTITION BY q.vec_id
            ORDER BY list_sum(list_transform(list_zip(q.tv, c.tv),
                     p -> p[1] * p[2])) / (q.tnrm * c.tnrm) DESC,
-                    c.vec_id
+                    c.vec_id NULLS LAST
          ) AS srnk
   FROM trunc q JOIN trunc c
     ON q.vec_id < {N_PROBES} AND c.vec_id != q.vec_id
@@ -1879,7 +1879,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("qtv"), F.col("tv")), F.col("qtnrm") * F.col("tnrm")
     )
     ws = Window.partitionBy("query_id").orderBy(
-        F.desc("tcos"), F.col("vec_id")
+        F.desc("tcos"), F.asc_nulls_last("vec_id")
     )
     short = (
         base.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
@@ -1891,7 +1891,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")), 6
     )
     wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("vec_id")
+        F.desc("cos_sim"), F.asc_nulls_last("vec_id")
     )
     return (
         short.withColumn("cos_sim", cos)
@@ -1929,7 +1929,7 @@ WITH e AS (
   FROM n c CROSS JOIN q WHERE c.vec_id <> 0
 ), vrank AS (
   SELECT doc_id,
-         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id NULLS LAST) AS vec_rank
   FROM vec
 ), vtop AS (
   SELECT doc_id, vec_rank FROM vrank WHERE vec_rank <= {HYBRID_L}
@@ -1960,7 +1960,7 @@ WITH e AS (
   GROUP BY t.doc_id
 ), lrank AS (
   SELECT doc_id,
-         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         row_number() OVER (ORDER BY bm25 DESC, doc_id NULLS LAST) AS lex_rank
   FROM scored
 ), ltop AS (
   SELECT doc_id, lex_rank FROM lrank WHERE lex_rank <= {HYBRID_L}
@@ -1974,7 +1974,7 @@ WITH e AS (
   FROM vtop v FULL OUTER JOIN ltop l ON l.doc_id = v.doc_id
 )
 SELECT doc_id, lex_rank, vec_rank, rrf_score
-FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+FROM fused ORDER BY rrf_score DESC, doc_id NULLS LAST LIMIT {HYBRID_TOPK}
 """
 
 
@@ -2018,9 +2018,9 @@ def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrdered-limit FIRST (per-partition heap + driver merge of L
     # rows), THEN rank the L survivors — a global row_number before the
     # cut would drag the whole candidate set through one partition
-    wv = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc_nulls_last("doc_id"))
     vtop = (
-        vec.orderBy(F.desc("cos_sim"), "doc_id")
+        vec.orderBy(F.desc("cos_sim"), F.asc_nulls_last("doc_id"))
         .limit(HYBRID_L)
         .withColumn("vec_rank", F.row_number().over(wv))
         .select("doc_id", "vec_rank")
@@ -2062,9 +2062,9 @@ def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    wl = Window.orderBy(F.desc("bm25"), F.asc_nulls_last("doc_id"))
     ltop = (
-        scored.orderBy(F.desc("bm25"), "doc_id")
+        scored.orderBy(F.desc("bm25"), F.asc_nulls_last("doc_id"))
         .limit(HYBRID_L)
         .withColumn("lex_rank", F.row_number().over(wl))
         .select("doc_id", "lex_rank")
@@ -2091,4 +2091,4 @@ def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("rrf_score"),
     )
-    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(HYBRID_TOPK)
+    return fused.orderBy(F.desc("rrf_score"), F.asc_nulls_last("doc_id")).limit(HYBRID_TOPK)

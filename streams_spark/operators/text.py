@@ -1324,10 +1324,10 @@ WITH d AS (
   CROSS JOIN stats s
   GROUP BY t.doc_id
 )
-SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk,
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id NULLS LAST) AS INTEGER) AS rnk,
        doc_id, bm25
 FROM scored
-ORDER BY bm25 DESC, doc_id
+ORDER BY bm25 DESC, doc_id NULLS LAST
 LIMIT {BM25_TOPK}
 """
 
@@ -1382,8 +1382,8 @@ def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    top = scored.orderBy(F.desc("bm25"), F.asc_nulls_last("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), F.asc_nulls_last("doc_id"))
     return top.select(
         F.row_number().over(w).cast("int").alias("rnk"), "doc_id", "bm25"
     )

@@ -125,10 +125,10 @@ WITH cust_rev AS (
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, total_spent,
-       CAST(rank() OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER) AS rnk,
-       CAST(dense_rank() OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER)
+       CAST(rank() OVER (ORDER BY total_spent DESC, o_custkey NULLS LAST) AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER (ORDER BY total_spent DESC, o_custkey NULLS LAST) AS INTEGER)
            AS drnk,
-       CAST(ntile(10) OVER (ORDER BY total_spent DESC, o_custkey) AS INTEGER)
+       CAST(ntile(10) OVER (ORDER BY total_spent DESC, o_custkey NULLS LAST) AS INTEGER)
            AS decile
 FROM cust_rev
 WHERE o_custkey <= 500
@@ -143,7 +143,7 @@ def w_customer_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
         .where(F.col("o_custkey") <= 500)
     )
-    w = Window.orderBy(F.desc("total_spent"), F.col("o_custkey"))
+    w = Window.orderBy(F.desc("total_spent"), F.asc_nulls_last("o_custkey"))
     return cust_rev.select(
         "o_custkey",
         "total_spent",
@@ -164,10 +164,10 @@ WITH flagged AS (
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST)
 ), numbered AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), sessions AS (
@@ -228,7 +228,7 @@ WITH tagged AS (
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
            OVER w AS last_click_ts
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
@@ -764,7 +764,7 @@ WITH tagged AS (
          first_value(CASE WHEN event_type = 'purchase' THEN ts END
                      IGNORE NULLS) OVER w AS next_purchase_ts
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, event_id AS click_id, ts AS click_ts,
@@ -882,7 +882,7 @@ def w_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_MEDIAN = """
 SELECT user_id, event_id,
        round(median("value") OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
 FROM events
 """
@@ -1008,8 +1008,8 @@ WITH cust_rev AS (
   FROM orders GROUP BY o_custkey
 ), ranked AS (
   SELECT o_custkey, revenue,
-         row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
-         round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+         row_number() OVER (ORDER BY revenue DESC, o_custkey NULLS LAST) AS rnk,
+         round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey NULLS LAST
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                            AND CURRENT ROW)
                / sum(revenue) OVER (), 6) AS cum_share
@@ -1043,7 +1043,7 @@ def w_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w_rank = Window.orderBy(F.desc("revenue"), F.col("o_custkey"))
+    w_rank = Window.orderBy(F.desc("revenue"), F.asc_nulls_last("o_custkey"))
     total = Window.partitionBy()
     cum = (
         F.sum("revenue").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
@@ -1074,7 +1074,7 @@ WITH tagged AS (
 ), enriched AS (
   SELECT user_id, ts, event_id, event_type, "value",
          max(CASE WHEN event_type = 'click' THEN ts END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS last_click_ts
   FROM tagged
@@ -1143,7 +1143,7 @@ _SCD2 = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
+                               ORDER BY ts, event_id NULLS LAST) AS prev_type
   FROM events
 ), changes AS (
   SELECT user_id, event_type AS state, ts AS valid_from, event_id
@@ -1152,7 +1152,7 @@ WITH ordered AS (
 ), intervals AS (
   SELECT user_id, state, valid_from,
          lead(valid_from) OVER (PARTITION BY user_id
-                                ORDER BY valid_from, event_id) AS valid_to
+                                ORDER BY valid_from, event_id NULLS LAST) AS valid_to
   FROM changes
 )
 SELECT state,
@@ -1657,12 +1657,12 @@ def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRAWDOWN = """
 WITH curve AS (
   SELECT user_id, ts, event_id,
-         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                           ROWS UNBOUNDED PRECEDING) AS equity
   FROM events WHERE event_type = 'purchase'
 ), peaked AS (
   SELECT user_id, equity,
-         max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                            ROWS UNBOUNDED PRECEDING) AS peak
   FROM curve
 )

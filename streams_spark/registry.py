@@ -43,72 +43,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 8 window (first 50) ---
-    # head: queries whose CODE changed this round — the jpeg.py corrupt-
-    # DHT / oversized-bit-read guards (ADVICE r7) sit on every real-JPEG
-    # decode path, so those rows need fresh driver evidence
-    "m_jpeg_real",
-    "m_decode_real",
-    "v_space_offset",  # oracle changed r8: NULL-segment winner contract
-    # then the r8 rotation target (VERDICT r7 #1): all 35 rows whose
-    # latest driver evidence is round 3, so after this window no
-    # oracle-paired row's evidence is older than r4
-    "q_correlated_exists",
-    "q_full_outer",
-    "q_lateral_explode",
-    "q_outliers",
-    "q_salted_join",
-    "q_stats_functions",
-    "q_window_frames",
-    "s_ann_lsh_topk",
-    "s_centroid_search",
-    "s_kmeans_train",
-    "s_pq_search",
-    "s_pq_train",
-    "s_recall_eval",
-    "s_vector_quantize",
-    "st_stream_dedup",
-    "st_stream_enrich",
-    "st_stream_topk",
-    "t_char_entropy",
-    "t_heavy_hitters",
-    "t_length_histogram",
-    "t_pii_redact",
-    "t_repetition",
-    "t_tfidf_keywords",
-    "t_unigram_lm",
-    "t_vocab_stats",
-    "v_chunked_produce",
-    "v_latest_entity_state",
-    "v_watermark_lag",
-    "w_asof_forward",
-    "w_attribution",
-    "w_gap_fill",
-    "w_pareto_customers",
-    "w_rolling_dau",
-    "w_rolling_median",
-    "w_user_streaks",
-    # fill to 50: queries whose CODE changed in the r8 NULL-key fuzz
-    # fixes (pinned NULL-ordering contracts, sketch/vote membership
-    # filters) — fresh evidence on the new code paths takes precedence
-    # over discretionary r4 fill
-    "s_ivf_pq_search",
-    "s_knn_classify",
-    "s_diversity",
-    "q_snapshot_diff",
-    "q_kmv_distinct",
-    "q_kmv_setops",
-    "st_transform_with_state",
-    "q_window_navigation",
-    "p_token_budget",
-    "w_scd2_user_state",
-    # q_json_props (bitmap distinct) and q19 (exact integer revenue
-    # accumulation, seed-18 3%-NULL probe) changed r8
-    "q_json_props",
-    "q19_disjunctive_revenue",
-    # ---- 50-query window boundary: everything below is the round-9 ----
-    # ---- head (the remaining r4-evidence rows) ----
-    "m_thumbnail_real",
+    # --- round 9 window (first 50) ---
+    # head (5): the round's genuinely new or semantics-relevant changes.
+    # The r9 NULL-ordering pins (asc_nulls_last / NULLS LAST on every
+    # formerly-EXPOSED site, NULL_ORDER_AUDIT.md) are byte-identical on
+    # the clean grading data (builder's full 228/228 gate re-run), so
+    # they don't consume window slots; these five carry either new code
+    # paths or an oracle-semantics pin worth driver evidence.
+    "d_ngram_jaccard_auto",  # NEW r9: regime-dispatched Jaccard join
+    "m_jpeg_real",  # staged-feed fallback narrowed + module-keyed cache
+    "m_jpeg_progressive",  # same staged path
+    "q_grouped_map",  # oracle pinned NULLS LAST on percent_rank order
+    "w_sessionize",  # oracle pinned; also the round's perf-weak row
+    # then the r9 rotation target (VERDICT r8 #2): all 45 rows whose
+    # latest driver evidence is round 4, so after this window no
+    # oracle-paired row's evidence is older than r5
     "d_transitive_containment",
     "d_semdedup",
     "d_pagerank",
@@ -154,6 +103,61 @@ ROUND_PRIORITY = [
     "w_interpolate",
     "w_seasonality",
     "w_wow_change",
+    # ---- 50-query window boundary ----
+    "m_thumbnail_real",
+    # round-10 head candidates: the remaining r9-pinned files' queries
+    # keep their r5-r8 green evidence (pins verified no-op by the
+    # builder's gate + FUZZ_r9_* sweeps); rotate the oldest of them
+    # here next round
+    "m_decode_real",
+    "v_space_offset",
+    "q_correlated_exists",
+    "q_full_outer",
+    "q_lateral_explode",
+    "q_outliers",
+    "q_salted_join",
+    "q_stats_functions",
+    "q_window_frames",
+    "s_ann_lsh_topk",
+    "s_centroid_search",
+    "s_kmeans_train",
+    "s_pq_search",
+    "s_pq_train",
+    "s_recall_eval",
+    "s_vector_quantize",
+    "st_stream_dedup",
+    "st_stream_enrich",
+    "st_stream_topk",
+    "t_char_entropy",
+    "t_heavy_hitters",
+    "t_length_histogram",
+    "t_pii_redact",
+    "t_repetition",
+    "t_tfidf_keywords",
+    "t_unigram_lm",
+    "t_vocab_stats",
+    "v_chunked_produce",
+    "v_latest_entity_state",
+    "v_watermark_lag",
+    "w_asof_forward",
+    "w_attribution",
+    "w_gap_fill",
+    "w_pareto_customers",
+    "w_rolling_dau",
+    "w_rolling_median",
+    "w_user_streaks",
+    "s_ivf_pq_search",
+    "s_knn_classify",
+    "s_diversity",
+    "q_snapshot_diff",
+    "q_kmv_distinct",
+    "q_kmv_setops",
+    "st_transform_with_state",
+    "q_window_navigation",
+    "p_token_budget",
+    "w_scd2_user_state",
+    "q_json_props",
+    "q19_disjunctive_revenue",
     # later-round-window queries stay registered behind these
     # (import order)
 ]

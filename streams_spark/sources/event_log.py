@@ -40,7 +40,7 @@ WITH events_log AS (
     'seg' || CAST(user_id % 8 AS VARCHAR) AS segment,
     ROW_NUMBER() OVER (
       PARTITION BY event_type, user_id % 8
-      ORDER BY ts, event_id, value NULLS LAST, props NULLS LAST
+      ORDER BY ts, event_id NULLS LAST, value NULLS LAST, props NULLS LAST
     ) AS sequence,
     ts AS timestamp,
     event_id,

@@ -484,9 +484,8 @@ def test_transform_with_state_real_api_path(spark):
     if not sq.has_transform_with_state():
         pytest.skip(
             "google.protobuf not installed; real path unavailable — "
-            "see has_transform_with_state() for why a stdlib shim "
-            "cannot close this (full protobuf runtime + JVM wire "
-            "compatibility required)"
+            "closed permanently, see TWS_IMPOSSIBILITY.md (exact "
+            "import chain, exhausted closure routes)"
         )
     stream = sq._events_stream(spark, "/root/testdata/sf0.001")
     out = sq._type_profile_tws(stream, spark)

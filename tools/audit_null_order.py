@@ -101,15 +101,30 @@ def _balanced(src: str, start: int) -> str:
 
 
 def _sql_clause(src: str, start: int) -> str:
-    """ORDER BY clause text up to the next clause boundary."""
-    end = len(src)
-    for stop in (
-        ") AS", ")\n", "LIMIT", "WINDOW", "ROWS", "RANGE", '"""', "'''",
-    ):
-        j = src.find(stop, start)
-        if j != -1:
-            end = min(end, j)
-    return src[start:end]
+    """ORDER BY clause text up to the next clause boundary.
+
+    Depth-aware (r9): a ") AS" or ")\\n" INSIDE a function call (e.g.
+    CAST(substr(source, 4) AS INT) NULLS LAST) must not end the clause
+    — the r8 version truncated there and mis-read the pin as absent.
+    The clause ends when the enclosing paren closes (depth < 0) or at a
+    top-level keyword boundary."""
+    depth = 0
+    i = start
+    keywords = ("LIMIT", "WINDOW", "ROWS", "RANGE", '"""', "'''")
+    while i < len(src):
+        ch = src[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return src[start:i]
+        elif depth == 0 and any(
+            src.startswith(k, i) for k in keywords
+        ):
+            return src[start:i]
+        i += 1
+    return src[start:]
 
 
 def _split_keys(clause: str) -> list[str]:
@@ -181,9 +196,12 @@ def scan() -> list[dict]:
             line_text = src[src.rfind("\n", 0, m.start()) + 1 : m.start()]
             if line_text.lstrip().startswith("#"):
                 continue
+            # classify on the FULL clause (the r8 160-char cut dropped
+            # trailing NULLS LAST pins on long expressions); truncate
+            # only the report display
             sites.append(
                 {"file": f, "line": lineof(m.start()), "kind": "sql",
-                 "clause": clause[:160], "keys": _split_keys(clause[:160])}
+                 "clause": clause[:160], "keys": _split_keys(clause)}
             )
     for s in sites:
         classes = [_classify_key(k, s["kind"] == "sql") for k in s["keys"]]
@@ -208,7 +226,7 @@ def main() -> None:
     for s in sites:
         by.setdefault(s["verdict"], []).append(s)
     lines = [
-        "# NULL-ordering site audit (round 8)",
+        "# NULL-ordering site audit (round 9)",
         "",
         "Generated by `tools/audit_null_order.py`. Mechanism: Spark sorts",
         "NULLS FIRST on ASC / NULLS LAST on DESC; DuckDB sorts NULLS LAST",
@@ -226,11 +244,15 @@ def main() -> None:
         f"Inventory: {len(sites)} ordering sites — "
         + ", ".join(f"{k}: {len(v)}" for k, v in sorted(by.items())),
         "",
-        "EXPOSED sites are exactly the rows the r8 all-key NULL fuzz",
-        "class perturbs (FUZZ_r8_nullkeys.json); each is either green",
-        "there (engines agree because a non-null tie-break key or an",
-        "upstream filter/join resolves the NULL before the sort) or was",
-        "fixed this round with an explicit pin on both sides.",
+        "Round 9 closed the EXPOSED class STRUCTURALLY (VERDICT r8 #3):",
+        "every ASC ordering key that can be NULL under the fuzz data",
+        "model now carries an explicit pin — asc_nulls_last on the Spark",
+        "side, NULLS LAST on the oracle side (DuckDB's own default, so",
+        "the SQL pins are documentation with zero behavior change; the",
+        "Spark pins make both engines agree even if a NULL ever reaches",
+        "a sort that today resolves it upstream). EXPOSED = 0 removes",
+        "the green-by-data-luck class permanently; the fuzz sweep",
+        "remains the empirical backstop.",
         "",
         "## Round-8 empirical cross-reference",
         "",
@@ -260,14 +282,11 @@ def main() -> None:
         "| s_knn_classify | NULL-label vote group breaks ties opposite"
         " ways | unlabeled vectors don't vote (both sides) |",
         "",
-        "After the fixes: seeds 16-17 fully green (227 pass / 0 fail /",
-        "5 no-oracle each); prior adversarial seeds 6-8, 11-15 and the",
-        "degenerate fixtures re-run green (FUZZ_r8_regress.json,",
-        "FUZZ_DEGEN_r8.json). Remaining EXPOSED rows below are the",
-        "fuzz-green cohort: their NULL keys are resolved upstream of the",
-        "sort (equi-join drop, non-null tie-break, probe-id filter) or",
-        "tie situations are value-impossible; the empirical gate covers",
-        "them every round the fuzz sweep runs.",
+        "After the r8 fixes: seeds 16-17 fully green (227 pass / 0 fail",
+        "/ 5 no-oracle each); prior adversarial seeds 6-8, 11-15 and the",
+        "degenerate fixtures re-run green. The r9 structural pass then",
+        "pinned the remaining 67 fuzz-green EXPOSED sites outright",
+        "(see FUZZ_r9_* artifacts for the post-pin re-run).",
         "",
     ]
     for verdict in ("EXPOSED", "PINNED", "NONNULL", "DESC"):
