@@ -81,6 +81,35 @@ NULL_FRAC = 0.03  # the 10x-rate probe (0.3% r8 class x 10)
 SEED = 19  # continues the fuzz seed ledger (18 was the 1x 3% probe)
 
 
+def _canonical_vintage(table: pa.Table) -> pa.Table:
+    """Normalize a Spark-written stress table to the testdata vintage.
+
+    The stress10x builder writes timestamps through Spark, whose default
+    parquet output is INT96 — pyarrow reads that as timestamp[ns], and a
+    naive round-trip would WRITE it back as TIMESTAMP(NANOS) while
+    preserving Spark's embedded `row.metadata` (which still says
+    TimestampType). Spark then trusts the embedded metadata, meets
+    nanos-as-INT64 in the column chunks, and fails with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH — but only in queries that
+    actually materialize `ts` (column pruning hid it from 7 of the 8
+    targets on first run). Coerce ns -> us and drop the stale Spark
+    metadata so the fixture is bit-compatible with the testdata layout
+    both engines already handle."""
+    schema = table.schema
+    for i, f in enumerate(schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            us = pa.timestamp("us", tz=f.type.tz)
+            table = table.set_column(
+                i, pa.field(f.name, us), table.column(i).cast(us)
+            )
+    md = {
+        k: v
+        for k, v in (table.schema.metadata or {}).items()
+        if not k.startswith(b"org.apache.spark")
+    }
+    return table.replace_schema_metadata(md or None)
+
+
 def inject_nulls(src_dir: str, dest_dir: str, seed: int = SEED) -> str:
     """Copy `src_dir` into `dest_dir` with 3% NULLs injected into every
     r8-class key column. Reads via pyarrow (handles both single-file
@@ -92,7 +121,7 @@ def inject_nulls(src_dir: str, dest_dir: str, seed: int = SEED) -> str:
 
     os.makedirs(dest_dir, exist_ok=True)
     marker = os.path.join(dest_dir, "_NULLED")
-    stamp = f"seed{seed}-frac{NULL_FRAC}"
+    stamp = f"seed{seed}-frac{NULL_FRAC}-v2"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
@@ -101,6 +130,7 @@ def inject_nulls(src_dir: str, dest_dir: str, seed: int = SEED) -> str:
     for t in TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         table = pq.read_table(src)
+        table = _canonical_vintage(table)
         cols = NULL_KEY_COLS.get(t)
         if cols:
             df = table.to_pandas()
