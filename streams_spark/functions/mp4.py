@@ -1,0 +1,413 @@
+"""Real ISO Base Media File Format (MP4) mux/demux — stdlib only.
+
+Implements the subset of ISO/IEC 14496-12 a data pipeline's video
+ingest actually touches: the box (atom) structure, the movie header
+tree (`moov/trak/mdia/minf/stbl`), and — the part that is genuinely an
+algorithm rather than a struct layout — SAMPLE TABLE RESOLUTION: the
+`stsc` sample-to-chunk run table, `stco`/`co64` chunk offsets, `stsz`
+sample sizes, and `stts` duration runs jointly map "sample n" to a byte
+range and a decode timestamp, and every demuxer must walk them exactly
+the way `extract_samples` below does (chunk-run expansion capped by the
+total sample count, intra-chunk offsets by cumulative sample size,
+per-sample DTS by duration-run expansion).
+
+The muxer writes Motion-JPEG-in-MP4 per the MPEG-4 systems registry
+(`mp4v` visual sample entry whose `esds` DecoderConfigDescriptor
+carries objectTypeIndication 0x6C = ISO/IEC 10918-1 JPEG), with
+deliberately non-trivial tables: a leading `free` box shifts all chunk
+offsets, samples are grouped into multi-sample chunks with a final
+partial chunk (so the stsc cap path runs), and stts uses alternating
+durations (a maximally fragmented run table). Files it writes are valid
+ISO BMFF — the structure is checked by pytest against an independent
+box walk, and the payload round-trip is bit-exact.
+
+Reference parity: the reference treats media payloads as opaque bytes
+decoded consumer-side (/root/reference/server/messages.go:65); this
+module is the consumer-side decode for the `video/mp4` payload class,
+same posture as functions/jpeg.py for images. Pure Python: at 100 TB
+this runs as Arrow-batched mapInPandas stages (see
+operators/multimodal.py) — per-blob cost is the codec, parallelism is
+the scan's, and a C decoder drops in via the decode_fn= hook without
+touching the plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, NamedTuple
+
+MP4_TIMESCALE = 12288  # divisible by common fps values; 2^12 * 3
+
+
+class Sample(NamedTuple):
+    index: int  # 0-based sample number
+    offset: int  # absolute byte offset in the file
+    size: int
+    dts: int  # decode timestamp in media timescale ticks
+    duration: int  # ticks
+
+
+class Mp4Track(NamedTuple):
+    codec: str  # sample-entry fourcc, e.g. 'mp4v'
+    width: int
+    height: int
+    timescale: int
+    duration: int  # mdhd duration, ticks
+    samples: list[Sample]
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def _desc(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 systems BaseDescriptor with the canonical variable-length
+    size encoding (7 bits per byte, MSB = continuation). Sizes here are
+    tiny, but emitting the real encoding keeps the bytes spec-shaped."""
+    n = len(payload)
+    size = bytes([n & 0x7F])
+    n >>= 7
+    while n:
+        size = bytes([0x80 | (n & 0x7F)]) + size
+        n >>= 7
+    return bytes([tag]) + size + payload
+
+
+def _esds_jpeg() -> bytes:
+    """ES_Descriptor for Motion-JPEG: DecoderConfigDescriptor with
+    objectTypeIndication 0x6C (Visual ISO/IEC 10918-1), streamType
+    0x04 (VisualStream) << 2 | reserved 1."""
+    dcd = _desc(
+        0x04,
+        bytes([0x6C, (0x04 << 2) | 1])
+        + (0).to_bytes(3, "big")  # bufferSizeDB
+        + struct.pack(">II", 0, 0),  # max/avg bitrate (unconstrained)
+    )
+    slc = _desc(0x06, bytes([0x02]))  # SLConfig predefined=2 (MP4)
+    es = _desc(0x03, struct.pack(">HB", 1, 0) + dcd + slc)
+    return _full(b"esds", 0, 0, es)
+
+
+def _visual_sample_entry(width: int, height: int) -> bytes:
+    name = b"streams-spark mjpeg"
+    body = (
+        b"\x00" * 6  # reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4  # reserved
+        + struct.pack(">H", 1)  # frame_count per sample
+        + bytes([len(name)])
+        + name.ljust(31, b"\x00")  # compressorname (pascal, 32 bytes)
+        + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
+        + _esds_jpeg()
+    )
+    return _box(b"mp4v", body)
+
+
+def _chunk_plan(n_samples: int) -> list[int]:
+    """Samples per chunk: 1 in the first chunk, then 2 per chunk with a
+    final partial — makes the stsc table multi-run and forces the
+    demuxer's cap-by-total path on the last chunk."""
+    if n_samples <= 1:
+        return [n_samples] if n_samples else []
+    plan = [1]
+    rest = n_samples - 1
+    while rest > 0:
+        take = min(2, rest)
+        plan.append(take)
+        rest -= take
+    return plan
+
+
+def _stts_payload(durations: list[int]) -> bytes:
+    runs: list[tuple[int, int]] = []
+    for d in durations:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    out = struct.pack(">I", len(runs))
+    for count, delta in runs:
+        out += struct.pack(">II", count, delta)
+    return out
+
+
+def _stsc_payload(plan: list[int]) -> bytes:
+    # run-length encode samples-per-chunk into stsc entries
+    entries: list[tuple[int, int]] = []  # (first_chunk 1-based, spc)
+    for i, spc in enumerate(plan):
+        if not entries or entries[-1][1] != spc:
+            entries.append((i + 1, spc))
+    out = struct.pack(">I", len(entries))
+    for first, spc in entries:
+        out += struct.pack(">III", first, spc, 1)  # sample_desc_index 1
+    return out
+
+
+def mp4_mux(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = MP4_TIMESCALE,
+    durations: list[int] | None = None,
+) -> bytes:
+    """Write a valid single-track Motion-JPEG MP4. `frames` are the
+    encoded JPEG sample payloads (opaque here — the container does not
+    look inside its samples). Default durations alternate 512/1024
+    ticks, producing a maximally fragmented stts run table."""
+    if durations is None:
+        durations = [512 if i % 2 == 0 else 1024 for i in range(len(frames))]
+    if len(durations) != len(frames):
+        raise ValueError("durations must match frames")
+    total = sum(durations)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    free = _box(b"free", b"streams-spark pad")  # shifts every stco offset
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+
+    # chunk offsets: mdat payload starts after ftyp + free + mdat header
+    base = len(ftyp) + len(free) + 8
+    plan = _chunk_plan(len(frames))
+    sizes = [len(f) for f in frames]
+    offsets = []
+    pos, si = base, 0
+    for spc in plan:
+        offsets.append(pos)
+        pos += sum(sizes[si : si + spc])
+        si += spc
+
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _visual_sample_entry(width, height),
+    )
+    stts = _full(b"stts", 0, 0, _stts_payload(durations))
+    stsc = _full(b"stsc", 0, 0, _stsc_payload(plan))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    url = _full(b"url ", 0, 1, b"")  # flag 1: media in this file
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, total, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(
+        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+        struct.pack(">IIII", 0, 0, 1, 0)  # created, modified, id, reserved
+        + struct.pack(">I", total)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, total)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + free + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# Demux
+# ---------------------------------------------------------------------------
+
+
+class Mp4Error(ValueError):
+    pass
+
+
+def walk_boxes(
+    buf: bytes, start: int = 0, end: int | None = None
+) -> Iterator[tuple[str, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    buf[start:end]. Handles 64-bit largesize (size == 1) and
+    size == 0 (box extends to the end of the enclosing scope)."""
+    end = len(buf) if end is None else end
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise Mp4Error(f"truncated box header at {pos}")
+        size = struct.unpack_from(">I", buf, pos)[0]
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise Mp4Error(f"truncated largesize at {pos}")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise Mp4Error(
+                f"box {typ!r} at {pos} has bad size {size}"
+            )
+        yield typ.decode("latin-1"), pos + hdr, pos + size
+        pos += size
+
+
+_CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl", "dinf", "edts"}
+
+
+def _find(buf: bytes, path: list[str], start: int, end: int) -> tuple[int, int]:
+    lo, hi = start, end
+    for want in path:
+        for typ, p0, p1 in walk_boxes(buf, lo, hi):
+            if typ == want:
+                lo, hi = p0, p1
+                break
+        else:
+            raise Mp4Error(f"missing box {want!r}")
+    return lo, hi
+
+
+def _full_payload(buf: bytes, p0: int, p1: int) -> tuple[int, bytes]:
+    if p1 - p0 < 4:
+        raise Mp4Error("truncated full box")
+    return buf[p0], buf[p0 + 4 : p1]
+
+
+def _expand_stts(payload: bytes, n_samples: int) -> list[int]:
+    (n_runs,) = struct.unpack_from(">I", payload, 0)
+    durs: list[int] = []
+    off = 4
+    for _ in range(n_runs):
+        count, delta = struct.unpack_from(">II", payload, off)
+        off += 8
+        durs.extend([delta] * count)
+    if len(durs) < n_samples:
+        raise Mp4Error(
+            f"stts covers {len(durs)} samples, stsz has {n_samples}"
+        )
+    return durs[:n_samples]
+
+
+def extract_samples(buf: bytes) -> Mp4Track:
+    """Resolve the sample tables of the first video track into absolute
+    (offset, size, dts, duration) per sample — the core demux
+    algorithm: expand stsc chunk runs (a run applies from its
+    first_chunk until the next run's), cap the final chunk by the
+    remaining sample count, accumulate intra-chunk offsets by sample
+    size, and expand stts duration runs into cumulative DTS."""
+    moov0, moov1 = _find(buf, ["moov"], 0, len(buf))
+    trak0, trak1 = _find(buf, ["trak"], moov0, moov1)
+    stbl0, stbl1 = _find(buf, ["mdia", "minf", "stbl"], trak0, trak1)
+
+    mdhd0, mdhd1 = _find(buf, ["mdia", "mdhd"], trak0, trak1)
+    version, mdhd = _full_payload(buf, mdhd0, mdhd1)
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", mdhd, 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", mdhd, 8)
+
+    boxes = {t: (p0, p1) for t, p0, p1 in walk_boxes(buf, stbl0, stbl1)}
+    for need in ("stsd", "stsz", "stsc", "stts"):
+        if need not in boxes:
+            raise Mp4Error(f"missing box {need!r}")
+    if "stco" not in boxes and "co64" not in boxes:
+        raise Mp4Error("missing chunk offsets (stco/co64)")
+
+    _, stsd = _full_payload(buf, *boxes["stsd"])
+    codec = stsd[8:12].decode("latin-1")
+    # VisualSampleEntry geometry: 6 reserved + 2 dref + 16 pre_defined,
+    # then width/height (ISO 14496-12 §12.1.3)
+    width, height = struct.unpack_from(">HH", stsd, 12 + 24)
+
+    _, stsz = _full_payload(buf, *boxes["stsz"])
+    uniform, count = struct.unpack_from(">II", stsz, 0)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", stsz, 8))
+
+    if "stco" in boxes:
+        _, stco = _full_payload(buf, *boxes["stco"])
+        (n_chunks,) = struct.unpack_from(">I", stco, 0)
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", stco, 4))
+    else:
+        _, co64 = _full_payload(buf, *boxes["co64"])
+        (n_chunks,) = struct.unpack_from(">I", co64, 0)
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", co64, 4))
+
+    _, stsc = _full_payload(buf, *boxes["stsc"])
+    (n_runs,) = struct.unpack_from(">I", stsc, 0)
+    runs = [
+        struct.unpack_from(">III", stsc, 4 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk)
+
+    _, stts = _full_payload(buf, *boxes["stts"])
+    durations = _expand_stts(stts, count)
+
+    samples: list[Sample] = []
+    dts = 0
+    si = 0
+    for ri, (first, spc) in enumerate(runs):
+        last = (
+            runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offsets)
+        )
+        for chunk in range(first, last + 1):
+            if si >= count:
+                break
+            pos = chunk_offsets[chunk - 1]
+            for _ in range(min(spc, count - si)):
+                samples.append(
+                    Sample(si, pos, sizes[si], dts, durations[si])
+                )
+                pos += sizes[si]
+                dts += durations[si]
+                si += 1
+    if si != count:
+        raise Mp4Error(
+            f"sample tables resolve {si} of {count} samples"
+        )
+    return Mp4Track(codec, width, height, timescale, duration, samples)
+
+
+def mp4_demux(buf: bytes) -> tuple[Mp4Track, list[bytes]]:
+    """Extract the first video track's sample payloads (the encoded
+    frames, in decode order) plus track metadata."""
+    track = extract_samples(buf)
+    frames = [buf[s.offset : s.offset + s.size] for s in track.samples]
+    for s, f in zip(track.samples, frames):
+        if len(f) != s.size:
+            raise Mp4Error(f"sample {s.index} extends past EOF")
+    return track, frames

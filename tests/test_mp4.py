@@ -1,0 +1,198 @@
+"""ISO BMFF (MP4) mux/demux: the general/edge cases no SQL oracle can
+cover — 64-bit boxes, uniform sample sizes, corrupt tables, truncation.
+The closed-form happy path is oracle-verified via m_mp4_frames."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from streams_spark.functions.jpeg import jpeg_decode, jpeg_encode
+from streams_spark.functions.mp4 import (
+    Mp4Error,
+    _box,
+    _full,
+    extract_samples,
+    mp4_demux,
+    mp4_mux,
+    walk_boxes,
+)
+
+
+def _grey(d, f, w, h):
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return (2 * ((x // 8 + 3 * (y // 8) + d + 5 * f) % 128)).astype(np.uint8)
+
+
+def _mux(d=7, nf=5, w=23, h=20, **kw):
+    frames = [jpeg_encode(_grey(d, f, w, h), quality=50) for f in range(nf)]
+    return frames, mp4_mux(frames, w, h, **kw)
+
+
+def test_round_trip_bit_exact():
+    frames, blob = _mux()
+    track, out = mp4_demux(blob)
+    assert out == frames
+    assert (track.codec, track.width, track.height) == ("mp4v", 23, 20)
+    assert track.timescale == 12288
+    # alternating 512/1024 stts -> cumulative DTS
+    assert [s.dts for s in track.samples] == [0, 512, 1536, 2048, 3072]
+    assert track.duration == 3584
+    # and the samples really decode
+    assert np.array_equal(np.squeeze(jpeg_decode(out[4])), _grey(7, 4, 23, 20))
+
+
+def test_single_frame_and_two_frames():
+    for nf in (1, 2):
+        frames, blob = _mux(nf=nf)
+        _, out = mp4_demux(blob)
+        assert out == frames
+
+
+def test_custom_uniform_durations_collapse_stts():
+    frames, blob = _mux(nf=4, durations=[600] * 4)
+    track, _ = mp4_demux(blob)
+    assert [s.duration for s in track.samples] == [600] * 4
+    assert [s.dts for s in track.samples] == [0, 600, 1200, 1800]
+    # uniform durations must encode as ONE stts run
+    stts = blob[blob.index(b"stts") + 8 :]
+    assert struct.unpack_from(">I", stts, 0)[0] == 1
+
+
+def test_walk_boxes_top_level():
+    _, blob = _mux()
+    types = [t for t, _, _ in walk_boxes(blob)]
+    assert types == ["ftyp", "free", "mdat", "moov"]
+
+
+def test_unknown_boxes_are_skipped():
+    frames, blob = _mux(nf=2)
+    # splice an unknown box between free and mdat; stco offsets shift,
+    # so rebuild via mux with the insert simulated instead: wrap the
+    # whole file's moov lookup path by prepending junk INSIDE moov is
+    # invasive — instead verify the walker itself skips unknowns
+    junk = _box(b"junk", b"\x00" * 11)
+    buf = junk + blob
+    types = [t for t, _, _ in walk_boxes(buf)]
+    assert types[0] == "junk"
+    # demux still finds moov but stco offsets are now shifted; samples
+    # resolve to wrong bytes — that is the CORRECT absolute-offset
+    # contract (stco is file-absolute), so only assert structure here
+    track = extract_samples(buf)
+    assert len(track.samples) == 2
+
+
+def test_largesize_mdat_and_co64_path():
+    # hand-build a file using a 64-bit largesize mdat and co64 offsets
+    frames = [b"AAAA", b"BBBBBB", b"CC"]
+    sizes = [len(f) for f in frames]
+    payload = b"".join(frames)
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    base = len(mdat) - len(payload)
+    offsets = [base, base + sizes[0] + sizes[1]]  # chunks: [s0,s1], [s2]
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _box(
+            b"mp4v",
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+            + struct.pack(">HH", 9, 7) + b"\x00" * 50,
+        ),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 3, 100))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 1, 1),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 3) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    co64 = _full(
+        b"co64", 0, 0,
+        struct.pack(">I", 2) + b"".join(struct.pack(">Q", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co64)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 300, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    minf = _box(b"minf", _box(b"dinf", b"") + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    buf = mdat + moov
+    track, out = mp4_demux(buf)
+    assert out == frames
+    assert (track.width, track.height) == (9, 7)
+    assert [s.dts for s in track.samples] == [0, 100, 200]
+
+
+def test_uniform_stsz():
+    frames = [b"XYZW", b"QRST"]
+    blob = mp4_mux(frames, 4, 4)
+    # flip stsz to the uniform form IN PLACE (sample_size=4, count=2);
+    # the old per-sample entries become trailing bytes inside stsz,
+    # which the parser must ignore when sample_size != 0 (box sizes up
+    # the tree stay valid because the length doesn't change)
+    i = blob.index(b"stsz")
+    start = i + 4 + 4  # past type + version/flags
+    buf = blob[:start] + struct.pack(">II", 4, 2) + blob[start + 8 :]
+    _, out = mp4_demux(buf)
+    assert out == frames
+
+
+def test_truncated_header_raises():
+    _, blob = _mux(nf=2)
+    with pytest.raises(Mp4Error):
+        list(walk_boxes(blob[: len(blob) - 3], 0, len(blob) - 3))
+
+
+def test_missing_moov_raises():
+    with pytest.raises(Mp4Error, match="moov"):
+        mp4_demux(_box(b"ftyp", b"isom") + _box(b"mdat", b"xx"))
+
+
+def test_bad_box_size_raises():
+    buf = struct.pack(">I", 3) + b"ftyp"  # size < header
+    with pytest.raises(Mp4Error, match="bad size"):
+        list(walk_boxes(buf))
+
+
+def test_stts_undercoverage_raises():
+    frames, blob = _mux(nf=3)
+    # corrupt stts to cover only 1 sample: entry_count 1, count 1
+    i = blob.index(b"stts")
+    start = i + 4 + 4  # past type + version/flags
+    patched = (
+        blob[:start]
+        + struct.pack(">III", 1, 1, 512)
+        + blob[start + 12 :]
+    )
+    # keep total box length valid by rebuilding: easier — shrink count
+    # in place: entry_count=1 with first run (1, 512); remaining old
+    # run bytes become trailing garbage inside stts, which the parser
+    # must ignore (it reads entry_count entries only)
+    with pytest.raises(Mp4Error, match="stts covers"):
+        extract_samples(patched)
+
+
+def test_sample_past_eof_raises():
+    frames, blob = _mux(nf=2)
+    # truncate mdat mid-sample but keep moov intact by moving moov up
+    types = {t: (p0, p1) for t, p0, p1 in walk_boxes(blob)}
+    m0, m1 = types["moov"]
+    moov = blob[m0 - 8 : m1]
+    cut = blob[: types["mdat"][1] - 3]  # drop last 3 payload bytes
+    with pytest.raises(Mp4Error):
+        mp4_demux(cut[: len(cut)] + moov)
+
+
+def test_chunk_plan_partial_final_chunk():
+    # 6 samples -> chunks [1, 2, 2, 1]: multi-run stsc with partial end
+    frames, blob = _mux(nf=6, d=11, w=16, h=12)
+    track, out = mp4_demux(blob)
+    assert out == frames
+    stsc = blob[blob.index(b"stsc") + 8 :]
+    n_runs = struct.unpack_from(">I", stsc, 0)[0]
+    assert n_runs == 3  # runs: (1,1), (2,2), (4,1)
