@@ -1218,6 +1218,146 @@ def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real MP3 elementary-stream frame census
+# ---------------------------------------------------------------------------
+
+_MP3_ORACLE = """
+WITH a AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS nf,
+         ([44100, 48000, 32000])[1 + (doc_id // 3) % 3] AS sr
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 0
+), f AS (
+  SELECT doc_id, nf, sr,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+           1 + (doc_id + CASE WHEN doc_id % 2 = 1
+                              THEN frame_no ELSE 0 END) % 14] AS kbps,
+         (doc_id + frame_no) % 2 AS pad
+  FROM (SELECT doc_id, nf, sr, unnest(range(0, nf)) AS frame_no FROM a)
+)
+SELECT doc_id,
+       CAST(min(nf) AS INTEGER) AS n_frames,
+       CAST(min(sr) AS INTEGER) AS samplerate,
+       CAST(min(nf) * 1152 AS BIGINT) AS total_samples,
+       CAST(sum(144000 * kbps // sr + pad) AS BIGINT) AS frame_bytes,
+       CAST(sum(kbps) AS BIGINT) AS sum_kbps,
+       min(doc_id) % 2 = 1 AS is_vbr,
+       CAST(CASE WHEN min(doc_id) % 5 = 0
+                 THEN 1 + min(doc_id) % 7 ELSE 0 END AS INTEGER)
+         AS junk_bytes,
+       CAST(CASE WHEN min(doc_id) % 4 = 0
+                 THEN 10 + min(doc_id) % 50 ELSE 0 END AS INTEGER)
+         AS id3_bytes
+FROM f GROUP BY doc_id
+"""
+
+
+def mp3_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL MPEG-1 Layer III elementary stream per audio doc
+    (doc_id % 3 = 0): 8..16 frames with genuine 11172-3 headers —
+    odd docs are VBR (bitrate index walks the full table), even docs
+    CBR — plus an ID3v2 tag on every 4th doc and leading junk bytes on
+    every 5th, so the scanner's skip and resync paths run routinely."""
+    from streams_spark.functions.mp3 import mp3_build
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 0))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 8 + d % 9
+                sr_idx = (d // 3) % 3
+                vbr = d % 2 == 1
+                specs = [
+                    (1 + (d + (f if vbr else 0)) % 14, sr_idx, (d + f) % 2)
+                    for f in range(nf)
+                ]
+                blob = mp3_build(
+                    specs,
+                    fill_seed=d,
+                    id3_payload=(b"T" * (d % 50) if d % 4 == 0 else None),
+                    leading_junk=(
+                        b"\xff" * (1 + d % 7) if d % 5 == 0 else b""
+                    ),
+                )
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+@register("m_mp3_census", oracle=_MP3_ORACLE)
+def m_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata census over REAL MP3 elementary streams: the
+    scanner skips the ID3v2 tag (syncsafe size), resyncs past leading
+    junk with next-frame validation (a sync candidate counts only if
+    the frame it implies is followed by EOF or another valid sync),
+    and walks frame-to-frame by the 11172-3 length formula
+    144 * bitrate / sample_rate + padding. Everything reported —
+    frame count, sample rate, total samples, stream bytes, bitrate
+    mass, CBR/VBR, junk/tag bytes — comes from the SCAN of genuinely
+    framed bytes, and the oracle predicts each in closed form from the
+    synthesis rule. False-sync defence, truncated tails, and reserved
+    header fields are pytest-covered (tests/test_mp3.py).
+
+    The duration story a real pipeline needs is total_samples /
+    samplerate; the census keeps the exact integers and leaves the
+    division to the consumer (float division is where engines differ,
+    not scanners).
+
+    Scale: two chained map-only Arrow stages, no shuffle; per-blob
+    cost is linear in stream bytes (header hops, not byte scans, once
+    synced). Same posture as m_mp4_frames — a PCM decoder plugs in
+    via decode_fn= without touching the census."""
+    from streams_spark.functions.mp3 import mp3_scan
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                scan = mp3_scan(bytes(payload))
+                frames = scan.frames
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        frames[0].sample_rate if frames else 0,
+                        len(frames) * 1152,
+                        sum(f.size for f in frames),
+                        sum(f.bitrate_kbps for f in frames),
+                        len({f.bitrate_kbps for f in frames}) > 1,
+                        scan.junk_bytes,
+                        scan.id3_bytes,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "samplerate", "total_samples",
+                    "frame_bytes", "sum_kbps", "is_vbr", "junk_bytes",
+                    "id3_bytes",
+                ],
+            )
+
+    return mp3_table_real(spark, sf_dir).mapInPandas(
+        census,
+        schema=(
+            "doc_id long, n_frames int, samplerate int, "
+            "total_samples long, frame_bytes long, sum_kbps long, "
+            "is_vbr boolean, junk_bytes int, id3_bytes int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
 

@@ -51,11 +51,13 @@ ROUND_PRIORITY = [
     # they don't consume window slots; these five carry either new code
     # paths or an oracle-semantics pin worth driver evidence.
     "m_mp4_frames",  # NEW r9: real ISO-BMFF demux + MJPEG decode
+    "m_mp3_census",  # NEW r9: real MPEG-1 Layer III frame census
     "d_ngram_jaccard_auto",  # NEW r9: regime-dispatched Jaccard join
-    "m_jpeg_progressive",  # staged-feed fallback narrowed + module-keyed
-    # cache (m_jpeg_real shares that path byte-for-byte and keeps its r8
-    # green evidence, so it yields its head slot to m_mp4_frames rather
-    # than displacing a w_* rotation row past the boundary)
+    # (m_jpeg_real/m_jpeg_progressive keep their r8 green evidence and
+    # their r9 staged-feed change is behavior-neutral plumbing covered
+    # by the builder's gate, so both yield their head slots to the two
+    # genuinely new operators rather than displacing w_* rotation rows
+    # past the boundary)
     "q_grouped_map",  # oracle pinned NULLS LAST on percent_rank order
     "w_sessionize",  # oracle pinned; also the round's perf-weak row
     # then the r9 rotation target (VERDICT r8 #2): all 45 rows whose
@@ -108,6 +110,7 @@ ROUND_PRIORITY = [
     "w_wow_change",
     # ---- 50-query window boundary ----
     "m_jpeg_real",
+    "m_jpeg_progressive",
     "m_thumbnail_real",
     # round-10 head candidates: the remaining r9-pinned files' queries
     # keep their r5-r8 green evidence (pins verified no-op by the

@@ -1,0 +1,101 @@
+"""MP3 frame-header scan: false syncs, truncation, resync, reserved
+fields — the cases the closed-form m_mp3_census oracle can't express."""
+
+import pytest
+
+from streams_spark.functions.mp3 import (
+    BITRATES_KBPS,
+    SAMPLE_RATES,
+    frame_header,
+    frame_length,
+    id3v2_size,
+    mp3_build,
+    mp3_scan,
+)
+
+
+def test_cbr_round_trip():
+    blob = mp3_build([(5, 0, 0)] * 6, fill_seed=3)
+    scan = mp3_scan(blob)
+    assert len(scan.frames) == 6
+    assert scan.junk_bytes == 0 and scan.id3_bytes == 0
+    assert {f.bitrate_kbps for f in scan.frames} == {64}
+    assert {f.sample_rate for f in scan.frames} == {44100}
+    assert all(f.size == frame_length(5, 0, 0) for f in scan.frames)
+    # frames tile the stream exactly
+    assert sum(f.size for f in scan.frames) == len(blob)
+
+
+def test_vbr_padding_and_all_bitrates():
+    specs = [(i, 2, i % 2) for i in range(1, 15)]
+    scan = mp3_scan(mp3_build(specs))
+    assert [f.bitrate_kbps for f in scan.frames] == BITRATES_KBPS[1:]
+    assert [f.padding for f in scan.frames] == [i % 2 for i in range(1, 15)]
+    assert {f.sample_rate for f in scan.frames} == {32000}
+
+
+def test_id3v2_skip():
+    blob = mp3_build([(9, 1, 0)] * 3, id3_payload=b"\x00" * 200)
+    scan = mp3_scan(blob)
+    assert scan.id3_bytes == 210
+    assert len(scan.frames) == 3 and scan.junk_bytes == 0
+    assert id3v2_size(blob) == 210
+
+
+def test_id3_size_is_syncsafe():
+    # payload of 200 -> syncsafe bytes (0, 0, 1, 72), none with MSB set
+    blob = mp3_build([(9, 1, 0)], id3_payload=b"x" * 200)
+    assert all(b & 0x80 == 0 for b in blob[6:10])
+
+
+def test_leading_junk_resync():
+    blob = mp3_build([(3, 0, 1)] * 4, leading_junk=b"\xff\xe0 garbage!")
+    scan = mp3_scan(blob)
+    assert len(scan.frames) == 4
+    assert scan.junk_bytes == 11  # junk is masked to 0x7F, never a sync
+
+
+def test_false_sync_inside_payload_rejected():
+    # hand-place 0xFF 0xFB (a plausible sync) inside a frame body; the
+    # scanner must not resync there because the implied frame isn't
+    # followed by a valid header
+    blob = bytearray(mp3_build([(14, 0, 0)] * 2))
+    blob[100:102] = b"\xff\xfb"
+    scan = mp3_scan(bytes(blob))
+    assert len(scan.frames) == 2
+    assert scan.frames[1].offset == frame_length(14, 0, 0)
+
+
+def test_truncated_final_frame_becomes_junk():
+    blob = mp3_build([(5, 0, 0)] * 3)
+    cut = blob[: len(blob) - 10]  # last frame can't fit
+    scan = mp3_scan(cut)
+    assert len(scan.frames) == 2
+    assert scan.junk_bytes == frame_length(5, 0, 0) - 10
+
+
+def test_reserved_fields_rejected():
+    with pytest.raises(ValueError):
+        frame_header(0, 0, 0)  # free-format bitrate not synthesized
+    with pytest.raises(ValueError):
+        frame_header(15, 0, 0)  # bad bitrate
+    with pytest.raises(ValueError):
+        frame_header(5, 3, 0)  # reserved sample rate
+    # a crafted MPEG-2 header (version bits 10) must not parse
+    hdr = bytearray(frame_header(5, 0, 0))
+    hdr[1] = (hdr[1] & ~0x18) | 0x10
+    assert mp3_scan(bytes(hdr) + b"\x00" * 500).frames == []
+
+
+def test_frame_length_formula():
+    # 144 * 128000 / 44100 = 417.9... -> 417, +1 when padded
+    assert frame_length(9, 0, 0) == 417
+    assert frame_length(9, 0, 1) == 418
+    assert frame_length(14, 1, 0) == 144_000 * 320 // 48000
+    assert SAMPLE_RATES == [44100, 48000, 32000]
+
+
+def test_empty_and_garbage_only():
+    assert mp3_scan(b"") == ([], 0, 0)
+    scan = mp3_scan(b"\x01\x02\x03" * 50)
+    assert scan.frames == [] and scan.junk_bytes == 150
