@@ -46,6 +46,12 @@ HEADLINE = [
     "t_contamination",
     "m_frames_real",
     "m_jpeg_progressive",
+    # r9 additions: the two new real-container operators join the set so
+    # their plans are regression-gated from birth (same rule that added
+    # d_ngram_jaccard_prefix/m_jpeg_progressive in r8); nothing rotates
+    # out — the canary-normalized totals make set growth comparable.
+    "m_mp4_frames",
+    "m_mp3_census",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",
