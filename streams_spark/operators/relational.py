@@ -2958,7 +2958,7 @@ _INCR_AGG = """
 WITH c AS (
   SELECT event_type,
          CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -2991,8 +2991,15 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the delta scan is the only data-sized stage; state is
     |groups| rows. The merge is a groupBy over |groups|x2 rows — free.
-    History cost is paid once, ever."""
-    ev = load_table(spark, sf_dir, "events").select(
+    History cost is paid once, ever.
+
+    NULL-time contract (r9): a row with NULL ts satisfies NEITHER side
+    of the cutoff predicate (three-valued logic) and cannot be routed
+    to state or delta — it is quarantined up front (the ingest-guard
+    posture) and the oracle models the same exclusion."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    ).select(
         "ts",
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5))
@@ -3166,7 +3173,7 @@ _WINDOW_NAV = """
 WITH e AS (
   SELECT event_id, user_id, ts,
          CASE WHEN "value" >= 10 THEN round("value", 2) END AS v
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, v,
        first_value(v IGNORE NULLS) OVER w AS first_big,
@@ -3192,8 +3199,12 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the partition key; all five functions share
     the single sort and frame — Catalyst evaluates them in one Window
-    operator, not five."""
-    ev = load_table(spark, sf_dir, "events")
+    operator, not five.
+
+    NULL-time contract (r9): the navigation order key is ts — a row
+    without one has no position to navigate from; excluded both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     sparse = ev.select(
         "event_id",
         "user_id",

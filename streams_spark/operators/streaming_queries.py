@@ -112,7 +112,7 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum("value"), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY window_start, event_type
 """
 
@@ -153,7 +153,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST)
 ), numbered AS (
   -- ordering key (ts, event_id), same tie-break as `flagged`: with duplicate
@@ -202,7 +202,7 @@ WITH expanded AS (
                  time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR])
              AS window_start,
          event_type, "value"
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
        count(*) AS n_events,
@@ -509,7 +509,7 @@ _STREAM_TOPK_ORACLE = """
 WITH agg AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
          count(*) AS n_events, round(sum("value"), 2) AS total_value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT window_start, event_type, n_events, total_value,
        CAST(rnk AS INTEGER) AS rnk
@@ -1389,7 +1389,7 @@ LEFT JOIN events p
   ON c.user_id = p.user_id
  AND p.event_type = 'purchase'
  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
-WHERE c.event_type = 'click'
+WHERE c.event_type = 'click' AND c.ts IS NOT NULL
 """
 
 

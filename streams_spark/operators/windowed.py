@@ -88,13 +88,19 @@ SELECT o_custkey, o_orderkey, o_orderdate,
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
 FROM orders
-WHERE o_custkey <= 200
+WHERE o_custkey <= 200 AND o_orderdate IS NOT NULL
 """
 
 
 @register("w_running_totals", oracle=_RUNNING)
 def w_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    # NULL-time contract (r9 --null-ts/--null-dates fuzz class): a NULL
+    # order date has no position in the customer's order history, so it
+    # is excluded from the running timeline on BOTH sides — the batch
+    # analog of the streaming watermark dropping NULL event time.
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_custkey") <= 200) & F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
@@ -163,7 +169,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST)
 ), numbered AS (
   SELECT user_id, ts,
@@ -186,7 +192,10 @@ FROM sessions GROUP BY user_id
 
 @register("w_sessionize", oracle=_SESSIONS)
 def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-time contract (r9): an event without a timestamp has no
+    # position in the inactivity timeline — excluded on both sides,
+    # matching the streaming watermark-drop semantics.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
@@ -220,7 +229,7 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF = """
 WITH tagged AS (
   SELECT user_id, ts, event_id, event_type
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
 ), enriched AS (
   SELECT user_id, ts, event_id, event_type,
          last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
@@ -242,8 +251,12 @@ FROM enriched WHERE event_type = 'purchase'
 def w_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via union + last-ignoring-nulls window: the scalable
     formulation (single shuffle on user_id) of `pd.merge_asof` semantics."""
+    # NULL-time contract (r9): a click/purchase without a timestamp can
+    # neither vouch as "latest prior" nor be as-of matched — excluded
+    # from both sides of the timeline.
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -281,14 +294,18 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*) AS n_events,
        round(sum("value"), 2) AS total_value,
        count(DISTINCT user_id) AS n_users
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY window_start, event_type
 """
 
 
 @register("w_tumbling_hourly", oracle=_TUMBLING)
 def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-time contract (r9): F.window() already drops NULL event time
+    # (no bucket exists for it); the explicit filter makes the contract
+    # visible and keeps the oracle's time_bucket from inventing a NULL
+    # group.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -756,7 +773,7 @@ def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_FWD = """
 WITH tagged AS (
   SELECT user_id, ts, event_id, event_type
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
 ), enriched AS (
   SELECT user_id, ts, event_id, event_type,
          first_value(CASE WHEN event_type = 'purchase' THEN event_id END
@@ -783,8 +800,11 @@ def w_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a FOLLOWING frame. Same scale shape: one shuffle on user_id,
     no per-row lookup join, no broadcast of a fact table.
     """
+    # NULL-time contract (r9): same exclusion as the backward as-of —
+    # no timestamp, no position in the conversion timeline.
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -884,7 +904,7 @@ SELECT user_id, event_id,
        round(median("value") OVER (
            PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -904,8 +924,10 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-bounded; a RANGE frame over time would need the
     sketch-based approx path instead (q_approx_percentile's twin).
     Ordering is (ts, event_id) — deterministic under timestamp ties.
+    NULL-time contract (r9): no timestamp, no frame position —
+    excluded on both sides.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", F.asc_nulls_last("event_id"))
@@ -1070,7 +1092,7 @@ def w_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTRIBUTION = """
 WITH tagged AS (
   SELECT user_id, ts, event_id, event_type, "value"
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
 ), enriched AS (
   SELECT user_id, ts, event_id, event_type, "value",
          max(CASE WHEN event_type = 'click' THEN ts END)
@@ -1144,7 +1166,7 @@ WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id NULLS LAST) AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), changes AS (
   SELECT user_id, event_type AS state, ts AS valid_from, event_id
   FROM ordered
@@ -1182,7 +1204,9 @@ def w_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state stays small; no broadcast, no skew beyond the user activity
     distribution itself.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-time contract (r9): a state change without a timestamp has
+    # no validity interval — excluded on both sides.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w_ord = Window.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     ordered = ev.select(
         "user_id",
@@ -1492,7 +1516,7 @@ CUSUM_H = 3.0  # drift alarm threshold, in per-type daily-mean stddevs
 _CUSUM = f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS day_avg
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), stats AS (
   SELECT event_type, avg(day_avg) AS mu, stddev_samp(day_avg) AS sigma
   FROM daily GROUP BY 1
@@ -1533,7 +1557,10 @@ def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes this distributable at all; the same identity powers the
     packing prefix sums (pipeline.py) at 3 levels if type cardinality
     collapses."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-time contract (r9): a NULL day would sort at OPPOSITE ends
+    # of the prefix-sum walk in the two engines and has no place on a
+    # drift timeline — excluded on both sides.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.avg("value").alias("day_avg"))
@@ -1659,7 +1686,7 @@ WITH curve AS (
   SELECT user_id, ts, event_id,
          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                           ROWS UNBOUNDED PRECEDING) AS equity
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), peaked AS (
   SELECT user_id, equity,
          max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
@@ -1687,8 +1714,10 @@ def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle partitioned by user_id; per-partition state is
     one user's purchase history. The filter reaches the scan (pushed
     event_type predicate), and the final rollup is partial-agg'd."""
+    # NULL-time contract (r9): a purchase without a timestamp has no
+    # position on the equity curve — excluded on both sides.
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -1722,7 +1751,7 @@ _WOW = """
 WITH weekly AS (
   SELECT event_type, date_trunc('week', ts) AS week,
          count(*) AS n_events, sum(value) AS total
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), laged AS (
   SELECT event_type, week, n_events, total,
          lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
@@ -1750,8 +1779,11 @@ def w_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus collapses to the |types| x |weeks| frame in one
     partial-agg'd shuffle; the lag window runs on that tiny frame
-    partitioned by type. Events are scanned exactly once."""
-    ev = load_table(spark, sf_dir, "events")
+    partitioned by type. Events are scanned exactly once.
+
+    NULL-time contract (r9): a NULL week would be lag()'d at opposite
+    ends by the two engines and has no WoW meaning — excluded."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     weekly = ev.groupBy(
         "event_type", F.date_trunc("week", F.col("ts")).alias("week")
     ).agg(

@@ -96,6 +96,16 @@ PERTURBATIONS = [
     "from a 64-word vocabulary - dominating window partitions in the "
     "gram builders, hot repeated shingles in the dedup joins, "
     "long-string regex scans, boilerplate-census doc_freq paths.",
+    "NULL EVENT TIME (new r9, --null-ts): 0.3% NULL events.ts - the "
+    "formerly-deferred axis. Time-bucket NULL groups, window frames "
+    "ordered by a NULL-able ts, session-gap lag() over NULL, spine "
+    "builders, as-of ranges, and the streaming watermark-drop contract "
+    "(watermarked queries filter ts IS NOT NULL on BOTH sides - a NULL "
+    "event time cannot be watermarked, so the batch oracle must model "
+    "the drop).",
+    "NULL DATES (new r9, --null-dates): 0.3% NULL l_shipdate / "
+    "o_orderdate - TPC-H range predicates under three-valued logic, "
+    "date group keys, interval arithmetic, window order keys.",
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
@@ -132,6 +142,16 @@ def _shuffle(df, rng):
 # --null-frac-mult 10 turns the 0.3% class into a 3% stress probe that
 # makes NULL-vs-non-NULL ordering ties actually likely
 NULL_FRAC_MULT = 1.0
+
+# r9: the formerly-deferred NULL TIME class. --null-ts injects 0.3%
+# NULL event timestamps (events.ts) — the axis the r7 note deferred
+# because streaming watermarks DROP NULL-event-time rows where a batch
+# oracle keeps the NULL group; the r9 contract work pins each query
+# explicitly instead of deferring. --null-dates injects 0.3% NULL
+# l_shipdate / o_orderdate (TPC-H range predicates, date group keys,
+# interval arithmetic under three-valued logic).
+NULL_TS = False
+NULL_DATES = False
 
 
 def _null_keys(df, rng, cols, frac=0.003):
@@ -174,11 +194,21 @@ def perturb_table(name: str, df, rng):
         # joins as NULL rows, and hit NOT-IN three-valued logic
         # identically in both engines
         df = _null_keys(df, rng, ["l_orderkey", "l_partkey", "l_suppkey"])
+        if NULL_DATES:
+            import pandas as pd
+
+            sel = rng.random(len(df)) < 0.003 * NULL_FRAC_MULT
+            df.loc[sel, "l_shipdate"] = pd.NaT
     elif name == "orders":
         df["o_totalprice"] = np.round(
             df["o_totalprice"] * (1 + rng.uniform(-0.05, 0.05, len(df))), 2
         )
         df = _null_keys(df, rng, ["o_custkey"])
+        if NULL_DATES:
+            import pandas as pd
+
+            sel = rng.random(len(df)) < 0.003 * NULL_FRAC_MULT
+            df.loc[sel, "o_orderdate"] = pd.NaT
     elif name in ("customer", "supplier"):
         col = "c_acctbal" if name == "customer" else "s_acctbal"
         if col in df.columns:
@@ -241,9 +271,19 @@ def perturb_table(name: str, df, rng):
             df["user_id"] = df["user_id"].astype("Int64")
             df.loc[nuluser, "user_id"] = None
         # r8: NULL event_type (groupBy/window/funnel key) and event_id
-        # (dedup identity, sequence tie-break). NULL ts stays excluded
-        # (watermark-drop contract, see PERTURBATIONS).
+        # (dedup identity, sequence tie-break).
         df = _null_keys(df, rng, ["event_type", "event_id"])
+        # r9: NULL event TIME (the formerly-deferred axis). A NULL ts is
+        # the "extraction failed to parse the timestamp" production
+        # case: time-bucket groups, window frames, session gaps, spine
+        # builders, as-of ranges, and streaming watermarks all meet it
+        # differently unless each query pins a contract.
+        if NULL_TS:
+            sel = rng.random(len(df)) < 0.003 * NULL_FRAC_MULT
+            if sel.any():
+                ts = df["ts"].copy()
+                ts[sel] = pd.NaT
+                df["ts"] = ts
     elif name == "documents":
         u = rng.random(len(df))
         uni = u < 0.02
@@ -412,10 +452,22 @@ def main() -> None:
         default=1.0,
         help="scale every NULL-key injection rate (10 -> 3%% stress probe)",
     )
+    ap.add_argument(
+        "--null-ts",
+        action="store_true",
+        help="inject 0.3%% NULL events.ts (the r9 NULL-event-time class)",
+    )
+    ap.add_argument(
+        "--null-dates",
+        action="store_true",
+        help="inject 0.3%% NULL l_shipdate/o_orderdate",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    global NULL_FRAC_MULT
+    global NULL_FRAC_MULT, NULL_TS, NULL_DATES
     NULL_FRAC_MULT = args.null_frac_mult
+    NULL_TS = args.null_ts
+    NULL_DATES = args.null_dates
     if args.degenerate:
         runs = [(k, lambda k=k: build_degenerate_dir(args.sf, k)) for k in DEGENERATE_KINDS]
     else:
