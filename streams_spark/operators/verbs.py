@@ -166,8 +166,13 @@ def v_consume_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM events_log WHERE space = 'signup'
   ORDER BY timestamp DESC, segment DESC, sequence DESC LIMIT 1
 )
-SELECT coalesce((SELECT timestamp FROM top),
-                TIMESTAMP '1970-01-01 00:00:00') AS offset_timestamp,
+-- epoch zero-fill ONLY for the empty-space case: a winner row whose ts
+-- is NULL (all-NULL-ts degenerate fixture, r9) reports its timestamp
+-- AS IS, matching Spark's whole-struct coalesce which never rewrites
+-- individual winner fields — the same pin the segment field got in r8
+SELECT CASE WHEN EXISTS (SELECT 1 FROM top)
+            THEN (SELECT timestamp FROM top)
+            ELSE TIMESTAMP '1970-01-01 00:00:00' END AS offset_timestamp,
        -- zero-fill '' ONLY for the empty-space case: a winner row whose
        -- segment derivation is NULL (NULL user_id, r8 3%-NULL probe)
        -- reports its segment AS IS, matching Spark's whole-struct

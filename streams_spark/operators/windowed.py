@@ -428,7 +428,8 @@ def w_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL = """
 WITH v AS (
   SELECT user_id, min(ts) AS t_view
-  FROM events WHERE event_type = 'view' GROUP BY user_id
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+  GROUP BY user_id
 ), c AS (
   SELECT e.user_id, min(e.ts) AS t_click
   FROM events e JOIN v ON e.user_id = v.user_id
@@ -1125,8 +1126,15 @@ def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of join; the frame excludes the current row so a purchase never
     attributes to itself. Partitioned by user_id: high-cardinality,
     scales flat."""
+    # NULL-time contract (r9): an un-timestamped click can't vouch as
+    # last touch and an un-timestamped purchase has no lookback window
+    # to attribute within — excluded on both sides (the all-NULL-ts
+    # degenerate fixture is what exposed the one-sided version).
     ev = load_table(spark, sf_dir, "events")
-    tagged = ev.where(F.col("event_type").isin("click", "purchase"))
+    tagged = ev.where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", F.asc_nulls_last("event_id"))

@@ -116,7 +116,7 @@ PERTURBATIONS = [
 # kept (a corpus whose payloads all failed extraction: aggregates land in
 # the all-NULL regime — SUM/AVG → NULL, COUNT(col) → 0 — where engines
 # disagree most readily on conditional counts, ratios, and NULL ordering).
-DEGENERATE_KINDS = ["empty", "single", "nullmeas"]
+DEGENERATE_KINDS = ["empty", "single", "nullmeas", "nullts"]
 
 # Measurement columns per table for the nullmeas fixture. Identity (keys,
 # timestamps, categorical flags) stays; everything a query would SUM/AVG/
@@ -379,7 +379,11 @@ def build_degenerate_dir(sf_src: str, kind: str) -> str:
     spaces/segments are a first-class state in the reference (a freshly
     created space is empty); single-row tables exercise every
     lag/lead/spine/sessionize path at its n=1 boundary; nullmeas drives
-    every aggregate into the all-NULL regime at full row count."""
+    every aggregate into the all-NULL regime at full row count; nullts
+    (r9) NULLs EVERY event timestamp — the extreme of the
+    NULL-event-time exclusion contract, where time-ordered queries must
+    agree on an empty (or NULL-grouped) result rather than diverge on
+    where an un-timestamped corpus sorts."""
     import pyarrow as pa
 
     dest = os.path.join(FUZZ_ROOT, kind)
@@ -389,6 +393,11 @@ def build_degenerate_dir(sf_src: str, kind: str) -> str:
         if kind == "nullmeas":
             for col in NULLMEAS_COLS.get(t, []):
                 i = table.schema.get_field_index(col)
+                nulls = pa.nulls(len(table), type=table.schema.field(i).type)
+                table = table.set_column(i, table.schema.field(i), nulls)
+        elif kind == "nullts":
+            if t == "events":
+                i = table.schema.get_field_index("ts")
                 nulls = pa.nulls(len(table), type=table.schema.field(i).type)
                 table = table.set_column(i, table.schema.field(i), nulls)
         else:
