@@ -1604,24 +1604,39 @@ def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEASONALITY = """
 WITH cells AS (
+  -- exact integer-cent accumulation (the q19 midpoint lesson): every
+  -- mean below is a ratio of exact integers computed by an IDENTICAL
+  -- division tree on both engines, so no floor(x*10000+0.5) boundary
+  -- can flip on summation-order float drift. nv (non-NULL count) keeps
+  -- avg()'s NULL-skipping semantics; nv = 0 cells yield NULL via the
+  -- CASE guard exactly like avg() of nothing.
   SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,  -- Spark 1=Sun..7=Sat
          CAST(hour(ts) AS INTEGER) AS hod,
          count(*) AS n_events,
-         avg(value) AS cell_avg
+         count("value") AS nv,
+         coalesce(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)), 0)
+           AS cents
   FROM events GROUP BY 1, 2
 ), grand AS (
-  SELECT sum(n_events * cell_avg) / sum(n_events) AS mu FROM cells
+  SELECT sum(cents) AS gc, sum(nv) AS gn FROM cells
 ), dow_eff AS (
-  SELECT dow, sum(n_events * cell_avg) / sum(n_events) AS dow_avg
-  FROM cells GROUP BY dow
+  SELECT dow, sum(cents) AS dc, sum(nv) AS dn FROM cells GROUP BY dow
 ), hod_eff AS (
-  SELECT hod, sum(n_events * cell_avg) / sum(n_events) AS hod_avg
-  FROM cells GROUP BY hod
+  SELECT hod, sum(cents) AS hc, sum(nv) AS hn FROM cells GROUP BY hod
 )
 SELECT c.dow, c.hod, CAST(c.n_events AS BIGINT) AS n_events,
-       floor(c.cell_avg * 10000 + 0.5) / 10000 AS cell_avg,
-       floor((c.cell_avg - d.dow_avg - h.hod_avg + g.mu) * 10000 + 0.5)
-         / 10000 AS residual
+       floor(CASE WHEN c.nv = 0 THEN NULL
+                  ELSE CAST(c.cents AS DOUBLE) / c.nv / 100 END
+             * 10000 + 0.5) / 10000 AS cell_avg,
+       floor((CASE WHEN c.nv = 0 THEN NULL
+                   ELSE CAST(c.cents AS DOUBLE) / c.nv / 100 END
+              - CASE WHEN d.dn = 0 THEN NULL
+                     ELSE CAST(d.dc AS DOUBLE) / d.dn / 100 END
+              - CASE WHEN h.hn = 0 THEN NULL
+                     ELSE CAST(h.hc AS DOUBLE) / h.hn / 100 END
+              + CASE WHEN g.gn = 0 THEN NULL
+                     ELSE CAST(g.gc AS DOUBLE) / g.gn / 100 END)
+             * 10000 + 0.5) / 10000 AS residual
 FROM cells c
 JOIN dow_eff d USING (dow)
 JOIN hod_eff h USING (hod)
@@ -1647,21 +1662,36 @@ def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     of avgs) make every marginal exactly mergeable — the same
     decomposition a continuous rollup would maintain incrementally."""
     ev = load_table(spark, sf_dir, "events")
+    # exact integer-cent accumulation (q19 midpoint lesson, found here
+    # by the r9 NULL-ts probe shifting a marginal mean onto a rounding
+    # boundary): every mean is a ratio of exact integer sums, divided
+    # in the SAME tree shape as the oracle, so no summation-order float
+    # drift can flip a floor(x*10000+0.5) boundary.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     cells = ev.groupBy(
         F.dayofweek("ts").cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("cell_avg"),
+        F.count("value").alias("nv"),
+        F.coalesce(F.sum(cents), F.lit(0)).alias("cents"),
     )
-    wsum = F.sum(F.col("n_events") * F.col("cell_avg"))
-    grand = cells.agg((wsum / F.sum("n_events")).alias("mu"))
+    grand = cells.agg(
+        F.sum("cents").alias("gc"), F.sum("nv").alias("gn")
+    )
     dow_eff = cells.groupBy("dow").agg(
-        (wsum / F.sum("n_events")).alias("dow_avg")
+        F.sum("cents").alias("dc"), F.sum("nv").alias("dn")
     )
     hod_eff = cells.groupBy("hod").agg(
-        (wsum / F.sum("n_events")).alias("hod_avg")
+        F.sum("cents").alias("hc"), F.sum("nv").alias("hn")
     )
+
+    def mean(cents_col, n_col):
+        # NULL when the count is 0, matching avg() of an all-NULL cell
+        return F.when(
+            F.col(n_col) > 0,
+            F.col(cents_col).cast("double") / F.col(n_col) / 100,
+        )
 
     def r4(c):
         return F.floor(c * 10000 + F.lit(0.5)) / 10000
@@ -1674,12 +1704,12 @@ def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "hod",
             F.col("n_events").cast("long").alias("n_events"),
-            r4(F.col("cell_avg")).alias("cell_avg"),
+            r4(mean("cents", "nv")).alias("cell_avg"),
             r4(
-                F.col("cell_avg")
-                - F.col("dow_avg")
-                - F.col("hod_avg")
-                + F.col("mu")
+                mean("cents", "nv")
+                - mean("dc", "dn")
+                - mean("hc", "hn")
+                + mean("gc", "gn")
             ).alias("residual"),
         )
     )
