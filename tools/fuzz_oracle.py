@@ -359,7 +359,17 @@ def perturb_table(name: str, df, rng):
 
 
 def build_seed_dir(sf_src: str, seed: int) -> str:
-    dest = os.path.join(FUZZ_ROOT, f"seed{seed}")
+    # the fixture dir is keyed on (seed, source sf, flag set): two runs
+    # with the same seed but different scales or flags previously shared
+    # one dir, so a concurrent build could clobber a sweep mid-run and
+    # manufacture phantom Spark-vs-oracle mismatches (observed r9: an
+    # interactive sf0.01 build overwrote a running sf0.001 sweep's
+    # fixture and "failed" 10 dedup/text queries that re-verify green)
+    tag = sf_src.rstrip("/").rsplit("/", 1)[-1]
+    flags = f"m{NULL_FRAC_MULT:g}" + ("t" if NULL_TS else "") + (
+        "d" if NULL_DATES else ""
+    )
+    dest = os.path.join(FUZZ_ROOT, f"seed{seed}-{tag}-{flags}")
     os.makedirs(dest, exist_ok=True)
     rng = np.random.default_rng(seed)
     for t in TABLES:
