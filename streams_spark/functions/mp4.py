@@ -45,6 +45,7 @@ class Sample(NamedTuple):
     size: int
     dts: int  # decode timestamp in media timescale ticks
     duration: int  # ticks
+    sync: bool = True  # keyframe? (no stss box => every sample is sync)
 
 
 class Mp4Track(NamedTuple):
@@ -161,11 +162,17 @@ def mp4_mux(
     height: int,
     timescale: int = MP4_TIMESCALE,
     durations: list[int] | None = None,
+    sync_every: int | None = None,
 ) -> bytes:
     """Write a valid single-track Motion-JPEG MP4. `frames` are the
     encoded JPEG sample payloads (opaque here — the container does not
     look inside its samples). Default durations alternate 512/1024
-    ticks, producing a maximally fragmented stts run table."""
+    ticks, producing a maximally fragmented stts run table.
+    `sync_every=k` writes an stss sync-sample table marking samples
+    1, 1+k, 1+2k, ... as keyframes (MJPEG is all-intra, so the spec
+    default — no stss, every sample sync — is what production files
+    carry; an explicit stss models inter-coded codecs for the
+    keyframe-only sampling path)."""
     if durations is None:
         durations = [512 if i % 2 == 0 else 1024 for i in range(len(frames))]
     if len(durations) != len(frames):
@@ -204,7 +211,15 @@ def mp4_mux(
         struct.pack(">I", len(offsets))
         + b"".join(struct.pack(">I", o) for o in offsets),
     )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stss = b""
+    if sync_every is not None:
+        syncs = list(range(1, len(frames) + 1, sync_every))
+        stss = _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(syncs))
+            + b"".join(struct.pack(">I", n) for n in syncs),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
 
     url = _full(b"url ", 0, 1, b"")  # flag 1: media in this file
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
@@ -328,7 +343,28 @@ def extract_samples(buf: bytes) -> Mp4Track:
     remaining sample count, accumulate intra-chunk offsets by sample
     size, and expand stts duration runs into cumulative DTS."""
     moov0, moov1 = _find(buf, ["moov"], 0, len(buf))
-    trak0, trak1 = _find(buf, ["trak"], moov0, moov1)
+    # select the VIDEO track by hdlr handler_type, not file position —
+    # real files put audio first as often as not; fall back to the
+    # first trak when no 'vide' handler exists
+    trak0 = trak1 = None
+    first = None
+    for typ, p0, p1 in walk_boxes(buf, moov0, moov1):
+        if typ != "trak":
+            continue
+        if first is None:
+            first = (p0, p1)
+        try:
+            h0, h1 = _find(buf, ["mdia", "hdlr"], p0, p1)
+        except Mp4Error:
+            continue
+        _, hdlr = _full_payload(buf, h0, h1)
+        if hdlr[4:8] == b"vide":
+            trak0, trak1 = p0, p1
+            break
+    if trak0 is None:
+        if first is None:
+            raise Mp4Error("missing box 'trak'")
+        trak0, trak1 = first
     stbl0, stbl1 = _find(buf, ["mdia", "minf", "stbl"], trak0, trak1)
 
     mdhd0, mdhd1 = _find(buf, ["mdia", "mdhd"], trak0, trak1)
@@ -377,6 +413,14 @@ def extract_samples(buf: bytes) -> Mp4Track:
     _, stts = _full_payload(buf, *boxes["stts"])
     durations = _expand_stts(stts, count)
 
+    # stss: absent => every sample is a sync sample (the spec default,
+    # and the truth for all-intra codecs like MJPEG)
+    syncs: set[int] | None = None
+    if "stss" in boxes:
+        _, stss = _full_payload(buf, *boxes["stss"])
+        (n_sync,) = struct.unpack_from(">I", stss, 0)
+        syncs = set(struct.unpack_from(f">{n_sync}I", stss, 4))
+
     samples: list[Sample] = []
     dts = 0
     si = 0
@@ -390,7 +434,10 @@ def extract_samples(buf: bytes) -> Mp4Track:
             pos = chunk_offsets[chunk - 1]
             for _ in range(min(spc, count - si)):
                 samples.append(
-                    Sample(si, pos, sizes[si], dts, durations[si])
+                    Sample(
+                        si, pos, sizes[si], dts, durations[si],
+                        syncs is None or (si + 1) in syncs,
+                    )
                 )
                 pos += sizes[si]
                 dts += durations[si]
@@ -402,10 +449,19 @@ def extract_samples(buf: bytes) -> Mp4Track:
     return Mp4Track(codec, width, height, timescale, duration, samples)
 
 
-def mp4_demux(buf: bytes) -> tuple[Mp4Track, list[bytes]]:
-    """Extract the first video track's sample payloads (the encoded
-    frames, in decode order) plus track metadata."""
+def mp4_demux(
+    buf: bytes, keyframes_only: bool = False
+) -> tuple[Mp4Track, list[bytes]]:
+    """Extract the video track's sample payloads (the encoded frames,
+    in decode order) plus track metadata. `keyframes_only=True` keeps
+    only stss-marked sync samples — the frame-sampling mode a training
+    pipeline uses on inter-coded video, where non-key samples can't be
+    decoded independently anyway."""
     track = extract_samples(buf)
+    if keyframes_only:
+        track = track._replace(
+            samples=[s for s in track.samples if s.sync]
+        )
     frames = [buf[s.offset : s.offset + s.size] for s in track.samples]
     for s, f in zip(track.samples, frames):
         if len(f) != s.size:

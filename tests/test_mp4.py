@@ -188,6 +188,78 @@ def test_sample_past_eof_raises():
         mp4_demux(cut[: len(cut)] + moov)
 
 
+def test_stss_keyframes_only():
+    frames, _ = _mux(nf=6, d=11, w=16, h=12)
+    blob = mp4_mux(frames, 16, 12, sync_every=3)  # syncs: samples 1, 4
+    track, all_out = mp4_demux(blob)
+    assert [s.sync for s in track.samples] == [
+        True, False, False, True, False, False,
+    ]
+    assert all_out == frames
+    ktrack, key_out = mp4_demux(blob, keyframes_only=True)
+    assert key_out == [frames[0], frames[3]]
+    assert [s.dts for s in ktrack.samples] == [0, 2048]
+
+
+def test_no_stss_means_all_sync():
+    frames, blob = _mux(nf=3)
+    track, out = mp4_demux(blob, keyframes_only=True)
+    assert out == frames  # MJPEG all-intra: every sample is sync
+    assert all(s.sync for s in track.samples)
+
+
+def test_video_track_selected_by_handler():
+    # hand-build a two-track file with a 'soun' trak FIRST; the demuxer
+    # must skip it and resolve the 'vide' trak's tables
+    frames = [b"VID1VID1", b"VID2"]
+    sizes = [len(f) for f in frames]
+    payload = b"".join(frames)
+    mdat = _box(b"mdat", payload)
+    base = 8
+
+    def _trak(handler: bytes, w: int, h: int, offs, szs):
+        stsd = _full(
+            b"stsd", 0, 0,
+            struct.pack(">I", 1)
+            + _box(
+                b"mp4v",
+                b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">HH", w, h) + b"\x00" * 50,
+            ),
+        )
+        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, len(szs), 10))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, len(szs), 1))
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, len(szs))
+            + b"".join(struct.pack(">I", s) for s in szs),
+        )
+        stco = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(offs))
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = _full(
+            b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 600, 20, 0x55C4, 0)
+        )
+        hdlr = _full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + handler + b"\x00" * 13,
+        )
+        minf = _box(b"minf", stbl)
+        return _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+
+    # the audio trak points at garbage offsets deliberately — if the
+    # demuxer picks it, the extracted "frames" won't match
+    audio = _trak(b"soun", 0, 0, [0], [4])
+    video = _trak(b"vide", 9, 7, [base, base + sizes[0]], sizes)
+    moov = _box(b"moov", audio + video)
+    track, out = mp4_demux(mdat + moov)
+    assert out == frames
+    assert (track.width, track.height) == (9, 7)
+
+
 def test_chunk_plan_partial_final_chunk():
     # 6 samples -> chunks [1, 2, 2, 1]: multi-run stsc with partial end
     frames, blob = _mux(nf=6, d=11, w=16, h=12)
