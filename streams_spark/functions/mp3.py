@@ -50,6 +50,31 @@ class Mp3Scan(NamedTuple):
     frames: list[Mp3Frame]
     junk_bytes: int  # non-frame bytes skipped (leading garbage, resync)
     id3_bytes: int  # ID3v2 tag bytes skipped
+    id3v1_bytes: int = 0  # trailing 128-byte ID3v1 'TAG' block, if any
+    xing_frames: int = -1  # frame count from a Xing/Info header (-1: none)
+
+
+# Xing/Info VBR header: lives in the FIRST frame's payload, after the
+# Layer III side info — 17 bytes for MPEG-1 mono, 32 otherwise — and
+# carries flags + optional frame/byte counts. Real VBR files lead with
+# it, and duration estimators must prefer its frame count over
+# bitrate-extrapolation from the first (often unrepresentative) frame.
+_XING_SIDE_INFO = {3: 17}  # channel_mode 3 = mono; others 32
+
+
+def _xing_probe(buf: bytes, frame: "Mp3Frame") -> int:
+    b3 = buf[frame.offset + 3]
+    channel_mode = (b3 >> 6) & 0x3
+    off = frame.offset + 4 + _XING_SIDE_INFO.get(channel_mode, 32)
+    tag = buf[off : off + 4]
+    if tag not in (b"Xing", b"Info"):
+        return -1
+    if off + 8 > frame.offset + frame.size:
+        return -1
+    flags = int.from_bytes(buf[off + 4 : off + 8], "big")
+    if flags & 0x1 and off + 12 <= frame.offset + frame.size:
+        return int.from_bytes(buf[off + 8 : off + 12], "big")
+    return -1
 
 
 def frame_header(
@@ -94,14 +119,16 @@ def _header_fields(buf: bytes, pos: int) -> tuple[int, int, int] | None:
     return bitrate_idx, sr_idx, padding
 
 
-def _parse_header(buf: bytes, pos: int) -> Mp3Frame | None:
-    """A complete frame at pos: legal header AND the implied bytes fit."""
+def _parse_header(buf: bytes, pos: int, end: int | None = None) -> Mp3Frame | None:
+    """A complete frame at pos: legal header AND the implied bytes fit
+    within buf[:end] (the scan region — an ID3v1 trailer is excluded
+    from it without copying the buffer)."""
     fields = _header_fields(buf, pos)
     if fields is None:
         return None
     bitrate_idx, sr_idx, padding = fields
     size = frame_length(bitrate_idx, sr_idx, padding)
-    if pos + size > len(buf):
+    if pos + size > (len(buf) if end is None else end):
         return None
     return Mp3Frame(
         pos, size, BITRATES_KBPS[bitrate_idx], SAMPLE_RATES[sr_idx], padding
@@ -130,19 +157,27 @@ def mp3_scan(buf: bytes) -> Mp3Scan:
     frame truncated mid-body still vouches for its intact predecessor,
     and itself degrades to junk bytes."""
     id3 = id3v2_size(buf)
+    end = len(buf)
+    id3v1 = 0
+    # ID3v1 is a FIXED 128-byte trailer starting with 'TAG' — excluded
+    # from the frame-scan region so its bytes never count as junk
+    if end - id3 >= 128 and buf[end - 128 : end - 125] == b"TAG":
+        id3v1 = 128
+        end -= 128
     pos, junk = id3, 0
     frames: list[Mp3Frame] = []
-    while pos < len(buf):
-        fr = _parse_header(buf, pos)
+    while pos < end:
+        fr = _parse_header(buf, pos, end)
         if fr is not None:
             nxt = pos + fr.size
-            if nxt == len(buf) or _header_fields(buf, nxt) is not None:
+            if nxt == end or _header_fields(buf, nxt) is not None:
                 frames.append(fr)
                 pos = nxt
                 continue
         junk += 1
         pos += 1
-    return Mp3Scan(frames, junk, id3)
+    xing = _xing_probe(buf, frames[0]) if frames else -1
+    return Mp3Scan(frames, junk, id3, id3v1, xing)
 
 
 def mp3_build(
@@ -150,13 +185,18 @@ def mp3_build(
     fill_seed: int = 0,
     id3_payload: bytes | None = None,
     leading_junk: bytes = b"",
+    xing: bool = False,
+    id3v1: bool = False,
 ) -> bytes:
     """Synthesize a valid elementary stream: one frame per
     (bitrate_idx, sr_idx, padding) spec, deterministic filler payload
     (from fill_seed) that never contains a false sync (every filler
     byte has its top bit clear). Optional ID3v2 tag and leading junk
     exercise the skip/resync paths; junk bytes are masked to 0x7F so
-    they cannot fake a sync either."""
+    they cannot fake a sync either. `xing=True` writes a Xing header
+    into the FIRST frame's payload (after the 32-byte non-mono side
+    info) carrying the true frame count; `id3v1=True` appends the
+    128-byte 'TAG' trailer."""
     out = bytearray()
     if id3_payload is not None:
         n = len(id3_payload)
@@ -166,6 +206,7 @@ def mp3_build(
         out += b"ID3" + bytes([4, 0, 0]) + size + id3_payload
     out += bytes(b & 0x7F for b in leading_junk)
     x = fill_seed & 0xFFFFFFFF
+    frames_written = 0
     for bitrate_idx, sr_idx, padding in specs:
         hdr = frame_header(bitrate_idx, sr_idx, padding)
         size = frame_length(bitrate_idx, sr_idx, padding)
@@ -173,5 +214,19 @@ def mp3_build(
         for _ in range(size - 4):
             x = (1103515245 * x + 12345) & 0xFFFFFFFF
             body.append((x >> 16) & 0x7F)
+        if xing and not frames_written:
+            # channel_mode 1 (non-mono) -> side info 32 bytes; then
+            # 'Xing' + flags(0x1: frames present) + frame count
+            payload = (
+                b"Xing"
+                + (0x1).to_bytes(4, "big")
+                + len(specs).to_bytes(4, "big")
+            )
+            if len(body) < 32 + len(payload):
+                raise ValueError("first frame too small for a Xing header")
+            body[32 : 32 + len(payload)] = payload
+        frames_written += 1
         out += hdr + body
+    if id3v1:
+        out += b"TAG" + bytes((b % 0x60) + 0x20 for b in range(125))
     return bytes(out)

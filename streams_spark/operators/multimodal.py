@@ -1302,7 +1302,11 @@ SELECT doc_id,
          AS junk_bytes,
        CAST(CASE WHEN min(doc_id) % 4 = 0
                  THEN 10 + min(doc_id) % 50 ELSE 0 END AS INTEGER)
-         AS id3_bytes
+         AS id3_bytes,
+       CAST(CASE WHEN min(doc_id) % 7 = 0 THEN 128 ELSE 0 END AS INTEGER)
+         AS id3v1_bytes,
+       CAST(CASE WHEN min(doc_id) % 6 = 0 THEN min(nf) ELSE -1 END
+            AS INTEGER) AS xing_frames
 FROM f GROUP BY doc_id
 """
 
@@ -1311,8 +1315,11 @@ def mp3_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One REAL MPEG-1 Layer III elementary stream per audio doc
     (doc_id % 3 = 0): 8..16 frames with genuine 11172-3 headers —
     odd docs are VBR (bitrate index walks the full table), even docs
-    CBR — plus an ID3v2 tag on every 4th doc and leading junk bytes on
-    every 5th, so the scanner's skip and resync paths run routinely."""
+    CBR — plus an ID3v2 tag on every 4th doc, leading junk bytes on
+    every 5th, a Xing VBR header (true frame count, in frame 1's
+    payload past the side info) on every 6th, and an ID3v1 'TAG'
+    trailer on every 7th, so the scanner's skip, resync, Xing-probe
+    and trailer paths all run routinely."""
     from streams_spark.functions.mp3 import mp3_build
 
     docs = (
@@ -1341,6 +1348,8 @@ def mp3_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     leading_junk=(
                         b"\xff" * (1 + d % 7) if d % 5 == 0 else b""
                     ),
+                    xing=(d % 6 == 0),
+                    id3v1=(d % 7 == 0),
                 )
                 rows.append((d, blob))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
@@ -1396,6 +1405,8 @@ def m_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                         len({f.bitrate_kbps for f in frames}) > 1,
                         scan.junk_bytes,
                         scan.id3_bytes,
+                        scan.id3v1_bytes,
+                        scan.xing_frames,
                     )
                 )
             yield pd.DataFrame(
@@ -1403,7 +1414,7 @@ def m_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "doc_id", "n_frames", "samplerate", "total_samples",
                     "frame_bytes", "sum_kbps", "is_vbr", "junk_bytes",
-                    "id3_bytes",
+                    "id3_bytes", "id3v1_bytes", "xing_frames",
                 ],
             )
 
@@ -1412,7 +1423,8 @@ def m_mp3_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, n_frames int, samplerate int, "
             "total_samples long, frame_bytes long, sum_kbps long, "
-            "is_vbr boolean, junk_bytes int, id3_bytes int"
+            "is_vbr boolean, junk_bytes int, id3_bytes int, "
+            "id3v1_bytes int, xing_frames int"
         ),
     )
 

@@ -96,6 +96,50 @@ def test_frame_length_formula():
 
 
 def test_empty_and_garbage_only():
-    assert mp3_scan(b"") == ([], 0, 0)
+    assert mp3_scan(b"") == ([], 0, 0, 0, -1)
     scan = mp3_scan(b"\x01\x02\x03" * 50)
     assert scan.frames == [] and scan.junk_bytes == 150
+
+
+def test_xing_header_detected():
+    blob = mp3_build([(9, 0, 0)] * 7, xing=True)
+    scan = mp3_scan(blob)
+    assert len(scan.frames) == 7  # the Xing frame is a real frame
+    assert scan.xing_frames == 7
+    # without the header the probe reports absence
+    assert mp3_scan(mp3_build([(9, 0, 0)] * 7)).xing_frames == -1
+
+
+def test_xing_fits_even_the_smallest_legal_frame():
+    # 32 kbps @ 48 kHz is the smallest MPEG-1 Layer III frame (96
+    # bytes); its 92-byte body still fits side-info(32) + 'Xing' +
+    # flags + count (12), so the guard never trips on legal specs —
+    # prove it by building and re-scanning one
+    blob = mp3_build([(1, 1, 0)] * 2, xing=True)
+    assert mp3_scan(blob).xing_frames == 2
+
+
+def test_id3v1_trailer_skipped():
+    blob = mp3_build([(5, 0, 0)] * 3, id3v1=True)
+    scan = mp3_scan(blob)
+    assert scan.id3v1_bytes == 128
+    assert len(scan.frames) == 3
+    assert scan.junk_bytes == 0
+    # trailer bytes are NOT part of the frame region
+    assert sum(f.size for f in scan.frames) == len(blob) - 128
+
+
+def test_id3v1_with_id3v2_and_junk():
+    blob = mp3_build(
+        [(7, 2, 1)] * 4,
+        id3_payload=b"x" * 40,
+        leading_junk=b"??" * 5,
+        xing=True,
+        id3v1=True,
+    )
+    scan = mp3_scan(blob)
+    assert scan.id3_bytes == 50
+    assert scan.id3v1_bytes == 128
+    assert scan.junk_bytes == 10
+    assert len(scan.frames) == 4
+    assert scan.xing_frames == 4
