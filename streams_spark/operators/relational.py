@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streams_spark.functions.text_funcs import tokens as tokens_fn
+from streams_spark.operators import finite_or_null
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -1520,19 +1521,25 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OUTLIERS = """
-WITH stats AS (
+WITH fe AS (
+  -- finite-domain contract (r9 NaN/Inf class): one Inf reading makes
+  -- DuckDB's STDDEV_SAMP raise out-of-range where Spark yields
+  -- NaN/Inf — the ingest guard owns non-finite readings, the z-census
+  -- scores the finite domain
+  SELECT event_type, "value" FROM events WHERE isfinite("value")
+), stats AS (
   SELECT event_type,
          avg("value") AS mu,
          stddev("value") AS sigma,
          count(*) AS n_events
-  FROM events GROUP BY event_type
+  FROM fe GROUP BY event_type
 )
 SELECT e.event_type,
        CAST(any_value(n_events) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN abs(("value" - mu) / sigma) > 2.5
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(max(abs(("value" - mu) / sigma)), 4) AS max_abs_z
-FROM events e JOIN stats USING (event_type)
+FROM fe e JOIN stats USING (event_type)
 GROUP BY e.event_type
 """
 
@@ -1551,7 +1558,11 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the two-pass form keeps exact parity with the oracle's
     stddev semantics.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(finite_or_null(F.col("value")).isNotNull())
+    )
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev("value").alias("sigma"),
@@ -2957,7 +2968,8 @@ def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_AGG = """
 WITH c AS (
   SELECT event_type,
-         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+         CAST(floor(CASE WHEN isfinite("value") THEN "value" END
+                    * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type,
@@ -2997,12 +3009,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the cutoff predicate (three-valued logic) and cannot be routed
     to state or delta — it is quarantined up front (the ingest-guard
     posture) and the oracle models the same exclusion."""
+    # finite_or_null: an Inf reading would overflow the ANSI cents cast
+    # and crash the whole refresh (r9 NaN/Inf class)
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull()
     ).select(
         "ts",
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5))
+        F.floor(finite_or_null(F.col("value")) * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
     )
@@ -3029,7 +3043,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = _cached_feed(
         sf_dir,
         "incragg",
-        f"state|v2|{_INCR_CUTOFF}|event_type,n_events,sum_cents,min_cents,max_cents",
+        f"state|v3-finite|{_INCR_CUTOFF}|event_type,n_events,sum_cents,min_cents,max_cents",
         lambda d: partial(ev.where(F.col("ts") < cutoff))
         .write.mode("overwrite")
         .parquet(d),

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streams_spark.operators import finite_or_null
 from streams_spark.registry import register
 from streams_spark.sources.feed_cache import cached_feed as _cached_feed
 from streams_spark.sources.tables import load_table
@@ -234,7 +235,8 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WATERMARK_ORACLE = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*) AS n_events,
-       floor(avg("value") * 10000 + 0.5) / 10000 AS avg_value
+       floor(avg(CASE WHEN isfinite("value") THEN "value" END)
+             * 10000 + 0.5) / 10000 AS avg_value
 FROM events
 GROUP BY window_start
 HAVING window_start + INTERVAL 1 HOUR
@@ -266,10 +268,15 @@ def st_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # floor rule: value is exactly 2dp, so the average is an
-            # integer-cents ratio with possible exact 4dp midpoints
-            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias(
-                "avg_value"
-            ),
+            # integer-cents ratio with possible exact 4dp midpoints;
+            # finite_or_null: non-finite readings are missing (r9 class)
+            (
+                F.floor(
+                    F.avg(finite_or_null(F.col("value"))) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_value"),
         )
     )
     sink = f"wm_{uuid.uuid4().hex[:8]}"

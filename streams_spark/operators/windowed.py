@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streams_spark.operators import finite_or_null
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -686,7 +687,7 @@ _GAP_FILL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
          count(*) AS n,
-         floor(avg("value") * 10000 + 0.5) / 10000 AS av
+         floor(avg(CASE WHEN isfinite("value") THEN "value" END) * 10000 + 0.5) / 10000 AS av
   FROM events GROUP BY 1, 2
 ), b AS (
   SELECT date_trunc('hour', min(ts)) AS lo,
@@ -737,7 +738,8 @@ def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         # floor rule, not round(): HALF_UP vs HALF_EVEN midpoint doubles
         # diverge (hit at sf0.1)
-        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias("av"),
+        (F.floor(F.avg(finite_or_null(F.col("value"))) * 10000
+                 + F.lit(0.5)) / 10000).alias("av"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1262,7 +1264,8 @@ EWMA_HORIZON = 13  # days of history folded into each point (14-day span)
 
 _EWMA = f"""
 WITH daily AS (
-  SELECT date_trunc('day', ts) AS day, round(sum("value"), 4) AS rev
+  SELECT date_trunc('day', ts) AS day,
+         round(sum(CASE WHEN isfinite("value") THEN "value" END), 4) AS rev
   FROM events GROUP BY 1
 )
 SELECT a.day AS day, any_value(a.rev) AS rev,
@@ -1291,7 +1294,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value"), 4).alias("rev")
+        F.round(F.sum(finite_or_null(F.col("value"))), 4).alias("rev")
     )
     contrib = daily.select(
         F.col("day").alias("s_day"),
@@ -1330,7 +1333,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERPOLATE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         floor(avg("value") * 10000 + 0.5) / 10000 AS av
+         floor(avg(CASE WHEN isfinite("value") THEN "value" END) * 10000 + 0.5) / 10000 AS av
   FROM events GROUP BY 1, 2
 ), b AS (
   SELECT date_trunc('hour', min(ts)) AS lo,
@@ -1391,7 +1394,8 @@ def w_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor rule (see the output-rounding note below): the hourly
         # average feeds pv/nv, so a HALF_UP-vs-HALF_EVEN midpoint here
         # propagates into interpolated values (hit at sf0.1)
-        (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias("av")
+        (F.floor(F.avg(finite_or_null(F.col("value"))) * 10000
+                 + F.lit(0.5)) / 10000).alias("av")
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1459,19 +1463,24 @@ MAD_K = 1.4826  # normal-consistency constant
 MAD_T = 3.0  # flag |x - median| > 3 scaled MADs
 
 _ANOMALY_MAD = f"""
-WITH med AS (
+WITH fe AS (
+  -- finite-domain contract: the ingest guard owns non-finite readings;
+  -- a NaN/Inf inside median()/MAD diverges across engines and an Inf
+  -- row is not a z-scoreable point
+  SELECT * FROM events WHERE isfinite("value")
+), med AS (
   SELECT event_type, median("value") AS med
-  FROM events GROUP BY 1
+  FROM fe GROUP BY 1
 ), mad AS (
   SELECT e.event_type, any_value(m.med) AS med,
          median(abs(e."value" - m.med)) AS mad
-  FROM events e JOIN med m ON e.event_type = m.event_type
+  FROM fe e JOIN med m ON e.event_type = m.event_type
   GROUP BY e.event_type
 )
 SELECT e.event_id, e.event_type, round(e."value", 4) AS value,
        floor((e."value" - m.med) / ({MAD_K} * m.mad) * 10000 + 0.5) / 10000
            AS robust_z
-FROM events e JOIN mad m ON e.event_type = m.event_type
+FROM fe e JOIN mad m ON e.event_type = m.event_type
 WHERE m.mad > 0 AND abs(e."value" - m.med) > {MAD_T} * {MAD_K} * m.mad
 """
 
@@ -1488,7 +1497,10 @@ def w_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile with the same plan shape (the exact/approx twin
     convention used across the suite).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # finite-domain contract (r9 NaN/Inf class): see _ANOMALY_MAD's fe CTE
+    ev = load_table(spark, sf_dir, "events").where(
+        finite_or_null(F.col("value")).isNotNull()
+    )
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     mad = (
         ev.join(F.broadcast(med), "event_type")
@@ -1523,7 +1535,8 @@ CUSUM_H = 3.0  # drift alarm threshold, in per-type daily-mean stddevs
 
 _CUSUM = f"""
 WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS day_avg
+  SELECT event_type, date_trunc('day', ts) AS day,
+         avg(CASE WHEN isfinite("value") THEN "value" END) AS day_avg
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), stats AS (
   SELECT event_type, avg(day_avg) AS mu, stddev_samp(day_avg) AS sigma
@@ -1571,7 +1584,7 @@ def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.avg("value").alias("day_avg"))
+    ).agg(F.avg(finite_or_null(F.col("value"))).alias("day_avg"))
     stats = daily.groupBy("event_type").agg(
         F.avg("day_avg").alias("mu"),
         F.stddev_samp("day_avg").alias("sigma"),
@@ -1613,10 +1626,11 @@ WITH cells AS (
   SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,  -- Spark 1=Sun..7=Sat
          CAST(hour(ts) AS INTEGER) AS hod,
          count(*) AS n_events,
-         count("value") AS nv,
-         coalesce(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)), 0)
-           AS cents
-  FROM events GROUP BY 1, 2
+         count(v) AS nv,
+         coalesce(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)), 0) AS cents
+  FROM (SELECT ts, CASE WHEN isfinite("value") THEN "value" END AS v
+        FROM events)
+  GROUP BY 1, 2
 ), grand AS (
   SELECT sum(cents) AS gc, sum(nv) AS gn FROM cells
 ), dow_eff AS (
@@ -1667,13 +1681,16 @@ def w_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary): every mean is a ratio of exact integer sums, divided
     # in the SAME tree shape as the oracle, so no summation-order float
     # drift can flip a floor(x*10000+0.5) boundary.
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # finite_or_null: one Inf reading would otherwise overflow the
+    # ANSI cents cast and crash the whole rollup (r9 NaN/Inf class)
+    v = finite_or_null(F.col("value"))
+    cents = F.floor(v * 100 + F.lit(0.5)).cast("long")
     cells = ev.groupBy(
         F.dayofweek("ts").cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count("value").alias("nv"),
+        F.count(v).alias("nv"),
         F.coalesce(F.sum(cents), F.lit(0)).alias("cents"),
     )
     grand = cells.agg(
@@ -1788,7 +1805,8 @@ def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WOW = """
 WITH weekly AS (
   SELECT event_type, date_trunc('week', ts) AS week,
-         count(*) AS n_events, sum(value) AS total
+         count(*) AS n_events,
+         sum(CASE WHEN isfinite("value") THEN "value" END) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), laged AS (
   SELECT event_type, week, n_events, total,
@@ -1826,7 +1844,7 @@ def w_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("week", F.col("ts")).alias("week")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total"),
+        F.sum(finite_or_null(F.col("value"))).alias("total"),
     )
     w = Window.partitionBy("event_type").orderBy("week")
     lagged = weekly.withColumn(

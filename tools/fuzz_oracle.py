@@ -106,6 +106,11 @@ PERTURBATIONS = [
     "NULL DATES (new r9, --null-dates): 0.3% NULL l_shipdate / "
     "o_orderdate - TPC-H range predicates under three-valued logic, "
     "date group keys, interval arithmetic, window order keys.",
+    "NON-FINITE VALUES (new r9, --nonfinite): 0.3% each +Inf/-Inf/NaN "
+    "in events.value - ANSI cast overflow crashes, DuckDB stddev "
+    "out-of-range, NaN/Inf propagation through means vs floor "
+    "boundaries. Contract: statistics treat non-finite as MISSING "
+    "(finite_or_null / CASE WHEN isfinite).",
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
@@ -152,6 +157,16 @@ NULL_FRAC_MULT = 1.0
 # interval arithmetic under three-valued logic).
 NULL_TS = False
 NULL_DATES = False
+
+# r9: non-finite measurement class. --nonfinite injects 0.3% each of
+# +Inf / -Inf / NaN into events.value — the "corrupt sensor reading"
+# case. Divergence mechanisms this hunts: ANSI integer casts of Inf
+# (Spark ARITHMETIC_OVERFLOW crash), DuckDB STDDEV_SAMP out-of-range
+# on Inf, NaN/Inf propagation through means vs the floor-rounding
+# boundary, and NaN ordering. The pinned contract: statistics
+# operators treat non-finite measurements as MISSING
+# (operators.finite_or_null; oracle twin CASE WHEN isfinite).
+NONFINITE = False
 
 
 def _null_keys(df, rng, cols, frac=0.003):
@@ -273,6 +288,12 @@ def perturb_table(name: str, df, rng):
         # r8: NULL event_type (groupBy/window/funnel key) and event_id
         # (dedup identity, sequence tie-break).
         df = _null_keys(df, rng, ["event_type", "event_id"])
+        if NONFINITE:
+            u = rng.random(len(df))
+            r = 0.003 * NULL_FRAC_MULT
+            df.loc[u < r, "value"] = np.inf
+            df.loc[(u >= r) & (u < 2 * r), "value"] = -np.inf
+            df.loc[(u >= 2 * r) & (u < 3 * r), "value"] = np.nan
         # r9: NULL event TIME (the formerly-deferred axis). A NULL ts is
         # the "extraction failed to parse the timestamp" production
         # case: time-bucket groups, window frames, session gaps, spine
@@ -366,8 +387,11 @@ def build_seed_dir(sf_src: str, seed: int) -> str:
     # interactive sf0.01 build overwrote a running sf0.001 sweep's
     # fixture and "failed" 10 dedup/text queries that re-verify green)
     tag = sf_src.rstrip("/").rsplit("/", 1)[-1]
-    flags = f"m{NULL_FRAC_MULT:g}" + ("t" if NULL_TS else "") + (
-        "d" if NULL_DATES else ""
+    flags = (
+        f"m{NULL_FRAC_MULT:g}"
+        + ("t" if NULL_TS else "")
+        + ("d" if NULL_DATES else "")
+        + ("f" if NONFINITE else "")
     )
     dest = os.path.join(FUZZ_ROOT, f"seed{seed}-{tag}-{flags}")
     os.makedirs(dest, exist_ok=True)
@@ -481,12 +505,18 @@ def main() -> None:
         action="store_true",
         help="inject 0.3%% NULL l_shipdate/o_orderdate",
     )
+    ap.add_argument(
+        "--nonfinite",
+        action="store_true",
+        help="inject 0.3%% each +Inf/-Inf/NaN into events.value",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    global NULL_FRAC_MULT, NULL_TS, NULL_DATES
+    global NULL_FRAC_MULT, NULL_TS, NULL_DATES, NONFINITE
     NULL_FRAC_MULT = args.null_frac_mult
     NULL_TS = args.null_ts
     NULL_DATES = args.null_dates
+    NONFINITE = args.nonfinite
     if args.degenerate:
         runs = [(k, lambda k=k: build_degenerate_dir(args.sf, k)) for k in DEGENERATE_KINDS]
     else:
