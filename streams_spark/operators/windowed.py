@@ -1741,7 +1741,9 @@ WITH curve AS (
   SELECT user_id, ts, event_id,
          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                           ROWS UNBOUNDED PRECEDING) AS equity
-  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND isfinite("value")
 ), peaked AS (
   SELECT user_id, equity,
          max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
@@ -1771,8 +1773,13 @@ def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type predicate), and the final rollup is partial-agg'd."""
     # NULL-time contract (r9): a purchase without a timestamp has no
     # position on the equity curve — excluded on both sides.
+    # finite-domain contract (r9 NaN/Inf class): a purchase with a
+    # corrupt (non-finite) amount contributes no point to the equity
+    # curve — one Inf would otherwise pin the running peak forever
     ev = load_table(spark, sf_dir, "events").where(
-        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & finite_or_null(F.col("value")).isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
