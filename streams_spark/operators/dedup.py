@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark.functions.text_funcs import gram_rows, tokens
+from streams_spark.operators import vector_hygiene
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -699,6 +700,9 @@ WITH n AS (
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                       x -> x * x))) AS nrm
   FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 )
 SELECT doc_a, doc_b, cos_sim FROM (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -738,7 +742,7 @@ def d_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with no row, so filter symmetrically before blocking
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(F.col("embedding").isNotNull() & vector_hygiene())
         .select("vec_id", "embedding")
     )
     blk = F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int")
@@ -1373,6 +1377,9 @@ WITH n AS (
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                       x -> x * x))) AS nrm
   FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), dup AS (
   SELECT DISTINCT b.vec_id
   FROM n a JOIN n b
@@ -1405,7 +1412,7 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streams_spark.functions.vector import as_double_array, dot, norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     v = as_double_array("embedding")
     n = emb.select(
         "vec_id", "label", v.alias("v"), norm(v).alias("nrm")

@@ -2840,8 +2840,12 @@ _GROUPED_MAP = """
 -- rank-the-nulls-last; non-null ranks and the n-1 denominator are
 -- unchanged because nulls still count toward n on both sides
 -- (fuzz finding r6)
+-- NaN likewise has NO rank (r9 non-finite class): pandas rank() skips
+-- NaN where DuckDB orders it last — the Spark side already emits NULL
+-- via pd.isna, so the oracle mirrors it. +/-Inf rows keep their ranks:
+-- both engines order them identically at the partition edges.
 SELECT event_id, user_id, "value",
-       CASE WHEN "value" IS NULL THEN NULL
+       CASE WHEN "value" IS NULL OR isnan("value") THEN NULL
             ELSE floor(percent_rank()
                        OVER (PARTITION BY user_id ORDER BY "value" NULLS LAST)
                   * 10000 + 0.5) / 10000

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_spark.functions.vector import as_double_array, cosine, dot, norm
+from streams_spark.operators import vector_hygiene
 from streams_spark.registry import register
 from streams_spark.sources.tables import load_table
 
@@ -40,8 +41,18 @@ TOP_K = 5
 # summation order matches Spark's sequential aggregate exactly.
 _DUCK_VEC = """
 WITH e AS (
+  -- finite-coordinate contract (r9 non-finite fuzz class): a vector
+  -- carrying NaN/Inf OR NULL coordinates cannot be meaningfully
+  -- scored — NaN similarities make argmax/top-k engine-dependent, one
+  -- Inf poisons centroids and norms, and a NULL element is read
+  -- engine-dependently (pyarrow writes pandas NaN as parquet null).
+  -- Corrupt vectors never enter the corpus (the ingest guard
+  -- quarantines them upstream at 100 TB).
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
+  WHERE embedding IS NULL
+     OR len(list_filter(CAST(embedding AS DOUBLE[]),
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ), n AS (
   SELECT vec_id, label, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -51,9 +62,19 @@ WITH e AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared vector corpus. Finite-coordinate contract (r9 non-finite
+    fuzz class): vectors with NaN/Inf coordinates never enter — NaN
+    similarities make argmax/top-k engine-dependent and one Inf poisons
+    centroids and norms; the oracle's _DUCK_VEC e CTE mirrors the
+    filter. NULL embeddings pass through here (downstream ops pin
+    their own NULL contracts, nullmeas fixture class)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
-    return emb.select(
+    inf = float("inf")
+    finite = F.col("embedding").isNull() | F.forall(
+        v, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != inf)
+    )
+    return emb.where(finite).select(
         "vec_id", "label", v.alias("v"), norm(v).alias("nrm")
     )
 
@@ -284,6 +305,9 @@ def _bucket_sql(vec_expr: str) -> str:
 _ANN_LSH = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), n AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
@@ -391,8 +415,13 @@ WITH e AS (
   -- window PARTITIONs BY vec_id, so multiple id-less vectors would
   -- collapse to one row here while Spark's UDF assigns each row —
   -- id-less vectors are excluded from training on both sides
+  -- finite coordinates only (r9 non-finite class): one NaN distance
+  -- makes argmin assignment engine-dependent, one Inf poisons a
+  -- centroid forever — corrupt vectors don't train
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ), c0 AS (
   SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}
 ), a0 AS ({_kmeans_pairs_sql('c0')}
@@ -436,9 +465,20 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect would seed a None centroid — nullmeas-fixture fuzz class).
     # NULL vec_id likewise (r8): the oracle tracks assignment per
     # vec_id, so id-less vectors train on neither side.
+    # Non-finite coordinates likewise (r9): one NaN distance makes the
+    # argmin engine-dependent, one Inf poisons a centroid forever.
     corpus = (
         _corpus(spark, sf_dir)
-        .where(F.col("v").isNotNull() & F.col("vec_id").isNotNull())
+        .where(
+            F.col("v").isNotNull()
+            & F.col("vec_id").isNotNull()
+            & F.forall(
+                "v",
+                lambda x: x.isNotNull()
+                & ~F.isnan(x)
+                & (F.abs(x) != float("inf")),
+            )
+        )
         .select("vec_id", "v")
         .cache()
     )
@@ -490,6 +530,9 @@ def s_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_SEARCH = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), n AS (
   SELECT vec_id, label, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -575,6 +618,9 @@ def s_centroid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTIZE = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), ex AS (
   SELECT vec_id, label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
   FROM e
@@ -611,7 +657,7 @@ def s_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is safe at any corpus size. Everything stays codegen:
     explode, join, two aggregates; no Python, no collect.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     ex = emb.select(
         "vec_id",
         "label",
@@ -784,7 +830,7 @@ def _pq_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
         # family on both sides (matching e-CTE filters in _PQ,
         # _PQ_SEARCH, _IVF_PQ_SEARCH).
         emb = load_table(spark, sf_dir, "embeddings").where(
-            F.col("vec_id").isNotNull()
+            F.col("vec_id").isNotNull() & vector_hygiene()
         )
         df = (
             emb.select(
@@ -855,6 +901,9 @@ WITH e AS (
   -- vec_id IS NOT NULL: see _pq_elements' NULL-key pin
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -920,6 +969,9 @@ WITH e AS (
   -- vec_id IS NOT NULL: see _pq_elements' NULL-key pin
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), sub AS (
   SELECT vec_id, sp.s AS s,
          v[sp.s * {PQ_SUBDIM} + 1 : sp.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
@@ -1123,6 +1175,9 @@ _MULTIPROBE_BUCKETS_SQL = (
 _MULTIPROBE_LSH = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), n AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
@@ -1221,6 +1276,9 @@ WITH e AS (
   -- vector out of a label mean).
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE vec_id IS NOT NULL
+    AND (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), n AS (
   SELECT vec_id, label, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -1443,6 +1501,9 @@ WITH ex AS (
   SELECT unnest(range(len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 )
 SELECT CAST(dim AS INTEGER) AS dim,
        count(*) AS n,
@@ -1470,7 +1531,7 @@ def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition regardless of corpus size — the same all-reduce shape a
     distributed trainer uses for gradient norms. No driver collect, no
     skew (dims are uniform by construction)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     ex = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "v"
@@ -1499,6 +1560,9 @@ WITH ex AS (
          unnest(range(len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), cent AS (
   SELECT label, half, dim, avg(v) AS c FROM ex GROUP BY 1, 2, 3
 ), sizes AS (
@@ -1507,7 +1571,11 @@ WITH ex AS (
               AS BIGINT) AS n_a,
          CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
               AS BIGINT) AS n_b
-  FROM embeddings GROUP BY label
+  FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
+  GROUP BY label
 ), paired AS (
   SELECT a.label,
          sum(a.c * b.c) AS dot,
@@ -1538,7 +1606,7 @@ def s_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_embedding_stats with two more grouping keys; everything after
     (pairing halves, norms, sizes) runs on the label-sized frame.
     No vector ever moves whole; no driver collect."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     ex = emb.select(
         "vec_id",
         "label",
@@ -1598,7 +1666,11 @@ WITH ex AS (
   SELECT vec_id, label,
          unnest(range(len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+    AND (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), nrm AS (
   SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id
 ), u AS (
@@ -1639,7 +1711,9 @@ def s_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero and break the unit-vector assumption the closed form rests on
     (seeded-fuzz zero-norm class)."""
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+        & vector_hygiene()
     )
     ex = emb.select(
         "vec_id",
@@ -1740,7 +1814,7 @@ def s_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     float vectors; only shortlist x queries rows rejoin the full
     vectors for the rerank. Same broadcast-probe discipline as
     s_cosine_topk with 32x less scan traffic in the shortlist stage."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     v = F.col("embedding").cast("array<double>")
 
     def pack(offset: int):
@@ -1857,7 +1931,7 @@ def s_mrl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (column-pruned at the scan when the truncated view is
     materialized alongside); only shortlist x queries rows rejoin full
     vectors. Broadcast-probe discipline as the siblings."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(vector_hygiene())
     v = F.col("embedding").cast("array<double>")
     tv = F.slice(v, 1, MRL_DIMS)
 
@@ -1917,6 +1991,9 @@ HYBRID_TOPK = 15
 _HYBRID = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE (embedding IS NULL OR len(list_filter(
+          CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR NOT isfinite(x))) = 0)
 ), n AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
   FROM e

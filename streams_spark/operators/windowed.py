@@ -904,7 +904,7 @@ def w_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_MEDIAN = """
 SELECT user_id, event_id,
-       round(median("value") OVER (
+       round(median(CASE WHEN isfinite("value") THEN "value" END) OVER (
            PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
 FROM events WHERE ts IS NOT NULL
@@ -936,7 +936,11 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(-4, 0)
     )
-    a = F.array_sort(F.collect_list("value").over(w))
+    # finite_or_null (r9): a NaN in the frame sorts differently in the
+    # two engines' medians; non-finite readings are missing
+    a = F.array_sort(
+        F.collect_list(finite_or_null(F.col("value"))).over(w)
+    )
     n = F.size(a)
     lo = F.element_at(a, F.floor((n + 1) / 2).cast("int"))
     hi = F.element_at(a, F.ceil((n + 1) / 2).cast("int"))

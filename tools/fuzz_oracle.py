@@ -107,10 +107,15 @@ PERTURBATIONS = [
     "o_orderdate - TPC-H range predicates under three-valued logic, "
     "date group keys, interval arithmetic, window order keys.",
     "NON-FINITE VALUES (new r9, --nonfinite): 0.3% each +Inf/-Inf/NaN "
-    "in events.value - ANSI cast overflow crashes, DuckDB stddev "
-    "out-of-range, NaN/Inf propagation through means vs floor "
-    "boundaries. Contract: statistics treat non-finite as MISSING "
-    "(finite_or_null / CASE WHEN isfinite).",
+    "in events.value (TRUE NaN, written from_pandas=False - the pandas "
+    "round trip would silently turn NaN into parquet NULL) and 0.3% "
+    "of embedding vectors get one corrupt coordinate (NaN/Inf/-Inf "
+    "cycling) - ANSI cast overflow crashes, DuckDB stddev "
+    "out-of-range, NaN similarities making argmax/top-k "
+    "engine-dependent, NULL list elements read engine-dependently. "
+    "Contracts: statistics treat non-finite as MISSING (finite_or_null "
+    "/ CASE WHEN isfinite); corrupt-coordinate vectors never enter the "
+    "vector corpus (operators.vector_hygiene).",
 ]
 
 # Degenerate fixtures for --degenerate mode: the same schema with zero
@@ -402,6 +407,43 @@ def build_seed_dir(sf_src: str, seed: int) -> str:
         df = table.to_pandas()
         df = perturb_table(t, df, rng)
         out = pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
+        if NONFINITE and t == "events":
+            # pandas->arrow converts NaN to parquet NULL (NaN is the
+            # pandas missing marker), so the in-df NaN injection above
+            # would silently degrade to the NULL-value class — rebuild
+            # the column from the raw float64 buffer with
+            # from_pandas=False so TRUE NaN reaches the file (the
+            # intended-NULL value rows become NaN under this flag; the
+            # missing-value axis is covered by the other classes)
+            idx = out.schema.get_field_index("value")
+            arr = pa.array(
+                df["value"].to_numpy(dtype="float64"),
+                type=out.schema.field(idx).type,
+                from_pandas=False,
+            )
+            out = out.set_column(idx, out.schema.field(idx), arr)
+        if NONFINITE and t == "embeddings":
+            # corrupt COORDINATES (one NaN/Inf/-Inf per hit vector),
+            # written at arrow level for the same true-NaN reason
+            vecs = [
+                None if v is None else np.asarray(v, np.float32).copy()
+                for v in df["embedding"]
+            ]
+            sel = np.nonzero(
+                rng.random(len(vecs)) < 0.003 * NULL_FRAC_MULT
+            )[0]
+            for j, i in enumerate(sel):
+                if vecs[i] is None or len(vecs[i]) == 0:
+                    continue
+                k = int(rng.integers(0, len(vecs[i])))
+                vecs[i][k] = [np.nan, np.inf, -np.inf][j % 3]
+            idx = out.schema.get_field_index("embedding")
+            arr = pa.array(
+                [None if v is None else v.tolist() for v in vecs],
+                type=out.schema.field(idx).type,
+                from_pandas=False,
+            )
+            out = out.set_column(idx, out.schema.field(idx), arr)
         pq.write_table(out, os.path.join(dest, f"{t}.parquet"))
     return dest
 
