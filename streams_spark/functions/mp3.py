@@ -137,7 +137,9 @@ def _parse_header(buf: bytes, pos: int, end: int | None = None) -> Mp3Frame | No
 
 def id3v2_size(buf: bytes) -> int:
     """Total bytes of a leading ID3v2 tag (header + syncsafe payload
-    size), or 0 if absent."""
+    size + the 10-byte ID3v2.4 footer when its flag bit is set), or 0
+    if absent. Clamped to len(buf): a truncated tag must never report
+    more id3 bytes than the file holds (ADVICE r9)."""
     if len(buf) < 10 or buf[:3] != b"ID3":
         return 0
     size = 0
@@ -145,7 +147,10 @@ def id3v2_size(buf: bytes) -> int:
         if b & 0x80:
             return 0  # not syncsafe -> not a valid tag header
         size = (size << 7) | b
-    return 10 + size
+    total = 10 + size
+    if buf[5] & 0x10:  # ID3v2.4 footer flag: 10 trailing '3DI' bytes
+        total += 10
+    return min(total, len(buf))
 
 
 def mp3_scan(buf: bytes) -> Mp3Scan:
@@ -157,14 +162,33 @@ def mp3_scan(buf: bytes) -> Mp3Scan:
     frame truncated mid-body still vouches for its intact predecessor,
     and itself degrades to junk bytes."""
     id3 = id3v2_size(buf)
-    end = len(buf)
     id3v1 = 0
-    # ID3v1 is a FIXED 128-byte trailer starting with 'TAG' — excluded
-    # from the frame-scan region so its bytes never count as junk
-    if end - id3 >= 128 and buf[end - 128 : end - 125] == b"TAG":
+    # ID3v1 is a FIXED 128-byte trailer starting with 'TAG'. But 'TAG'
+    # can also occur INSIDE a legitimate final frame's payload at
+    # exactly end-128 (~2^-21 per doc — nonzero over a large corpus),
+    # and blindly honoring it would drop that frame to junk (ADVICE
+    # r9). Defence: honor the trailer only when the frame walk WITHOUT
+    # it fails to tile the stream to EOF — a true trailer can never be
+    # tiled by frames (its bytes follow the last legal frame), while a
+    # payload coincidence sits inside a frame the full walk accepts.
+    if len(buf) - id3 >= 128 and buf[-128:-125] == b"TAG":
+        frames, junk = _walk_frames(buf, id3, len(buf))
+        if frames and frames[-1].offset + frames[-1].size == len(buf):
+            xing = _xing_probe(buf, frames[0])
+            return Mp3Scan(frames, junk, id3, 0, xing)
         id3v1 = 128
-        end -= 128
-    pos, junk = id3, 0
+    frames, junk = _walk_frames(buf, id3, len(buf) - id3v1)
+    xing = _xing_probe(buf, frames[0]) if frames else -1
+    return Mp3Scan(frames, junk, id3, id3v1, xing)
+
+
+def _walk_frames(
+    buf: bytes, start: int, end: int
+) -> tuple[list[Mp3Frame], int]:
+    """Resync-scan buf[start:end]: accept a candidate sync only if the
+    frame it implies ends at `end` or is followed by another legal
+    header (the false-sync defence in mp3_scan's docstring)."""
+    pos, junk = start, 0
     frames: list[Mp3Frame] = []
     while pos < end:
         fr = _parse_header(buf, pos, end)
@@ -176,8 +200,7 @@ def mp3_scan(buf: bytes) -> Mp3Scan:
                 continue
         junk += 1
         pos += 1
-    xing = _xing_probe(buf, frames[0]) if frames else -1
-    return Mp3Scan(frames, junk, id3, id3v1, xing)
+    return frames, junk
 
 
 def mp3_build(

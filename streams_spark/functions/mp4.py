@@ -323,16 +323,23 @@ def _full_payload(buf: bytes, p0: int, p1: int) -> tuple[int, bytes]:
 def _expand_stts(payload: bytes, n_samples: int) -> list[int]:
     (n_runs,) = struct.unpack_from(">I", payload, 0)
     durs: list[int] = []
+    if n_samples == 0:
+        return durs
     off = 4
     for _ in range(n_runs):
         count, delta = struct.unpack_from(">II", payload, off)
         off += 8
-        durs.extend([delta] * count)
-    if len(durs) < n_samples:
-        raise Mp4Error(
-            f"stts covers {len(durs)} samples, stsz has {n_samples}"
-        )
-    return durs[:n_samples]
+        # cap each run at the samples still needed BEFORE allocating:
+        # a corrupt/hostile count near 2^32 would otherwise expand to a
+        # multi-billion-element list (memory exhaustion) even though
+        # only n_samples durations can ever be used (ADVICE r9)
+        take = min(count, n_samples - len(durs))
+        durs.extend([delta] * take)
+        if len(durs) >= n_samples:
+            return durs
+    raise Mp4Error(
+        f"stts covers {len(durs)} samples, stsz has {n_samples}"
+    )
 
 
 def extract_samples(buf: bytes) -> Mp4Track:
@@ -341,7 +348,18 @@ def extract_samples(buf: bytes) -> Mp4Track:
     algorithm: expand stsc chunk runs (a run applies from its
     first_chunk until the next run's), cap the final chunk by the
     remaining sample count, accumulate intra-chunk offsets by sample
-    size, and expand stts duration runs into cumulative DTS."""
+    size, and expand stts duration runs into cumulative DTS.
+
+    Any truncated table (struct.error mid-parse) surfaces as Mp4Error
+    so callers see one exception type for every corrupt-file shape
+    (ADVICE r9)."""
+    try:
+        return _extract_samples(buf)
+    except struct.error as exc:
+        raise Mp4Error(f"truncated/corrupt sample table: {exc}") from exc
+
+
+def _extract_samples(buf: bytes) -> Mp4Track:
     moov0, moov1 = _find(buf, ["moov"], 0, len(buf))
     # select the VIDEO track by hdlr handler_type, not file position —
     # real files put audio first as often as not; fall back to the
@@ -409,6 +427,22 @@ def extract_samples(buf: bytes) -> Mp4Track:
         struct.unpack_from(">III", stsc, 4 + 12 * i)[:2]
         for i in range(n_runs)
     ]  # (first_chunk 1-based, samples_per_chunk)
+    # validate the runs BEFORE indexing chunk_offsets with them: a
+    # corrupt first_chunk=0 would silently wrap to the LAST chunk via
+    # Python negative indexing (wrong bytes, no error), and one beyond
+    # n_chunks would raise a bare IndexError (ADVICE r9). The spec
+    # requires 1-based, strictly increasing first_chunk (14496-12
+    # §8.7.4: entries ordered by first_chunk).
+    for ri, (first, _spc) in enumerate(runs):
+        if not 1 <= first <= len(chunk_offsets):
+            raise Mp4Error(
+                f"stsc run {ri}: first_chunk {first} outside "
+                f"1..{len(chunk_offsets)}"
+            )
+        if ri and first <= runs[ri - 1][0]:
+            raise Mp4Error(
+                f"stsc runs not strictly increasing at entry {ri}"
+            )
 
     _, stts = _full_payload(buf, *boxes["stts"])
     durations = _expand_stts(stts, count)

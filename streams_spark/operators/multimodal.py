@@ -1127,6 +1127,13 @@ def _staged_blob_feed(
 
     if not _os.path.exists(_os.path.join(sf_dir, "documents.parquet")):
         return blobs
+    # THIS module holds the synthesis rules (geometry/frame-count/spec
+    # formulas), so it joins every cache key: editing them without
+    # touching the codec modules must rebuild the fixtures rather than
+    # serve stale blobs that no longer match the oracle (ADVICE r9)
+    import sys as _sys
+
+    modules = [*modules, _sys.modules[__name__]]
     key = "|".join(
         f"{_os.stat(m.__file__).st_mtime_ns}:{_os.stat(m.__file__).st_size}"
         for m in modules

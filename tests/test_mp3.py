@@ -143,3 +143,68 @@ def test_id3v1_with_id3v2_and_junk():
     assert scan.junk_bytes == 10
     assert len(scan.frames) == 4
     assert scan.xing_frames == 4
+
+
+def test_id3v24_footer_flag_counted():
+    # ID3v2.4 footer flag (header byte 5 & 0x10) adds a 10-byte trailer
+    # after the payload; footered real-world tags must not count those
+    # 10 bytes as junk
+    payload = b"\x00" * 100
+    n = len(payload)
+    size = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    footer = b"3DI" + bytes([4, 0, 0x10]) + size
+    tag = b"ID3" + bytes([4, 0, 0x10]) + size + payload + footer
+    body = mp3_build([(9, 1, 0)] * 2)
+    blob = tag + body
+    assert id3v2_size(blob) == 10 + 100 + 10 == len(tag)
+    scan = mp3_scan(blob)
+    assert scan.id3_bytes == len(tag)
+    assert len(scan.frames) == 2 and scan.junk_bytes == 0
+
+
+def test_id3v2_truncated_tag_clamped_to_buffer():
+    # a truncated tag must never report more id3 bytes than exist
+    n = 1000
+    size = bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    buf = b"ID3" + bytes([4, 0, 0]) + size + b"short"
+    assert id3v2_size(buf) == len(buf)
+    scan = mp3_scan(buf)
+    assert scan.id3_bytes == len(buf)
+    assert len(scan.frames) == 0 and scan.junk_bytes == 0
+
+
+def test_tag_in_final_frame_payload_is_not_a_trailer():
+    # 'TAG' landing at exactly end-128 INSIDE a legitimate final
+    # frame's payload (~2^-21 per doc) must not reclassify that frame
+    # as junk: the frame walk without the trailer tiles the stream, so
+    # the trailer is not honored
+    blob = bytearray(mp3_build([(9, 1, 0)] * 2))
+    at = len(blob) - 128
+    # ensure the patch site is inside the FINAL frame's body, clear of
+    # its 4-byte header
+    final_size = frame_length(9, 1, 0)
+    assert len(blob) - final_size + 4 < at < len(blob) - 3
+    blob[at : at + 3] = b"TAG"
+    scan = mp3_scan(bytes(blob))
+    assert scan.id3v1_bytes == 0
+    assert len(scan.frames) == 2
+    assert scan.junk_bytes == 0
+    assert sum(f.size for f in scan.frames) == len(blob)
+
+
+def test_true_trailer_after_truncated_final_frame_still_honored():
+    # a REAL trailer behind a truncated final frame: the no-trailer
+    # walk fails to tile -> trailer honored, truncated frame degrades
+    # to junk (its bytes), intact frames kept
+    full = mp3_build([(5, 0, 0)] * 3)
+    cut = 7  # drop 7 bytes of the last frame's body
+    trailer = b"TAG" + bytes(125)
+    blob = full[:-cut] + trailer
+    scan = mp3_scan(blob)
+    assert scan.id3v1_bytes == 128
+    assert len(scan.frames) == 2
+    assert scan.junk_bytes == frame_length(5, 0, 0) - cut

@@ -268,3 +268,55 @@ def test_chunk_plan_partial_final_chunk():
     stsc = blob[blob.index(b"stsc") + 8 :]
     n_runs = struct.unpack_from(">I", stsc, 0)[0]
     assert n_runs == 3  # runs: (1,1), (2,2), (4,1)
+
+
+def _patch_stsc_entry(blob: bytes, entry: int, first_chunk: int) -> bytes:
+    # stsc box: type at index(b"stsc"); +4 version/flags, +8 entry_count,
+    # +12 first (first_chunk, samples_per_chunk, desc_idx) triple
+    at = blob.index(b"stsc") + 12 + 12 * entry
+    return blob[:at] + struct.pack(">I", first_chunk) + blob[at + 4 :]
+
+
+def test_stsc_first_chunk_zero_raises():
+    # first_chunk=0 would silently wrap chunk_offsets[-1] via Python
+    # negative indexing (wrong bytes, NO error) without the bounds check
+    _, blob = _mux(nf=6, d=11, w=16, h=12)
+    with pytest.raises(Mp4Error, match="first_chunk 0 outside"):
+        extract_samples(_patch_stsc_entry(blob, 0, 0))
+
+
+def test_stsc_first_chunk_past_chunks_raises():
+    _, blob = _mux(nf=6, d=11, w=16, h=12)
+    with pytest.raises(Mp4Error, match="outside 1..4"):
+        extract_samples(_patch_stsc_entry(blob, 0, 999))
+
+
+def test_stsc_nonmonotonic_runs_raise():
+    # nf=6 muxes 3 stsc runs (see test_chunk_plan_partial_final_chunk);
+    # rewind run 2's first_chunk onto run 1's -> spec violation 14496-12
+    # §8.7.4 (entries ordered by first_chunk)
+    _, blob = _mux(nf=6, d=11, w=16, h=12)
+    with pytest.raises(Mp4Error, match="not strictly increasing"):
+        extract_samples(_patch_stsc_entry(blob, 1, 1))
+
+
+def test_hostile_stts_count_no_allocation_blowup():
+    # a corrupt stts run count near 2^32 must NOT expand a multi-billion
+    # element list: expansion is capped at the stsz sample count
+    _, blob = _mux(nf=3)
+    at = blob.index(b"stts") + 12  # first run's sample count
+    patched = blob[:at] + struct.pack(">I", 0xFFFFFFF0) + blob[at + 4 :]
+    track = extract_samples(patched)  # returns fast, bounded memory
+    assert len(track.samples) == 3
+    assert [s.duration for s in track.samples] == [512] * 3
+
+
+def test_truncated_table_raises_mp4error_not_struct_error():
+    # blow up stsz's declared count so unpack runs past the payload:
+    # must surface as Mp4Error, not a bare struct.error (one exception
+    # type for every corrupt-file shape)
+    _, blob = _mux(nf=3)
+    at = blob.index(b"stsz") + 12  # uniform=0 at +8, count at +12
+    patched = blob[:at] + struct.pack(">I", 1 << 20) + blob[at + 4 :]
+    with pytest.raises(Mp4Error, match="truncated/corrupt sample table"):
+        extract_samples(patched)

@@ -782,3 +782,31 @@ def test_compact_files_per_space_controls_file_count(spark, tmp_path):
         .collect()
     ]
     assert seqs == list(range(1, 6))
+
+
+def test_staged_blob_key_tracks_synthesis_module(monkeypatch):
+    """The staged-blob cache key must include multimodal.py itself (the
+    synthesis rules live there): editing geometry/spec formulas without
+    touching the codec modules must rebuild fixtures, not serve stale
+    blobs that no longer match the oracle (ADVICE r9)."""
+    import os
+
+    import streams_spark.operators.multimodal as mm
+    import streams_spark.sources.feed_cache as fc
+    from streams_spark.functions import mp3 as mp3_mod
+
+    captured = {}
+
+    def fake_cached_feed(sf_dir, op, extra_key, build):
+        captured["key"] = extra_key
+        raise OSError("capture only")
+
+    monkeypatch.setattr(fc, "cached_feed", fake_cached_feed)
+    sentinel = object()
+    with pytest.warns(RuntimeWarning):
+        out = mm._staged_blob_feed(
+            None, "/root/testdata/sf0.001", "blobtest", [mp3_mod], sentinel
+        )
+    assert out is sentinel
+    st = os.stat(mm.__file__)
+    assert f"{st.st_mtime_ns}:{st.st_size}" in captured["key"]
