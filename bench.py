@@ -67,13 +67,73 @@ ROTATED_OUT_R7 = {
     "m_decode_media": 0.318,  # cold 0.389
 }
 
-# Host canary (VERDICT r8 #6): q1's plan is untouched since round 1 and
-# its r1 recording is the denominator. canary_factor > 1 means the host
-# is running slower than the r1 measurement window; dividing the warm
-# total by it gives the host-adjusted headline, so round-over-round
-# comparisons stop needing hand reconstruction.
-CANARY = "q1_pricing_summary"
-CANARY_R1_SEC = 0.377
+# Host-canary BASKET (VERDICT r9 #1): a single-q1 canary proved too
+# noisy to adjudicate per-query 2x calls (r9: q1 read 1.07x while solo
+# windows measured 1.5-1.9x on the same host). The basket is five
+# cheap, plan-DIVERSE rows whose plans are unchanged since round 1 —
+# scan-agg, broadcast-join agg, multi-join agg, outer-join
+# distribution, window rank — and canary_factor is the MEDIAN of their
+# per-row (now / r1) ratios, robust to any single row's drift. Each
+# per-row reading is emitted (canary_factors) so the audit can see the
+# spread that motivated the basket.
+CANARIES = {
+    "q1_pricing_summary": 0.377,  # scan-agg
+    "q3_shipping_priority": 0.753,  # broadcast-join agg
+    "q9_profit_by_nation_year": 0.811,  # multi-join agg
+    "q13_order_distribution": 0.417,  # outer-join distribution
+    "w_topk_suppliers_per_nation": 0.617,  # window rank
+}
+
+# The full r1 per-query ledger (BENCH_r01.json, sf0.1, local[32]) so the
+# bench emits the r-vs-r1 shared-set ratio itself (VERDICT r9 #7)
+# instead of every round reconstructing it by hand.
+R1_SEC = {
+    "v_consume_interleave": 0.746,
+    "v_peek_all": 0.388,
+    "v_sequence_validate": 0.406,
+    "q1_pricing_summary": 0.377,
+    "q2_min_cost_supplier": 1.103,
+    "q3_shipping_priority": 0.753,
+    "q5_local_supplier_volume": 0.856,
+    "q8_market_share": 0.933,
+    "q9_profit_by_nation_year": 0.811,
+    "q13_order_distribution": 0.417,
+    "q16_supplier_part_count": 0.831,
+    "q18_large_volume_customer": 1.134,
+    "q21_waiting_suppliers": 1.178,
+    "w_topk_suppliers_per_nation": 0.617,
+    "w_sessionize": 0.238,
+    "w_asof_purchase_click": 0.188,
+    "w_range_join_bucketed": 0.322,
+    "w_tumbling_hourly": 0.228,
+    "w_funnel": 0.212,
+    "w_retention": 0.312,
+    "w_hypertable_rollup": 0.287,
+    "q_json_props": 0.187,
+    "d_ngram_jaccard": 0.673,
+    "d_minhash_lsh": 1.777,
+    "d_simhash": 3.439,
+    "d_embedding_cosine": 1.037,
+    "d_dup_clusters": 1.033,
+    "s_cosine_topk": 0.56,
+    "t_text_stats": 0.146,
+    "t_token_count": 0.122,
+    "t_fingerprint": 0.126,
+    "t_contamination": 0.354,
+    "m_decode_media": 0.264,
+    "st_tumbling_stream": 1.099,
+    "s_ann_lsh_topk": 0.796,
+}
+
+# Per-row measurement annotations the letter audit keeps tripping on
+# (VERDICT r9 #2): facts about WHAT the warm number includes, not
+# excuses. Emitted verbatim in the bench JSON.
+BENCH_NOTES = {
+    "t_contamination": (
+        "warm row includes the one-time .cache() build of the "
+        "contamination index; steady-state is well under (SCALING.md r7)"
+    ),
+}
 
 ROTATED_OUT_R5 = {
     "q2_min_cost_supplier": 1.149,
@@ -175,13 +235,36 @@ def main() -> None:
         "set_version": "r9",
         "cold_total_sec": cold_total,
     }
-    canary_sec = (timings or cold).get(CANARY)
-    if canary_sec:
-        factor = round(canary_sec / CANARY_R1_SEC, 3)
+    readings = timings or cold
+    factors = {
+        n: round(readings[n] / r1, 3)
+        for n, r1 in CANARIES.items()
+        if readings.get(n)
+    }
+    if factors:
+        ordered = sorted(factors.values())
+        mid = len(ordered) // 2
+        factor = (
+            ordered[mid]
+            if len(ordered) % 2
+            else round((ordered[mid - 1] + ordered[mid]) / 2, 3)
+        )
         summary["canary_factor"] = factor
+        summary["canary_factors"] = factors
         summary["host_adjusted_total_sec"] = round(
             summary["value"] / factor, 3
         )
+        # r-vs-r1 shared-set ratio (raw and canary-adjusted): computed
+        # here so the round verdict stops doing arithmetic by hand
+        shared = [n for n in readings if n in R1_SEC]
+        r1_total = sum(R1_SEC[n] for n in shared)
+        if r1_total:
+            raw = sum(readings[n] for n in shared) / r1_total
+            summary["vs_r1_shared_raw"] = round(raw, 3)
+            summary["vs_r1_shared_adj"] = round(raw / factor, 3)
+            summary["vs_r1_shared_n"] = len(shared)
+    if BENCH_NOTES:
+        summary["notes"] = BENCH_NOTES
     detail = dict(
         summary,
         queries_cold=cold,
