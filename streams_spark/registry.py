@@ -43,7 +43,62 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 9 window (first 50) ---
+    # --- round 10 window (first 50) ---
+    # head: the round's new operators (registered later this round; the
+    # `if n in REGISTRY` guard skips any name that doesn't land) plus
+    # rows whose code paths this round's parser hardening touched —
+    # the MP4 stsc/stts validation and MP3 ID3 handling are
+    # behavior-neutral on clean fixtures (builder's gate re-proves),
+    # but driver evidence on the two census rows is the honest check.
+    "m_h264_keyframes",  # NEW r10: Annex-B H.264 I-frame decode
+    "m_mp4_frames",  # r9-new + r10 parser hardening
+    "m_mp3_census",  # r9-new + r10 ID3 handling change
+    # then the r10 rotation target (VERDICT r9 #3): all 40 rows whose
+    # latest driver evidence is round 5 (reproduced from the
+    # CORRECTNESS_r0* union), so after this window no oracle-paired
+    # row's evidence is older than r6.
+    "d_dup_graph_stats",
+    "d_minhash_lsh_md5",
+    "d_simhash_md5",
+    "m_audio_features_real",
+    "m_cdc_chunks",
+    "m_frames_real",
+    "m_motion_real",
+    "m_thumbnail_real",
+    "p_dsir_resample",
+    "p_e2e_pipeline",
+    "p_epoch_plan",
+    "p_pad_efficiency",
+    "p_quality_ablation",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q_arrow_udf",
+    "q_benford",
+    "q_grid_percentile",
+    "q_incremental_agg",
+    "q_pandas_udaf",
+    "q_python_udtf",
+    "q_table_profile",
+    "s_binary_search",
+    "s_hybrid_search",
+    "s_mrl_search",
+    "st_cdc_apply",
+    "st_cms_merge",
+    "st_flagship_stream",
+    "st_ingest_dedup",
+    "st_session_stream",
+    "t_cms_heavy",
+    "t_langid_confusion",
+    "t_source_divergence",
+    "v_flagship_consume_enrich",
+    # ---- 50-query window boundary (r10) ----
+    # --- round 9 window (history; all 50 green in CORRECTNESS_r09) ---
     # head (5): the round's genuinely new or semantics-relevant changes.
     # The r9 NULL-ordering pins (asc_nulls_last / NULLS LAST on every
     # formerly-EXPOSED site, NULL_ORDER_AUDIT.md) are byte-identical on
