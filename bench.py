@@ -133,6 +133,19 @@ BENCH_NOTES = {
         "warm row includes the one-time .cache() build of the "
         "contamination index; steady-state is well under (SCALING.md r7)"
     ),
+    "t_token_count": (
+        "scan-floor-bound: a bare doc_id+text scan measures 0.123s at "
+        "sf0.1 on today's testdata vintage, equal to this row's entire "
+        "r1 recording (0.122s); the 2x-of-r1 letter audit on this row "
+        "measures scan drift, not the plan (SCALING.md r10)"
+    ),
+    "w_tumbling_hourly": (
+        "scan-floor-bound: the 4-column events scan measures 0.19s and "
+        "the exact countDistinct expand+reshuffle 0.23s at sf0.1 — "
+        "together past the 0.228s r1 recording; r10 removed the only "
+        "plan slack (sliding-window struct -> date_trunc, -14%) "
+        "(SCALING.md r10)"
+    ),
 }
 
 ROTATED_OUT_R5 = {
