@@ -768,13 +768,24 @@ def s_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8  # subspaces (64 dims -> 8 x 8)
 PQ_SUBDIM = 64 // PQ_M
 PQ_K = 16  # codes per subspace codebook
+# Lloyd-iteration sample cap (r10, VERDICT r9 #4): codebook TRAINING
+# runs on the first PQ_TRAIN_CAP vec_ids only — a deterministic sample
+# both engines compute identically — while the final assignment still
+# covers the full corpus. This is what makes PQ train cost
+# scale-INVARIANT: the 10x stress previously measured alpha=0.76
+# because every Lloyd pass touched every vector; with the cap binding
+# (2000 vecs at sf0.1, 20000 at 10x, cap 1024) only the single
+# irreducible full-corpus assignment scales with the data.
+PQ_TRAIN_CAP = 1024
 PQ_ITERS = 2  # Lloyd iterations per codebook
 
 
-def _pq_assign_sql(cent_cte: str) -> str:
+def _pq_assign_sql(cent_cte: str, src: str = "sub") -> str:
     """One PQ assignment step: nearest code per (vector, subspace),
     ties to the lowest code id. Subspace is DATA, not an unrolled CTE —
-    all M codebooks train in the same relational pass."""
+    all M codebooks train in the same relational pass. `src` selects
+    the vector stream: the capped training sample (`subt`) for Lloyd
+    iterations, the full corpus (`sub`) for the final assignment."""
     d = (
         "list_sum(list_transform(list_zip(b.sv, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -784,17 +795,17 @@ def _pq_assign_sql(cent_cte: str) -> str:
     SELECT b.vec_id, b.s, c.code, {d} AS dist,
            row_number() OVER (PARTITION BY b.vec_id, b.s
                               ORDER BY {d}, c.code) AS rn
-    FROM sub b JOIN {cent_cte} c ON b.s = c.s
+    FROM {src} b JOIN {cent_cte} c ON b.s = c.s
   ) WHERE rn = 1
 """
 
 
-def _pq_update_sql(assign_cte: str) -> str:
+def _pq_update_sql(assign_cte: str, src: str = "subt") -> str:
     return f"""
   SELECT s, code, list(m ORDER BY i) AS cv FROM (
     SELECT a.s, a.code, t.i, avg(b.sv[t.i]) AS m
     FROM {assign_cte} a
-    JOIN sub b ON a.vec_id = b.vec_id AND a.s = b.s
+    JOIN {src} b ON a.vec_id = b.vec_id AND a.s = b.s
     CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS t(i)
     GROUP BY a.s, a.code, t.i
   ) GROUP BY s, code
@@ -882,14 +893,15 @@ def _pq_assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
 def _pq_train_cb(ex: DataFrame) -> DataFrame:
     """PQ_ITERS Lloyd iterations from the deterministic first-PQ_K
     init; returns the trained codebook in element form (s, code, i, cx)."""
-    cb = ex.where(F.col("vec_id") < PQ_K).select(
+    train = ex.where(F.col("vec_id") < PQ_TRAIN_CAP)
+    cb = train.where(F.col("vec_id") < PQ_K).select(
         "s", F.col("vec_id").alias("code"), "i", F.col("x").alias("cx")
     )
     for _ in range(PQ_ITERS):
-        a = _pq_assign(ex, cb)
+        a = _pq_assign(train, cb)
         cb = (
             a.select("vec_id", "s", "code")
-            .join(ex, ["vec_id", "s"])
+            .join(train, ["vec_id", "s"])
             .groupBy("s", "code", "i")
             .agg(F.avg("x").alias("cx"))
         )
@@ -910,9 +922,11 @@ WITH e AS (
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
 ), c0 AS (
   SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
-), a0 AS ({_pq_assign_sql('c0')}
+), subt AS (
+  SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_CAP}
+), a0 AS ({_pq_assign_sql('c0', 'subt')}
 ), c1 AS ({_pq_update_sql('a0')}
-), a1 AS ({_pq_assign_sql('c1')}
+), a1 AS ({_pq_assign_sql('c1', 'subt')}
 ), c2 AS ({_pq_update_sql('a1')}
 ), final AS ({_pq_assign_sql('c2')}
 )
@@ -978,9 +992,11 @@ WITH e AS (
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
 ), c0 AS (
   SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
-), a0 AS ({_pq_assign_sql('c0')}
+), subt AS (
+  SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_CAP}
+), a0 AS ({_pq_assign_sql('c0', 'subt')}
 ), c1 AS ({_pq_update_sql('a0')}
-), a1 AS ({_pq_assign_sql('c1')}
+), a1 AS ({_pq_assign_sql('c1', 'subt')}
 ), c2 AS ({_pq_update_sql('a1')}
 ), final AS ({_pq_assign_sql('c2')}
 ), lut AS (
@@ -1310,9 +1326,11 @@ WITH e AS (
   FROM e CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) sp
 ), c0 AS (
   SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
-), a0 AS ({_pq_assign_sql('c0')}
+), subt AS (
+  SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_CAP}
+), a0 AS ({_pq_assign_sql('c0', 'subt')}
 ), c1 AS ({_pq_update_sql('a0')}
-), a1 AS ({_pq_assign_sql('c1')}
+), a1 AS ({_pq_assign_sql('c1', 'subt')}
 ), c2 AS ({_pq_update_sql('a1')}
 ), final AS ({_pq_assign_sql('c2')}
 ), lut AS (
