@@ -52,6 +52,10 @@ HEADLINE = [
     # out — the canary-normalized totals make set growth comparable.
     "m_mp4_frames",
     "m_mp3_census",
+    # r10 addition: the H.264 keyframe decode joins at birth (same rule
+    # as the r8/r9 codec rows); decode-only measurement via the staged
+    # blob feed, like m_mp4_frames
+    "m_h264_keyframes",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",
@@ -245,7 +249,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings or cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "set_version": "r9",
+        "set_version": "r10",
         "cold_total_sec": cold_total,
     }
     readings = timings or cold
