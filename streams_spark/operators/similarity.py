@@ -892,7 +892,10 @@ def _pq_assign(ex: DataFrame, codebook: DataFrame) -> DataFrame:
 
 def _pq_train_cb(ex: DataFrame) -> DataFrame:
     """PQ_ITERS Lloyd iterations from the deterministic first-PQ_K
-    init; returns the trained codebook in element form (s, code, i, cx)."""
+    init, over the first-PQ_TRAIN_CAP training sample only (r10: the
+    cap is what makes codebook training scale-invariant — see the
+    PQ_TRAIN_CAP comment); returns the trained codebook in element
+    form (s, code, i, cx)."""
     train = ex.where(F.col("vec_id") < PQ_TRAIN_CAP)
     cb = train.where(F.col("vec_id") < PQ_K).select(
         "s", F.col("vec_id").alias("code"), "i", F.col("x").alias("cx")
