@@ -56,6 +56,7 @@ HEADLINE = [
     # as the r8/r9 codec rows); decode-only measurement via the staged
     # blob feed, like m_mp4_frames
     "m_h264_keyframes",
+    "m_video_pixel_dedup",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",
