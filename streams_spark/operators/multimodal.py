@@ -1608,7 +1608,8 @@ SELECT doc_id, frame_no, width, height,
             checksum // (width * height) // 16) AS BIGINT) AS n_bucket,
        (row_number() OVER (PARTITION BY
             checksum // (width * height) // 16
-            ORDER BY doc_id, frame_no) = 1) AS is_rep
+            ORDER BY doc_id ASC NULLS LAST, frame_no ASC NULLS LAST) = 1)
+         AS is_rep
 FROM frames
 """
 
