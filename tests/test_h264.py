@@ -154,10 +154,10 @@ def _expected_luma(mw, mh, v0, levels, crop_r=0, crop_b=0):
     for lv in levels:
         rows.append(rows[-1] + dc_offset(lv))
     h, w = 16 * mh - crop_b, 16 * mw - crop_r
-    out = np.empty((h, w), dtype=np.uint8)
+    out = np.empty((h, w), dtype=np.int64)
     for y in range(h):
         out[y] = rows[y // 16]
-    return out
+    return np.minimum(out, 255).astype(np.uint8)  # decoder clips at 255
 
 
 @pytest.mark.parametrize(
@@ -404,3 +404,75 @@ def test_mp4_h264_keyframe_fixture_end_to_end():
         )
         assert np.array_equal(fr.y, exp)
         assert s.dts == (s.index // 2) * 1536 + (s.index % 2) * 512
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): CAVLC round-trip over random blocks
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        coeffs=st.lists(
+            st.integers(min_value=-30000, max_value=30000),
+            min_size=16, max_size=16,
+        ),
+        nc=st.sampled_from([0, 1, 2, 3, 4, 5, 7, 8, 20]),
+    )
+    def test_cavlc_round_trip_random_blocks(coeffs, nc):
+        bw = BitWriter()
+        write_residual_block(bw, list(coeffs), nc)
+        bw.rbsp_trailing()
+        br = BitReader(bw.to_bytes())
+        assert read_residual_block(br, 16, nc) == list(coeffs)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        coeffs=st.lists(
+            st.integers(min_value=-400, max_value=400),
+            min_size=4, max_size=4,
+        )
+    )
+    def test_cavlc_round_trip_random_chroma_dc(coeffs):
+        bw = BitWriter()
+        write_residual_block(bw, list(coeffs), -1)
+        bw.rbsp_trailing()
+        br = BitReader(bw.to_bytes())
+        assert read_residual_block(br, 4, -1) == list(coeffs)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        mw=st.integers(min_value=1, max_value=4),
+        mh=st.integers(min_value=1, max_value=4),
+        v0=st.integers(min_value=0, max_value=240),
+        data=st.data(),
+    )
+    def test_picture_round_trip_random(mw, mh, v0, data):
+        levels = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=3),
+                min_size=max(0, mh - 1), max_size=max(0, mh - 1),
+            )
+        )
+        fr = h264_decode(h264_encode_rows(mw, mh, v0, levels))
+        assert np.array_equal(fr.y, _expected_luma(mw, mh, v0, levels))
+
+
+def test_black_frame_exercises_emulation_prevention():
+    # v0=0: the I_PCM macroblock writes 256 zero bytes, forcing
+    # 00 00 0x patterns that MUST be escaped in the EBSP and
+    # transparently removed on decode
+    buf = h264_encode_rows(2, 2, 0, [1])
+    assert b"\x00\x00\x03" in buf  # escapes really present
+    fr = h264_decode(buf)
+    assert np.array_equal(fr.y, _expected_luma(2, 2, 0, [1]))
