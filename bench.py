@@ -272,15 +272,20 @@ def main() -> None:
         summary["host_adjusted_total_sec"] = round(
             summary["value"] / factor, 3
         )
-        # r-vs-r1 shared-set ratio (raw and canary-adjusted): computed
-        # here so the round verdict stops doing arithmetic by hand
-        shared = [n for n in readings if n in R1_SEC]
-        r1_total = sum(R1_SEC[n] for n in shared)
-        if r1_total:
-            raw = sum(readings[n] for n in shared) / r1_total
-            summary["vs_r1_shared_raw"] = round(raw, 3)
-            summary["vs_r1_shared_adj"] = round(raw / factor, 3)
-            summary["vs_r1_shared_n"] = len(shared)
+    # r-vs-r1 shared-set ratio (raw and canary-adjusted): computed here
+    # so the round verdict stops doing arithmetic by hand. The raw
+    # ratio does not depend on the canary, so a BENCH_QUERIES subset
+    # without canary rows still emits it; only _adj needs the factor.
+    shared = [n for n in readings if n in R1_SEC]
+    r1_total = sum(R1_SEC[n] for n in shared)
+    if r1_total:
+        raw = sum(readings[n] for n in shared) / r1_total
+        summary["vs_r1_shared_raw"] = round(raw, 3)
+        summary["vs_r1_shared_n"] = len(shared)
+        if factors:
+            summary["vs_r1_shared_adj"] = round(
+                raw / summary["canary_factor"], 3
+            )
     if BENCH_NOTES:
         summary["notes"] = BENCH_NOTES
     detail = dict(

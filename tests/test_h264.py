@@ -476,3 +476,17 @@ def test_black_frame_exercises_emulation_prevention():
     assert b"\x00\x00\x03" in buf  # escapes really present
     fr = h264_decode(buf)
     assert np.array_equal(fr.y, _expected_luma(2, 2, 0, [1]))
+
+
+def test_run_before_overrun_raises_h264error():
+    # malformed stream: TotalCoeff=3 (all T1s), total_zeros=7, then a
+    # class-7 run_before code meaning run=10 > zerosLeft -> must raise
+    # the typed error, not KeyError on a negative table index
+    bw = BitWriter()
+    bw.u(0b00011, 5)  # coeff_token (3,3) nC<2
+    bw.u(0, 3)  # three + signs
+    bw.u(0b011, 3)  # total_zeros=7 for tc=3
+    bw.u(0b000001, 6)  # run_before=10 in the zerosLeft>6 class
+    bw.rbsp_trailing()
+    with pytest.raises(H264Error, match="run_before exceeds"):
+        read_residual_block(BitReader(bw.to_bytes()), 16, 0)

@@ -208,3 +208,31 @@ def test_true_trailer_after_truncated_final_frame_still_honored():
     assert scan.id3v1_bytes == 128
     assert len(scan.frames) == 2
     assert scan.junk_bytes == frame_length(5, 0, 0) - cut
+
+
+def test_footer_flag_ignored_on_id3v23():
+    # 0x10 is undefined in v2.3 flags; spec says ignore unknown flags,
+    # so no 10-byte footer may be invented
+    payload = b"\x00" * 50
+    size = bytes([0, 0, 0, 50])
+    tag = b"ID3" + bytes([3, 0, 0x10]) + size + payload
+    blob = tag + mp3_build([(9, 1, 0)])
+    assert id3v2_size(blob) == len(tag)
+    scan = mp3_scan(blob)
+    assert len(scan.frames) == 1 and scan.junk_bytes == 0
+
+
+def test_false_sync_inside_true_trailer_still_honored():
+    # a REAL trailer whose bytes contain a false sync that parses as a
+    # legal frame ending exactly at EOF: both walks tile, and the
+    # tie-break must prefer the trailer reading
+    body = mp3_build([(9, 1, 0)] * 2)
+    inner = frame_header(1, 0, 0)  # 32kbps/44.1k -> 104-byte frame
+    inner_frame = inner + bytes((b % 0x60) + 0x20 for b in range(100))
+    trailer = bytearray(b"TAG" + bytes((b % 0x60) + 0x20 for b in range(125)))
+    trailer[128 - 104 :] = inner_frame  # ends exactly at EOF
+    blob = body + bytes(trailer)
+    scan = mp3_scan(blob)
+    assert scan.id3v1_bytes == 128
+    assert len(scan.frames) == 2
+    assert scan.junk_bytes == 0
