@@ -57,6 +57,7 @@ HEADLINE = [
     # blob feed, like m_mp4_frames
     "m_h264_keyframes",
     "m_video_pixel_dedup",
+    "m_jpeg_arith",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

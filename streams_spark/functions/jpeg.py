@@ -20,8 +20,9 @@ Scope (and honest limits):
   IDCTs, upsamples chroma by pixel replication, converts YCbCr->RGB,
   and crops the MCU padding. PROGRESSIVE (SOF2) streams dispatch to
   functions/jpeg_progressive.py (spectral selection + successive
-  approximation + EOB runs — most real web JPEGs); only arithmetic
-  coding and >8-bit precision stay out of scope. It decodes real-world
+  approximation + EOB runs — most real web JPEGs) and ARITHMETIC
+  (SOF10) streams to functions/jpeg_arith.py (the QM coder); only
+  >8-bit precision stays out of scope. It decodes real-world
   files, not just this encoder's output (tests include hand-assembled
   scans built from the spec, bit by bit, independent of the encoder).
 
@@ -562,7 +563,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to uint8 (h, w) grey or (h, w, 3) RGB.
     Supports 8-bit sequential DCT, 1 or 3 components, any sampling
     factors up to 2x2, standard or custom Huffman tables, restart
-    intervals. Raises on progressive/arithmetic/12-bit streams."""
+    intervals. Progressive (SOF2) and arithmetic (SOF10) streams
+    dispatch to their own modules; raises on 12-bit/lossless."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -610,9 +612,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             )
 
             return jpeg_decode_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xCA:  # SOF10: hand the stream to the QM-coder path
+            from streams_spark.functions.jpeg_arith import jpeg_decode_arith
+
+            return jpeg_decode_arith(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline or progressive JPEG supported")
+            raise ValueError(
+                "only baseline, progressive, or arithmetic JPEG supported"
+            )
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):

@@ -963,22 +963,23 @@ def jpeg_table_real(
     import os as _os
 
     from streams_spark.functions import jpeg as _j
+    from streams_spark.functions import jpeg_arith as _ja
     from streams_spark.functions import jpeg_progressive as _jp
     from streams_spark.sources.feed_cache import cached_feed
 
     # Key on module+name, not name alone: a test-local encoder that
     # happens to be called "jpeg_encode" must not be served the stdlib
-    # codec's staged blobs (ADVICE r8). Encoders outside the two keyed
-    # codec modules skip the cache entirely — their source isn't in
-    # enc_key, so staleness couldn't be detected.
-    keyed_modules = {_j.__name__, _jp.__name__}
+    # codec's staged blobs (ADVICE r8). Encoders outside the three
+    # keyed codec modules skip the cache entirely — their source isn't
+    # in enc_key, so staleness couldn't be detected.
+    keyed_modules = {_j.__name__, _jp.__name__, _ja.__name__}
     variant = (
         f"{getattr(encode_fn, '__module__', '?')}."
         f"{getattr(encode_fn, '__name__', 'custom')}"
     )
     enc_key = "|".join(
         f"{_os.stat(m.__file__).st_mtime_ns}:{_os.stat(m.__file__).st_size}"
-        for m in (_j, _jp)
+        for m in (_j, _jp, _ja)
     )
     # Narrow fallback (ADVICE r8): only a MISSING source file (the
     # in-memory test-fixture case) may silently skip staging. Any other
@@ -1074,6 +1075,41 @@ def m_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decode_media(
         jpeg_table_real(spark, sf_dir, encode_fn=jpeg_encode_progressive),
+        decode_fn=media_probe,
+    )
+
+
+@register("m_jpeg_arith", oracle=_JPEG_ORACLE)
+def m_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m_jpeg_real's ARITHMETIC-coded twin: the payloads are SOF10
+    streams from functions/jpeg_arith.py — the T.81 Annex D QM binary
+    arithmetic coder under the Annex F DC/AC conditioning models, the
+    one JPEG entropy layer the round-9 survey still listed as missing —
+    decoded through the identical media_probe plumbing (FFD8 sniff ->
+    jpeg_decode, which dispatches SOF10 to the QM path).
+
+    Same oracle as m_jpeg_real, deliberately: the arithmetic encoder
+    shares _fdct_quant with the baseline encoder, so the quantized
+    coefficients — and with them the block-constant exactness argument
+    (functions/jpeg.py docstring) — are identical; only the entropy
+    layer differs, and entropy coding is lossless. A green row
+    therefore proves the adaptive QM decode end-to-end — context
+    modeling, conditional exchange, carry resolution, 0xFF stuffing —
+    not just headers. The lossy general case is pinned to the PROVEN
+    Huffman pipeline bit-for-bit by tests/test_jpeg_arith.py
+    (decode_arith(encode_arith(x)) == decode(encode(x)) on random
+    images), where no SQL oracle can exist.
+
+    Scale: identical to m_jpeg_real — two chained map-only Arrow
+    stages (staged blob feed, decode), no shuffle; at 100 TB the synth
+    stage is replaced by read_media_dir over real blobs and the decode
+    stage is unchanged. Reference anchor: consumer-side decode of
+    opaque payloads, /root/reference/server/messages.go:65."""
+    from streams_spark.functions.codecs import media_probe
+    from streams_spark.functions.jpeg_arith import jpeg_encode_arith
+
+    return decode_media(
+        jpeg_table_real(spark, sf_dir, encode_fn=jpeg_encode_arith),
         decode_fn=media_probe,
     )
 

@@ -52,6 +52,7 @@ ROUND_PRIORITY = [
     # but driver evidence on the two census rows is the honest check.
     "m_h264_keyframes",  # NEW r10: Annex-B H.264 I-frame decode
     "m_video_pixel_dedup",  # NEW r10: encoding-invariant keyframe dedup
+    "m_jpeg_arith",  # NEW r10: SOF10 QM arithmetic-coded JPEG decode
     "m_mp4_frames",  # r9-new + r10 parser hardening
     "m_mp3_census",  # r9-new + r10 ID3 handling change
     # then the r10 rotation target (VERDICT r9 #3): all 40 rows whose
