@@ -946,51 +946,120 @@ def _zigzag_to_4x4(coeffs: list[int]) -> np.ndarray:
     return out.reshape(4, 4)
 
 
+class H264Decoder:
+    """Stateful Annex-B decoder: feeds access units in decode order,
+    keeping SPS/PPS and the last decoded picture (UNCROPPED, as the
+    spec's DPB does — cropping is output conformance only, 7.4.2.1.1)
+    as the single L0 reference for P slices (max_num_ref_frames=1).
+    One instance per elementary stream; `h264_decode` below keeps the
+    stateless IDR-only API for intra use."""
+
+    def __init__(self) -> None:
+        self.sps: SPS | None = None
+        self.pps: PPS | None = None
+        self._ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+    def decode(self, buf: bytes) -> H264Frame:
+        """Decode the first coded picture of one access unit."""
+        for nal in annexb_split(buf):
+            if not nal:
+                continue
+            hdr = nal[0]
+            if hdr & 0x80:
+                raise H264Error("forbidden_zero_bit set")
+            ntype = hdr & 0x1F
+            ref_idc = (hdr >> 5) & 3
+            rbsp = ebsp_to_rbsp(nal[1:])
+            if ntype == 7:
+                self.sps = parse_sps(rbsp)
+            elif ntype == 8:
+                self.pps = parse_pps(rbsp)
+            elif ntype in (6, 9):  # SEI / AUD: metadata, skip
+                continue
+            elif ntype in (1, 5):
+                if self.sps is None or self.pps is None:
+                    raise H264Error("slice before SPS/PPS")
+                frame, planes = _decode_slice(
+                    rbsp, self.sps, self.pps,
+                    idr=(ntype == 5), nal_ref_idc=ref_idc,
+                    ref=self._ref,
+                )
+                if ref_idc:  # nal_ref_idc=0 pictures are non-reference
+                    self._ref = planes
+                return frame
+        raise H264Error("no coded slice in access unit")
+
+
 def h264_decode(buf: bytes) -> H264Frame:
-    """Decode the FIRST IDR picture of an Annex-B access unit. SEI/AUD
-    NALs are skipped; anything requiring unimplemented tools (CABAC,
-    P/B slices, Intra_4x4, enabled deblocking, interlace, high-profile
-    SPS) raises H264Error rather than producing silently-wrong pixels."""
-    sps = pps = None
-    for nal in annexb_split(buf):
-        if not nal:
-            continue
-        hdr = nal[0]
-        if hdr & 0x80:
-            raise H264Error("forbidden_zero_bit set")
-        ntype = hdr & 0x1F
-        rbsp = ebsp_to_rbsp(nal[1:])
-        if ntype == 7:
-            sps = parse_sps(rbsp)
-        elif ntype == 8:
-            pps = parse_pps(rbsp)
-        elif ntype in (6, 9):  # SEI / AUD: metadata, skip
-            continue
-        elif ntype == 5:
-            if sps is None or pps is None:
-                raise H264Error("IDR slice before SPS/PPS")
-            return _decode_idr_slice(rbsp, sps, pps)
-        elif ntype == 1:
-            raise H264Error("non-IDR slice unsupported (I-frame decoder)")
-    raise H264Error("no IDR slice in access unit")
+    """Decode a single self-contained IDR access unit. SEI/AUD NALs
+    are skipped; anything requiring unimplemented tools (CABAC, B
+    slices, P partitions below 16x16, Intra_4x4, enabled deblocking,
+    interlace, high-profile SPS) raises H264Error rather than
+    producing silently-wrong pixels. Non-IDR slices need decode-order
+    state — use H264Decoder / h264_decode_gop for those."""
+    return H264Decoder().decode(buf)
 
 
-def _decode_idr_slice(rbsp: bytes, sps: SPS, pps: PPS) -> H264Frame:
+def h264_decode_gop(aus: list[bytes]) -> list[H264Frame]:
+    """Decode a group of pictures given as per-sample access units in
+    decode order (e.g. straight from mp4.extract_samples byte ranges):
+    IDR first, then P pictures each predicted from the previous
+    decoded picture."""
+    dec = H264Decoder()
+    return [dec.decode(au) for au in aus]
+
+
+def _decode_slice(
+    rbsp: bytes,
+    sps: SPS,
+    pps: PPS,
+    idr: bool,
+    nal_ref_idc: int,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     if pps.entropy_coding_mode:
         raise H264Error("CABAC entropy coding unsupported (CAVLC only)")
     br = BitReader(rbsp)
     if br.ue() != 0:
         raise H264Error("multi-slice pictures unsupported")
     slice_type = br.ue()
-    if slice_type % 5 != 2:
-        raise H264Error(f"slice_type {slice_type}: only I slices supported")
+    if slice_type % 5 == 2:
+        is_p = False
+    elif slice_type % 5 == 0:
+        is_p = True
+        if idr:
+            raise H264Error("P slice inside an IDR NAL")
+        if ref is None:
+            raise H264Error("P slice with no decoded reference picture")
+    else:
+        raise H264Error(
+            f"slice_type {slice_type}: only I and P slices supported"
+        )
     br.ue()  # pps_id
     br.u(sps.log2_max_frame_num)  # frame_num
     if sps.pic_order_cnt_type == 0:
         raise H264Error("pic_order_cnt_type 0 unsupported (use 2)")
-    br.ue()  # idr_pic_id
-    br.u(1)  # no_output_of_prior_pics_flag
-    br.u(1)  # long_term_reference_flag
+    if idr:
+        br.ue()  # idr_pic_id
+    if is_p:
+        if br.u(1):  # num_ref_idx_active_override_flag
+            if br.ue() != 0:  # num_ref_idx_l0_active_minus1
+                raise H264Error(
+                    "multiple L0 reference pictures unsupported "
+                    "(single-reference P decoder)"
+                )
+        # ref_pic_list_modification (7.3.3.1)
+        if br.u(1):
+            raise H264Error("ref_pic_list_modification unsupported")
+    if nal_ref_idc:  # dec_ref_pic_marking (7.3.3.3)
+        if idr:
+            br.u(1)  # no_output_of_prior_pics_flag
+            br.u(1)  # long_term_reference_flag
+        elif br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise H264Error(
+                "adaptive reference marking unsupported (sliding window "
+                "with max_num_ref_frames=1 only)"
+            )
     qp = pps.pic_init_qp + br.se()
     if not 0 <= qp <= 51:
         raise H264Error(f"slice QP {qp} out of range")
@@ -1007,91 +1076,435 @@ def _decode_idr_slice(rbsp: bytes, sps: SPS, pps: PPS) -> H264Frame:
         )
 
     mw, mh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
-    y = np.zeros((16 * mh, 16 * mw), dtype=np.int64)
-    cb = np.zeros((8 * mh, 8 * mw), dtype=np.int64)
-    cr = np.zeros((8 * mh, 8 * mw), dtype=np.int64)
-    nnz = np.zeros((4 * mh, 4 * mw), dtype=np.int64)
-    nnz_c = [np.zeros((2 * mh, 2 * mw), dtype=np.int64) for _ in range(2)]
+    st = _PicState(
+        y=np.zeros((16 * mh, 16 * mw), dtype=np.int64),
+        cb=np.zeros((8 * mh, 8 * mw), dtype=np.int64),
+        cr=np.zeros((8 * mh, 8 * mw), dtype=np.int64),
+        nnz=np.zeros((4 * mh, 4 * mw), dtype=np.int64),
+        nnz_c=[np.zeros((2 * mh, 2 * mw), dtype=np.int64) for _ in range(2)],
+        mv=np.zeros((mh, mw, 2), dtype=np.int64),
+        inter=np.zeros((mh, mw), dtype=bool),
+        avail=np.zeros((mh, mw), dtype=bool),
+        qp=qp, mw=mw, mh=mh, pps=pps,
+    )
 
-    for mb in range(mw * mh):
-        mbx, mby = mb % mw, mb // mw
-        mb_type = br.ue()
-        if mb_type == 25:
-            _decode_ipcm(br, y, cb, cr, mbx, mby)
-            nnz[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
-            for c in (0, 1):
-                nnz_c[c][2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
-            continue
-        if mb_type == 0:
+    if not is_p:
+        for mb in range(mw * mh):
+            mbx, mby = mb % mw, mb // mw
+            _decode_intra_mb(br, br.ue(), st, mbx, mby)
+            st.avail[mby, mbx] = True
+        if br.more_rbsp_data():
+            raise H264Error("trailing macroblock data past pic_size_in_mbs")
+    else:
+        ref_y, ref_cb, ref_cr = ref
+        if ref_y.shape != st.y.shape:
+            raise H264Error("reference picture geometry mismatch")
+        mb = 0
+        n_mbs = mw * mh
+        # slice_data for CAVLC P slices (7.3.4): mb_skip_run precedes
+        # every coded MB, and a final run may cover the picture tail
+        more = True
+        while more:
+            skip_run = br.ue()
+            for _ in range(skip_run):
+                if mb >= n_mbs:
+                    raise H264Error("mb_skip_run past pic_size_in_mbs")
+                mbx, mby = mb % mw, mb // mw
+                mvx, mvy = _skip_mv(st, mbx, mby)
+                _reconstruct_inter_mb(
+                    st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
+                    cbp=0, luma_blocks=[None] * 16,
+                    cdc=[[0] * 4, [0] * 4], cac=[[None] * 4, [None] * 4],
+                )
+                st.mv[mby, mbx] = (mvx, mvy)
+                st.inter[mby, mbx] = True
+                st.avail[mby, mbx] = True
+                mb += 1
+            more = br.more_rbsp_data()
+            if more:
+                if mb >= n_mbs:
+                    raise H264Error(
+                        "trailing macroblock data past pic_size_in_mbs"
+                    )
+                mbx, mby = mb % mw, mb // mw
+                _decode_p_mb(br, st, ref_y, ref_cb, ref_cr, mbx, mby)
+                st.avail[mby, mbx] = True
+                mb += 1
+                more = br.more_rbsp_data()
+        if mb != n_mbs:
             raise H264Error(
-                "Intra_4x4 macroblocks unsupported (Intra_16x16/I_PCM "
-                "decoder; documented scope, see module docstring)"
+                f"P slice covers {mb} of {n_mbs} macroblocks"
             )
-        if not 1 <= mb_type <= 24:
-            raise H264Error(f"invalid I-slice mb_type {mb_type}")
-        pred_mode = (mb_type - 1) % 4
-        cbp_chroma = ((mb_type - 1) // 4) % 3
-        cbp_luma = 15 if mb_type - 1 >= 12 else 0
-        chroma_mode = br.ue()
-        qp += br.se()  # mb_qp_delta
-        if not 0 <= qp <= 51:
-            raise H264Error("mb QP out of range")
 
-        # Intra16x16DCLevel: always present for Intra_16x16 (7.3.5.3),
-        # nC from the luma blk-0 neighbors; its TotalCoeff is NOT
-        # stored in the neighbor-context grid (AC counts only)
-        nc = _nc_luma(nnz, 4 * mby, 4 * mbx)
-        dc_levels = read_residual_block(br, 16, nc)
-        ac_blocks = [None] * 16
-        if cbp_luma:
-            for k, (brow, bcol) in enumerate(_BLK_ORDER):
-                aby, abx = 4 * mby + brow, 4 * mbx + bcol
-                nc = _nc_luma(nnz, aby, abx)
-                ac = read_residual_block(br, 15, nc)
-                ac_blocks[k] = ac
-                nnz[aby, abx] = sum(1 for v in ac if v)
-        cdc = [[0] * 4, [0] * 4]
-        cac = [[None] * 4, [None] * 4]
-        if cbp_chroma:
-            for c in (0, 1):
-                cdc[c] = read_residual_block(br, 4, -1)
-            if cbp_chroma == 2:
-                for c in (0, 1):
-                    for k in range(4):
-                        cby = 2 * mby + k // 2
-                        cbx = 2 * mbx + k % 2
-                        nA = int(nnz_c[c][cby, cbx - 1]) if cbx > 0 else None
-                        nB = int(nnz_c[c][cby - 1, cbx]) if cby > 0 else None
-                        if nA is not None and nB is not None:
-                            nc = (nA + nB + 1) >> 1
-                        else:
-                            nc = nA if nA is not None else (
-                                nB if nB is not None else 0)
-                        ac = read_residual_block(br, 15, nc)
-                        cac[c][k] = ac
-                        nnz_c[c][cby, cbx] = sum(1 for v in ac if v)
-
-        _reconstruct_luma_16x16(
-            y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks
-        )
-        _reconstruct_chroma(
-            cb, cr, mbx, mby, chroma_mode,
-            _chroma_qp(qp, pps.chroma_qp_offset), cdc, cac,
-        )
-
-    if br.more_rbsp_data():
-        raise H264Error("trailing macroblock data past pic_size_in_mbs")
+    y, cb, cr = st.y, st.cb, st.cr
     ct, cbm = sps.crop_top, sps.crop_bottom
     cl, crm = sps.crop_left, sps.crop_right
     h, w = 16 * mh - ct - cbm, 16 * mw - cl - crm
     if h <= 0 or w <= 0:
         raise H264Error("cropping removes the whole frame")
-    return H264Frame(
+    frame = H264Frame(
         y[ct : ct + h, cl : cl + w].astype(np.uint8),
         cb[ct // 2 : (ct + h) // 2, cl // 2 : (cl + w) // 2].astype(np.uint8),
         cr[ct // 2 : (ct + h) // 2, cl // 2 : (cl + w) // 2].astype(np.uint8),
         sps,
     )
+    return frame, (y, cb, cr)
+
+
+class _PicState:
+    """Mutable per-picture decode state shared by the MB decoders."""
+
+    __slots__ = (
+        "y", "cb", "cr", "nnz", "nnz_c", "mv", "inter", "avail",
+        "qp", "mw", "mh", "pps",
+    )
+
+    def __init__(self, **kw) -> None:
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _decode_intra_mb(
+    br: BitReader, mb_type: int, st: "_PicState", mbx: int, mby: int
+) -> None:
+    """One I-slice macroblock (also P-slice intra MBs via mb_type-5)."""
+    if mb_type == 25:
+        _decode_ipcm(br, st.y, st.cb, st.cr, mbx, mby)
+        st.nnz[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
+        for c in (0, 1):
+            st.nnz_c[c][2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        return
+    if mb_type == 0:
+        raise H264Error(
+            "Intra_4x4 macroblocks unsupported (Intra_16x16/I_PCM "
+            "decoder; documented scope, see module docstring)"
+        )
+    if not 1 <= mb_type <= 24:
+        raise H264Error(f"invalid I-slice mb_type {mb_type}")
+    pred_mode = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type - 1 >= 12 else 0
+    chroma_mode = br.ue()
+    st.qp += br.se()  # mb_qp_delta
+    if not 0 <= st.qp <= 51:
+        raise H264Error("mb QP out of range")
+    qp, nnz, nnz_c = st.qp, st.nnz, st.nnz_c
+
+    # Intra16x16DCLevel: always present for Intra_16x16 (7.3.5.3),
+    # nC from the luma blk-0 neighbors; its TotalCoeff is NOT
+    # stored in the neighbor-context grid (AC counts only)
+    nc = _nc_luma(nnz, 4 * mby, 4 * mbx)
+    dc_levels = read_residual_block(br, 16, nc)
+    ac_blocks = [None] * 16
+    if cbp_luma:
+        for k, (brow, bcol) in enumerate(_BLK_ORDER):
+            aby, abx = 4 * mby + brow, 4 * mbx + bcol
+            nc = _nc_luma(nnz, aby, abx)
+            ac = read_residual_block(br, 15, nc)
+            ac_blocks[k] = ac
+            nnz[aby, abx] = sum(1 for v in ac if v)
+    cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
+
+    _reconstruct_luma_16x16(
+        st.y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks
+    )
+    _reconstruct_chroma(
+        st.cb, st.cr, mbx, mby, chroma_mode,
+        _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac,
+    )
+
+
+def _read_chroma_residuals(
+    br: BitReader, st: "_PicState", mbx: int, mby: int, cbp_chroma: int
+) -> tuple[list, list]:
+    nnz_c = st.nnz_c
+    cdc = [[0] * 4, [0] * 4]
+    cac = [[None] * 4, [None] * 4]
+    if cbp_chroma:
+        for c in (0, 1):
+            cdc[c] = read_residual_block(br, 4, -1)
+        if cbp_chroma == 2:
+            for c in (0, 1):
+                for k in range(4):
+                    cby = 2 * mby + k // 2
+                    cbx = 2 * mbx + k % 2
+                    nA = int(nnz_c[c][cby, cbx - 1]) if cbx > 0 else None
+                    nB = int(nnz_c[c][cby - 1, cbx]) if cby > 0 else None
+                    if nA is not None and nB is not None:
+                        nc = (nA + nB + 1) >> 1
+                    else:
+                        nc = nA if nA is not None else (
+                            nB if nB is not None else 0)
+                    ac = read_residual_block(br, 15, nc)
+                    cac[c][k] = ac
+                    nnz_c[c][cby, cbx] = sum(1 for v in ac if v)
+    return cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# Inter prediction: P_L0_16x16 + P_Skip (8.4)
+# ---------------------------------------------------------------------------
+
+# Table 9-4, coded_block_pattern mapping for Inter macroblock
+# prediction modes: codeNum -> cbp. A permutation of 0..47; pinned by
+# structural pytest checks (tests/test_h264_inter.py) the same way the
+# CAVLC tables are.
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
+
+
+def _median3(a: int, b: int, c: int) -> int:
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
+def _neighbor_mv(
+    st: "_PicState", x: int, y: int
+) -> tuple[tuple[int, int], int, bool]:
+    """((mvx, mvy), refIdx, mbAvailable) for the MB at (x, y) —
+    8.4.1.3.2: an out-of-slice MB is unavailable; an intra MB is
+    available but contributes mv (0,0) with refIdx -1."""
+    if x < 0 or y < 0 or x >= st.mw or y >= st.mh or not st.avail[y, x]:
+        return (0, 0), -1, False
+    if not st.inter[y, x]:
+        return (0, 0), -1, True
+    return (int(st.mv[y, x, 0]), int(st.mv[y, x, 1])), 0, True
+
+
+def _mvp_16x16(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
+    """Luma MV prediction for a 16x16 partition (8.4.1.3): neighbors
+    A=left, B=above, C=above-right (D=above-left when C unavailable);
+    if B and C are unavailable and A is available, B and C take A's
+    motion data; then the exactly-one-refIdx-match rule, else the
+    component-wise median."""
+    mvA, rA, aA = _neighbor_mv(st, mbx - 1, mby)
+    mvB, rB, aB = _neighbor_mv(st, mbx, mby - 1)
+    mvC, rC, aC = _neighbor_mv(st, mbx + 1, mby - 1)
+    if not aC:
+        mvC, rC, aC = _neighbor_mv(st, mbx - 1, mby - 1)
+    if not aB and not aC and aA:
+        mvB, rB = mvA, rA
+        mvC, rC = mvA, rA
+    matches = [rA == 0, rB == 0, rC == 0]
+    if sum(matches) == 1:
+        return (mvA, mvB, mvC)[matches.index(True)]
+    return (
+        _median3(mvA[0], mvB[0], mvC[0]),
+        _median3(mvA[1], mvB[1], mvC[1]),
+    )
+
+
+def _skip_mv(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
+    """P_Skip motion vector (8.4.1.1): zero when either direct
+    neighbor is unavailable or is a zero-motion refIdx-0 partition,
+    else the 16x16 MV prediction."""
+    mvA, rA, aA = _neighbor_mv(st, mbx - 1, mby)
+    mvB, rB, aB = _neighbor_mv(st, mbx, mby - 1)
+    if (
+        not aA or not aB
+        or (rA == 0 and mvA == (0, 0))
+        or (rB == 0 and mvB == (0, 0))
+    ):
+        return (0, 0)
+    return _mvp_16x16(st, mbx, mby)
+
+
+_TAPS = np.array([1, -5, 20, 20, -5, 1], dtype=np.int64)
+
+
+def _six_tap(a: np.ndarray, axis: int) -> np.ndarray:
+    """Un-normalized 6-tap [1,-5,20,20,-5,1] along `axis`; output is 5
+    shorter (value k sits at the half-sample between inputs k+2 and
+    k+3)."""
+    sl: list = [slice(None)] * a.ndim
+    acc = None
+    for t in range(6):
+        sl[axis] = slice(t, a.shape[axis] - 5 + t)
+        term = _TAPS[t] * a[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def mc_luma_16x16(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Quarter-sample luma motion compensation for one 16x16 partition
+    (8.4.2.2.1, Figure 8-4 / Table 8-12). `ref` is the UNCROPPED
+    decoded reference luma plane; (x0, y0) the partition origin;
+    (mvx, mvy) the MV in quarter-luma-sample units. Out-of-picture
+    reads use edge replication (the unrestricted-MV clamp of eq.
+    8-227/8-228). Half-pel positions are the 6-tap Clip1((v+16)>>5)
+    (center j: Clip1((v+512)>>10) on un-rounded intermediates);
+    quarter positions average the two nearest integer/half samples
+    with +1 rounding. tests/test_h264_inter.py pins this vectorized
+    form against a literal per-pixel transcription of the spec."""
+    H, W = ref.shape
+    xI, xF = mvx >> 2, mvx & 3
+    yI, yF = mvy >> 2, mvy & 3
+    ys = np.clip(np.arange(y0 + yI - 2, y0 + yI + 19), 0, H - 1)
+    xs = np.clip(np.arange(x0 + xI - 2, x0 + xI + 19), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (21, 21)
+    G = win[2:19, 2:19]  # 17x17 full-pel grid, origin at the partition
+    if xF == 0 and yF == 0:
+        return G[:16, :16].copy()
+    # b: half-x right of G[i,j] (17 rows x 16 cols, row 16 is 's')
+    b1 = _six_tap(win[2:19, :], 1)
+    b = np.clip((b1 + 16) >> 5, 0, 255)
+    # h: half-y below G[i,j] (16 rows x 17 cols, col 16 is 'm')
+    h1 = _six_tap(win[:, 2:19], 0)
+    h = np.clip((h1 + 16) >> 5, 0, 255)[:16, :]
+    # j: center half-pel from un-rounded row intermediates
+    j1 = _six_tap(_six_tap(win, 1), 0)
+    jj = np.clip((j1 + 512) >> 10, 0, 255)
+    G16, Gx, Gy = G[:16, :16], G[:16, 1:17], G[1:17, :16]
+    bb, bs = b[:16, :], b[1:17, :]
+    hh, hm = h[:, :16], h[:, 1:17]
+
+    def avg(u, v):
+        return (u + v + 1) >> 1
+
+    table = {
+        (1, 0): lambda: avg(G16, bb), (2, 0): lambda: bb,
+        (3, 0): lambda: avg(Gx, bb),
+        (0, 1): lambda: avg(G16, hh), (1, 1): lambda: avg(bb, hh),
+        (2, 1): lambda: avg(bb, jj), (3, 1): lambda: avg(bb, hm),
+        (0, 2): lambda: hh, (1, 2): lambda: avg(hh, jj),
+        (2, 2): lambda: jj, (3, 2): lambda: avg(jj, hm),
+        (0, 3): lambda: avg(Gy, hh), (1, 3): lambda: avg(hh, bs),
+        (2, 3): lambda: avg(jj, bs), (3, 3): lambda: avg(hm, bs),
+    }
+    return table[(xF, yF)]()
+
+
+def mc_chroma_8x8(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Eighth-sample chroma MC for one 8x8 partition (8.4.2.2.2):
+    bilinear with weights xFrac/yFrac in eighths; the luma MV applies
+    directly (chroma is half resolution, so the same integer value is
+    an eighth-pel offset). Edge replication as for luma."""
+    H, W = ref.shape
+    xI, xF = mvx >> 3, mvx & 7
+    yI, yF = mvy >> 3, mvy & 7
+    ys = np.clip(np.arange(y0 + yI, y0 + yI + 9), 0, H - 1)
+    xs = np.clip(np.arange(x0 + xI, x0 + xI + 9), 0, W - 1)
+    w = ref[np.ix_(ys, xs)].astype(np.int64)
+    A, B = w[:8, :8], w[:8, 1:]
+    C, D = w[1:, :8], w[1:, 1:]
+    return (
+        (8 - xF) * (8 - yF) * A + xF * (8 - yF) * B
+        + (8 - xF) * yF * C + xF * yF * D + 32
+    ) >> 6
+
+
+def _chroma_resid_add(
+    pred: np.ndarray, qpc: int, cdc_c: list, cac_c: list
+) -> np.ndarray:
+    """Add one chroma component's DC+AC residual to an 8x8 prediction
+    (shared by the intra and inter reconstruction paths)."""
+    f = np.array(
+        [[cdc_c[0], cdc_c[1]], [cdc_c[2], cdc_c[3]]], dtype=np.int64
+    )
+    h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    dc = scale_chroma_dc(h2 @ f @ h2, qpc)
+    rec = pred.copy()
+    for k in range(4):
+        brow, bcol = k // 2, k % 2
+        ac = cac_c[k]
+        coeffs = (
+            _zigzag_to_4x4([0] + list(ac)) if ac
+            else np.zeros((4, 4), dtype=np.int64)
+        )
+        d = dequant_4x4(coeffs, qpc, skip_dc=True)
+        d[0, 0] = dc[brow, bcol]
+        e = inverse_transform_4x4(d)
+        r = (e + 32) >> 6
+        sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
+        rec[sl] = pred[sl] + r
+    return np.clip(rec, 0, 255)
+
+
+def _reconstruct_inter_mb(
+    st: "_PicState",
+    ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
+    mbx: int, mby: int, mvx: int, mvy: int,
+    cbp: int, luma_blocks: list, cdc: list, cac: list,
+) -> None:
+    pred = mc_luma_16x16(ref_y, 16 * mbx, 16 * mby, mvx, mvy)
+    rec = pred.copy()
+    for k, (brow, bcol) in enumerate(_BLK_ORDER):
+        blk = luma_blocks[k]
+        if blk is None:
+            continue
+        # inter 4x4 residual: all 16 coefficients in one zigzag block
+        # (no separate DC transform — that is Intra_16x16 only)
+        d = dequant_4x4(_zigzag_to_4x4(blk), st.qp, skip_dc=False)
+        e = inverse_transform_4x4(d)
+        r = (e + 32) >> 6
+        sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
+        rec[sl] = pred[sl] + r
+    st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
+        rec, 0, 255
+    )
+    qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
+    for c, (plane, refp) in enumerate(((st.cb, ref_cb), (st.cr, ref_cr))):
+        predc = mc_chroma_8x8(refp, 8 * mbx, 8 * mby, mvx, mvy)
+        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
+            _chroma_resid_add(predc, qpc, cdc[c], cac[c])
+        )
+
+
+def _decode_p_mb(
+    br: BitReader, st: "_PicState",
+    ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
+    mbx: int, mby: int,
+) -> None:
+    """One coded P-slice macroblock (7.3.5 / Table 7-13): P_L0_16x16
+    or an intra type at mb_type >= 5; the sub-16x16 partition modes
+    raise (documented scope)."""
+    mb_type = br.ue()
+    if mb_type >= 5:
+        _decode_intra_mb(br, mb_type - 5, st, mbx, mby)
+        return  # st.inter stays False: intra MBs predict as refIdx -1
+    if mb_type != 0:
+        raise H264Error(
+            f"P-slice mb_type {mb_type} (16x8/8x16/8x8 partitions) "
+            "unsupported (P_L0_16x16 + P_Skip decoder; documented scope)"
+        )
+    # single L0 reference: ref_idx_l0 not present (num_ref_idx == 1)
+    mvd_x = br.se()
+    mvd_y = br.se()
+    px, py = _mvp_16x16(st, mbx, mby)
+    mvx, mvy = px + mvd_x, py + mvd_y
+    cbp_code = br.ue()
+    if cbp_code > 47:
+        raise H264Error("coded_block_pattern codeNum out of range")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        st.qp += br.se()  # mb_qp_delta
+        if not 0 <= st.qp <= 51:
+            raise H264Error("mb QP out of range")
+    luma_blocks: list = [None] * 16
+    if cbp_luma:
+        for k, (brow, bcol) in enumerate(_BLK_ORDER):
+            if not (cbp_luma >> (k // 4)) & 1:
+                continue
+            aby, abx = 4 * mby + brow, 4 * mbx + bcol
+            nc = _nc_luma(st.nnz, aby, abx)
+            blk = read_residual_block(br, 16, nc)
+            luma_blocks[k] = blk
+            st.nnz[aby, abx] = sum(1 for v in blk if v)
+    cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
+    _reconstruct_inter_mb(
+        st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
+        cbp, luma_blocks, cdc, cac,
+    )
+    st.mv[mby, mbx] = (mvx, mvy)
+    st.inter[mby, mbx] = True
 
 
 def _decode_ipcm(br, y, cb, cr, mbx, mby) -> None:
@@ -1149,26 +1562,8 @@ def _reconstruct_chroma(
         else:
             raise H264Error("chroma Plane prediction unsupported")
         # chroma DC 2x2: coeffs in raster order c00 c01 c10 c11 (8.5.11)
-        f = np.array(
-            [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]], dtype=np.int64
-        )
-        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
-        dc = scale_chroma_dc(h2 @ f @ h2, qpc)
-        rec = pred.copy()
-        for k in range(4):
-            brow, bcol = k // 2, k % 2
-            ac = cac[c][k]
-            coeffs = (
-                _zigzag_to_4x4([0] + list(ac)) if ac else np.zeros((4, 4), dtype=np.int64)
-            )
-            d = dequant_4x4(coeffs, qpc, skip_dc=True)
-            d[0, 0] = dc[brow, bcol]
-            e = inverse_transform_4x4(d)
-            r = (e + 32) >> 6
-            sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
-            rec[sl] = pred[sl] + r
-        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = np.clip(
-            rec, 0, 255
+        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
+            _chroma_resid_add(pred, qpc, cdc[c], cac[c])
         )
 
 
@@ -1312,3 +1707,94 @@ def dc_offset(level: int, qp: int = 36) -> int:
     transform turns a DC-only block into (dcY + 32) >> 6 per pixel."""
     dc = scale_luma_dc(np.array([[level]], dtype=np.int64), qp)[0, 0]
     return int(dc + 32) >> 6
+
+
+def inter_dc_offset(level: int, qp: int = 28) -> int:
+    """The exact per-pixel offset a single (0,0) level adds to an
+    INTER-predicted 4x4 block: no DC Hadamard on the inter path, so
+    d00 = level * v(qP%6,0) * 2^(qP/6) and the DC-only inverse core
+    transform yields (d00 + 32) >> 6 at every pixel. At the fixture
+    qp 28 this is exactly 4*level ((256L + 32) >> 6), which is what
+    the GOP oracle's closed form relies on."""
+    blk = np.zeros((4, 4), dtype=np.int64)
+    blk[0, 0] = level
+    e = inverse_transform_4x4(dequant_4x4(blk, qp, skip_dc=False))
+    vals = (e + 32) >> 6
+    assert int(vals.min()) == int(vals.max())
+    return int(vals[0, 0])
+
+
+def h264_encode_p_rows(
+    mb_w: int,
+    mb_h: int,
+    mv_qpel: tuple[int, int],
+    levels: list[int],
+    frame_num: int = 1,
+    qp_delta: int = -8,
+    ref_idc: int = 2,
+) -> bytes:
+    """One non-IDR P access unit (single slice NAL, nal_ref_idc 2)
+    whose decoded luma is the reference picture motion-compensated by
+    the picture-wide quarter-pel `mv_qpel`, plus inter_dc_offset(
+    levels[r], 36+qp_delta) on every pixel of MB row r: each coded MB
+    is P_L0_16x16 carrying one DC-only CAVLC coefficient per 4x4 luma
+    block (cbp 15), and MBs whose row level is 0 collapse to P_Skip
+    wherever the 8.4.1.1 skip MV equals `mv_qpel` (the encoder runs
+    the decoder's own _skip_mv/_mvp_16x16 derivations, so skip runs,
+    explicit mvd against the median predictor, and the copy-A rule
+    all genuinely appear in the fixture streams). Chroma rides along
+    with zero residual (cbp chroma 0). Pairs with the IDR from
+    h264_encode_rows under the same SPS/PPS (pic_init_qp 36)."""
+    if len(levels) != mb_h:
+        raise ValueError("need one inter DC level per MB row")
+    mvx, mvy = mv_qpel
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(5)  # slice_type: P (all slices of picture)
+    bw.ue(0)  # pps_id
+    bw.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    bw.u(0, 1)  # num_ref_idx_active_override (PPS default: 1 ref)
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if ref_idc:  # dec_ref_pic_marking only for reference pictures
+        bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+    bw.se(qp_delta)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc
+
+    st = _PicState(
+        nnz=np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64),
+        mv=np.zeros((mb_h, mb_w, 2), dtype=np.int64),
+        inter=np.zeros((mb_h, mb_w), dtype=bool),
+        avail=np.zeros((mb_h, mb_w), dtype=bool),
+        mw=mb_w, mh=mb_h,
+    )
+    pending_skips = 0
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            level = levels[mby]
+            if level == 0 and _skip_mv(st, mbx, mby) == (mvx, mvy):
+                pending_skips += 1
+            else:
+                bw.ue(pending_skips)  # mb_skip_run before every coded MB
+                pending_skips = 0
+                bw.ue(0)  # mb_type: P_L0_16x16
+                px, py = _mvp_16x16(st, mbx, mby)
+                bw.se(mvx - px)
+                bw.se(mvy - py)
+                cbp = 15 if level else 0
+                bw.ue(_CBP_INTER_INV[cbp])
+                if cbp:
+                    bw.se(0)  # mb_qp_delta
+                    for brow, bcol in _BLK_ORDER:
+                        aby, abx = 4 * mby + brow, 4 * mbx + bcol
+                        nc = _nc_luma(st.nnz, aby, abx)
+                        tc = write_residual_block(
+                            bw, [level] + [0] * 15, nc
+                        )
+                        st.nnz[aby, abx] = tc
+            st.mv[mby, mbx] = (mvx, mvy)
+            st.inter[mby, mbx] = True
+            st.avail[mby, mbx] = True
+    if pending_skips:
+        bw.ue(pending_skips)  # trailing skip run covers the tail
+    bw.rbsp_trailing()
+    return _nal(1, bw.to_bytes(), ref_idc=ref_idc)

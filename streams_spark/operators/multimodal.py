@@ -1711,6 +1711,224 @@ def m_video_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 GOP decode: IDR + P pictures, quarter-pel motion compensation
+# ---------------------------------------------------------------------------
+
+
+def _h264_gop_oracle() -> str:
+    """Build the m_h264_gop closed form: a recursive CTE carries each
+    video's luma as a LIST of per-pixel-row values (the fixtures are
+    horizontally constant, which vertical motion + the 6-tap filter
+    preserve), and every P step applies the spec's own arithmetic —
+    edge-clamped sample fetch (8.4.2.2.1's unrestricted-MV clip),
+    the [1,-5,20,20,-5,1] half-pel filter with Clip1((v+16)>>5),
+    quarter-pel (a+b+1)>>1 averaging, the inter DC-only residual
+    offset (4*level at qp 28), and the final Clip1. A decoder wrong in
+    ANY of mvd/median prediction, P_Skip derivation, sub-pel
+    interpolation, inter CAVLC, or the inter rescale diverges from
+    this SQL. Integer-division notes: every `//` here is either on
+    non-negative operands or an exact division, so floor-vs-truncate
+    semantics cannot differ between DuckDB and the decoder."""
+    clamp = "LEAST(GREATEST({}, 0), 16*mh - 1)"
+    r = lambda off: f"rows[1 + {clamp.format(f'y + yi{off}')}]"  # noqa: E731
+    h1 = (
+        f"({r('-2')} - 5*{r('-1')} + 20*{r('')} + 20*{r('+1')}"
+        f" - 5*{r('+2')} + {r('+3')})"
+    )
+    hv = f"(CASE WHEN {h1} + 16 < 0 THEN 0 ELSE LEAST(({h1} + 16) // 32, 255) END)"
+    pred = (
+        f"(CASE yf WHEN 0 THEN {r('')} "
+        f"WHEN 1 THEN ({r('')} + {hv} + 1) // 2 "
+        f"WHEN 2 THEN {hv} "
+        f"ELSE ({hv} + {r('+1')} + 1) // 2 END)"
+    )
+    delta = "([0, 4, -4])[1 + (doc_id + 2*fno + y // 16) % 3]"
+    return f"""
+WITH RECURSIVE geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 3) % 3 AS mw,
+         2 + (doc_id // 9) % 3 AS mh,
+         3 + (doc_id // 27) % 3 AS nf,
+         16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 2
+), steps AS (
+  SELECT doc_id, mw, mh, nf, w, h, 0 AS frame_no,
+         list_transform(range(0, 16*mh), y ->
+             40 + (7 * doc_id) % 160
+             + COALESCE(list_sum(list_transform(range(1, y // 16 + 1),
+                 r -> ([0, 3, 5])[1 + (doc_id + r) % 3])), 0)) AS rows
+  FROM geo
+  UNION ALL
+  SELECT doc_id, mw, mh, nf, w, h, fno,
+         list_transform(range(0, 16*mh), y ->
+             LEAST(GREATEST({pred} + {delta}, 0), 255))
+  FROM (
+    SELECT *, ((mvy % 4) + 4) % 4 AS yf,
+           (mvy - (((mvy % 4) + 4) % 4)) // 4 AS yi
+    FROM (
+      SELECT *, frame_no + 1 AS fno,
+             ((3 * doc_id + 7 * (frame_no + 1)) % 23) - 11 AS mvy
+      FROM steps WHERE frame_no + 1 < nf
+    )
+  )
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
+         AS pts_ticks,
+       (frame_no = 0) AS is_idr,
+       CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
+FROM steps
+"""
+
+
+_H264_GOP_ORACLE = _h264_gop_oracle()
+
+
+def h264_gop_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL H.264 GOP-in-MP4 per video doc (doc_id % 3 = 2): an
+    IDR access unit followed by 2..4 genuinely inter-coded P pictures,
+    each motion-compensated from the previous decoded picture with a
+    per-frame quarter-pel MV (mvx sweeps all horizontal fracs, mvy
+    sweeps vertical fracs AND multi-pixel integer offsets, so edge
+    clamping engages near the top/bottom) plus a per-MB-row DC-only
+    CAVLC residual. Rows whose level is 0 collapse to P_Skip where the
+    8.4.1.1 derivation allows, so skip runs, explicit mvd, and the MV
+    median predictor all appear in every stream. Only the IDR is
+    stss-marked sync."""
+    from streams_spark.functions.h264 import (
+        h264_encode_p_rows, h264_encode_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_spark.functions.mp4 import mp4_mux
+
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                nf = 3 + (d // 27) % 3
+                crop_r, crop_b = 2 * (d % 4), 2 * ((d // 5) % 3)
+                aus = [
+                    h264_encode_rows(
+                        mw, mh, 40 + (7 * d) % 160,
+                        [(d + r) % 3 for r in range(1, mh)],
+                        crop_right=crop_r, crop_bottom=crop_b,
+                    )
+                ]
+                for f in range(1, nf):
+                    mvx = ((5 * d + 3 * f) % 13) - 6
+                    mvy = ((3 * d + 7 * f) % 23) - 11
+                    levels = [
+                        [0, 1, -1][(d + 2 * f + r) % 3] for r in range(mh)
+                    ]
+                    aus.append(
+                        h264_encode_p_rows(
+                            mw, mh, (mvx, mvy), levels, frame_num=f,
+                        )
+                    )
+                rows_out.append(
+                    (d, mp4_mux(
+                        aus, 16 * mw - crop_r, 16 * mh - crop_b,
+                        sync_every=len(aus),  # only the IDR is sync
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+    from streams_spark.functions import mp4 as _m
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264gop",
+        (_h, _m),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_gop", oracle=_H264_GOP_ORACLE)
+def m_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 inter decode of whole GOPs: every sample of each
+    video runs the full Annex-B pipeline in functions/h264.py — the
+    IDR exactly as m_h264_keyframes, then each P picture through
+    P-slice header parse, mb_skip_run + P_Skip MV derivation
+    (8.4.1.1), mvd against the 16x16 median predictor (8.4.1.3),
+    quarter-pel luma motion compensation (the 6-tap half-pel filter +
+    quarter averaging of 8.4.2.2.1, with unrestricted-MV edge
+    clamping), eighth-pel bilinear chroma MC, the inter coded_block_
+    pattern mapping (Table 9-4), inter CAVLC residuals, and the
+    no-Hadamard inter rescale — referenced against the PREVIOUS
+    decoded picture exactly as the spec's DPB does (uncropped).
+
+    The oracle replays the same arithmetic in a recursive SQL CTE
+    (see _h264_gop_oracle), so a green row proves motion vectors,
+    sub-pel interpolation, skip derivation, and inter residuals
+    end-to-end, not just that frames parse. What the fixture's
+    horizontal constancy cannot see (per-position horizontal taps,
+    the center-j path, per-MB MV variation) is pytest-pinned against
+    a literal per-pixel spec transcription in tests/test_h264_inter.py.
+
+    Scale: identical shape to m_h264_keyframes — two chained map-only
+    Arrow stages over a staged blob table, no shuffle; GOP decode is
+    sequential WITHIN a video (the codec's own data dependency) and
+    embarrassingly parallel across videos, partitions track cores.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import extract_samples
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                dec = H264Decoder()
+                n_total = len(track.samples)
+                for s in track.samples:
+                    fr = dec.decode(buf[s.offset : s.offset + s.size])
+                    h, w = fr.y.shape
+                    rows.append(
+                        (
+                            int(doc_id), s.index, n_total,
+                            int(w), int(h), int(s.dts), bool(s.sync),
+                            int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "width", "height",
+                    "pts_ticks", "is_idr", "checksum",
+                ],
+            )
+
+    return h264_gop_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, width int, "
+            "height int, pts_ticks long, is_idr boolean, checksum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
 

@@ -287,11 +287,21 @@ def _header(bw, slice_type=7, qp_delta=0, deblock_idc=1):
     bw.ue(deblock_idc)
 
 
-def test_p_slice_rejected():
+def test_p_slice_inside_idr_nal_rejected():
+    # slice_type P carried in an IDR NAL unit is a contradiction
+    # (7.4.3 forbids it); the stateless entry point must refuse
     buf = encode_sps(2, 2) + encode_pps() + _slice_nal(
         lambda bw: _header(bw, slice_type=5)
     )
-    with pytest.raises(H264Error, match="only I slices"):
+    with pytest.raises(H264Error, match="P slice inside an IDR"):
+        h264_decode(buf)
+
+
+def test_b_slice_rejected():
+    buf = encode_sps(2, 2) + encode_pps() + _slice_nal(
+        lambda bw: _header(bw, slice_type=6)
+    )
+    with pytest.raises(H264Error, match="only I and P slices"):
         h264_decode(buf)
 
 
