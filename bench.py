@@ -58,6 +58,10 @@ HEADLINE = [
     "m_h264_keyframes",
     "m_video_pixel_dedup",
     "m_jpeg_arith",
+    # r10 addition (late-round): the P-frame GOP decode joins at birth —
+    # the inter path (quarter-pel MC, skip runs, DPB sequencing) has its
+    # own plan to regression-gate, distinct from the keyframe row
+    "m_h264_gop",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

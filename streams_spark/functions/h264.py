@@ -23,9 +23,16 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
   any stream that requests it raises (same loud-failure posture as the
   reference's corrupt-entry handling, /root/reference/server/wal.go).
 - Macroblock layer (7.3.5) for I slices: I_PCM (raw samples,
-  pcm_alignment_zero_bit) and all four Intra_16x16 luma prediction
-  modes V/H/DC/Plane (8.3.3) with CAVLC residuals; Intra_4x4
-  (mb_type 0) raises — a real scope note, not a silent wrong answer.
+  pcm_alignment_zero_bit), all four Intra_16x16 luma prediction modes
+  V/H/DC/Plane (8.3.3), and Intra_4x4 with all nine 8.3.1 prediction
+  modes (mode coding via prev_intra4x4_pred_mode_flag + the min(A,B)
+  predictor, decode-order sample availability, above-right
+  substitution) — each with CAVLC residuals.
+- P slices (r10): P_L0_16x16 + P_Skip with a one-picture DPB, the
+  8.4.1.3 median MV predictor, quarter-pel luma / eighth-pel chroma
+  motion compensation, and the Table 9-4 inter CBP mapping; sub-16x16
+  partitions and B slices raise — a real scope note, not a silent
+  wrong answer.
 - CAVLC residual decode (9.2): coeff_token Table 9-5 incl. the
   chroma-DC nC==-1 column and the nC>=8 FLC, trailing-one signs,
   level_prefix/suffix with the suffixLength ladder and >=15/>=16
@@ -993,10 +1000,10 @@ class H264Decoder:
 def h264_decode(buf: bytes) -> H264Frame:
     """Decode a single self-contained IDR access unit. SEI/AUD NALs
     are skipped; anything requiring unimplemented tools (CABAC, B
-    slices, P partitions below 16x16, Intra_4x4, enabled deblocking,
-    interlace, high-profile SPS) raises H264Error rather than
-    producing silently-wrong pixels. Non-IDR slices need decode-order
-    state — use H264Decoder / h264_decode_gop for those."""
+    slices, P partitions below 16x16, enabled deblocking, interlace,
+    high-profile SPS) raises H264Error rather than producing
+    silently-wrong pixels. Non-IDR slices need decode-order state —
+    use H264Decoder / h264_decode_gop for those."""
     return H264Decoder().decode(buf)
 
 
@@ -1085,6 +1092,8 @@ def _decode_slice(
         mv=np.zeros((mh, mw, 2), dtype=np.int64),
         inter=np.zeros((mh, mw), dtype=bool),
         avail=np.zeros((mh, mw), dtype=bool),
+        i4_modes=np.full((4 * mh, 4 * mw), -1, dtype=np.int64),
+        blk_decoded=np.zeros((4 * mh, 4 * mw), dtype=bool),
         qp=qp, mw=mw, mh=mh, pps=pps,
     )
 
@@ -1156,7 +1165,7 @@ class _PicState:
 
     __slots__ = (
         "y", "cb", "cr", "nnz", "nnz_c", "mv", "inter", "avail",
-        "qp", "mw", "mh", "pps",
+        "i4_modes", "blk_decoded", "qp", "mw", "mh", "pps",
     )
 
     def __init__(self, **kw) -> None:
@@ -1173,12 +1182,11 @@ def _decode_intra_mb(
         st.nnz[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
         for c in (0, 1):
             st.nnz_c[c][2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        _mark_mb_decoded(st, mbx, mby)
         return
     if mb_type == 0:
-        raise H264Error(
-            "Intra_4x4 macroblocks unsupported (Intra_16x16/I_PCM "
-            "decoder; documented scope, see module docstring)"
-        )
+        _decode_i4x4_mb(br, st, mbx, mby)
+        return
     if not 1 <= mb_type <= 24:
         raise H264Error(f"invalid I-slice mb_type {mb_type}")
     pred_mode = (mb_type - 1) % 4
@@ -1212,6 +1220,14 @@ def _decode_intra_mb(
         st.cb, st.cr, mbx, mby, chroma_mode,
         _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac,
     )
+    _mark_mb_decoded(st, mbx, mby)
+
+
+def _mark_mb_decoded(st: "_PicState", mbx: int, mby: int) -> None:
+    """Mark a whole MB's 4x4 blocks reconstructed — the availability
+    grid Intra_4x4 prediction consults (8.3.1.2: neighbor samples
+    exist iff their block precedes the current one in decode order)."""
+    st.blk_decoded[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
 
 
 def _read_chroma_residuals(
@@ -1239,6 +1255,256 @@ def _read_chroma_residuals(
                     cac[c][k] = ac
                     nnz_c[c][cby, cbx] = sum(1 for v in ac if v)
     return cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 prediction (8.3.1)
+# ---------------------------------------------------------------------------
+
+# Table 9-4, coded_block_pattern mapping for Intra_4x4 / Intra_8x8
+# prediction modes: codeNum -> cbp (the Inter column lives further
+# down). Permutation + anchor rows pinned in tests/test_h264_intra4x4.py.
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {v: i for i, v in enumerate(_CBP_INTRA)}
+
+
+def predict_4x4(
+    plane: np.ndarray,
+    decoded: np.ndarray,
+    bx: int,
+    by: int,
+    mode: int,
+) -> np.ndarray:
+    """Intra_4x4 luma prediction (8.3.1.2.1-9) for the 4x4 block at
+    block coords (bx, by) of `plane`. `decoded` is the 4x4-granular
+    decoded-block map that determines sample availability (spec decode
+    order: a neighbor sample exists iff its block is already
+    reconstructed — this is what makes above-right unavailable for the
+    right-column blocks of a MB mid-decode). Modes: 0=V 1=H 2=DC
+    3=DDL 4=DDR 5=VR 6=HD 7=VL 8=HU. Unavailable required samples
+    raise (loud-failure contract); DC falls back per the spec."""
+    bh, bw_ = decoded.shape
+    x0, y0 = 4 * bx, 4 * by
+
+    def blk_ok(bbx: int, bby: int) -> bool:
+        return 0 <= bbx < bw_ and 0 <= bby < bh and bool(decoded[bby, bbx])
+
+    has_left = blk_ok(bx - 1, by)
+    has_top = blk_ok(bx, by - 1)
+    has_corner = blk_ok(bx - 1, by - 1)
+    has_tr = blk_ok(bx + 1, by - 1)
+
+    left = plane[y0 : y0 + 4, x0 - 1].astype(np.int64) if has_left else None
+    top = plane[y0 - 1, x0 : x0 + 4].astype(np.int64) if has_top else None
+    corner = int(plane[y0 - 1, x0 - 1]) if has_corner else None
+    if has_top:
+        if has_tr:
+            tr = plane[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            # 8.3.1.2: substitute p[3,-1] for the above-right samples
+            tr = np.full(4, int(top[3]), dtype=np.int64)
+    else:
+        tr = None
+
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if top is None:
+            raise H264Error("Intra_4x4 V prediction without top samples")
+        return np.tile(top, (4, 1))
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise H264Error("Intra_4x4 H prediction without left samples")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:  # DC with the spec fallbacks
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            dc = (int(top.sum()) + 2) >> 2
+        elif left is not None:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, dtype=np.int64)
+    if mode == 3:  # Diagonal down-left
+        if top is None:
+            raise H264Error("Intra_4x4 DDL prediction without top samples")
+        t = np.concatenate([top, tr])
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (
+                        t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2
+                    ) >> 2
+        return out
+    # modes 4..6 need left, top, and the corner
+    if mode in (4, 5, 6):
+        if top is None or left is None or corner is None:
+            raise H264Error(
+                f"Intra_4x4 mode {mode} without left/top/corner samples"
+            )
+
+        def pt(i: int) -> int:  # p[i, -1] with i == -1 the corner
+            return corner if i < 0 else int(top[i])
+
+        def pl(i: int) -> int:  # p[-1, i] with i == -1 the corner
+            return corner if i < 0 else int(left[i])
+
+        for y in range(4):
+            for x in range(4):
+                if mode == 4:  # Diagonal down-right
+                    if x > y:
+                        v = (pt(x - y - 2) + 2 * pt(x - y - 1)
+                             + pt(x - y) + 2) >> 2
+                    elif x < y:
+                        v = (pl(y - x - 2) + 2 * pl(y - x - 1)
+                             + pl(y - x) + 2) >> 2
+                    else:
+                        v = (pt(0) + 2 * corner + pl(0) + 2) >> 2
+                elif mode == 5:  # Vertical right
+                    z = 2 * x - y
+                    if z >= 0 and z % 2 == 0:
+                        v = (pt(x - (y >> 1) - 1)
+                             + pt(x - (y >> 1)) + 1) >> 1
+                    elif z >= 0:
+                        v = (pt(x - (y >> 1) - 2)
+                             + 2 * pt(x - (y >> 1) - 1)
+                             + pt(x - (y >> 1)) + 2) >> 2
+                    elif z == -1:
+                        v = (pl(0) + 2 * corner + pt(0) + 2) >> 2
+                    else:
+                        v = (pl(y - 2 * x - 1) + 2 * pl(y - 2 * x - 2)
+                             + pl(y - 2 * x - 3) + 2) >> 2
+                else:  # mode 6: Horizontal down
+                    z = 2 * y - x
+                    if z >= 0 and z % 2 == 0:
+                        v = (pl(y - (x >> 1) - 1)
+                             + pl(y - (x >> 1)) + 1) >> 1
+                    elif z >= 0:
+                        v = (pl(y - (x >> 1) - 2)
+                             + 2 * pl(y - (x >> 1) - 1)
+                             + pl(y - (x >> 1)) + 2) >> 2
+                    elif z == -1:
+                        v = (pl(0) + 2 * corner + pt(0) + 2) >> 2
+                    else:
+                        v = (pt(x - 2 * y - 1) + 2 * pt(x - 2 * y - 2)
+                             + pt(x - 2 * y - 3) + 2) >> 2
+                out[y, x] = v
+        return out
+    if mode == 7:  # Vertical left
+        if top is None:
+            raise H264Error("Intra_4x4 VL prediction without top samples")
+        t = np.concatenate([top, tr])
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal up
+        if left is None:
+            raise H264Error("Intra_4x4 HU prediction without left samples")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z in (0, 2, 4):
+                    out[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    out[y, x] = (
+                        left[i] + 2 * left[i + 1] + left[i + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    out[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[y, x] = left[3]
+        return out
+    raise H264Error(f"bad Intra_4x4 pred mode {mode}")
+
+
+def _i4x4_pred_mode(
+    modes: np.ndarray, bx: int, by: int
+) -> int:
+    """predIntra4x4PredMode (8.3.1.1): min of the left/above blocks'
+    modes, where an unavailable or non-Intra_4x4 neighbor counts as
+    DC (2)."""
+    bh, bw_ = modes.shape
+    ma = int(modes[by, bx - 1]) if bx > 0 else -1
+    mb = int(modes[by - 1, bx]) if by > 0 else -1
+    ma = 2 if ma < 0 else ma
+    mb = 2 if mb < 0 else mb
+    return min(ma, mb)
+
+
+def _decode_i4x4_mb(
+    br: BitReader, st: "_PicState", mbx: int, mby: int
+) -> None:
+    """One Intra_4x4 macroblock (mb_type 0 in I slices): 16 coded
+    prediction modes, chroma mode, intra CBP (Table 9-4), then
+    predict+reconstruct per 4x4 block IN DECODE ORDER — later blocks
+    predict from earlier reconstructed samples of the same MB."""
+    pred_modes = []
+    for _ in range(16):
+        if br.u(1):  # prev_intra4x4_pred_mode_flag
+            pred_modes.append(None)
+        else:
+            pred_modes.append(br.u(3))  # rem_intra4x4_pred_mode
+    chroma_mode = br.ue()
+    cbp_code = br.ue()
+    if cbp_code > 47:
+        raise H264Error("coded_block_pattern codeNum out of range")
+    cbp = _CBP_INTRA[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        st.qp += br.se()  # mb_qp_delta
+        if not 0 <= st.qp <= 51:
+            raise H264Error("mb QP out of range")
+    qp = st.qp
+    # residuals first (7.3.5.3 bitstream order: all luma blocks, then
+    # chroma), reconstruction second — but reconstruction must run in
+    # the same Z-order with intra prediction interleaved
+    luma_blocks: list = [None] * 16
+    for k, (brow, bcol) in enumerate(_BLK_ORDER):
+        if not (cbp_luma >> (k // 4)) & 1:
+            continue
+        aby, abx = 4 * mby + brow, 4 * mbx + bcol
+        nc = _nc_luma(st.nnz, aby, abx)
+        blk = read_residual_block(br, 16, nc)
+        luma_blocks[k] = blk
+        st.nnz[aby, abx] = sum(1 for v in blk if v)
+    cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
+
+    for k, (brow, bcol) in enumerate(_BLK_ORDER):
+        aby, abx = 4 * mby + brow, 4 * mbx + bcol
+        pm = _i4x4_pred_mode(st.i4_modes, abx, aby)
+        rem = pred_modes[k]
+        if rem is None:
+            mode = pm
+        else:
+            mode = rem if rem < pm else rem + 1
+        pred = predict_4x4(st.y, st.blk_decoded, abx, aby, mode)
+        blk = luma_blocks[k]
+        if blk is not None:
+            d = dequant_4x4(_zigzag_to_4x4(blk), qp, skip_dc=False)
+            e = inverse_transform_4x4(d)
+            pred = pred + ((e + 32) >> 6)
+        st.y[4 * aby : 4 * aby + 4, 4 * abx : 4 * abx + 4] = np.clip(
+            pred, 0, 255
+        )
+        st.i4_modes[aby, abx] = mode
+        st.blk_decoded[aby, abx] = True
+
+    _reconstruct_chroma(
+        st.cb, st.cr, mbx, mby, chroma_mode,
+        _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1455,6 +1721,7 @@ def _reconstruct_inter_mb(
         plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
             _chroma_resid_add(predc, qpc, cdc[c], cac[c])
         )
+    _mark_mb_decoded(st, mbx, mby)
 
 
 def _decode_p_mb(
@@ -1707,6 +1974,118 @@ def dc_offset(level: int, qp: int = 36) -> int:
     transform turns a DC-only block into (dcY + 32) >> 6 per pixel."""
     dc = scale_luma_dc(np.array([[level]], dtype=np.int64), qp)[0, 0]
     return int(dc + 32) >> 6
+
+
+def h264_encode_i4x4_rows(
+    mb_w: int,
+    mb_h: int,
+    v0: int,
+    row16_levels: list[int],
+    row4_levels: list[list[int]],
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+    qp: int = 36,
+) -> bytes:
+    """One Annex-B IDR access unit with a mixed-macroblock-type
+    picture built for a closed-form oracle over Intra_4x4 decoding:
+
+    - MB (0,0): I_PCM anchor, luma v0.
+    - column 0, rows R>0: Intra_16x16 V carrying row16_levels[R-1]
+      (band A: a(R) = a(R-1) + dc_offset(level), as h264_encode_rows).
+    - all other MBs: Intra_4x4, modes alternating H (1) and HU (8) by
+      (v0 + mbx) parity — both copy a constant left column exactly —
+      with row-0 interior MBs using DC (2) where every neighbor is v0.
+      The first interior MB of each row R>0 carries one DC-only CAVLC
+      level per block-column-0 4x4 block (cbp_luma 5: quadrants 0+2),
+      so band B's 4-pixel rows read b(R,q) = a(R) +
+      inter_dc_offset(row4_levels[R-1][q], qp); later MBs copy it with
+      cbp 0.
+
+    This exercises prev_intra4x4_pred_mode_flag/rem coding against the
+    min(A,B) predictor (I_PCM and I16x16 neighbors count as DC),
+    decode-order availability, the intra Table 9-4 CBP mapping, and
+    three of the nine prediction modes in oracle-checked pixels (the
+    other six are pytest-pinned on textured content)."""
+    if len(row16_levels) != mb_h - 1 or len(row4_levels) != mb_h - 1:
+        raise ValueError("need one level set per non-first MB row")
+    if mb_w < 2:
+        raise ValueError("need at least one Intra_4x4 interior column")
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(7)  # slice_type: I
+    bw.ue(0)  # pps_id
+    bw.u(0, 4)  # frame_num
+    bw.ue(0)  # idr_pic_id
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(0)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc
+
+    nnz = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64)
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int64)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            if mbx == 0 and mby == 0:
+                bw.ue(25)  # I_PCM
+                bw.align_zero()
+                for _ in range(256):
+                    bw.u(v0, 8)
+                for _ in range(128):
+                    bw.u(128, 8)
+                nnz[0:4, 0:4] = 16
+                continue
+            if mbx == 0:  # band A: Intra_16x16 V with the row's level
+                level = row16_levels[mby - 1]
+                bw.ue(1 + 0)  # mb_type: I16x16, V, cbp 0
+                bw.ue(0)  # chroma DC
+                bw.se(0)  # mb_qp_delta
+                nc = _nc_luma(nnz, 4 * mby, 4 * mbx)
+                write_residual_block(bw, [level] + [0] * 15, nc)
+                continue
+            # Intra_4x4 interior
+            bw.ue(0)  # mb_type: I_4x4
+            levels4 = (
+                row4_levels[mby - 1]
+                if (mby > 0 and mbx == 1) else [0, 0, 0, 0]
+            )
+            cbp = 5 if any(levels4) else 0  # luma quadrants 0+2
+            if mby == 0:
+                mb_mode = 2  # DC: every neighbor sample is v0
+            else:
+                mb_mode = 1 if (v0 + mbx) % 2 == 0 else 8  # H / HU
+            # 16 prediction modes, decode order
+            planned = []
+            for brow, bcol in _BLK_ORDER:
+                aby, abx = 4 * mby + brow, 4 * mbx + bcol
+                pm = _i4x4_pred_mode(modes, abx, aby)
+                if mb_mode == pm:
+                    planned.append((True, 0))
+                else:
+                    rem = mb_mode if mb_mode < pm else mb_mode - 1
+                    planned.append((False, rem))
+                modes[aby, abx] = mb_mode
+            for flag, rem in planned:
+                bw.u(1 if flag else 0, 1)
+                if not flag:
+                    bw.u(rem, 3)
+            bw.ue(0)  # intra_chroma_pred_mode: DC
+            bw.ue(_CBP_INTRA_INV[cbp])
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+                for k, (brow, bcol) in enumerate(_BLK_ORDER):
+                    if not ((cbp & 15) >> (k // 4)) & 1:
+                        continue
+                    aby, abx = 4 * mby + brow, 4 * mbx + bcol
+                    level = levels4[brow] if bcol == 0 else 0
+                    nc = _nc_luma(nnz, aby, abx)
+                    tc = write_residual_block(bw, [level] + [0] * 15, nc)
+                    nnz[aby, abx] = tc
+    bw.rbsp_trailing()
+    return (
+        encode_sps(mb_w, mb_h, crop_right, crop_bottom)
+        + encode_pps(qp)
+        + _nal(5, bw.to_bytes())
+    )
 
 
 def inter_dc_offset(level: int, qp: int = 28) -> int:

@@ -1929,6 +1929,141 @@ def m_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 Intra_4x4 decode (mixed-macroblock-type pictures)
+# ---------------------------------------------------------------------------
+
+
+def _h264_i4x4_oracle() -> str:
+    """Closed form for m_h264_intra4x4: band A (luma columns 0..15) is
+    the I_PCM/Intra_16x16 ladder a(R); band B (columns 16..w-1) is
+    Intra_4x4-decoded, a(R) + inter_dc_offset(level, 36) per 4-pixel
+    row — the AC-path rescale at qp 36 is exactly 10*level, pinned by
+    tests/test_h264_intra4x4.py."""
+    aR = (
+        "(40 + (7 * doc_id) % 160"
+        " + COALESCE(list_sum(list_transform(range(1, y // 16 + 1),"
+        " r -> ([0, 3, 5])[1 + (doc_id + r) % 3])), 0))"
+    )
+    b_delta = (
+        "(CASE WHEN y // 16 = 0 THEN 0 ELSE ([0, 10, -10])"
+        "[1 + (doc_id + 2 * (y // 16) + 3 * ((y % 16) // 4)) % 3] END)"
+    )
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(0, h), y ->
+           16 * {aR} + (w - 16) * ({aR} + {b_delta})
+       )) % 1000000007 AS BIGINT) AS checksum
+FROM geo
+"""
+
+
+_H264_I4X4_ORACLE = _h264_i4x4_oracle()
+
+
+def h264_i4x4_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One raw Annex-B IDR access unit per video doc whose picture
+    mixes I_PCM, Intra_16x16, and Intra_4x4 macroblocks (see
+    h264_encode_i4x4_rows): H/HU/DC 4x4 prediction modes appear in
+    oracle-checked pixels, mode coding runs against the min(A,B)
+    predictor with non-Intra_4x4 neighbors counting as DC, and the
+    first interior MB of each row carries per-4x4 DC-only CAVLC levels
+    under the intra Table 9-4 cbp 5 (luma quadrants 0+2)."""
+    from streams_spark.functions.h264 import h264_encode_i4x4_rows
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                payload = h264_encode_i4x4_rows(
+                    mw, mh, 40 + (7 * d) % 160,
+                    [(d + r) % 3 for r in range(1, mh)],
+                    [
+                        [[0, 1, -1][(d + 2 * r + 3 * q) % 3]
+                         for q in range(4)]
+                        for r in range(1, mh)
+                    ],
+                    crop_right=2 * (d % 4),
+                    crop_bottom=2 * ((d // 5) % 3),
+                )
+                rows_out.append((d, payload))
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264i4",
+        (_h,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_intra4x4", oracle=_H264_I4X4_ORACLE)
+def m_h264_intra4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 Intra_4x4 decode (8.3.1): each payload is a raw
+    Annex-B IDR whose picture mixes all three I-slice macroblock
+    families — the Intra_4x4 MBs decode 16 per-block prediction modes
+    (prev_intra4x4_pred_mode_flag against the min(A,B) predictor),
+    predict each 4x4 from neighbor samples whose availability follows
+    DECODE ORDER (later blocks of the same MB see earlier ones), and
+    add 16-coefficient CAVLC residuals selected by the intra Table 9-4
+    CBP mapping. The oracle predicts the decoded luma checksum in
+    closed form; the six prediction modes a horizontally-constant
+    fixture cannot distinguish (V/DDL/DDR/VR/HD/VL) are pytest-pinned
+    against the spec formulas on random neighborhoods
+    (tests/test_h264_intra4x4.py).
+
+    Scale: same map-only Arrow shape as every real-codec row; raw
+    elementary streams (no container) keep this row focused on the
+    slice-layer decode itself.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import h264_decode
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = h264_decode(bytes(payload))
+                h, w = fr.y.shape
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    return h264_i4x4_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, checksum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
 

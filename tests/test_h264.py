@@ -305,13 +305,15 @@ def test_b_slice_rejected():
         h264_decode(buf)
 
 
-def test_intra_4x4_rejected():
+def test_truncated_intra_4x4_mb_raises():
+    # Intra_4x4 is supported since r10 (tests/test_h264_intra4x4.py);
+    # a bare mb_type 0 with no mode/cbp payload must still fail loudly
     def body(bw):
         _header(bw)
-        bw.ue(0)  # mb_type 0: I_4x4
+        bw.ue(0)  # mb_type 0: I_4x4, then nothing
 
     buf = encode_sps(2, 2) + encode_pps() + _slice_nal(body)
-    with pytest.raises(H264Error, match="Intra_4x4"):
+    with pytest.raises(H264Error):
         h264_decode(buf)
 
 
