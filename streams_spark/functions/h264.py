@@ -17,11 +17,12 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
 - seq/pic parameter set parse (7.3.2.1/7.3.2.2): baseline profile 66,
   pic_order_cnt_type 2, frame cropping (CropUnit 2 for 4:2:0), CAVLC
   entropy mode only (CABAC → H264Error, documented scope).
-- Slice header (7.3.3) for IDR I slices; deblocking must be disabled
-  via disable_deblocking_filter_idc == 1 — the in-loop filter (8.7) is
-  NOT implemented and silently-unfiltered output would be wrong, so
-  any stream that requests it raises (same loud-failure posture as the
-  reference's corrupt-entry handling, /root/reference/server/wal.go).
+- Slice headers (7.3.3) for IDR/I and P slices, including the
+  deblocking-control fields; the IN-LOOP deblocking filter (8.7) is
+  implemented in full — boundary-strength derivation, Table 8-16/8-17
+  thresholds, strong and tc0-clipped filters, per-MB raster edge
+  sequencing, slice alpha/beta offsets, chroma, the I_PCM-QP-0 rule —
+  and filtered pictures feed the DPB, as inter prediction requires.
 - Macroblock layer (7.3.5) for I slices: I_PCM (raw samples,
   pcm_alignment_zero_bit), all four Intra_16x16 luma prediction modes
   V/H/DC/Plane (8.3.3), and Intra_4x4 with all nine 8.3.1 prediction
@@ -1000,9 +1001,8 @@ class H264Decoder:
 def h264_decode(buf: bytes) -> H264Frame:
     """Decode a single self-contained IDR access unit. SEI/AUD NALs
     are skipped; anything requiring unimplemented tools (CABAC, B
-    slices, P partitions below 16x16, enabled deblocking, interlace,
-    high-profile SPS) raises H264Error rather than producing
-    silently-wrong pixels. Non-IDR slices need decode-order state —
+    slices, P partitions below 16x16, interlace, high-profile SPS)
+    raises H264Error rather than producing silently-wrong pixels. Non-IDR slices need decode-order state —
     use H264Decoder / h264_decode_gop for those."""
     return H264Decoder().decode(buf)
 
@@ -1070,17 +1070,20 @@ def _decode_slice(
     qp = pps.pic_init_qp + br.se()
     if not 0 <= qp <= 51:
         raise H264Error(f"slice QP {qp} out of range")
+    # deblocking control (7.3.3): without the PPS flag the filter
+    # defaults to ON with zero offsets; idc 1 disables it; idc 2
+    # equals idc 0 for single-slice pictures (no other slice to
+    # exclude). The in-loop filter itself is 8.7 / _deblock_picture.
+    deblock, alpha_off, beta_off = True, 0, 0
     if pps.deblocking_control_present:
-        if br.ue() != 1:  # disable_deblocking_filter_idc
-            raise H264Error(
-                "in-loop deblocking requested but not implemented; "
-                "streams must set disable_deblocking_filter_idc=1"
-            )
-    else:
-        raise H264Error(
-            "deblocking defaults to enabled without "
-            "deblocking_filter_control_present_flag; unsupported"
-        )
+        idc = br.ue()
+        if idc > 2:
+            raise H264Error("disable_deblocking_filter_idc out of range")
+        if idc == 1:
+            deblock = False
+        else:
+            alpha_off = 2 * br.se()
+            beta_off = 2 * br.se()
 
     mw, mh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
     st = _PicState(
@@ -1094,6 +1097,7 @@ def _decode_slice(
         avail=np.zeros((mh, mw), dtype=bool),
         i4_modes=np.full((4 * mh, 4 * mw), -1, dtype=np.int64),
         blk_decoded=np.zeros((4 * mh, 4 * mw), dtype=bool),
+        mb_qp=np.zeros((mh, mw), dtype=np.int64),
         qp=qp, mw=mw, mh=mh, pps=pps,
     )
 
@@ -1120,6 +1124,7 @@ def _decode_slice(
                     raise H264Error("mb_skip_run past pic_size_in_mbs")
                 mbx, mby = mb % mw, mb // mw
                 mvx, mvy = _skip_mv(st, mbx, mby)
+                st.mb_qp[mby, mbx] = st.qp
                 _reconstruct_inter_mb(
                     st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
                     cbp=0, luma_blocks=[None] * 16,
@@ -1145,6 +1150,9 @@ def _decode_slice(
                 f"P slice covers {mb} of {n_mbs} macroblocks"
             )
 
+    if deblock:
+        _deblock_picture(st, alpha_off, beta_off)
+
     y, cb, cr = st.y, st.cb, st.cr
     ct, cbm = sps.crop_top, sps.crop_bottom
     cl, crm = sps.crop_left, sps.crop_right
@@ -1165,7 +1173,7 @@ class _PicState:
 
     __slots__ = (
         "y", "cb", "cr", "nnz", "nnz_c", "mv", "inter", "avail",
-        "i4_modes", "blk_decoded", "qp", "mw", "mh", "pps",
+        "i4_modes", "blk_decoded", "mb_qp", "qp", "mw", "mh", "pps",
     )
 
     def __init__(self, **kw) -> None:
@@ -1182,6 +1190,7 @@ def _decode_intra_mb(
         st.nnz[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
         for c in (0, 1):
             st.nnz_c[c][2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        st.mb_qp[mby, mbx] = 0  # I_PCM QP counts as 0 in deblocking
         _mark_mb_decoded(st, mbx, mby)
         return
     if mb_type == 0:
@@ -1196,6 +1205,7 @@ def _decode_intra_mb(
     st.qp += br.se()  # mb_qp_delta
     if not 0 <= st.qp <= 51:
         raise H264Error("mb QP out of range")
+    st.mb_qp[mby, mbx] = st.qp
     qp, nnz, nnz_c = st.qp, st.nnz, st.nnz_c
 
     # Intra16x16DCLevel: always present for Intra_16x16 (7.3.5.3),
@@ -1255,6 +1265,254 @@ def _read_chroma_residuals(
                     cac[c][k] = ac
                     nnz_c[c][cby, cbx] = sum(1 for v in ac if v)
     return cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking filter (8.7)
+# ---------------------------------------------------------------------------
+
+# Table 8-16: alpha / beta thresholds indexed by Clip3(0,51,qp+offset).
+# Transcribed from the public spec; structure (16 leading zeros, strict
+# monotonicity, anchors) is pinned in tests/test_h264_deblock.py.
+_DB_ALPHA = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255,
+]
+_DB_BETA = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 17, 17, 18, 18,
+]
+# Table 8-17: tc0 by (bS-1, index)
+_DB_TC0 = [
+    [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6,
+                7, 8, 9, 10],
+    [0] * 16 + [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8,
+                10, 11, 12, 13],
+    [0] * 16 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+                3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14,
+                16, 18, 20, 23, 25],
+]
+
+
+def _bs_luma_pair(
+    st: "_PicState", pbx: int, pby: int, qbx: int, qby: int, mb_edge: bool
+) -> int:
+    """Boundary strength for one 4x4 block pair (8.7.2.1, frame
+    pictures, single L0 reference)."""
+    p_mb, q_mb = (pby // 4, pbx // 4), (qby // 4, qbx // 4)
+    p_intra = not st.inter[p_mb]
+    q_intra = not st.inter[q_mb]
+    if p_intra or q_intra:
+        return 4 if mb_edge else 3
+    if st.nnz[pby, pbx] or st.nnz[qby, qbx]:
+        return 2
+    mvp, mvq = st.mv[p_mb], st.mv[q_mb]
+    if (
+        abs(int(mvp[0]) - int(mvq[0])) >= 4
+        or abs(int(mvp[1]) - int(mvq[1])) >= 4
+    ):
+        return 1
+    return 0
+
+
+def _filter_edge_luma(
+    win: np.ndarray, bs4: np.ndarray, qpav: np.ndarray,
+    alpha_off: int, beta_off: int,
+) -> None:
+    """Filter one luma edge in place. `win` is (n_lines, 8): columns
+    p3 p2 p1 p0 q0 q1 q2 q3 as VIEWS into the plane (the caller
+    orients rows/columns); bs4/qpav are per-line bS and average-QP.
+    Implements 8.7.2.3/8.7.2.4 with per-line decisions."""
+    p3, p2, p1, p0 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
+    q0, q1, q2, q3 = win[:, 4], win[:, 5], win[:, 6], win[:, 7]
+    idx_a = np.clip(qpav + alpha_off, 0, 51)
+    idx_b = np.clip(qpav + beta_off, 0, 51)
+    alpha = np.array(_DB_ALPHA, dtype=np.int64)[idx_a]
+    beta = np.array(_DB_BETA, dtype=np.int64)[idx_b]
+    filt = (
+        (bs4 > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not filt.any():
+        return
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    snap = win.copy()
+    sp3, sp2, sp1, sp0 = snap[:, 0], snap[:, 1], snap[:, 2], snap[:, 3]
+    sq0, sq1, sq2, sq3 = snap[:, 4], snap[:, 5], snap[:, 6], snap[:, 7]
+
+    strong = filt & (bs4 == 4)
+    if strong.any():
+        cond = np.abs(sp0 - sq0) < ((alpha >> 2) + 2)
+        mp = strong & cond & ap  # full p-side strong filter
+        p0[mp] = (sp2 + 2 * sp1 + 2 * sp0 + 2 * sq0 + sq1 + 4)[mp] >> 3
+        p1[mp] = (sp2 + sp1 + sp0 + sq0 + 2)[mp] >> 2
+        p2[mp] = (2 * sp3 + 3 * sp2 + sp1 + sp0 + sq0 + 4)[mp] >> 3
+        wp = strong & ~(cond & ap)
+        p0[wp] = (2 * sp1 + sp0 + sq1 + 2)[wp] >> 2
+        mq = strong & cond & aq
+        q0[mq] = (sq2 + 2 * sq1 + 2 * sq0 + 2 * sp0 + sp1 + 4)[mq] >> 3
+        q1[mq] = (sq2 + sq1 + sq0 + sp0 + 2)[mq] >> 2
+        q2[mq] = (2 * sq3 + 3 * sq2 + sq1 + sq0 + sp0 + 4)[mq] >> 3
+        wq = strong & ~(cond & aq)
+        q0[wq] = (2 * sq1 + sq0 + sp1 + 2)[wq] >> 2
+
+    weak = filt & (bs4 < 4)
+    if weak.any():
+        tc0 = np.zeros(len(win), dtype=np.int64)
+        for b in (1, 2, 3):
+            sel = weak & (bs4 == b)
+            tc0[sel] = np.array(_DB_TC0[b - 1], dtype=np.int64)[idx_a[sel]]
+        tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+        delta = np.clip(
+            ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
+        )
+        p0[weak] = np.clip(sp0 + delta, 0, 255)[weak]
+        q0[weak] = np.clip(sq0 - delta, 0, 255)[weak]
+        half = (sp0 + sq0 + 1) >> 1
+        dp1 = np.clip((sp2 + half - 2 * sp1) >> 1, -tc0, tc0)
+        sel = weak & ap
+        p1[sel] = (sp1 + dp1)[sel]
+        dq1 = np.clip((sq2 + half - 2 * sq1) >> 1, -tc0, tc0)
+        sel = weak & aq
+        q1[sel] = (sq1 + dq1)[sel]
+
+
+def _filter_edge_chroma(
+    win: np.ndarray, bs4: np.ndarray, qpav: np.ndarray,
+    alpha_off: int, beta_off: int,
+) -> None:
+    """Chroma edge filter (8.7.2.3/8.7.2.4): only p0/q0 change; `win`
+    is (n_lines, 4): p1 p0 q0 q1."""
+    p1, p0, q0, q1 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
+    idx_a = np.clip(qpav + alpha_off, 0, 51)
+    idx_b = np.clip(qpav + beta_off, 0, 51)
+    alpha = np.array(_DB_ALPHA, dtype=np.int64)[idx_a]
+    beta = np.array(_DB_BETA, dtype=np.int64)[idx_b]
+    filt = (
+        (bs4 > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not filt.any():
+        return
+    snap = win.copy()
+    sp1, sp0, sq0, sq1 = snap[:, 0], snap[:, 1], snap[:, 2], snap[:, 3]
+    strong = filt & (bs4 == 4)
+    p0[strong] = (2 * sp1 + sp0 + sq1 + 2)[strong] >> 2
+    q0[strong] = (2 * sq1 + sq0 + sp1 + 2)[strong] >> 2
+    weak = filt & (bs4 < 4)
+    if weak.any():
+        tc0 = np.zeros(len(win), dtype=np.int64)
+        for b in (1, 2, 3):
+            sel = weak & (bs4 == b)
+            tc0[sel] = np.array(_DB_TC0[b - 1], dtype=np.int64)[idx_a[sel]]
+        tc = tc0 + 1
+        delta = np.clip(
+            ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
+        )
+        p0[weak] = np.clip(sp0 + delta, 0, 255)[weak]
+        q0[weak] = np.clip(sq0 - delta, 0, 255)[weak]
+
+
+def _deblock_picture(
+    st: "_PicState", alpha_off: int, beta_off: int
+) -> None:
+    """8.7: per macroblock in raster order, filter all vertical edges
+    left-to-right, then all horizontal edges top-to-bottom; each
+    operation reads samples as modified by the previous ones. QP of an
+    I_PCM macroblock counts as 0 (8.7.2); chroma uses the mapped QPc
+    with the PPS offset."""
+    mw, mh = st.mw, st.mh
+    y_pl, cb_pl, cr_pl = st.y, st.cb, st.cr
+    coff = st.pps.chroma_qp_offset
+
+    def mb_qp(mbx: int, mby: int) -> int:
+        return int(st.mb_qp[mby, mbx])
+
+    for mby in range(mh):
+        for mbx in range(mw):
+            # ---- vertical edges (filter across columns) ----
+            for e in range(4):
+                if e == 0 and mbx == 0:
+                    continue
+                x = 16 * mbx + 4 * e
+                qp_p = mb_qp(mbx - 1, mby) if e == 0 else mb_qp(mbx, mby)
+                qp_q = mb_qp(mbx, mby)
+                qpav_v = (qp_p + qp_q + 1) >> 1
+                bs_lines = np.empty(16, dtype=np.int64)
+                for blk in range(4):
+                    bs = _bs_luma_pair(
+                        st,
+                        (x - 1) // 4, 4 * mby + blk,
+                        x // 4, 4 * mby + blk,
+                        mb_edge=(e == 0),
+                    )
+                    bs_lines[4 * blk : 4 * blk + 4] = bs
+                win = y_pl[16 * mby : 16 * mby + 16, x - 4 : x + 4]
+                _filter_edge_luma(
+                    win, bs_lines,
+                    np.full(16, qpav_v, dtype=np.int64),
+                    alpha_off, beta_off,
+                )
+                if e in (0, 2):  # chroma vertical edges at cx = 0, 4
+                    cx = 8 * mbx + 2 * e
+                    qpav_c = (
+                        _chroma_qp(qp_p, coff) + _chroma_qp(qp_q, coff) + 1
+                    ) >> 1
+                    cbs = bs_lines[::2]
+                    for pl in (cb_pl, cr_pl):
+                        cwin = pl[8 * mby : 8 * mby + 8, cx - 2 : cx + 2]
+                        _filter_edge_chroma(
+                            cwin, cbs,
+                            np.full(8, qpav_c, dtype=np.int64),
+                            alpha_off, beta_off,
+                        )
+            # ---- horizontal edges (filter across rows) ----
+            for e in range(4):
+                if e == 0 and mby == 0:
+                    continue
+                y = 16 * mby + 4 * e
+                qp_p = mb_qp(mbx, mby - 1) if e == 0 else mb_qp(mbx, mby)
+                qp_q = mb_qp(mbx, mby)
+                qpav_h = (qp_p + qp_q + 1) >> 1
+                bs_lines = np.empty(16, dtype=np.int64)
+                for blk in range(4):
+                    bs = _bs_luma_pair(
+                        st,
+                        4 * mbx + blk, (y - 1) // 4,
+                        4 * mbx + blk, y // 4,
+                        mb_edge=(e == 0),
+                    )
+                    bs_lines[4 * blk : 4 * blk + 4] = bs
+                win = y_pl[y - 4 : y + 4, 16 * mbx : 16 * mbx + 16].T
+                _filter_edge_luma(
+                    win, bs_lines,
+                    np.full(16, qpav_h, dtype=np.int64),
+                    alpha_off, beta_off,
+                )
+                if e in (0, 2):
+                    cy = 8 * mby + 2 * e
+                    qpav_c = (
+                        _chroma_qp(qp_p, coff) + _chroma_qp(qp_q, coff) + 1
+                    ) >> 1
+                    cbs = bs_lines[::2]
+                    for pl in (cb_pl, cr_pl):
+                        cwin = pl[cy - 2 : cy + 2, 8 * mbx : 8 * mbx + 8].T
+                        _filter_edge_chroma(
+                            cwin, cbs,
+                            np.full(8, qpav_c, dtype=np.int64),
+                            alpha_off, beta_off,
+                        )
 
 
 # ---------------------------------------------------------------------------
@@ -1466,6 +1724,7 @@ def _decode_i4x4_mb(
         st.qp += br.se()  # mb_qp_delta
         if not 0 <= st.qp <= 51:
             raise H264Error("mb QP out of range")
+    st.mb_qp[mby, mbx] = st.qp
     qp = st.qp
     # residuals first (7.3.5.3 bitstream order: all luma blocks, then
     # chroma), reconstruction second — but reconstruction must run in
@@ -1766,6 +2025,7 @@ def _decode_p_mb(
             luma_blocks[k] = blk
             st.nnz[aby, abx] = sum(1 for v in blk if v)
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
+    st.mb_qp[mby, mbx] = st.qp
     _reconstruct_inter_mb(
         st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
         cbp, luma_blocks, cdc, cac,
@@ -1907,6 +2167,8 @@ def h264_encode_rows(
     crop_right: int = 0,
     crop_bottom: int = 0,
     qp: int = 36,
+    deblock: bool = False,
+    anchor_level: int | None = None,
 ) -> bytes:
     """One Annex-B IDR access unit (SPS+PPS+slice) whose decoded luma
     is constant per MB row: row 0 = v0 (anchored by an I_PCM MB then
@@ -1916,7 +2178,16 @@ def h264_encode_rows(
     the row's level is 0, exercising the two-neighbor DC average).
     Chroma is 128 everywhere (DC mode, zero residual). The per-level
     offset is exact integer math (dc_offset below), which is what
-    makes a closed-form SQL oracle possible."""
+    makes a closed-form SQL oracle possible.
+
+    `deblock=True` enables the 8.7 in-loop filter (idc 0, zero
+    offsets). `anchor_level` replaces the I_PCM anchor with a
+    neighbor-less DC-predicted Intra_16x16 MB carrying that level, so
+    v0 must then equal 128 + dc_offset(anchor_level, qp) — used by the
+    deblocking fixture, whose closed form needs every MB's deblocking
+    QP to be the slice QP (I_PCM QPs count as 0 there)."""
+    if anchor_level is not None and v0 != 128 + dc_offset(anchor_level, qp):
+        raise ValueError("v0 must match the DC anchor level")
     if len(dc_levels) != mb_h - 1:
         raise ValueError("need one DC level per non-first MB row")
     bw = BitWriter()
@@ -1928,12 +2199,26 @@ def h264_encode_rows(
     bw.u(0, 1)  # no_output_of_prior_pics
     bw.u(0, 1)  # long_term_reference
     bw.se(0)  # slice_qp_delta: encode_pps(qp) already pins pic_init_qp
-    bw.ue(1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.ue(0)  # disable_deblocking_filter_idc: filter ON
+        bw.se(0)  # slice_alpha_c0_offset_div2
+        bw.se(0)  # slice_beta_offset_div2
+    else:
+        bw.ue(1)  # disable_deblocking_filter_idc
 
     nnz = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64)
     for mby in range(mb_h):
         for mbx in range(mb_w):
             if mbx == 0 and mby == 0:
+                if anchor_level is not None:
+                    # neighbor-less DC prediction = 128, plus the level
+                    bw.ue(1 + 2)  # mb_type: I16x16, DC, cbp 0
+                    bw.ue(0)  # chroma DC
+                    bw.se(0)  # mb_qp_delta
+                    write_residual_block(
+                        bw, [anchor_level] + [0] * 15, 0
+                    )
+                    continue
                 bw.ue(25)  # I_PCM
                 bw.align_zero()  # pcm_alignment_zero_bit
                 for _ in range(256):
@@ -1985,6 +2270,7 @@ def h264_encode_i4x4_rows(
     crop_right: int = 0,
     crop_bottom: int = 0,
     qp: int = 36,
+    deblock: bool = False,
 ) -> bytes:
     """One Annex-B IDR access unit with a mixed-macroblock-type
     picture built for a closed-form oracle over Intra_4x4 decoding:
@@ -2019,7 +2305,12 @@ def h264_encode_i4x4_rows(
     bw.u(0, 1)
     bw.u(0, 1)
     bw.se(0)  # slice_qp_delta
-    bw.ue(1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.ue(0)
+        bw.se(0)
+        bw.se(0)
+    else:
+        bw.ue(1)  # disable_deblocking_filter_idc
 
     nnz = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int64)
@@ -2111,6 +2402,7 @@ def h264_encode_p_rows(
     frame_num: int = 1,
     qp_delta: int = -8,
     ref_idc: int = 2,
+    deblock: bool = False,
 ) -> bytes:
     """One non-IDR P access unit (single slice NAL, nal_ref_idc 2)
     whose decoded luma is the reference picture motion-compensated by
@@ -2137,7 +2429,12 @@ def h264_encode_p_rows(
     if ref_idc:  # dec_ref_pic_marking only for reference pictures
         bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
     bw.se(qp_delta)  # slice_qp_delta
-    bw.ue(1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.ue(0)
+        bw.se(0)
+        bw.se(0)
+    else:
+        bw.ue(1)  # disable_deblocking_filter_idc
 
     st = _PicState(
         nnz=np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64),

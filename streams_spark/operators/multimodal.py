@@ -2064,6 +2064,192 @@ def m_h264_intra4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 in-loop deblocking (8.7) over single-MB-column pictures
+# ---------------------------------------------------------------------------
+
+
+def _h264_deblock_oracle() -> str:
+    """Closed form for m_h264_deblock: single-MB-column pictures have
+    no vertical edges, so the filter reduces to the horizontal MB-edge
+    pass per boundary — strong (|a-b| < (alpha>>2)+2 = 14 at qp 36),
+    the one-tap bS-4 fallback (14 <= |a-b| < alpha = 50), or nothing —
+    plus the second-order correction where the internal bS-3 edge at
+    y0+4 re-adjusts row y0+2 with tc0(3,36) = 4. Constants 50/14/4 are
+    Table 8-16/8-17 values pinned in tests/test_h264_deblock.py; the
+    whole sequencing is decoder-vs-independent-reference tested there
+    (including the multi-MB-column wavefront this fixture avoids)."""
+    lvl = (
+        "(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE -1 END"
+        " * ([0, 1, 2, 5, 9, 20, 26])[1 + (doc_id + 2 * r) % 7])"
+    )
+    off = f"CAST(floor((160.0 * {lvl} + 32) / 64) AS BIGINT)"
+    anchor = (
+        "128 + CAST(floor((160.0 * ((doc_id % 7) - 3) + 32) / 64) AS BIGINT)"
+    )
+    cur = "arows[1 + y // 16]"   # this MB row's constant (q side above)
+    pv = "arows[y // 16]"        # row above's constant (a)
+    nb = "arows[2 + y // 16]"    # row below's constant (b)
+    # strong q-side values at the boundary ABOVE this row, then the
+    # second-order bS-3 adjustment of q2 (tc0(3,36) = 4):
+    q1p = f"((3 * {cur} + {pv} + 2) // 4)"
+    q2p = f"((7 * {cur} + {pv} + 4) // 8)"
+    q2pp = (
+        f"({q2p} + GREATEST(-4, LEAST(4, CAST(floor(({q1p}"
+        f" + {cur} - 2.0 * {q2p}) / 2) AS BIGINT))))"
+    )
+    fy = f"""CASE
+          WHEN y % 16 <= 2 AND y >= 16 THEN
+            CASE
+              WHEN abs({pv} - {cur}) >= 50 THEN {cur}
+              WHEN abs({pv} - {cur}) < 14 THEN
+                CASE y % 16
+                  WHEN 0 THEN (5 * {cur} + 3 * {pv} + 4) // 8
+                  WHEN 1 THEN {q1p}
+                  ELSE {q2pp}
+                END
+              WHEN y % 16 = 0 THEN {q1p}
+              ELSE {cur}
+            END
+          WHEN y % 16 >= 13 AND y // 16 + 1 < mh THEN
+            CASE
+              WHEN abs({nb} - {cur}) >= 50 THEN {cur}
+              WHEN abs({nb} - {cur}) < 14 THEN
+                CASE y % 16
+                  WHEN 13 THEN (7 * {cur} + {nb} + 4) // 8
+                  WHEN 14 THEN (3 * {cur} + {nb} + 2) // 4
+                  ELSE (5 * {cur} + 3 * {nb} + 4) // 8
+                END
+              WHEN y % 16 = 15 THEN (3 * {cur} + {nb} + 2) // 4
+              ELSE {cur}
+            END
+          ELSE {cur}
+        END"""
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 9) % 4 AS mh,
+         16 - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 4) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 2
+), rv AS (
+  SELECT doc_id, mh, w, h,
+         list_transform(range(0, mh), R ->
+             {anchor}
+             + COALESCE(list_sum(list_transform(range(1, R + 1),
+                 r -> {off})), 0)) AS arows
+  FROM geo
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(0, h), y ->
+           w * ({fy})
+       )) % 1000000007 AS BIGINT) AS checksum
+FROM rv
+"""
+
+
+_H264_DEBLOCK_ORACLE = _h264_deblock_oracle()
+
+
+def h264_deblock_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One raw Annex-B IDR per video doc: a single-MB-column picture
+    (no vertical edges) whose per-row steps sweep the filter regimes —
+    |a-b| of 0/3/5/13 (full strong path), 23/33 (one-tap bS-4
+    fallback), 50/65 (past alpha, untouched) — with the in-loop filter
+    ENABLED (idc 0, zero offsets) and a DC-anchored first MB so every
+    macroblock deblocks at the slice QP."""
+    from streams_spark.functions.h264 import dc_offset, h264_encode_rows
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out = []
+        mags = [0, 1, 2, 5, 9, 20, 26]
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mh = 2 + (d // 9) % 4
+                la = (d % 7) - 3
+                levels = [
+                    mags[(d + 2 * r) % 7]
+                    * (1 if (d + r) % 2 == 0 else -1)
+                    for r in range(1, mh)
+                ]
+                payload = h264_encode_rows(
+                    1, mh, 128 + dc_offset(la), levels,
+                    crop_right=2 * (d % 4),
+                    crop_bottom=2 * ((d // 5) % 3),
+                    deblock=True, anchor_level=la,
+                )
+                rows_out.append((d, payload))
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264db",
+        (_h,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_deblock", oracle=_H264_DEBLOCK_ORACLE)
+def m_h264_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 in-loop deblocking (8.7): the decoder runs boundary-
+    strength derivation, the Table 8-16 alpha/beta gates, and the bS-4
+    strong / one-tap filters on every picture edge, and the oracle
+    predicts the FILTERED luma checksum in closed form — including the
+    second-order interaction where an internal bS-3 edge re-adjusts a
+    row the MB-edge pass just wrote (tc0 clip at 4). The fixture
+    sweeps step sizes across the strong/fallback/off thresholds, so a
+    decoder with a wrong table value, a wrong rounding, or a wrong
+    filter-order diverges. The multi-MB wavefront, inter bS 2/1/0,
+    slice offsets, chroma filtering, and the I_PCM-QP-0 rule are
+    pinned against an independent scalar reference in
+    tests/test_h264_deblock.py.
+
+    Scale: map-only Arrow decode over a staged blob table; the filter
+    is part of the per-sample decode (in-loop, as the spec requires —
+    P pictures reference FILTERED frames), so it parallelizes exactly
+    like the rest of the codec surface.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import h264_decode
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = h264_decode(bytes(payload))
+                h, w = fr.y.shape
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    return h264_deblock_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, checksum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
 

@@ -317,11 +317,13 @@ def test_truncated_intra_4x4_mb_raises():
         h264_decode(buf)
 
 
-def test_deblocking_enabled_rejected():
+def test_deblocking_idc_out_of_range_rejected():
+    # deblocking is implemented since r10 (tests/test_h264_deblock.py);
+    # idc values beyond 2 remain invalid syntax
     buf = encode_sps(2, 2) + encode_pps() + _slice_nal(
-        lambda bw: _header(bw, deblock_idc=0)
+        lambda bw: _header(bw, deblock_idc=3)
     )
-    with pytest.raises(H264Error, match="deblocking"):
+    with pytest.raises(H264Error, match="idc out of range"):
         h264_decode(buf)
 
 

@@ -269,7 +269,8 @@ def test_skip_mv_intra_neighbor_is_not_zero_motion():
 # ---------------------------------------------------------------------------
 
 
-def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8):
+def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8,
+                     deblock=False):
     """One P AU where mbs[(mbx,mby)] is either ('inter', (mvx,mvy),
     level), ('skip',) or ('intra16', v_level). Mirrors the decoder's
     neighbor bookkeeping so mvd/skip/nC are all spec-derived."""
@@ -282,7 +283,12 @@ def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8):
     bw.u(0, 1)
     bw.u(0, 1)
     bw.se(qp_delta)
-    bw.ue(1)
+    if deblock:
+        bw.ue(0)
+        bw.se(0)
+        bw.se(0)
+    else:
+        bw.ue(1)
     st = _state(mb_w, mb_h)
     pending = 0
     for mby in range(mb_h):
