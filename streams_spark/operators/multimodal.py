@@ -2250,6 +2250,163 @@ def m_h264_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real AAC ADTS frame census (the audio sibling of m_mp3_census)
+# ---------------------------------------------------------------------------
+
+_AAC_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         3 + (doc_id // 3) % 5 AS nf,
+         (doc_id // 7) % 13 AS sfi,
+         1 + (doc_id // 11) % 2 AS channels,
+         doc_id % 5 AS lead_junk,
+         CASE WHEN doc_id % 4 = 0 THEN 10 + (doc_id % 23) ELSE 0 END
+           AS id3_bytes
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 0
+), f AS (
+  SELECT doc_id, nf, sfi, channels, lead_junk, id3_bytes,
+         list_transform(range(0, nf), i ->
+             CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END) AS crcs,
+         list_transform(range(0, nf), i ->
+             CASE WHEN (doc_id + i) % 3 = 0 THEN 1
+                  ELSE 1 + (doc_id + i) % 2 END) AS blocks,
+         list_transform(range(0, nf), i ->
+             20 + (7 * doc_id + 13 * i) % 50) AS payloads
+  FROM v
+)
+SELECT doc_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(([96000, 88200, 64000, 48000, 44100, 32000, 24000,
+              22050, 16000, 12000, 11025, 8000, 7350])[1 + sfi]
+            AS INTEGER) AS samplerate,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(1024 * list_sum(blocks) AS BIGINT) AS total_samples,
+       CAST(7 * nf + 2 * list_sum(crcs) + list_sum(payloads) AS BIGINT)
+         AS frame_bytes,
+       CAST(list_sum(crcs) AS INTEGER) AS crc_frames,
+       CAST(list_sum(list_transform(blocks, b ->
+            CASE WHEN b > 1 THEN 1 ELSE 0 END)) AS INTEGER)
+         AS multi_block_frames,
+       CAST(lead_junk AS INTEGER) AS junk_bytes,
+       CAST(id3_bytes AS INTEGER) AS id3_bytes
+FROM f
+"""
+
+
+def aac_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL ADTS elementary stream per audio doc (doc_id % 3 = 0):
+    3..7 frames sweeping all 13 sampling-frequency indices, mono and
+    stereo, CRC and multi-raw-data-block frames, leading junk, and an
+    ID3v2 tag on every fourth doc."""
+    from streams_spark.functions.aac import adts_build
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 0))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + (d // 3) % 5
+                frames = []
+                for i in range(nf):
+                    crc = (d + i) % 3 == 0
+                    blocks = 1 if crc else 1 + (d + i) % 2
+                    frames.append(
+                        (20 + (7 * d + 13 * i) % 50, blocks, crc)
+                    )
+                rows_out.append(
+                    (d, adts_build(
+                        frames,
+                        sfi=(d // 7) % 13,
+                        channels=1 + (d // 11) % 2,
+                        lead_junk=d % 5,
+                        id3_size=(10 + (d % 23)) if d % 4 == 0 else 0,
+                        seed=d,
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import aac as _a
+
+    return _staged_blob_feed(
+        spark, sf_dir, "docaac",
+        (_a,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_aac_census", oracle=_AAC_ORACLE)
+def m_aac_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata census over REAL AAC ADTS elementary streams
+    (ISO 14496-3 1.A.2.2): the scanner skips the ID3v2 tag, resyncs
+    past junk with next-frame validation, and hops frame-to-frame by
+    the 13-bit aac_frame_length — reporting frame count, sample rate,
+    channel configuration, total samples (1024 per raw data block,
+    so multi-block frames must be counted correctly), stream bytes,
+    CRC-protected and multi-block frame counts, and junk/tag bytes.
+    Everything comes from the SCAN of genuinely framed bytes; the
+    oracle predicts each field in closed form from the synthesis rule.
+    False syncs, truncation, reserved frequency indices, and the
+    trailing-junk demotion semantics are pytest-covered
+    (tests/test_aac.py).
+
+    Scale: two chained map-only Arrow stages, no shuffle; per-blob
+    cost is header hops, not byte scans, once synced. Same posture as
+    m_mp3_census — a PCM decoder plugs in via decode_fn= without
+    touching the census.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    from streams_spark.functions.aac import adts_scan
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                scan = adts_scan(bytes(payload))
+                fr = scan.frames
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(fr),
+                        fr[0].sample_rate if fr else 0,
+                        fr[0].channels if fr else 0,
+                        1024 * sum(f.blocks for f in fr),
+                        sum(f.size for f in fr),
+                        sum(1 for f in fr if f.crc),
+                        sum(1 for f in fr if f.blocks > 1),
+                        scan.junk_bytes,
+                        scan.id3_bytes,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "samplerate", "channels",
+                    "total_samples", "frame_bytes", "crc_frames",
+                    "multi_block_frames", "junk_bytes", "id3_bytes",
+                ],
+            )
+
+    return aac_table_real(spark, sf_dir).mapInPandas(
+        census,
+        schema=(
+            "doc_id long, n_frames int, samplerate int, channels int, "
+            "total_samples bigint, frame_bytes bigint, crc_frames int, "
+            "multi_block_frames int, junk_bytes int, id3_bytes int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (storage-level dedup over opaque payloads)
 # ---------------------------------------------------------------------------
 
