@@ -647,3 +647,79 @@ def test_inter_dc_offset_lattice_pinned():
     assert inter_dc_offset(2, 28) == 8
     # and the fixture IDR lattice at qp 36 stays [0, 3, 5]
     assert [dc_offset(v) for v in (0, 1, 2)] == [0, 3, 5]
+
+
+# ---------------------------------------------------------------------------
+# Robustness: byte-flip sweep + hypothesis GOP round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_p_slice_byte_flip_sweep_never_hangs_or_crashes():
+    # every corrupted P AU must either decode to a correctly-shaped
+    # frame (legal-but-wrong bits) or raise H264Error — any other
+    # exception or a hang is a decoder defect
+    idr = h264_encode_rows(3, 3, 90, [1, 2])
+    p = h264_encode_p_rows(3, 3, (5, 7), [1, 0, -1], frame_num=1)
+    outcomes = {"ok": 0, "error": 0}
+    for i in range(5, len(p)):  # skip start code + NAL header byte
+        corrupt = bytearray(p)
+        corrupt[i] ^= 0x55
+        dec = H264Decoder()
+        dec.decode(idr)
+        try:
+            fr = dec.decode(bytes(corrupt))
+            assert fr.y.shape == (48, 48)
+            outcomes["ok"] += 1
+        except H264Error:
+            outcomes["error"] += 1
+    assert outcomes["ok"] + outcomes["error"] == len(p) - 5
+    assert outcomes["error"] > 0  # some flips must trip a guard
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        mb_w=st.integers(min_value=1, max_value=4),
+        mb_h=st.integers(min_value=1, max_value=4),
+        v0=st.integers(min_value=40, max_value=190),
+        mvx=st.integers(min_value=-17, max_value=17),
+        mvy=st.integers(min_value=-29, max_value=29),
+        data=st.data(),
+    )
+    def test_gop_round_trip_hypothesis(mb_w, mb_h, v0, mvx, mvy, data):
+        intra = [
+            data.draw(st.integers(min_value=0, max_value=2))
+            for _ in range(mb_h - 1)
+        ]
+        n_p = data.draw(st.integers(min_value=1, max_value=3))
+        aus = [h264_encode_rows(mb_w, mb_h, v0, intra)]
+        h = 16 * mb_h
+        rows = np.empty(h, dtype=np.int64)
+        val = v0
+        for r in range(mb_h):
+            if r > 0:
+                val += dc_offset(intra[r - 1])
+            rows[16 * r : 16 * r + 16] = val
+        for f in range(1, n_p + 1):
+            levels = [
+                data.draw(st.integers(min_value=-1, max_value=1))
+                for _ in range(mb_h)
+            ]
+            aus.append(
+                h264_encode_p_rows(
+                    mb_w, mb_h, (mvx, mvy), levels, frame_num=f
+                )
+            )
+            rows = _gop_model_step(rows, mvy, levels, h)
+        frames = h264_decode_gop(aus)
+        assert (frames[-1].y == rows[:, None]).all()

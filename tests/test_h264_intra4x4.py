@@ -437,3 +437,21 @@ def test_bad_rem_mode_still_decodes_or_raises_cleanly():
             assert fr.y.shape == (32, 32)
         except H264Error:
             pass
+
+
+def test_i4x4_byte_flip_sweep_never_hangs_or_crashes():
+    au = h264_encode_i4x4_rows(3, 2, 90, [1], [[0, 1, -1, 0]],
+                               deblock=True)
+    ok = err = 0
+    # flip every byte of the slice NAL body (skip SPS/PPS + start code)
+    start = au.rfind(b"\x00\x00\x00\x01") + 5
+    for i in range(start, len(au)):
+        corrupt = bytearray(au)
+        corrupt[i] ^= 0x55
+        try:
+            fr = h264_decode(bytes(corrupt))
+            assert fr.y.shape == (32, 48)
+            ok += 1
+        except H264Error:
+            err += 1
+    assert ok + err == len(au) - start and err > 0
