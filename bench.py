@@ -62,10 +62,13 @@ HEADLINE = [
     # the inter path (quarter-pel MC, skip runs, DPB sequencing) has its
     # own plan to regression-gate, distinct from the keyframe row
     "m_h264_gop",
-    # r10 late-round: Intra_4x4 and the in-loop deblocking filter each
-    # decode through code paths the other rows never touch
+    # r10 late-round: Intra_4x4, the in-loop deblocking filter, the
+    # sub-16x16 partition decode, and the ADTS census each run code
+    # paths the other rows never touch
     "m_h264_intra4x4",
     "m_h264_deblock",
+    "m_h264_partitions",
+    "m_aac_census",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

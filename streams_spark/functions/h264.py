@@ -29,11 +29,14 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
   modes (mode coding via prev_intra4x4_pred_mode_flag + the min(A,B)
   predictor, decode-order sample availability, above-right
   substitution) — each with CAVLC residuals.
-- P slices (r10): P_L0_16x16 + P_Skip with a one-picture DPB, the
-  8.4.1.3 median MV predictor, quarter-pel luma / eighth-pel chroma
-  motion compensation, and the Table 9-4 inter CBP mapping; sub-16x16
-  partitions and B slices raise — a real scope note, not a silent
-  wrong answer.
+- P slices (r10): P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8
+  macroblocks + P_Skip with a one-picture DPB, the 8.4.1.3 MV
+  prediction (median, copy-A, exactly-one-refIdx, and the 16x8/8x16
+  directional preferences) over per-4x4 motion state, quarter-pel
+  luma / eighth-pel chroma motion compensation per partition, and the
+  Table 9-4 inter CBP mapping; sub-8x8 partitions and B slices raise
+  — a real scope note, not a silent wrong answer (B slices are
+  outside the baseline profile entirely, A.2.1).
 - CAVLC residual decode (9.2): coeff_token Table 9-5 incl. the
   chroma-DC nC==-1 column and the nC>=8 FLC, trailing-one signs,
   level_prefix/suffix with the suffixLength ladder and >=15/>=16
@@ -1000,9 +1003,10 @@ class H264Decoder:
 
 def h264_decode(buf: bytes) -> H264Frame:
     """Decode a single self-contained IDR access unit. SEI/AUD NALs
-    are skipped; anything requiring unimplemented tools (CABAC, B
-    slices, P partitions below 16x16, interlace, high-profile SPS)
-    raises H264Error rather than producing silently-wrong pixels. Non-IDR slices need decode-order state —
+    are skipped; anything requiring unimplemented tools (CABAC and B
+    slices — both outside the baseline profile, A.2.1 — sub-8x8
+    partitions, interlace, high-profile SPS) raises H264Error rather
+    than producing silently-wrong pixels. Non-IDR slices need decode-order state —
     use H264Decoder / h264_decode_gop for those."""
     return H264Decoder().decode(buf)
 
@@ -1092,7 +1096,8 @@ def _decode_slice(
         cr=np.zeros((8 * mh, 8 * mw), dtype=np.int64),
         nnz=np.zeros((4 * mh, 4 * mw), dtype=np.int64),
         nnz_c=[np.zeros((2 * mh, 2 * mw), dtype=np.int64) for _ in range(2)],
-        mv=np.zeros((mh, mw, 2), dtype=np.int64),
+        mv=np.zeros((4 * mh, 4 * mw, 2), dtype=np.int64),
+        ref4=np.full((4 * mh, 4 * mw), -2, dtype=np.int64),
         inter=np.zeros((mh, mw), dtype=bool),
         avail=np.zeros((mh, mw), dtype=bool),
         i4_modes=np.full((4 * mh, 4 * mw), -1, dtype=np.int64),
@@ -1125,12 +1130,13 @@ def _decode_slice(
                 mbx, mby = mb % mw, mb // mw
                 mvx, mvy = _skip_mv(st, mbx, mby)
                 st.mb_qp[mby, mbx] = st.qp
+                _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
                 _reconstruct_inter_mb(
-                    st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
+                    st, ref_y, ref_cb, ref_cr, mbx, mby,
+                    [(0, 0, 16, 16, mvx, mvy)],
                     cbp=0, luma_blocks=[None] * 16,
                     cdc=[[0] * 4, [0] * 4], cac=[[None] * 4, [None] * 4],
                 )
-                st.mv[mby, mbx] = (mvx, mvy)
                 st.inter[mby, mbx] = True
                 st.avail[mby, mbx] = True
                 mb += 1
@@ -1172,7 +1178,7 @@ class _PicState:
     """Mutable per-picture decode state shared by the MB decoders."""
 
     __slots__ = (
-        "y", "cb", "cr", "nnz", "nnz_c", "mv", "inter", "avail",
+        "y", "cb", "cr", "nnz", "nnz_c", "mv", "ref4", "inter", "avail",
         "i4_modes", "blk_decoded", "mb_qp", "qp", "mw", "mh", "pps",
     )
 
@@ -1191,6 +1197,7 @@ def _decode_intra_mb(
         for c in (0, 1):
             st.nnz_c[c][2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
         st.mb_qp[mby, mbx] = 0  # I_PCM QP counts as 0 in deblocking
+        st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
         _mark_mb_decoded(st, mbx, mby)
         return
     if mb_type == 0:
@@ -1206,6 +1213,7 @@ def _decode_intra_mb(
     if not 0 <= st.qp <= 51:
         raise H264Error("mb QP out of range")
     st.mb_qp[mby, mbx] = st.qp
+    st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
     qp, nnz, nnz_c = st.qp, st.nnz, st.nnz_c
 
     # Intra16x16DCLevel: always present for Intra_16x16 (7.3.5.3),
@@ -1312,7 +1320,7 @@ def _bs_luma_pair(
         return 4 if mb_edge else 3
     if st.nnz[pby, pbx] or st.nnz[qby, qbx]:
         return 2
-    mvp, mvq = st.mv[p_mb], st.mv[q_mb]
+    mvp, mvq = st.mv[pby, pbx], st.mv[qby, qbx]
     if (
         abs(int(mvp[0]) - int(mvq[0])) >= 4
         or abs(int(mvp[1]) - int(mvq[1])) >= 4
@@ -1725,6 +1733,7 @@ def _decode_i4x4_mb(
         if not 0 <= st.qp <= 51:
             raise H264Error("mb QP out of range")
     st.mb_qp[mby, mbx] = st.qp
+    st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
     qp = st.qp
     # residuals first (7.3.5.3 bitstream order: all luma blocks, then
     # chroma), reconstruction second — but reconstruction must run in
@@ -1787,29 +1796,54 @@ def _median3(a: int, b: int, c: int) -> int:
 
 
 def _neighbor_mv(
-    st: "_PicState", x: int, y: int
+    st: "_PicState", bx: int, by: int
 ) -> tuple[tuple[int, int], int, bool]:
-    """((mvx, mvy), refIdx, mbAvailable) for the MB at (x, y) —
-    8.4.1.3.2: an out-of-slice MB is unavailable; an intra MB is
-    available but contributes mv (0,0) with refIdx -1."""
-    if x < 0 or y < 0 or x >= st.mw or y >= st.mh or not st.avail[y, x]:
+    """((mvx, mvy), refIdx, available) for the 4x4 luma block at block
+    coords (bx, by) — 8.4.1.3.2: a block outside the picture or not
+    yet decoded is unavailable (ref4 == -2); an intra block is
+    available but contributes mv (0,0) with refIdx -1 (ref4 == -1)."""
+    if bx < 0 or by < 0 or bx >= 4 * st.mw or by >= 4 * st.mh:
         return (0, 0), -1, False
-    if not st.inter[y, x]:
+    r = int(st.ref4[by, bx])
+    if r == -2:
+        return (0, 0), -1, False
+    if r == -1:
         return (0, 0), -1, True
-    return (int(st.mv[y, x, 0]), int(st.mv[y, x, 1])), 0, True
+    return (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])), 0, True
 
 
-def _mvp_16x16(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
-    """Luma MV prediction for a 16x16 partition (8.4.1.3): neighbors
-    A=left, B=above, C=above-right (D=above-left when C unavailable);
-    if B and C are unavailable and A is available, B and C take A's
-    motion data; then the exactly-one-refIdx-match rule, else the
-    component-wise median."""
-    mvA, rA, aA = _neighbor_mv(st, mbx - 1, mby)
-    mvB, rB, aB = _neighbor_mv(st, mbx, mby - 1)
-    mvC, rC, aC = _neighbor_mv(st, mbx + 1, mby - 1)
+def _set_part_mv(
+    st: "_PicState", bx: int, by: int, w4: int, h4: int,
+    mv: tuple[int, int],
+) -> None:
+    st.mv[by : by + h4, bx : bx + w4] = mv
+    st.ref4[by : by + h4, bx : bx + w4] = 0
+
+
+def _mvp_partition(
+    st: "_PicState", bx: int, by: int, w4: int,
+    part: tuple[str, int] | None = None,
+) -> tuple[int, int]:
+    """Luma MV prediction (8.4.1.3) for a partition whose top-left 4x4
+    block is (bx, by) and whose width is w4 blocks: neighbors A=left,
+    B=above, C=above-right of the partition (D=above-left when C is
+    unavailable or not yet decoded); the 16x8/8x16 directional
+    preferences short-circuit first, then the copy-A rule, the
+    exactly-one-refIdx rule, and the component-wise median."""
+    mvA, rA, aA = _neighbor_mv(st, bx - 1, by)
+    mvB, rB, aB = _neighbor_mv(st, bx, by - 1)
+    mvC, rC, aC = _neighbor_mv(st, bx + w4, by - 1)
     if not aC:
-        mvC, rC, aC = _neighbor_mv(st, mbx - 1, mby - 1)
+        mvC, rC, aC = _neighbor_mv(st, bx - 1, by - 1)
+    # 8.4.1.3 directional rules for the two-partition modes
+    if part == ("16x8", 0) and rB == 0:
+        return mvB
+    if part == ("16x8", 1) and rA == 0:
+        return mvA
+    if part == ("8x16", 0) and rA == 0:
+        return mvA
+    if part == ("8x16", 1) and rC == 0:
+        return mvC
     if not aB and not aC and aA:
         mvB, rB = mvA, rA
         mvC, rC = mvA, rA
@@ -1822,12 +1856,16 @@ def _mvp_16x16(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
     )
 
 
+def _mvp_16x16(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
+    return _mvp_partition(st, 4 * mbx, 4 * mby, 4)
+
+
 def _skip_mv(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
     """P_Skip motion vector (8.4.1.1): zero when either direct
     neighbor is unavailable or is a zero-motion refIdx-0 partition,
     else the 16x16 MV prediction."""
-    mvA, rA, aA = _neighbor_mv(st, mbx - 1, mby)
-    mvB, rB, aB = _neighbor_mv(st, mbx, mby - 1)
+    mvA, rA, aA = _neighbor_mv(st, 4 * mbx - 1, 4 * mby)
+    mvB, rB, aB = _neighbor_mv(st, 4 * mbx, 4 * mby - 1)
     if (
         not aA or not aB
         or (rA == 0 and mvA == (0, 0))
@@ -1853,10 +1891,11 @@ def _six_tap(a: np.ndarray, axis: int) -> np.ndarray:
     return acc
 
 
-def mc_luma_16x16(
-    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+def mc_luma(
+    ref: np.ndarray, x0: int, y0: int, w: int, h_: int,
+    mvx: int, mvy: int,
 ) -> np.ndarray:
-    """Quarter-sample luma motion compensation for one 16x16 partition
+    """Quarter-sample luma motion compensation for one w x h_ partition
     (8.4.2.2.1, Figure 8-4 / Table 8-12). `ref` is the UNCROPPED
     decoded reference luma plane; (x0, y0) the partition origin;
     (mvx, mvy) the MV in quarter-luma-sample units. Out-of-picture
@@ -1869,24 +1908,24 @@ def mc_luma_16x16(
     H, W = ref.shape
     xI, xF = mvx >> 2, mvx & 3
     yI, yF = mvy >> 2, mvy & 3
-    ys = np.clip(np.arange(y0 + yI - 2, y0 + yI + 19), 0, H - 1)
-    xs = np.clip(np.arange(x0 + xI - 2, x0 + xI + 19), 0, W - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (21, 21)
-    G = win[2:19, 2:19]  # 17x17 full-pel grid, origin at the partition
+    ys = np.clip(np.arange(y0 + yI - 2, y0 + yI + h_ + 3), 0, H - 1)
+    xs = np.clip(np.arange(x0 + xI - 2, x0 + xI + w + 3), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (h_+5, w+5)
+    G = win[2 : h_ + 3, 2 : w + 3]  # (h_+1, w+1) full-pel grid
     if xF == 0 and yF == 0:
-        return G[:16, :16].copy()
-    # b: half-x right of G[i,j] (17 rows x 16 cols, row 16 is 's')
-    b1 = _six_tap(win[2:19, :], 1)
+        return G[:h_, :w].copy()
+    # b: half-x right of G[i,j] ((h_+1) x w, row h_ is 's')
+    b1 = _six_tap(win[2 : h_ + 3, :], 1)
     b = np.clip((b1 + 16) >> 5, 0, 255)
-    # h: half-y below G[i,j] (16 rows x 17 cols, col 16 is 'm')
-    h1 = _six_tap(win[:, 2:19], 0)
-    h = np.clip((h1 + 16) >> 5, 0, 255)[:16, :]
+    # h: half-y below G[i,j] (h_ x (w+1), col w is 'm')
+    h1 = _six_tap(win[:, 2 : w + 3], 0)
+    h = np.clip((h1 + 16) >> 5, 0, 255)[:h_, :]
     # j: center half-pel from un-rounded row intermediates
     j1 = _six_tap(_six_tap(win, 1), 0)
     jj = np.clip((j1 + 512) >> 10, 0, 255)
-    G16, Gx, Gy = G[:16, :16], G[:16, 1:17], G[1:17, :16]
-    bb, bs = b[:16, :], b[1:17, :]
-    hh, hm = h[:, :16], h[:, 1:17]
+    G16, Gx, Gy = G[:h_, :w], G[:h_, 1 : w + 1], G[1 : h_ + 1, :w]
+    bb, bs = b[:h_, :], b[1 : h_ + 1, :]
+    hh, hm = h[:, :w], h[:, 1 : w + 1]
 
     def avg(u, v):
         return (u + v + 1) >> 1
@@ -1904,25 +1943,38 @@ def mc_luma_16x16(
     return table[(xF, yF)]()
 
 
-def mc_chroma_8x8(
+def mc_luma_16x16(
     ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
 ) -> np.ndarray:
-    """Eighth-sample chroma MC for one 8x8 partition (8.4.2.2.2):
+    return mc_luma(ref, x0, y0, 16, 16, mvx, mvy)
+
+
+def mc_chroma(
+    ref: np.ndarray, x0: int, y0: int, w: int, h_: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """Eighth-sample chroma MC for one w x h_ partition (8.4.2.2.2):
     bilinear with weights xFrac/yFrac in eighths; the luma MV applies
     directly (chroma is half resolution, so the same integer value is
     an eighth-pel offset). Edge replication as for luma."""
     H, W = ref.shape
     xI, xF = mvx >> 3, mvx & 7
     yI, yF = mvy >> 3, mvy & 7
-    ys = np.clip(np.arange(y0 + yI, y0 + yI + 9), 0, H - 1)
-    xs = np.clip(np.arange(x0 + xI, x0 + xI + 9), 0, W - 1)
-    w = ref[np.ix_(ys, xs)].astype(np.int64)
-    A, B = w[:8, :8], w[:8, 1:]
-    C, D = w[1:, :8], w[1:, 1:]
+    ys = np.clip(np.arange(y0 + yI, y0 + yI + h_ + 1), 0, H - 1)
+    xs = np.clip(np.arange(x0 + xI, x0 + xI + w + 1), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    A, B = win[:h_, :w], win[:h_, 1:]
+    C, D = win[1:, :w], win[1:, 1:]
     return (
         (8 - xF) * (8 - yF) * A + xF * (8 - yF) * B
         + (8 - xF) * yF * C + xF * yF * D + 32
     ) >> 6
+
+
+def mc_chroma_8x8(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    return mc_chroma(ref, x0, y0, 8, 8, mvx, mvy)
 
 
 def _chroma_resid_add(
@@ -1955,10 +2007,17 @@ def _chroma_resid_add(
 def _reconstruct_inter_mb(
     st: "_PicState",
     ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
-    mbx: int, mby: int, mvx: int, mvy: int,
+    mbx: int, mby: int,
+    parts: list[tuple[int, int, int, int, int, int]],
     cbp: int, luma_blocks: list, cdc: list, cac: list,
 ) -> None:
-    pred = mc_luma_16x16(ref_y, 16 * mbx, 16 * mby, mvx, mvy)
+    """`parts`: (ox, oy, w, h, mvx, mvy) per partition, offsets in luma
+    samples relative to the MB origin — (0,0,16,16,...) for 16x16."""
+    pred = np.empty((16, 16), dtype=np.int64)
+    for ox, oy, w, h_, mvx, mvy in parts:
+        pred[oy : oy + h_, ox : ox + w] = mc_luma(
+            ref_y, 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
+        )
     rec = pred.copy()
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
         blk = luma_blocks[k]
@@ -1976,7 +2035,14 @@ def _reconstruct_inter_mb(
     )
     qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
     for c, (plane, refp) in enumerate(((st.cb, ref_cb), (st.cr, ref_cr))):
-        predc = mc_chroma_8x8(refp, 8 * mbx, 8 * mby, mvx, mvy)
+        predc = np.empty((8, 8), dtype=np.int64)
+        for ox, oy, w, h_, mvx, mvy in parts:
+            predc[oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
+                mc_chroma(
+                    refp, 8 * mbx + ox // 2, 8 * mby + oy // 2,
+                    w // 2, h_ // 2, mvx, mvy,
+                )
+            )
         plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
             _chroma_resid_add(predc, qpc, cdc[c], cac[c])
         )
@@ -1995,16 +2061,55 @@ def _decode_p_mb(
     if mb_type >= 5:
         _decode_intra_mb(br, mb_type - 5, st, mbx, mby)
         return  # st.inter stays False: intra MBs predict as refIdx -1
-    if mb_type != 0:
-        raise H264Error(
-            f"P-slice mb_type {mb_type} (16x8/8x16/8x8 partitions) "
-            "unsupported (P_L0_16x16 + P_Skip decoder; documented scope)"
-        )
-    # single L0 reference: ref_idx_l0 not present (num_ref_idx == 1)
-    mvd_x = br.se()
-    mvd_y = br.se()
-    px, py = _mvp_16x16(st, mbx, mby)
-    mvx, mvy = px + mvd_x, py + mvd_y
+    # single L0 reference throughout: ref_idx_l0 fields not present.
+    # Partition geometry per Table 7-13; MVs derive sequentially so a
+    # later partition's predictor sees the earlier ones (_set_part_mv
+    # before the next derivation).
+    bx0, by0 = 4 * mbx, 4 * mby
+    parts: list[tuple[int, int, int, int, int, int]] = []
+    if mb_type == 0:  # P_L0_16x16
+        px, py = _mvp_partition(st, bx0, by0, 4)
+        mvx, mvy = px + br.se(), py + br.se()
+        _set_part_mv(st, bx0, by0, 4, 4, (mvx, mvy))
+        parts.append((0, 0, 16, 16, mvx, mvy))
+    elif mb_type == 1:  # P_L0_L0_16x8
+        for idx in (0, 1):
+            mvd_x, mvd_y = br.se(), br.se()
+            px, py = _mvp_partition(
+                st, bx0, by0 + 2 * idx, 4, ("16x8", idx)
+            )
+            mv = (px + mvd_x, py + mvd_y)
+            _set_part_mv(st, bx0, by0 + 2 * idx, 4, 2, mv)
+            parts.append((0, 8 * idx, 16, 8, mv[0], mv[1]))
+    elif mb_type == 2:  # P_L0_L0_8x16
+        for idx in (0, 1):
+            mvd_x, mvd_y = br.se(), br.se()
+            px, py = _mvp_partition(
+                st, bx0 + 2 * idx, by0, 2, ("8x16", idx)
+            )
+            mv = (px + mvd_x, py + mvd_y)
+            _set_part_mv(st, bx0 + 2 * idx, by0, 2, 4, mv)
+            parts.append((8 * idx, 0, 8, 16, mv[0], mv[1]))
+    elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (same with 1 ref)
+        subs = [br.ue() for _ in range(4)]
+        for sub in subs:
+            if sub != 0:  # 8x4 / 4x8 / 4x4 sub-partitions
+                raise H264Error(
+                    f"sub_mb_type {sub} (below-8x8 partitions) "
+                    "unsupported (documented scope)"
+                )
+        for idx in range(4):
+            bx = bx0 + 2 * (idx % 2)
+            by = by0 + 2 * (idx // 2)
+            mvd_x, mvd_y = br.se(), br.se()
+            px, py = _mvp_partition(st, bx, by, 2)
+            mv = (px + mvd_x, py + mvd_y)
+            _set_part_mv(st, bx, by, 2, 2, mv)
+            parts.append(
+                (8 * (idx % 2), 8 * (idx // 2), 8, 8, mv[0], mv[1])
+            )
+    else:
+        raise H264Error(f"invalid P-slice mb_type {mb_type}")
     cbp_code = br.ue()
     if cbp_code > 47:
         raise H264Error("coded_block_pattern codeNum out of range")
@@ -2027,10 +2132,9 @@ def _decode_p_mb(
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
     st.mb_qp[mby, mbx] = st.qp
     _reconstruct_inter_mb(
-        st, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy,
+        st, ref_y, ref_cb, ref_cr, mbx, mby, parts,
         cbp, luma_blocks, cdc, cac,
     )
-    st.mv[mby, mbx] = (mvx, mvy)
     st.inter[mby, mbx] = True
 
 
@@ -2379,6 +2483,96 @@ def h264_encode_i4x4_rows(
     )
 
 
+def h264_encode_p_partitions(
+    mb_w: int,
+    mb_h: int,
+    row_modes: list[tuple[int, tuple[int, int], tuple[int, int], int]],
+    frame_num: int = 1,
+    qp_delta: int = -8,
+) -> bytes:
+    """One non-IDR P access unit exercising the sub-16x16 partition
+    modes. `row_modes[R]` = (mb_type, mv_top, mv_bot, level) applied to
+    every MB of row R: mb_type 1 (16x8: top/bottom halves use
+    mv_top/mv_bot), 2 (8x16: both halves MUST share one MV so the
+    picture stays horizontally constant — left/right partitions carry
+    it via different mvd against their directional predictors), or 3
+    (P_8x8: top quadrants use mv_top, bottom quadrants mv_bot). The
+    per-row DC level rides on all 16 luma blocks exactly as in
+    h264_encode_p_rows. The encoder runs the decoder's own
+    _mvp_partition derivations, so every partition's mvd is genuinely
+    coded against the 8.4.1.3 rules (directional preferences included).
+    """
+    bw = BitWriter()
+    bw.ue(0)
+    bw.ue(5)  # P
+    bw.ue(0)
+    bw.u(frame_num % 16, 4)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.u(0, 1)  # adaptive_ref_pic_marking (ref_idc 2)
+    bw.se(qp_delta)
+    bw.ue(1)  # deblocking off
+
+    st = _PicState(
+        nnz=np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64),
+        mv=np.zeros((4 * mb_h, 4 * mb_w, 2), dtype=np.int64),
+        ref4=np.full((4 * mb_h, 4 * mb_w), -2, dtype=np.int64),
+        inter=np.zeros((mb_h, mb_w), dtype=bool),
+        avail=np.zeros((mb_h, mb_w), dtype=bool),
+        mw=mb_w, mh=mb_h,
+    )
+    for mby in range(mb_h):
+        mb_type, mv_top, mv_bot, level = row_modes[mby]
+        if mb_type == 2 and mv_top != mv_bot:
+            raise ValueError("8x16 rows need one MV (column constancy)")
+        for mbx in range(mb_w):
+            bw.ue(0)  # mb_skip_run
+            bw.ue(mb_type)
+            bx0, by0 = 4 * mbx, 4 * mby
+            if mb_type == 1:  # 16x8
+                for idx, mv in ((0, mv_top), (1, mv_bot)):
+                    px, py = _mvp_partition(
+                        st, bx0, by0 + 2 * idx, 4, ("16x8", idx)
+                    )
+                    bw.se(mv[0] - px)
+                    bw.se(mv[1] - py)
+                    _set_part_mv(st, bx0, by0 + 2 * idx, 4, 2, mv)
+            elif mb_type == 2:  # 8x16
+                for idx in (0, 1):
+                    px, py = _mvp_partition(
+                        st, bx0 + 2 * idx, by0, 2, ("8x16", idx)
+                    )
+                    bw.se(mv_top[0] - px)
+                    bw.se(mv_top[1] - py)
+                    _set_part_mv(st, bx0 + 2 * idx, by0, 2, 4, mv_top)
+            elif mb_type == 3:  # P_8x8, all sub_mb_type 0
+                for _ in range(4):
+                    bw.ue(0)
+                for idx in range(4):
+                    bx = bx0 + 2 * (idx % 2)
+                    by = by0 + 2 * (idx // 2)
+                    mv = mv_top if idx < 2 else mv_bot
+                    px, py = _mvp_partition(st, bx, by, 2)
+                    bw.se(mv[0] - px)
+                    bw.se(mv[1] - py)
+                    _set_part_mv(st, bx, by, 2, 2, mv)
+            else:
+                raise ValueError(f"row mb_type {mb_type} not a partition mode")
+            cbp = 15 if level else 0
+            bw.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+                for brow, bcol in _BLK_ORDER:
+                    aby, abx = by0 + brow, bx0 + bcol
+                    nc = _nc_luma(st.nnz, aby, abx)
+                    tc = write_residual_block(bw, [level] + [0] * 15, nc)
+                    st.nnz[aby, abx] = tc
+            st.inter[mby, mbx] = True
+            st.avail[mby, mbx] = True
+    bw.rbsp_trailing()
+    return _nal(1, bw.to_bytes(), ref_idc=2)
+
+
 def inter_dc_offset(level: int, qp: int = 28) -> int:
     """The exact per-pixel offset a single (0,0) level adds to an
     INTER-predicted 4x4 block: no DC Hadamard on the inter path, so
@@ -2438,7 +2632,8 @@ def h264_encode_p_rows(
 
     st = _PicState(
         nnz=np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int64),
-        mv=np.zeros((mb_h, mb_w, 2), dtype=np.int64),
+        mv=np.zeros((4 * mb_h, 4 * mb_w, 2), dtype=np.int64),
+        ref4=np.full((4 * mb_h, 4 * mb_w), -2, dtype=np.int64),
         inter=np.zeros((mb_h, mb_w), dtype=bool),
         avail=np.zeros((mb_h, mb_w), dtype=bool),
         mw=mb_w, mh=mb_h,
@@ -2467,7 +2662,7 @@ def h264_encode_p_rows(
                             bw, [level] + [0] * 15, nc
                         )
                         st.nnz[aby, abx] = tc
-            st.mv[mby, mbx] = (mvx, mvy)
+            _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
             st.inter[mby, mbx] = True
             st.avail[mby, mbx] = True
     if pending_skips:

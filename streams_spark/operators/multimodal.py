@@ -2250,6 +2250,203 @@ def m_h264_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 sub-16x16 P partitions (16x8 / 8x16 / P_8x8)
+# ---------------------------------------------------------------------------
+
+
+def _h264_part_oracle() -> str:
+    """Closed form for m_h264_partitions: every P picture applies, per
+    MB row, a partition mode (16x8 / 8x16 / P_8x8) whose top and
+    bottom 8-pixel bands carry independent integer-pel vertical MVs
+    (8x16 shares one MV across the row — its left/right partitions
+    still code separate mvd against the 8.4.1.3 directional
+    predictors), plus the per-row DC residual. The rows list advances
+    by edge-clamped shifts at 8-pixel-band granularity, so a decoder
+    wrong in partition geometry, mvd order, the directional MVP rules,
+    or per-partition MC placement diverges."""
+    clamp = "LEAST(GREATEST({}, 0), 16*mh - 1)"
+    dyT = "(((3 * doc_id + 5 * fno + 7 * (y // 16)) % 9) - 4)"
+    dyB = "(((doc_id + 7 * fno + 3 * (y // 16)) % 9) - 4)"
+    mode = "(1 + (doc_id + fno + y // 16) % 3)"
+    dy = (
+        f"(CASE WHEN {mode} = 2 OR y % 16 < 8 THEN {dyT} ELSE {dyB} END)"
+    )
+    delta = "([0, 4, -4])[1 + (doc_id + 2 * fno + y // 16) % 3]"
+    nxt = (
+        f"LEAST(GREATEST(rows[1 + {clamp.format(f'y + {dy}')}]"
+        f" + {delta}, 0), 255)"
+    )
+    return f"""
+WITH RECURSIVE geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 3) % 3 AS mw,
+         2 + (doc_id // 9) % 3 AS mh,
+         3 + (doc_id // 27) % 2 AS nf,
+         16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 2
+), steps AS (
+  SELECT doc_id, mw, mh, nf, w, h, 0 AS frame_no,
+         list_transform(range(0, 16*mh), y ->
+             40 + (7 * doc_id) % 160
+             + COALESCE(list_sum(list_transform(range(1, y // 16 + 1),
+                 r -> ([0, 3, 5])[1 + (doc_id + r) % 3])), 0)) AS rows
+  FROM geo
+  UNION ALL
+  SELECT doc_id, mw, mh, nf, w, h, fno,
+         list_transform(range(0, 16*mh), y -> {nxt})
+  FROM (
+    SELECT *, frame_no + 1 AS fno
+    FROM steps WHERE frame_no + 1 < nf
+  )
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
+         AS pts_ticks,
+       CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
+FROM steps
+"""
+
+
+_H264_PART_ORACLE = _h264_part_oracle()
+
+
+def h264_part_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL H.264 GOP per video doc whose P pictures are built
+    ENTIRELY from sub-16x16 partitions: each MB row cycles 16x8 /
+    8x16 / P_8x8, top and bottom bands move with independent
+    integer-pel vertical MVs plus per-partition fractional horizontal
+    components, and each row carries a DC residual — so mvd parse
+    order, the directional MVP preferences, per-partition MC, and the
+    per-4x4 motion bookkeeping all land in oracle-checked pixels."""
+    from streams_spark.functions.h264 import (
+        h264_encode_p_partitions, h264_encode_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_spark.functions.mp4 import mp4_mux
+
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                nf = 3 + (d // 27) % 2
+                crop_r, crop_b = 2 * (d % 4), 2 * ((d // 5) % 3)
+                aus = [
+                    h264_encode_rows(
+                        mw, mh, 40 + (7 * d) % 160,
+                        [(d + r) % 3 for r in range(1, mh)],
+                        crop_right=crop_r, crop_bottom=crop_b,
+                    )
+                ]
+                for f in range(1, nf):
+                    row_modes = []
+                    for R in range(mh):
+                        m = 1 + (d + f + R) % 3
+                        dy_t = ((3 * d + 5 * f + 7 * R) % 9) - 4
+                        dy_b = ((d + 7 * f + 3 * R) % 9) - 4
+                        mvx_t = ((5 * d + 3 * f + 11 * R) % 13) - 6
+                        mvx_b = ((5 * d + 3 * f + 11 * R + 4) % 13) - 6
+                        mv_t = (mvx_t, 4 * dy_t)
+                        mv_b = mv_t if m == 2 else (mvx_b, 4 * dy_b)
+                        level = [0, 1, -1][(d + 2 * f + R) % 3]
+                        row_modes.append((m, mv_t, mv_b, level))
+                    aus.append(
+                        h264_encode_p_partitions(
+                            mw, mh, row_modes, frame_num=f,
+                        )
+                    )
+                rows_out.append(
+                    (d, mp4_mux(
+                        aus, 16 * mw - crop_r, 16 * mh - crop_b,
+                        sync_every=len(aus),
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+    from streams_spark.functions import mp4 as _m
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264part",
+        (_h, _m),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_partitions", oracle=_H264_PART_ORACLE)
+def m_h264_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 sub-16x16 inter decode: P_L0_L0_16x8, P_L0_L0_8x16,
+    and P_8x8 macroblocks (Table 7-13) with per-partition mvd against
+    the 8.4.1.3 MV prediction INCLUDING the two-partition directional
+    preferences (16x8: B-then-A, 8x16: A-then-C), per-4x4 motion
+    bookkeeping (a later partition's predictor sees the earlier ones),
+    per-partition quarter-pel MC composited into the macroblock, and
+    the usual inter CAVLC residual path. Sub-8x8 partitions raise
+    (documented scope). The oracle replays the band-granular motion in
+    a recursive CTE; what horizontal constancy hides (per-partition
+    horizontal fracs, 8x16 left/right mvd asymmetry) is pytest-pinned
+    in tests/test_h264_inter.py's partition round-trips.
+
+    Scale: identical map-only Arrow shape to m_h264_gop.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import extract_samples
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                dec = H264Decoder()
+                n_total = len(track.samples)
+                for s in track.samples:
+                    fr = dec.decode(buf[s.offset : s.offset + s.size])
+                    h, w = fr.y.shape
+                    rows.append(
+                        (
+                            int(doc_id), s.index, n_total,
+                            int(w), int(h), int(s.dts),
+                            int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "width", "height",
+                    "pts_ticks", "checksum",
+                ],
+            )
+
+    return h264_part_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, width int, "
+            "height int, pts_ticks long, checksum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real AAC ADTS frame census (the audio sibling of m_mp3_census)
 # ---------------------------------------------------------------------------
 

@@ -20,6 +20,7 @@ from streams_spark.functions.h264 import (
     _nc_luma,
     _PicState,
     _mvp_16x16,
+    _set_part_mv,
     _skip_mv,
     BitWriter,
     H264Decoder,
@@ -191,7 +192,8 @@ def test_mc_on_constant_plane_is_exact_for_any_mv():
 def _state(mw, mh):
     return _PicState(
         nnz=np.zeros((4 * mh, 4 * mw), dtype=np.int64),
-        mv=np.zeros((mh, mw, 2), dtype=np.int64),
+        mv=np.zeros((4 * mh, 4 * mw, 2), dtype=np.int64),
+        ref4=np.full((4 * mh, 4 * mw), -2, dtype=np.int64),
         inter=np.zeros((mh, mw), dtype=bool),
         avail=np.zeros((mh, mw), dtype=bool),
         mw=mw, mh=mh,
@@ -201,7 +203,10 @@ def _state(mw, mh):
 def _mark(st, x, y, mv, inter=True):
     st.avail[y, x] = True
     st.inter[y, x] = inter
-    st.mv[y, x] = mv
+    if inter:
+        _set_part_mv(st, 4 * x, 4 * y, 4, 4, mv)
+    else:
+        st.ref4[4 * y : 4 * y + 4, 4 * x : 4 * x + 4] = -1
 
 
 def test_mvp_first_mb_is_zero():
@@ -296,7 +301,9 @@ def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8,
             kind = mbs[(mbx, mby)]
             if kind[0] == "skip":
                 pending += 1
-                st.mv[mby, mbx] = _skip_mv(st, mbx, mby)
+                _set_part_mv(
+                    st, 4 * mbx, 4 * mby, 4, 4, _skip_mv(st, mbx, mby)
+                )
                 st.inter[mby, mbx] = True
                 st.avail[mby, mbx] = True
                 continue
@@ -311,6 +318,7 @@ def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8,
                 nc = _nc_luma(st.nnz, 4 * mby, 4 * mbx)
                 write_residual_block(bw, [level] + [0] * 15, nc)
                 st.inter[mby, mbx] = False
+                st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
                 st.avail[mby, mbx] = True
                 continue
             _, (mvx, mvy), level = kind
@@ -327,7 +335,7 @@ def _encode_p_custom(mb_w, mb_h, mbs, frame_num=1, qp_delta=-8,
                     nc = _nc_luma(st.nnz, aby, abx)
                     tc = write_residual_block(bw, [level] + [0] * 15, nc)
                     st.nnz[aby, abx] = tc
-            st.mv[mby, mbx] = (mvx, mvy)
+            _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
             st.inter[mby, mbx] = True
             st.avail[mby, mbx] = True
     if pending:
@@ -532,12 +540,22 @@ def test_p_slice_without_reference_raises():
         dec3.decode(h264_encode_p_rows(2, 2, (0, 0), [0, 0]))
 
 
-def test_sub_16x16_partitions_rejected():
+def test_sub_8x8_partitions_rejected():
+    # 16x8/8x16/8x8 are supported since the partition extension; the
+    # below-8x8 sub_mb_types remain documented scope
     dec = _primed_decoder()
-    for mb_type in (1, 2, 3, 4):
-        au = _p_au(lambda bw, t=mb_type: (bw.ue(0), bw.ue(t)))
-        with pytest.raises(H264Error, match="partitions"):
+    for sub in (1, 2, 3):
+        au = _p_au(
+            lambda bw, s=sub: (
+                bw.ue(0), bw.ue(3),  # P_8x8
+                bw.ue(s), bw.ue(0), bw.ue(0), bw.ue(0),
+            )
+        )
+        with pytest.raises(H264Error, match="below-8x8"):
             dec.decode(au)
+    au = _p_au(lambda bw: (bw.ue(0), bw.ue(9)))  # invalid mb_type gap
+    with pytest.raises(H264Error):
+        dec.decode(au)
 
 
 def test_multiple_reference_frames_rejected():
@@ -723,3 +741,144 @@ if _HAVE_HYP:
             rows = _gop_model_step(rows, mvy, levels, h)
         frames = h264_decode_gop(aus)
         assert (frames[-1].y == rows[:, None]).all()
+
+
+# ---------------------------------------------------------------------------
+# Sub-16x16 partitions: 16x8 / 8x16 / P_8x8
+# ---------------------------------------------------------------------------
+
+from streams_spark.functions.h264 import (  # noqa: E402
+    _mvp_partition,
+    h264_encode_p_partitions,
+    mc_luma,
+)
+
+
+def test_mvp_directional_rules_16x8_8x16():
+    # 16x8 partition 0 prefers B, partition 1 prefers A; 8x16
+    # partition 0 prefers A, partition 1 prefers C — whenever that
+    # neighbor is an inter (refIdx 0) partition
+    st = _state(3, 3)
+    _mark(st, 0, 1, (2, 2))    # A of MB (1,1)
+    _mark(st, 1, 0, (6, 6))    # B
+    _mark(st, 2, 0, (10, 10))  # C
+    bx, by = 4, 4
+    assert _mvp_partition(st, bx, by, 4, ("16x8", 0)) == (6, 6)
+    assert _mvp_partition(st, bx, by + 2, 4, ("16x8", 1)) == (2, 2)
+    assert _mvp_partition(st, bx, by, 2, ("8x16", 0)) == (2, 2)
+    # 8x16 partition 1: C is above-right of the PARTITION (bx+2+2=8)
+    assert _mvp_partition(st, bx + 2, by, 2, ("8x16", 1)) == (10, 10)
+    # intra B: 16x8/0 falls through to the median path
+    _mark(st, 1, 0, (0, 0), inter=False)
+    assert _mvp_partition(st, bx, by, 4, ("16x8", 0)) == (2, 2)
+
+
+def _partition_model_step(rows, row_modes, h):
+    def c(y):
+        return min(max(y, 0), h - 1)
+
+    out = np.empty_like(rows)
+    for y in range(h):
+        mb_type, mv_top, mv_bot, level = row_modes[y // 16]
+        mv = mv_top if (y % 16) < 8 else mv_bot
+        out[y] = min(
+            max(rows[c(y + (mv[1] >> 2))] + inter_dc_offset(level, 28), 0),
+            255,
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_partition_gop_round_trip(seed):
+    rng = np.random.default_rng(seed)
+    mb_w, mb_h = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+    h = 16 * mb_h
+    v0 = int(rng.integers(60, 180))
+    intra = [int(rng.integers(0, 3)) for _ in range(mb_h - 1)]
+    aus = [h264_encode_rows(mb_w, mb_h, v0, intra)]
+    rows = np.empty(h, dtype=np.int64)
+    val = v0
+    for r in range(mb_h):
+        if r > 0:
+            val += dc_offset(intra[r - 1])
+        rows[16 * r : 16 * r + 16] = val
+    for f in range(1, 4):
+        row_modes = []
+        for _ in range(mb_h):
+            mt = int(rng.integers(1, 4))
+            mv_t = (int(rng.integers(-6, 7)), 4 * int(rng.integers(-5, 6)))
+            mv_b = mv_t if mt == 2 else (
+                int(rng.integers(-6, 7)), 4 * int(rng.integers(-5, 6))
+            )
+            row_modes.append((mt, mv_t, mv_b, int(rng.integers(-1, 2))))
+        aus.append(
+            h264_encode_p_partitions(mb_w, mb_h, row_modes, frame_num=f)
+        )
+        rows = _partition_model_step(rows, row_modes, h)
+    frames = h264_decode_gop(aus)
+    assert (frames[-1].y == rows[:, None]).all()
+    assert (frames[-1].cb == 128).all()
+
+
+def test_partition_fractional_mv_against_spec_mc():
+    """8x16 with a fully fractional MV on textured content: each half
+    must equal the literal spec MC of its own partition geometry."""
+    rng = np.random.default_rng(31)
+    idr = _random_idr(rng, 2, 1)
+    dec = H264Decoder()
+    f0 = dec.decode(idr)
+    ref = f0.y.astype(np.int64)
+    mv = (7, 5)  # quarter-pel both axes
+    p = h264_encode_p_partitions(
+        2, 1, [(2, mv, mv, 0)], frame_num=1
+    )
+    f1 = dec.decode(p)
+    for mbx in range(2):
+        for half in range(2):
+            x0 = 16 * mbx + 8 * half
+            got = f1.y[:16, x0 : x0 + 8]
+            want = mc_luma(ref, x0, 0, 8, 16, mv[0], mv[1])
+            assert (got == np.clip(want, 0, 255)).all(), (mbx, half)
+
+
+def test_p8x8_quadrants_with_distinct_mvs():
+    rng = np.random.default_rng(37)
+    idr = _random_idr(rng, 2, 2)
+    dec = H264Decoder()
+    f0 = dec.decode(idr)
+    ref = f0.y.astype(np.int64)
+    mv_t, mv_b = (5, 4 * 2), (-3, 4 * -1)
+    p = h264_encode_p_partitions(
+        2, 2, [(3, mv_t, mv_b, 0), (3, mv_b, mv_t, 0)], frame_num=1
+    )
+    f1 = dec.decode(p)
+    for mby, (top, bot) in enumerate([(mv_t, mv_b), (mv_b, mv_t)]):
+        for mbx in range(2):
+            for q in range(4):
+                ox, oy = 16 * mbx + 8 * (q % 2), 16 * mby + 8 * (q // 2)
+                mv = top if q < 2 else bot
+                want = mc_luma(ref, ox, oy, 8, 8, mv[0], mv[1])
+                got = f1.y[oy : oy + 8, ox : ox + 8]
+                assert (got == np.clip(want, 0, 255)).all(), (mby, mbx, q)
+
+
+def test_partition_byte_flip_sweep():
+    idr = h264_encode_rows(3, 2, 90, [1])
+    p = h264_encode_p_partitions(
+        3, 2,
+        [(1, (3, 8), (-2, -4), 1), (3, (0, 4), (5, 0), -1)],
+        frame_num=1,
+    )
+    ok = err = 0
+    for i in range(5, len(p)):
+        corrupt = bytearray(p)
+        corrupt[i] ^= 0x55
+        dec = H264Decoder()
+        dec.decode(idr)
+        try:
+            fr = dec.decode(bytes(corrupt))
+            assert fr.y.shape == (32, 48)
+            ok += 1
+        except H264Error:
+            err += 1
+    assert ok + err == len(p) - 5 and err > 0
