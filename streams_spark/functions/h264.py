@@ -824,13 +824,21 @@ def dequant_4x4(coeffs: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
 
 
 def predict_16x16(
-    plane: np.ndarray, mbx: int, mby: int, mode: int
+    plane: np.ndarray, mbx: int, mby: int, mode: int,
+    avail: tuple[bool, bool] | None = None,
 ) -> np.ndarray:
     """Intra_16x16 luma prediction from the DECODED plane (8.3.3).
-    Modes: 0=V, 1=H, 2=DC, 3=Plane."""
+    Modes: 0=V, 1=H, 2=DC, 3=Plane. `avail` = (has_left, has_top)
+    overrides the positional default — prediction must not cross a
+    slice boundary (multi-slice pictures)."""
     x0, y0 = mbx * 16, mby * 16
-    top = plane[y0 - 1, x0 : x0 + 16].astype(np.int64) if mby > 0 else None
-    left = plane[y0 : y0 + 16, x0 - 1].astype(np.int64) if mbx > 0 else None
+    has_left, has_top = (mbx > 0, mby > 0) if avail is None else avail
+    top = (
+        plane[y0 - 1, x0 : x0 + 16].astype(np.int64) if has_top else None
+    )
+    left = (
+        plane[y0 : y0 + 16, x0 - 1].astype(np.int64) if has_left else None
+    )
     if mode == 0:
         if top is None:
             raise H264Error("16x16 V prediction without top neighbor")
@@ -873,13 +881,17 @@ def predict_16x16(
 
 
 def predict_chroma_dc(
-    plane: np.ndarray, mbx: int, mby: int
+    plane: np.ndarray, mbx: int, mby: int,
+    avail: tuple[bool, bool] | None = None,
 ) -> np.ndarray:
     """8x8 chroma DC prediction (8.3.4.1): each 4x4 quadrant from its
-    adjacent edges."""
+    adjacent edges. `avail` = (has_left, has_top), as predict_16x16."""
     x0, y0 = mbx * 8, mby * 8
     out = np.empty((8, 8), dtype=np.int64)
-    has_top, has_left = mby > 0, mbx > 0
+    if avail is None:
+        has_top, has_left = mby > 0, mbx > 0
+    else:
+        has_left, has_top = avail
     for qy in (0, 1):
         for qx in (0, 1):
             tsum = (
@@ -928,11 +940,18 @@ class H264Frame(NamedTuple):
     sps: SPS
 
 
-def _nc_luma(nnz: np.ndarray, by: int, bx: int) -> int:
+def _nc_luma(
+    nnz: np.ndarray, by: int, bx: int, slc=None
+) -> int:
     """nC for a luma 4x4 block at absolute block coords (9.2.1):
-    average of available left/top neighbor TotalCoeffs."""
-    nA = int(nnz[by, bx - 1]) if bx > 0 else None
-    nB = int(nnz[by - 1, bx]) if by > 0 else None
+    average of available left/top neighbor TotalCoeffs. `slc` =
+    (blk_slice_grid, current_slice) gates neighbors to the same slice
+    (multi-slice pictures); None keeps the positional default."""
+    def ok(yy, xx):
+        return slc is None or int(slc[0][yy, xx]) == slc[1]
+
+    nA = int(nnz[by, bx - 1]) if bx > 0 and ok(by, bx - 1) else None
+    nB = int(nnz[by - 1, bx]) if by > 0 and ok(by - 1, bx) else None
     if nA is not None and nB is not None:
         return (nA + nB + 1) >> 1
     if nA is not None:
@@ -971,7 +990,11 @@ class H264Decoder:
         self._ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def decode(self, buf: bytes) -> H264Frame:
-        """Decode the first coded picture of one access unit."""
+        """Decode the coded picture of one access unit — possibly
+        split across several slice NALs (first_mb_in_slice tiling the
+        raster in order; FMO/ASO raise)."""
+        slices: list[tuple[bytes, bool, int]] = []
+        max_ref_idc = 0
         for nal in annexb_split(buf):
             if not nal:
                 continue
@@ -990,15 +1013,16 @@ class H264Decoder:
             elif ntype in (1, 5):
                 if self.sps is None or self.pps is None:
                     raise H264Error("slice before SPS/PPS")
-                frame, planes = _decode_slice(
-                    rbsp, self.sps, self.pps,
-                    idr=(ntype == 5), nal_ref_idc=ref_idc,
-                    ref=self._ref,
-                )
-                if ref_idc:  # nal_ref_idc=0 pictures are non-reference
-                    self._ref = planes
-                return frame
-        raise H264Error("no coded slice in access unit")
+                slices.append((rbsp, ntype == 5, ref_idc))
+                max_ref_idc = max(max_ref_idc, ref_idc)
+        if not slices:
+            raise H264Error("no coded slice in access unit")
+        frame, planes = _decode_picture(
+            slices, self.sps, self.pps, ref=self._ref
+        )
+        if max_ref_idc:  # nal_ref_idc=0 pictures are non-reference
+            self._ref = planes
+        return frame
 
 
 def h264_decode(buf: bytes) -> H264Frame:
@@ -1020,19 +1044,19 @@ def h264_decode_gop(aus: list[bytes]) -> list[H264Frame]:
     return [dec.decode(au) for au in aus]
 
 
-def _decode_slice(
-    rbsp: bytes,
+def _parse_slice_header(
+    br: BitReader,
     sps: SPS,
     pps: PPS,
     idr: bool,
     nal_ref_idc: int,
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
-) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    if pps.entropy_coding_mode:
-        raise H264Error("CABAC entropy coding unsupported (CAVLC only)")
-    br = BitReader(rbsp)
-    if br.ue() != 0:
-        raise H264Error("multi-slice pictures unsupported")
+    have_ref: bool,
+) -> tuple[int, bool, int, int, int, int]:
+    """Parse one slice header (7.3.3); returns (first_mb_in_slice,
+    is_p, slice_qp, dbf_idc_mode, alpha_off, beta_off) where
+    dbf_idc_mode is 1=filter on, 2=on but not across slice
+    boundaries, 0=off."""
+    first_mb = br.ue()
     slice_type = br.ue()
     if slice_type % 5 == 2:
         is_p = False
@@ -1040,7 +1064,7 @@ def _decode_slice(
         is_p = True
         if idr:
             raise H264Error("P slice inside an IDR NAL")
-        if ref is None:
+        if not have_ref:
             raise H264Error("P slice with no decoded reference picture")
     else:
         raise H264Error(
@@ -1076,19 +1100,34 @@ def _decode_slice(
         raise H264Error(f"slice QP {qp} out of range")
     # deblocking control (7.3.3): without the PPS flag the filter
     # defaults to ON with zero offsets; idc 1 disables it; idc 2
-    # equals idc 0 for single-slice pictures (no other slice to
-    # exclude). The in-loop filter itself is 8.7 / _deblock_picture.
-    deblock, alpha_off, beta_off = True, 0, 0
+    # filters but not across slice boundaries.
+    dbf, alpha_off, beta_off = 1, 0, 0
     if pps.deblocking_control_present:
         idc = br.ue()
         if idc > 2:
             raise H264Error("disable_deblocking_filter_idc out of range")
         if idc == 1:
-            deblock = False
+            dbf = 0
         else:
+            dbf = 2 if idc == 2 else 1
             alpha_off = 2 * br.se()
             beta_off = 2 * br.se()
+    return first_mb, is_p, qp, dbf, alpha_off, beta_off
 
+
+def _decode_picture(
+    slices: list[tuple[bytes, bool, int]],
+    sps: SPS,
+    pps: PPS,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode one coded picture from its slice NALs in order. Slices
+    must tile the macroblock raster (no FMO/ASO); prediction — intra
+    samples, MVs, CAVLC nC contexts — never crosses a slice boundary,
+    while the deblocking filter crosses it unless that slice's idc
+    is 2."""
+    if pps.entropy_coding_mode:
+        raise H264Error("CABAC entropy coding unsupported (CAVLC only)")
     mw, mh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
     st = _PicState(
         y=np.zeros((16 * mh, 16 * mw), dtype=np.int64),
@@ -1103,61 +1142,102 @@ def _decode_slice(
         i4_modes=np.full((4 * mh, 4 * mw), -1, dtype=np.int64),
         blk_decoded=np.zeros((4 * mh, 4 * mw), dtype=bool),
         mb_qp=np.zeros((mh, mw), dtype=np.int64),
-        qp=qp, mw=mw, mh=mh, pps=pps,
+        mb_slice=np.full((mh, mw), -1, dtype=np.int64),
+        blk_slice=np.full((4 * mh, 4 * mw), -1, dtype=np.int64),
+        mb_dbf=np.ones((mh, mw), dtype=np.int64),
+        mb_aoff=np.zeros((mh, mw), dtype=np.int64),
+        mb_boff=np.zeros((mh, mw), dtype=np.int64),
+        cur_slice=0, multi=False,
+        qp=0, mw=mw, mh=mh, pps=pps,
     )
+    st.multi = len(slices) > 1
+    n_mbs = mw * mh
+    mb = 0
+    for si, (rbsp, idr, ref_idc) in enumerate(slices):
+        br = BitReader(rbsp)
+        first_mb, is_p, qp, dbf, aoff, boff = _parse_slice_header(
+            br, sps, pps, idr, ref_idc, have_ref=ref is not None
+        )
+        if first_mb != mb:
+            raise H264Error(
+                f"slice starts at MB {first_mb}, expected {mb} "
+                "(FMO/ASO unsupported)"
+            )
+        st.cur_slice = si
+        st.qp = qp
+        if is_p:
+            ref_y, ref_cb, ref_cr = ref
+            if ref_y.shape != st.y.shape:
+                raise H264Error("reference picture geometry mismatch")
 
-    if not is_p:
-        for mb in range(mw * mh):
-            mbx, mby = mb % mw, mb // mw
-            _decode_intra_mb(br, br.ue(), st, mbx, mby)
-            st.avail[mby, mbx] = True
-        if br.more_rbsp_data():
-            raise H264Error("trailing macroblock data past pic_size_in_mbs")
-    else:
-        ref_y, ref_cb, ref_cr = ref
-        if ref_y.shape != st.y.shape:
-            raise H264Error("reference picture geometry mismatch")
-        mb = 0
-        n_mbs = mw * mh
-        # slice_data for CAVLC P slices (7.3.4): mb_skip_run precedes
-        # every coded MB, and a final run may cover the picture tail
-        more = True
-        while more:
-            skip_run = br.ue()
-            for _ in range(skip_run):
-                if mb >= n_mbs:
-                    raise H264Error("mb_skip_run past pic_size_in_mbs")
-                mbx, mby = mb % mw, mb // mw
-                mvx, mvy = _skip_mv(st, mbx, mby)
-                st.mb_qp[mby, mbx] = st.qp
-                _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
-                _reconstruct_inter_mb(
-                    st, ref_y, ref_cb, ref_cr, mbx, mby,
-                    [(0, 0, 16, 16, mvx, mvy)],
-                    cbp=0, luma_blocks=[None] * 16,
-                    cdc=[[0] * 4, [0] * 4], cac=[[None] * 4, [None] * 4],
-                )
-                st.inter[mby, mbx] = True
-                st.avail[mby, mbx] = True
-                mb += 1
-            more = br.more_rbsp_data()
-            if more:
+        def _enter_mb(mbx: int, mby: int) -> None:
+            st.mb_slice[mby, mbx] = si
+            st.blk_slice[
+                4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+            ] = si
+            st.mb_dbf[mby, mbx] = dbf
+            st.mb_aoff[mby, mbx] = aoff
+            st.mb_boff[mby, mbx] = boff
+
+        if not is_p:
+            # I slice_data: macroblocks until the RBSP runs out
+            while True:
                 if mb >= n_mbs:
                     raise H264Error(
                         "trailing macroblock data past pic_size_in_mbs"
                     )
                 mbx, mby = mb % mw, mb // mw
-                _decode_p_mb(br, st, ref_y, ref_cb, ref_cr, mbx, mby)
+                _enter_mb(mbx, mby)
+                _decode_intra_mb(br, br.ue(), st, mbx, mby)
                 st.avail[mby, mbx] = True
                 mb += 1
+                if not br.more_rbsp_data():
+                    break
+        else:
+            # slice_data for CAVLC P slices (7.3.4): mb_skip_run
+            # precedes every coded MB; a final run may cover the tail
+            more = True
+            while more:
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    if mb >= n_mbs:
+                        raise H264Error(
+                            "mb_skip_run past pic_size_in_mbs"
+                        )
+                    mbx, mby = mb % mw, mb // mw
+                    _enter_mb(mbx, mby)
+                    mvx, mvy = _skip_mv(st, mbx, mby)
+                    st.mb_qp[mby, mbx] = st.qp
+                    _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
+                    _reconstruct_inter_mb(
+                        st, ref_y, ref_cb, ref_cr, mbx, mby,
+                        [(0, 0, 16, 16, mvx, mvy)],
+                        cbp=0, luma_blocks=[None] * 16,
+                        cdc=[[0] * 4, [0] * 4],
+                        cac=[[None] * 4, [None] * 4],
+                    )
+                    st.inter[mby, mbx] = True
+                    st.avail[mby, mbx] = True
+                    mb += 1
                 more = br.more_rbsp_data()
-        if mb != n_mbs:
-            raise H264Error(
-                f"P slice covers {mb} of {n_mbs} macroblocks"
-            )
+                if more:
+                    if mb >= n_mbs:
+                        raise H264Error(
+                            "trailing macroblock data past pic_size_in_mbs"
+                        )
+                    mbx, mby = mb % mw, mb // mw
+                    _enter_mb(mbx, mby)
+                    _decode_p_mb(br, st, ref_y, ref_cb, ref_cr, mbx, mby)
+                    st.avail[mby, mbx] = True
+                    mb += 1
+                    more = br.more_rbsp_data()
+    if mb != n_mbs:
+        raise H264Error(
+            f"picture slices cover {mb} of {n_mbs} macroblocks"
+        )
 
-    if deblock:
-        _deblock_picture(st, alpha_off, beta_off)
+    if (st.mb_dbf > 0).any():
+        _deblock_picture(st)
 
     y, cb, cr = st.y, st.cb, st.cr
     ct, cbm = sps.crop_top, sps.crop_bottom
@@ -1179,7 +1259,9 @@ class _PicState:
 
     __slots__ = (
         "y", "cb", "cr", "nnz", "nnz_c", "mv", "ref4", "inter", "avail",
-        "i4_modes", "blk_decoded", "mb_qp", "qp", "mw", "mh", "pps",
+        "i4_modes", "blk_decoded", "mb_qp", "mb_slice", "blk_slice",
+        "mb_dbf", "mb_aoff", "mb_boff", "cur_slice", "multi",
+        "qp", "mw", "mh", "pps",
     )
 
     def __init__(self, **kw) -> None:
@@ -1215,30 +1297,61 @@ def _decode_intra_mb(
     st.mb_qp[mby, mbx] = st.qp
     st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
     qp, nnz, nnz_c = st.qp, st.nnz, st.nnz_c
+    slc = _slc(st)
+    avail = _intra_avail(st, mbx, mby)
 
     # Intra16x16DCLevel: always present for Intra_16x16 (7.3.5.3),
     # nC from the luma blk-0 neighbors; its TotalCoeff is NOT
     # stored in the neighbor-context grid (AC counts only)
-    nc = _nc_luma(nnz, 4 * mby, 4 * mbx)
+    nc = _nc_luma(nnz, 4 * mby, 4 * mbx, slc)
     dc_levels = read_residual_block(br, 16, nc)
     ac_blocks = [None] * 16
     if cbp_luma:
         for k, (brow, bcol) in enumerate(_BLK_ORDER):
             aby, abx = 4 * mby + brow, 4 * mbx + bcol
-            nc = _nc_luma(nnz, aby, abx)
+            nc = _nc_luma(nnz, aby, abx, slc)
             ac = read_residual_block(br, 15, nc)
             ac_blocks[k] = ac
             nnz[aby, abx] = sum(1 for v in ac if v)
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
 
     _reconstruct_luma_16x16(
-        st.y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks
+        st.y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks, avail
     )
     _reconstruct_chroma(
         st.cb, st.cr, mbx, mby, chroma_mode,
-        _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac,
+        _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac, avail,
     )
     _mark_mb_decoded(st, mbx, mby)
+
+
+def _slc(st: "_PicState"):
+    """(blk_slice, cur_slice) nC gate — None for single-slice and for
+    encoder mirror states (positional availability is then exact)."""
+    if getattr(st, "multi", False):
+        return (st.blk_slice, st.cur_slice)
+    return None
+
+
+def _slc_mb(st: "_PicState"):
+    if getattr(st, "multi", False):
+        return (st.mb_slice, st.cur_slice)
+    return None
+
+
+def _intra_avail(
+    st: "_PicState", mbx: int, mby: int
+) -> tuple[bool, bool] | None:
+    """(has_left, has_top) for intra prediction — slice-bounded in
+    multi-slice pictures, positional otherwise."""
+    if not getattr(st, "multi", False):
+        return None
+    def ok(x, y):
+        return (
+            0 <= x < st.mw and 0 <= y < st.mh
+            and int(st.mb_slice[y, x]) == st.cur_slice
+        )
+    return (ok(mbx - 1, mby), ok(mbx, mby - 1))
 
 
 def _mark_mb_decoded(st: "_PicState", mbx: int, mby: int) -> None:
@@ -1258,12 +1371,25 @@ def _read_chroma_residuals(
         for c in (0, 1):
             cdc[c] = read_residual_block(br, 4, -1)
         if cbp_chroma == 2:
+            slc_mb = _slc_mb(st)
+
+            def okc(cy, cx):
+                return slc_mb is None or (
+                    int(slc_mb[0][cy // 2, cx // 2]) == slc_mb[1]
+                )
+
             for c in (0, 1):
                 for k in range(4):
                     cby = 2 * mby + k // 2
                     cbx = 2 * mbx + k % 2
-                    nA = int(nnz_c[c][cby, cbx - 1]) if cbx > 0 else None
-                    nB = int(nnz_c[c][cby - 1, cbx]) if cby > 0 else None
+                    nA = (
+                        int(nnz_c[c][cby, cbx - 1])
+                        if cbx > 0 and okc(cby, cbx - 1) else None
+                    )
+                    nB = (
+                        int(nnz_c[c][cby - 1, cbx])
+                        if cby > 0 and okc(cby - 1, cbx) else None
+                    )
                     if nA is not None and nB is not None:
                         nc = (nA + nB + 1) >> 1
                     else:
@@ -1432,14 +1558,14 @@ def _filter_edge_chroma(
         q0[weak] = np.clip(sq0 - delta, 0, 255)[weak]
 
 
-def _deblock_picture(
-    st: "_PicState", alpha_off: int, beta_off: int
-) -> None:
+def _deblock_picture(st: "_PicState") -> None:
     """8.7: per macroblock in raster order, filter all vertical edges
     left-to-right, then all horizontal edges top-to-bottom; each
     operation reads samples as modified by the previous ones. QP of an
     I_PCM macroblock counts as 0 (8.7.2); chroma uses the mapped QPc
-    with the PPS offset."""
+    with the PPS offset. Filter parameters (on/off/offsets, and the
+    idc-2 do-not-cross-slice-boundaries mode) come from the slice
+    containing the CURRENT macroblock, recorded per MB."""
     mw, mh = st.mw, st.mh
     y_pl, cb_pl, cr_pl = st.y, st.cb, st.cr
     coff = st.pps.chroma_qp_offset
@@ -1449,10 +1575,21 @@ def _deblock_picture(
 
     for mby in range(mh):
         for mbx in range(mw):
+            dbf = int(st.mb_dbf[mby, mbx])
+            if dbf == 0:
+                continue
+            alpha_off = int(st.mb_aoff[mby, mbx])
+            beta_off = int(st.mb_boff[mby, mbx])
+            slice_id = int(st.mb_slice[mby, mbx])
             # ---- vertical edges (filter across columns) ----
             for e in range(4):
                 if e == 0 and mbx == 0:
                     continue
+                if (
+                    e == 0 and dbf == 2
+                    and int(st.mb_slice[mby, mbx - 1]) != slice_id
+                ):
+                    continue  # idc 2: no filtering across slice edges
                 x = 16 * mbx + 4 * e
                 qp_p = mb_qp(mbx - 1, mby) if e == 0 else mb_qp(mbx, mby)
                 qp_q = mb_qp(mbx, mby)
@@ -1489,6 +1626,11 @@ def _deblock_picture(
             for e in range(4):
                 if e == 0 and mby == 0:
                     continue
+                if (
+                    e == 0 and dbf == 2
+                    and int(st.mb_slice[mby - 1, mbx]) != slice_id
+                ):
+                    continue  # idc 2: no filtering across slice edges
                 y = 16 * mby + 4 * e
                 qp_p = mb_qp(mbx, mby - 1) if e == 0 else mb_qp(mbx, mby)
                 qp_q = mb_qp(mbx, mby)
@@ -1696,14 +1838,18 @@ def predict_4x4(
 
 
 def _i4x4_pred_mode(
-    modes: np.ndarray, bx: int, by: int
+    modes: np.ndarray, bx: int, by: int, slc=None
 ) -> int:
     """predIntra4x4PredMode (8.3.1.1): min of the left/above blocks'
     modes, where an unavailable or non-Intra_4x4 neighbor counts as
-    DC (2)."""
+    DC (2). `slc` gates neighbors to the same slice."""
     bh, bw_ = modes.shape
-    ma = int(modes[by, bx - 1]) if bx > 0 else -1
-    mb = int(modes[by - 1, bx]) if by > 0 else -1
+
+    def ok(yy, xx):
+        return slc is None or int(slc[0][yy, xx]) == slc[1]
+
+    ma = int(modes[by, bx - 1]) if bx > 0 and ok(by, bx - 1) else -1
+    mb = int(modes[by - 1, bx]) if by > 0 and ok(by - 1, bx) else -1
     ma = 2 if ma < 0 else ma
     mb = 2 if mb < 0 else mb
     return min(ma, mb)
@@ -1735,6 +1881,14 @@ def _decode_i4x4_mb(
     st.mb_qp[mby, mbx] = st.qp
     st.ref4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = -1
     qp = st.qp
+    slc = _slc(st)
+    # decode-order availability, bounded by the slice: predict_4x4
+    # consults this mask (a copy when slice-gated, so per-block
+    # marking below stays local to this MB's decode)
+    if slc is None:
+        decoded = st.blk_decoded
+    else:
+        decoded = st.blk_decoded & (st.blk_slice == st.cur_slice)
     # residuals first (7.3.5.3 bitstream order: all luma blocks, then
     # chroma), reconstruction second — but reconstruction must run in
     # the same Z-order with intra prediction interleaved
@@ -1743,7 +1897,7 @@ def _decode_i4x4_mb(
         if not (cbp_luma >> (k // 4)) & 1:
             continue
         aby, abx = 4 * mby + brow, 4 * mbx + bcol
-        nc = _nc_luma(st.nnz, aby, abx)
+        nc = _nc_luma(st.nnz, aby, abx, slc)
         blk = read_residual_block(br, 16, nc)
         luma_blocks[k] = blk
         st.nnz[aby, abx] = sum(1 for v in blk if v)
@@ -1751,13 +1905,13 @@ def _decode_i4x4_mb(
 
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
         aby, abx = 4 * mby + brow, 4 * mbx + bcol
-        pm = _i4x4_pred_mode(st.i4_modes, abx, aby)
+        pm = _i4x4_pred_mode(st.i4_modes, abx, aby, slc)
         rem = pred_modes[k]
         if rem is None:
             mode = pm
         else:
             mode = rem if rem < pm else rem + 1
-        pred = predict_4x4(st.y, st.blk_decoded, abx, aby, mode)
+        pred = predict_4x4(st.y, decoded, abx, aby, mode)
         blk = luma_blocks[k]
         if blk is not None:
             d = dequant_4x4(_zigzag_to_4x4(blk), qp, skip_dc=False)
@@ -1768,10 +1922,12 @@ def _decode_i4x4_mb(
         )
         st.i4_modes[aby, abx] = mode
         st.blk_decoded[aby, abx] = True
+        decoded[aby, abx] = True  # no-op alias when single-slice
 
     _reconstruct_chroma(
         st.cb, st.cr, mbx, mby, chroma_mode,
         _chroma_qp(qp, st.pps.chroma_qp_offset), cdc, cac,
+        _intra_avail(st, mbx, mby),
     )
 
 
@@ -1806,6 +1962,10 @@ def _neighbor_mv(
         return (0, 0), -1, False
     r = int(st.ref4[by, bx])
     if r == -2:
+        return (0, 0), -1, False
+    if getattr(st, "multi", False) and (
+        int(st.blk_slice[by, bx]) != st.cur_slice
+    ):
         return (0, 0), -1, False
     if r == -1:
         return (0, 0), -1, True
@@ -2125,7 +2285,7 @@ def _decode_p_mb(
             if not (cbp_luma >> (k // 4)) & 1:
                 continue
             aby, abx = 4 * mby + brow, 4 * mbx + bcol
-            nc = _nc_luma(st.nnz, aby, abx)
+            nc = _nc_luma(st.nnz, aby, abx, _slc(st))
             blk = read_residual_block(br, 16, nc)
             luma_blocks[k] = blk
             st.nnz[aby, abx] = sum(1 for v in blk if v)
@@ -2152,9 +2312,9 @@ def _decode_ipcm(br, y, cb, cr, mbx, mby) -> None:
 
 
 def _reconstruct_luma_16x16(
-    y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks
+    y, mbx, mby, pred_mode, qp, dc_levels, ac_blocks, avail=None
 ) -> None:
-    pred = predict_16x16(y, mbx, mby, pred_mode)
+    pred = predict_16x16(y, mbx, mby, pred_mode, avail)
     # DC path: zigzag levels -> 4x4 -> inverse Hadamard -> rescale
     dc = scale_luma_dc(hadamard_4x4(_zigzag_to_4x4(dc_levels)), qp)
     rec = pred.copy()
@@ -2173,19 +2333,20 @@ def _reconstruct_luma_16x16(
 
 
 def _reconstruct_chroma(
-    cb, cr, mbx, mby, chroma_mode, qpc, cdc, cac
+    cb, cr, mbx, mby, chroma_mode, qpc, cdc, cac, avail=None
 ) -> None:
+    has_left, has_top = (mbx > 0, mby > 0) if avail is None else avail
     for c, plane in enumerate((cb, cr)):
         if chroma_mode == 0:
-            pred = predict_chroma_dc(plane, mbx, mby)
+            pred = predict_chroma_dc(plane, mbx, mby, (has_left, has_top))
         elif chroma_mode == 1:
-            if mbx == 0:
+            if not has_left:
                 raise H264Error("chroma H prediction without left neighbor")
             pred = np.tile(
                 plane[8 * mby : 8 * mby + 8, 8 * mbx - 1][:, None], (1, 8)
             ).astype(np.int64)
         elif chroma_mode == 2:
-            if mby == 0:
+            if not has_top:
                 raise H264Error("chroma V prediction without top neighbor")
             pred = np.tile(
                 plane[8 * mby - 1, 8 * mbx : 8 * mbx + 8], (8, 1)
@@ -2571,6 +2732,55 @@ def h264_encode_p_partitions(
             st.avail[mby, mbx] = True
     bw.rbsp_trailing()
     return _nal(1, bw.to_bytes(), ref_idc=2)
+
+
+def h264_encode_sliced_rows(
+    mb_h: int,
+    anchor_levels: list[int],
+    deblock_idc: int = 0,
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+    qp: int = 36,
+) -> bytes:
+    """One Annex-B IDR access unit whose picture is a 1-MB-wide column
+    split into ONE SLICE PER MACROBLOCK: slice R starts at
+    first_mb_in_slice = R and carries a single Intra_16x16 DC-predicted
+    MB with one DC-level coefficient. Because intra prediction cannot
+    cross a slice boundary, every MB's DC prediction is the
+    no-neighbor 128 — a single-slice decoder would V/DC-predict from
+    the row above and produce different pixels, so the multi-slice
+    availability rules land in oracle-checked values. `deblock_idc`
+    0 filters across the slice boundaries, 1 disables the filter,
+    2 filters but not across slice boundaries (here: every horizontal
+    MB edge, so the picture stays unfiltered — the idc-2 semantics in
+    observable form)."""
+    if len(anchor_levels) != mb_h:
+        raise ValueError("need one anchor level per MB row")
+    if deblock_idc not in (0, 1, 2):
+        raise ValueError("bad disable_deblocking_filter_idc")
+    out = encode_sps(1, mb_h, crop_right, crop_bottom) + encode_pps(qp)
+    for r, level in enumerate(anchor_levels):
+        bw = BitWriter()
+        bw.ue(r)  # first_mb_in_slice
+        bw.ue(7)  # I slice
+        bw.ue(0)  # pps_id
+        bw.u(0, 4)  # frame_num
+        bw.ue(0)  # idr_pic_id
+        bw.u(0, 1)
+        bw.u(0, 1)
+        bw.se(0)  # slice_qp_delta
+        bw.ue(deblock_idc)
+        if deblock_idc != 1:
+            bw.se(0)
+            bw.se(0)
+        bw.ue(1 + 2)  # mb_type: I16x16, DC prediction, cbp 0
+        bw.ue(0)  # chroma DC
+        bw.se(0)  # mb_qp_delta
+        # nC: no same-slice neighbors exist for the slice's only MB
+        write_residual_block(bw, [level] + [0] * 15, 0)
+        bw.rbsp_trailing()
+        out += _nal(5, bw.to_bytes())
+    return out
 
 
 def inter_dc_offset(level: int, qp: int = 28) -> int:

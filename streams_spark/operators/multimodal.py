@@ -2447,6 +2447,188 @@ def m_h264_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 multi-slice pictures (slice-bounded prediction)
+# ---------------------------------------------------------------------------
+
+
+def _h264_slices_oracle() -> str:
+    """Closed form for m_h264_slices: one slice per MB of a 1-MB-wide
+    picture. Intra prediction cannot cross slice boundaries, so every
+    MB DC-predicts from NOTHING (128) + its own level — a(R) is
+    per-row independent, NOT cumulative (a single-slice decoder would
+    accumulate and diverge). Deblocking follows the per-slice idc:
+    0 filters across the boundaries (the m_h264_deblock strong/one-tap
+    closed form incl. the second-order row), 1 off, 2 on-but-not-
+    across-slice-boundaries — and every horizontal MB edge here IS a
+    slice boundary, so idc 2 leaves the picture untouched."""
+    a_of = (
+        "128 + CAST(floor((160.0 * ((CASE WHEN (doc_id + {r}) % 2 = 0"
+        " THEN 1 ELSE -1 END) * ([0, 1, 2, 5, 9, 20, 26])"
+        "[1 + (doc_id + 2 * ({r})) % 7]) + 32) / 64) AS BIGINT)"
+    )
+    cur = f"({a_of.format(r='y // 16')})"
+    pv = f"({a_of.format(r='y // 16 - 1')})"
+    nb = f"({a_of.format(r='y // 16 + 1')})"
+    q1p = f"((3 * {cur} + {pv} + 2) // 4)"
+    q2p = f"((7 * {cur} + {pv} + 4) // 8)"
+    q2pp = (
+        f"({q2p} + GREATEST(-4, LEAST(4, CAST(floor(({q1p}"
+        f" + {cur} - 2.0 * {q2p}) / 2) AS BIGINT))))"
+    )
+    fy = f"""CASE
+          WHEN idc <> 0 THEN {cur}
+          WHEN y % 16 <= 2 AND y >= 16 THEN
+            CASE
+              WHEN abs({pv} - {cur}) >= 50 THEN {cur}
+              WHEN abs({pv} - {cur}) < 14 THEN
+                CASE y % 16
+                  WHEN 0 THEN (5 * {cur} + 3 * {pv} + 4) // 8
+                  WHEN 1 THEN {q1p}
+                  ELSE {q2pp}
+                END
+              WHEN y % 16 = 0 THEN {q1p}
+              ELSE {cur}
+            END
+          WHEN y % 16 >= 13 AND y // 16 + 1 < mh THEN
+            CASE
+              WHEN abs({nb} - {cur}) >= 50 THEN {cur}
+              WHEN abs({nb} - {cur}) < 14 THEN
+                CASE y % 16
+                  WHEN 13 THEN (7 * {cur} + {nb} + 4) // 8
+                  WHEN 14 THEN (3 * {cur} + {nb} + 2) // 4
+                  ELSE (5 * {cur} + 3 * {nb} + 4) // 8
+                END
+              WHEN y % 16 = 15 THEN (3 * {cur} + {nb} + 2) // 4
+              ELSE {cur}
+            END
+          ELSE {cur}
+        END"""
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 9) % 4 AS mh,
+         (doc_id // 7) % 3 AS idc,
+         16 - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 4) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(2 + (doc_id // 9) % 4 AS INTEGER) AS n_slices,
+       CAST(list_sum(list_transform(range(0, h), y ->
+           w * ({fy})
+       )) % 1000000007 AS BIGINT) AS checksum
+FROM geo
+"""
+
+
+_H264_SLICES_ORACLE = _h264_slices_oracle()
+
+
+def h264_slices_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One raw Annex-B IDR per video doc, the picture split into one
+    slice per macroblock (h264_encode_sliced_rows): per-slice anchors
+    sweep the deblock threshold regimes and docs cycle all three
+    disable_deblocking_filter_idc values."""
+    from streams_spark.functions.h264 import h264_encode_sliced_rows
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out = []
+        mags = [0, 1, 2, 5, 9, 20, 26]
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mh = 2 + (d // 9) % 4
+                levels = [
+                    mags[(d + 2 * r) % 7]
+                    * (1 if (d + r) % 2 == 0 else -1)
+                    for r in range(mh)
+                ]
+                rows_out.append(
+                    (d, h264_encode_sliced_rows(
+                        mh, levels,
+                        deblock_idc=(d // 7) % 3,
+                        crop_right=2 * (d % 4),
+                        crop_bottom=2 * ((d // 5) % 3),
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264sl",
+        (_h,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_slices", oracle=_H264_SLICES_ORACLE)
+def m_h264_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 multi-slice decode: pictures split into one slice
+    per macroblock, decoded as ONE picture with slice-BOUNDED
+    prediction — intra samples, MV predictors, and CAVLC nC contexts
+    never cross first_mb_in_slice boundaries, per-slice QP and
+    deblocking parameters are tracked per MB, and the filter honours
+    idc 0 (across boundaries), 1 (off), and 2 (not across boundaries)
+    per slice. The oracle's per-row-INDEPENDENT anchors are the proof:
+    a decoder that lets prediction cross slices accumulates row values
+    and diverges on every picture.
+
+    Scale: map-only Arrow decode over a staged blob table, like every
+    real-codec row.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import h264_decode
+    from streams_spark.functions.h264 import annexb_split
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_slices = sum(
+                    1 for nal in annexb_split(buf)
+                    if nal and (nal[0] & 0x1F) in (1, 5)
+                )
+                fr = h264_decode(buf)
+                h, w = fr.y.shape
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h), n_slices,
+                        int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_slices", "checksum",
+                ],
+            )
+
+    return h264_slices_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, n_slices int, "
+            "checksum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real AAC ADTS frame census (the audio sibling of m_mp3_census)
 # ---------------------------------------------------------------------------
 

@@ -655,7 +655,7 @@ def test_undersized_p_slice_mb_count_raises():
     # writes 4 coded MBs then trailing bits; decode must notice
     mbs = {(x, y): ("inter", (0, 0), 1) for x in range(2) for y in range(2)}
     au = _encode_p_custom(2, 2, mbs)
-    with pytest.raises(H264Error, match="covers 4 of 9"):
+    with pytest.raises(H264Error, match="cover 4 of 9"):
         dec.decode(au)
 
 
