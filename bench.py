@@ -68,6 +68,7 @@ HEADLINE = [
     "m_h264_intra4x4",
     "m_h264_deblock",
     "m_h264_partitions",
+    "m_h264_slices",
     "m_aac_census",
     "st_tumbling_stream",
     "st_cdc_apply",
