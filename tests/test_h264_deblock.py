@@ -499,3 +499,25 @@ def test_ipcm_qp_zero_suppresses_filtering_next_to_pcm():
     meta36 = _intra_meta(2, 1)
     ry36, _, _ = _ref_deblock(y, c, c, meta36)
     assert not (ry36 == y).all()
+
+
+def test_p_frame_references_the_filtered_picture():
+    """IN-LOOP contract: the DPB holds the FILTERED picture, so a
+    pure-MC P frame over a filter-enabled IDR must reproduce the
+    filtered pixels (shifted), not the unfiltered reconstruction."""
+    idr_f = h264_encode_rows(1, 3, 128 + dc_offset(2), [5, -9],
+                             deblock=True, anchor_level=2)
+    idr_u = h264_encode_rows(1, 3, 128 + dc_offset(2), [5, -9],
+                             anchor_level=2)
+    p = h264_encode_p_rows(1, 3, (0, 8), [0, 0, 0], frame_num=1)
+    d1, d2 = H264Decoder(), H264Decoder()
+    f_f = d1.decode(idr_f)
+    p_f = d1.decode(p)
+    f_u = d2.decode(idr_u)
+    p_u = d2.decode(p)
+    assert not (f_f.y == f_u.y).all()
+    shift = np.empty_like(f_f.y.astype(np.int64))
+    for y in range(48):
+        shift[y] = f_f.y[min(max(y + 2, 0), 47)].astype(np.int64)
+    assert (p_f.y == shift).all()
+    assert not (p_f.y == p_u.y).all()
