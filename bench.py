@@ -164,6 +164,19 @@ BENCH_NOTES = {
         "plan slack (sliding-window struct -> date_trunc, -14%) "
         "(SCALING.md r10)"
     ),
+    "w_sessionize": (
+        "scan-floor-bound: the bare user_id+ts events scan measures "
+        "0.156s on today's testdata vintage = 66% of this row's entire "
+        "0.238s r1 recording; solo and shared sessions agree at "
+        "~0.56s adjusted (SCALING.md r10 continuation)"
+    ),
+    "q_json_props": (
+        "scan-floor-bound: the bare props-column scan measures 0.14s = "
+        "75% of this row's entire 0.187s r1 recording; get_json_object "
+        "adds nothing measurable on top of the scan; solo and shared "
+        "sessions agree at ~0.42-0.51s adjusted (SCALING.md r10 "
+        "continuation)"
+    ),
 }
 
 ROTATED_OUT_R5 = {
