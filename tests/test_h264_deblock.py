@@ -521,3 +521,71 @@ def test_p_frame_references_the_filtered_picture():
         shift[y] = f_f.y[min(max(y + 2, 0), 47)].astype(np.int64)
     assert (p_f.y == shift).all()
     assert not (p_f.y == p_u.y).all()
+
+
+def test_partitioned_mb_internal_bs1_edge_filters():
+    """After the per-4x4 motion refactor, bS MV comparisons happen at
+    block granularity: a 16x8 MB whose halves move differently has a
+    bS-1 edge at its INTERNAL y=8 boundary. The top half's +12px
+    vertical MV pulls values that straddle the reference's row step,
+    so the edge carries a real value difference and the tc0-clipped
+    filter fires."""
+    from streams_spark.functions.h264 import h264_encode_p_partitions
+    import streams_spark.functions.h264 as h
+
+    mb_w, mb_h = 2, 2
+    idr = h264_encode_rows(mb_w, mb_h, 120, [2])  # rows: 120 / 125
+    row_modes = [
+        (1, (0, 48), (0, 0), 0),  # 16x8: top half +12px, bottom 0
+        (1, (0, 0), (0, 0), 0),
+    ]
+    p = h264_encode_p_partitions(mb_w, mb_h, row_modes, frame_num=1)
+    d1 = H264Decoder()
+    d1.decode(idr)
+    raw = d1.decode(p)
+
+    # per-4x4 MV grid mirroring the encoder
+    mv4 = np.zeros((4 * mb_h, 4 * mb_w, 2), dtype=np.int64)
+    mv4[0:2, :, :] = (0, 48)
+
+    def bs_pair(pbx, pby, qbx, qby):
+        dmv = np.abs(mv4[pby, pbx] - mv4[qby, qbx])
+        return 1 if (dmv >= 4).any() else 0
+
+    # scalar reference: only horizontal edges can act (columns are
+    # constant per row, so vertical edges compare equal samples)
+    y = raw.y.astype(np.int64).copy()
+    for yy in range(4, 32, 4):
+        for x in range(32):
+            bs = bs_pair(x // 4, (yy - 1) // 4, x // 4, yy // 4)
+            s_ = [int(y[yy - 4 + i, x]) for i in range(8)]
+            s_ = _ref_filter_line(s_, bs, 28, 28, False)
+            for i in range(8):
+                y[yy - 4 + i, x] = s_[i]
+
+    st = h._PicState(
+        y=raw.y.astype(np.int64).copy(),
+        cb=raw.cb.astype(np.int64).copy(),
+        cr=raw.cr.astype(np.int64).copy(),
+        nnz=np.zeros((8, 8), dtype=np.int64),
+        nnz_c=[np.zeros((4, 4), dtype=np.int64) for _ in range(2)],
+        mv=mv4,
+        ref4=np.zeros((8, 8), dtype=np.int64),
+        inter=np.ones((2, 2), dtype=bool),
+        avail=np.ones((2, 2), dtype=bool),
+        i4_modes=np.full((8, 8), -1, dtype=np.int64),
+        blk_decoded=np.ones((8, 8), dtype=bool),
+        mb_qp=np.full((2, 2), 28, dtype=np.int64),
+        mb_slice=np.zeros((2, 2), dtype=np.int64),
+        blk_slice=np.zeros((8, 8), dtype=np.int64),
+        mb_dbf=np.ones((2, 2), dtype=np.int64),
+        mb_aoff=np.zeros((2, 2), dtype=np.int64),
+        mb_boff=np.zeros((2, 2), dtype=np.int64),
+        cur_slice=0, multi=False,
+        qp=28, mw=2, mh=2,
+        pps=h.parse_pps(h.ebsp_to_rbsp(h.encode_pps(36)[5:])),
+    )
+    h._deblock_picture(st)
+    assert (st.y == y).all()
+    # the bS-1 edge at y=8 must actually have fired
+    assert not (st.y == raw.y.astype(np.int64)).all()
