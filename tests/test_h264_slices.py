@@ -213,3 +213,18 @@ def test_per_slice_qp():
     assert int(fr.y[0, 0]) == 128 + dco(1, 36)
     assert int(fr.y[16, 0]) == 128 + dco(1, 30)
     assert dco(1, 36) != dco(1, 30)
+
+
+def test_multislice_byte_flip_sweep_never_hangs_or_crashes():
+    au = h264_encode_sliced_rows(3, [2, -5, 9], deblock_idc=0)
+    ok = err = 0
+    for i in range(5, len(au)):
+        corrupt = bytearray(au)
+        corrupt[i] ^= 0x55
+        try:
+            fr = h264_decode(bytes(corrupt))
+            assert fr.y.shape == (48, 16)
+            ok += 1
+        except H264Error:
+            err += 1
+    assert ok + err == len(au) - 5 and err > 0
