@@ -43,7 +43,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round 1) toward the back. Pure ordering — every query remains registered
 # and runnable regardless of position.
 ROUND_PRIORITY = [
-    # --- round 10 window (first 50) ---
+    # --- round 11 window (first 50) ---
+    # head (6): the only operators in the registry with NO driver
+    # CORRECTNESS row ever (landed after the r10 window was fixed;
+    # VERDICT r10 #1). All six are gate-green at both scales and were
+    # independently oracle-verified by the r10 judge — this window adds
+    # the hard driver signal.
+    "m_h264_gop",
+    "m_h264_intra4x4",
+    "m_h264_deblock",
+    "m_h264_partitions",
+    "m_h264_slices",
+    "m_aac_census",
+    # r11 new operator (registered later this round; the `if n in
+    # REGISTRY` guard skips it until it lands): avc1/avcC-packaged
+    # H.264 decode — VERDICT r10 #2.
+    "m_h264_avc1",
+    # then the r11 rotation target (VERDICT r10 #1 balance): all 43
+    # rows whose latest driver evidence is round 6 (reproduced from
+    # the CORRECTNESS_r0* union), so after this window no
+    # oracle-paired row's driver evidence is older than r7.
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "q_rollup_revenue",
+    "q_cube_orders",
+    "q_distinct_aggs",
+    "q_percentiles",
+    "q_unpivot",
+    "q_setops",
+    "q_scalar_functions",
+    "q_date_functions",
+    "q_pivot_linestatus",
+    "q_salted_agg",
+    "q_grouping_sets",
+    "q_array_functions",
+    "w_topk_suppliers_per_nation",
+    "w_customer_ranks",
+    "w_asof_purchase_click",
+    "w_range_join",
+    "w_range_join_bucketed",
+    "w_retention",
+    "w_hypertable_rollup",
+    "v_get_spaces",
+    "v_get_segments",
+    "v_consume_segment",
+    "v_consume_space",
+    "v_consume_interleave",
+    "v_segment_offset",
+    "v_sequence_validate",
+    "v_produce_status",
+    "v_cluster_status",
+    "v_metadata_filter",
+    "p_ingest_guard",
+    # ---- 50-query window boundary (r11) ----
+    # --- round 10 window (history; all 50 green in CORRECTNESS_r10) ---
     # head: the round's new operators (registered later this round; the
     # `if n in REGISTRY` guard skips any name that doesn't land) plus
     # rows whose code paths this round's parser hardening touched —
