@@ -134,6 +134,13 @@ def adts_header(
         raise ValueError("bad sampling_frequency_index")
     if not 0 < size < (1 << 13):
         raise ValueError("aac_frame_length out of range")
+    if crc and blocks > 1:
+        # The scanner documents multi-block CRC frames as out of scope
+        # (per-block CRC positions, 1.A.2.2.1) and rejects them on
+        # parse — so emitting one from the fixture muxer would silently
+        # degrade everything after it to junk until resync. Fail at
+        # build time instead.
+        raise ValueError("multi-block CRC frames are out of scope")
     b = bytearray(7)
     b[0] = 0xFF
     b[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)

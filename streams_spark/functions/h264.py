@@ -250,6 +250,13 @@ class PPS(NamedTuple):
     chroma_qp_offset: int
     deblocking_control_present: int
     constrained_intra_pred: int
+    # num_ref_idx_l0_default_active_minus1 (7.4.2.2): kept so the slice
+    # header can detect a PPS whose L0 default exceeds the one reference
+    # this decoder supports — such a stream codes ref_idx_l0 te(v)
+    # elements in mb_pred that _decode_p_mb never reads, so proceeding
+    # would desync the bit reader (silently wrong pixels) instead of
+    # the documented loud scope failure.
+    num_ref_idx_l0_default: int = 0
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -302,7 +309,7 @@ def parse_pps(rbsp: bytes) -> PPS:
     br.u(1)  # bottom_field_pic_order_in_frame_present
     if br.ue() != 0:  # num_slice_groups_minus1
         raise H264Error("slice groups (FMO) unsupported")
-    br.ue()  # num_ref_idx_l0_default_active_minus1
+    ref_l0_default = br.ue()  # num_ref_idx_l0_default_active_minus1
     br.ue()  # num_ref_idx_l1_default_active_minus1
     br.u(1)  # weighted_pred_flag
     br.u(2)  # weighted_bipred_idc
@@ -312,7 +319,9 @@ def parse_pps(rbsp: bytes) -> PPS:
     deblock = br.u(1)
     cip = br.u(1)
     br.u(1)  # redundant_pic_cnt_present
-    return PPS(entropy, pic_init_qp, chroma_qp_offset, deblock, cip)
+    return PPS(
+        entropy, pic_init_qp, chroma_qp_offset, deblock, cip, ref_l0_default
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1077,12 +1086,30 @@ def _parse_slice_header(
     if idr:
         br.ue()  # idr_pic_id
     if is_p:
+        if pps.constrained_intra_pred:
+            # 8.3.1.1/8.3.1.2: cip=1 requires intra MBs in P pictures
+            # to treat inter-coded neighbors as unavailable for sample
+            # prediction, pred-mode inference, and nC contexts. This
+            # decoder does not implement that availability gating, so
+            # decoding would be silently wrong — fail loudly instead
+            # (the module's raises-rather-than-silently-wrong contract).
+            raise H264Error(
+                "constrained_intra_pred_flag=1 with P slices unsupported"
+            )
         if br.u(1):  # num_ref_idx_active_override_flag
             if br.ue() != 0:  # num_ref_idx_l0_active_minus1
                 raise H264Error(
                     "multiple L0 reference pictures unsupported "
                     "(single-reference P decoder)"
                 )
+        elif pps.num_ref_idx_l0_default:
+            # No override and the PPS default exceeds one L0 reference:
+            # mb_pred would code ref_idx_l0 te(v) elements this decoder
+            # never reads — the bit reader would desync into garbage.
+            raise H264Error(
+                "PPS num_ref_idx_l0_default_active > 1 without a slice "
+                "override (single-reference P decoder)"
+            )
         # ref_pic_list_modification (7.3.3.1)
         if br.u(1):
             raise H264Error("ref_pic_list_modification unsupported")
@@ -2403,14 +2430,19 @@ def encode_sps(
     return _nal(7, bw.to_bytes())
 
 
-def encode_pps(qp: int = 36) -> bytes:
+def encode_pps(
+    qp: int = 36, ref_l0_default: int = 0, cip: bool = False
+) -> bytes:
+    """Fixture PPS. `ref_l0_default` / `cip` exist only to build
+    conforming-but-out-of-scope streams the decoder must REJECT loudly
+    (multi-reference L0 defaults, constrained intra prediction)."""
     bw = BitWriter()
     bw.ue(0)  # pps_id
     bw.ue(0)  # sps_id
     bw.u(0, 1)  # CAVLC
     bw.u(0, 1)  # bottom_field_pic_order
     bw.ue(0)  # num_slice_groups_minus1
-    bw.ue(0)  # num_ref_idx_l0
+    bw.ue(ref_l0_default)  # num_ref_idx_l0_default_active_minus1
     bw.ue(0)  # num_ref_idx_l1
     bw.u(0, 1)  # weighted_pred
     bw.u(0, 2)  # weighted_bipred
@@ -2418,7 +2450,7 @@ def encode_pps(qp: int = 36) -> bytes:
     bw.se(0)  # pic_init_qs
     bw.se(0)  # chroma_qp_index_offset
     bw.u(1, 1)  # deblocking_filter_control_present
-    bw.u(0, 1)  # constrained_intra_pred
+    bw.u(1 if cip else 0, 1)  # constrained_intra_pred
     bw.u(0, 1)  # redundant_pic_cnt_present
     bw.rbsp_trailing()
     return _nal(8, bw.to_bytes())

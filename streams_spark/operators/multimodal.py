@@ -1780,7 +1780,7 @@ SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
        CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
-         AS pts_ticks,
+         AS dts_ticks,
        (frame_no = 0) AS is_idr,
        CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
 FROM steps
@@ -1915,7 +1915,7 @@ def m_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "frame_no", "n_frames", "width", "height",
-                    "pts_ticks", "is_idr", "checksum",
+                    "dts_ticks", "is_idr", "checksum",
                 ],
             )
 
@@ -1923,7 +1923,7 @@ def m_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema=(
             "doc_id long, frame_no int, n_frames int, width int, "
-            "height int, pts_ticks long, is_idr boolean, checksum bigint"
+            "height int, dts_ticks long, is_idr boolean, checksum bigint"
         ),
     )
 
@@ -2307,7 +2307,7 @@ SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
        CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
-         AS pts_ticks,
+         AS dts_ticks,
        CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
 FROM steps
 """
@@ -2433,7 +2433,7 @@ def m_h264_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "frame_no", "n_frames", "width", "height",
-                    "pts_ticks", "checksum",
+                    "dts_ticks", "checksum",
                 ],
             )
 
@@ -2441,7 +2441,7 @@ def m_h264_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema=(
             "doc_id long, frame_no int, n_frames int, width int, "
-            "height int, pts_ticks long, checksum bigint"
+            "height int, dts_ticks long, checksum bigint"
         ),
     )
 

@@ -124,9 +124,14 @@ def test_channel_config_zero_rejected():
 
 def test_multi_block_crc_frame_rejected():
     # per-block CRC positions are out of scope: such a header must not
-    # be accepted as a frame (loud junk, not silent miscounting)
-    hdr = adts_header(40, 4, 1, blocks=2, crc=True)
-    assert _parse_header(hdr + b"\x00" * 40, 0) is None
+    # be accepted as a frame (loud junk, not silent miscounting). The
+    # muxer refuses to emit one, so assemble it by flipping the block
+    # count on a valid single-block CRC header.
+    with pytest.raises(ValueError):
+        adts_header(40, 4, 1, blocks=2, crc=True)
+    hdr = bytearray(adts_header(40, 4, 1, blocks=1, crc=True))
+    hdr[6] = (hdr[6] & 0xFC) | 1  # number_of_raw_data_blocks_minus1 = 1
+    assert _parse_header(bytes(hdr) + b"\x00" * 40, 0) is None
 
 
 def test_frame_length_below_header_rejected():

@@ -882,3 +882,85 @@ def test_partition_byte_flip_sweep():
         except H264Error:
             err += 1
     assert ok + err == len(p) - 5 and err > 0
+
+
+def test_pps_multi_ref_l0_default_without_override_raises():
+    # A conforming PPS may default num_ref_idx_l0_active to >1; a P
+    # slice that does not override it back to 1 codes ref_idx_l0 te(v)
+    # elements this single-reference decoder never reads — proceeding
+    # would desync the bit reader. The slice header must fail loudly.
+    rng = np.random.default_rng(7)
+    idr = _random_idr(rng, 2, 2)
+    p = _encode_p_custom(2, 2, {(x, y): ("skip",) for x in range(2)
+                                for y in range(2)})
+    dec = H264Decoder()
+    dec.decode(idr)
+    bad_pps = encode_pps(qp=36, ref_l0_default=1)
+    with pytest.raises(H264Error, match="num_ref_idx_l0_default"):
+        dec.decode(bad_pps + p)
+
+
+def test_pps_multi_ref_l0_default_with_override_decodes():
+    # Same PPS, but the slice pins num_ref_idx_l0_active back to 1 via
+    # the override flag: decodes identically to the default-PPS stream.
+    rng = np.random.default_rng(7)
+    idr = _random_idr(rng, 2, 2)
+    mvs = {(0, 0): ("inter", (4, -4), 1), (1, 0): ("skip",),
+           (0, 1): ("skip",), (1, 1): ("inter", (0, 8), 0)}
+    p_plain = _encode_p_custom(2, 2, mvs)
+    # rebuild the P slice with override: flip the override flag bit and
+    # add num_ref_idx_l0_active_minus1=0. The helper writes the three
+    # flag bits together, so re-encode by hand here.
+    bw = BitWriter()
+    bw.ue(0)
+    bw.ue(5)
+    bw.ue(0)
+    bw.u(1, 4)  # frame_num
+    bw.u(1, 1)  # num_ref_idx_active_override_flag
+    bw.ue(0)  # num_ref_idx_l0_active_minus1 -> 1 reference
+    bw.u(0, 1)  # ref_pic_list_modification
+    bw.u(0, 1)  # adaptive marking
+    bw.se(-8)
+    bw.ue(1)  # disable deblocking
+    # macroblock layer: copy the plain slice's payload bit-exactly is
+    # not possible post-header, so just use all-skip (mb_skip_run 4).
+    bw.ue(4)
+    bw.rbsp_trailing()
+    p_override = b"\x00\x00\x00\x01" + bytes([(2 << 5) | 1]) + rbsp_to_ebsp(
+        bw.to_bytes()
+    )
+    dec = H264Decoder()
+    f0 = dec.decode(idr)
+    f1 = dec.decode(encode_pps(qp=36, ref_l0_default=1) + p_override)
+    # all-skip P picture with zero skip MVs: identical to the reference
+    assert (f1.y == f0.y).all()
+
+
+def test_constrained_intra_pred_p_slice_raises():
+    # cip=1 requires intra-in-P neighbor availability gating this
+    # decoder does not implement (8.3.1.1/8.3.1.2); decoding anyway
+    # would be silently wrong, so the slice header must raise.
+    rng = np.random.default_rng(9)
+    idr = _random_idr(rng, 2, 2)
+    p = _encode_p_custom(2, 2, {(x, y): ("skip",) for x in range(2)
+                                for y in range(2)})
+    dec = H264Decoder()
+    dec.decode(idr)
+    with pytest.raises(H264Error, match="constrained_intra_pred"):
+        dec.decode(encode_pps(qp=36, cip=True) + p)
+
+
+def test_constrained_intra_pred_i_only_still_decodes():
+    # cip only constrains intra-in-P; an I-only stream under a cip=1
+    # PPS decodes unchanged (every neighbor is intra).
+    au = h264_encode_rows(2, 2, 80, [1])
+    base = h264_decode(au)
+    # splice the cip PPS in place of the original (SPS | PPS | slice)
+    sps = encode_sps(2, 2)
+    assert au.startswith(sps)
+    rest = au[len(sps):]
+    plain_pps = encode_pps()
+    assert rest.startswith(plain_pps)
+    swapped = sps + encode_pps(cip=True) + rest[len(plain_pps):]
+    got = h264_decode(swapped)
+    assert (got.y == base.y).all()
