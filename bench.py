@@ -70,6 +70,10 @@ HEADLINE = [
     "m_h264_partitions",
     "m_h264_slices",
     "m_aac_census",
+    # r11 addition: the avc1/avcC real-world-packaging decode joins at
+    # birth (same rule as every codec row since r8); half the GOP row's
+    # doc population, so expect roughly half its cost
+    "m_h264_avc1",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

@@ -11,9 +11,20 @@ the way `extract_samples` below does (chunk-run expansion capped by the
 total sample count, intra-chunk offsets by cumulative sample size,
 per-sample DTS by duration-run expansion).
 
-The muxer writes Motion-JPEG-in-MP4 per the MPEG-4 systems registry
-(`mp4v` visual sample entry whose `esds` DecoderConfigDescriptor
-carries objectTypeIndication 0x6C = ISO/IEC 10918-1 JPEG), with
+H.264 tracks use the real-world packaging (ISO/IEC 14496-15): an
+`avc1` sample entry whose `avcC` AVCDecoderConfigurationRecord carries
+SPS/PPS out-of-band and declares the per-sample NAL length-prefix
+size — samples are length-prefixed NAL units, NOT Annex-B.
+`mp4_mux_avc` packages Annex-B access units that way (parameter sets
+lifted into avcC, samples length-prefixed) and
+`avc_sample_to_annexb`/`avc_track_param_sets` convert back for the
+Annex-B elementary-stream decoder; both directions fail loudly on
+desynced length walks or malformed records.
+
+The MJPEG muxer writes Motion-JPEG-in-MP4 per the MPEG-4 systems
+registry (`mp4v` visual sample entry whose `esds`
+DecoderConfigDescriptor carries objectTypeIndication 0x6C =
+ISO/IEC 10918-1 JPEG), with
 deliberately non-trivial tables: a leading `free` box shifts all chunk
 offsets, samples are grouped into multi-sample chunks with a final
 partial chunk (so the stsc cap path runs), and stts uses alternating
@@ -48,6 +59,20 @@ class Sample(NamedTuple):
     sync: bool = True  # keyframe? (no stss box => every sample is sync)
 
 
+class AvcConfig(NamedTuple):
+    """Parsed AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3):
+    the out-of-band SPS/PPS NAL units (header byte included, no start
+    codes) and the per-sample NAL length-prefix size. `avc1`/`avc3`
+    tracks carry length-prefixed NALs in their samples, NOT Annex-B —
+    `avc_sample_to_annexb` converts one sample for an Annex-B decoder."""
+
+    profile: int
+    level: int
+    nal_length_size: int  # 1, 2 or 4 bytes (3 is spec-reserved)
+    sps: tuple[bytes, ...]
+    pps: tuple[bytes, ...]
+
+
 class Mp4Track(NamedTuple):
     codec: str  # sample-entry fourcc, e.g. 'mp4v'
     width: int
@@ -55,6 +80,8 @@ class Mp4Track(NamedTuple):
     timescale: int
     duration: int  # mdhd duration, ticks
     samples: list[Sample]
+    # avc1/avc3 tracks only: the avcC record (None for mp4v etc.)
+    avcc: AvcConfig | None = None
 
 
 def _box(typ: bytes, payload: bytes) -> bytes:
@@ -116,6 +143,164 @@ def _visual_sample_entry(width: int, height: int) -> bytes:
     return _box(b"mp4v", body)
 
 
+# ---------------------------------------------------------------------------
+# avc1/avcC (ISO/IEC 14496-15): H.264 sample entries. Real-world H.264
+# MP4s (ffmpeg, phones) package SPS/PPS out-of-band in an
+# AVCDecoderConfigurationRecord and store samples as LENGTH-PREFIXED
+# NAL units — not the Annex-B start-code stream the elementary-stream
+# decoder reads. These helpers convert both directions, loudly.
+# ---------------------------------------------------------------------------
+
+
+def _annexb_nals(au: bytes) -> list[bytes]:
+    """Split an Annex-B access unit into NAL units (3/4-byte start
+    codes). Container-side twin of the decoder's splitter, raising
+    Mp4Error so mux callers see one exception type."""
+    starts = []
+    i, n = 0, len(au)
+    while i + 2 < n:
+        if au[i] == 0 and au[i + 1] == 0 and au[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise Mp4Error("no Annex-B start code in access unit")
+    nals = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else n
+        while e > s and au[e - 1] == 0:  # 4-byte code's leading zero
+            e -= 1
+        if e > s:
+            nals.append(au[s:e])
+    return nals
+
+
+def build_avcc(
+    sps: list[bytes], pps: list[bytes], nal_length_size: int = 4
+) -> bytes:
+    """AVCDecoderConfigurationRecord payload (14496-15 §5.3.3.1).
+    `sps`/`pps` are raw NAL units with the header byte, no start
+    codes. Profile/level/compat bytes are lifted from the first SPS
+    (bytes 1..3 of its RBSP — EBSP emulation cannot occur that early)."""
+    if nal_length_size not in (1, 2, 4):
+        raise Mp4Error("nal_length_size must be 1, 2 or 4")
+    if not sps or not pps:
+        raise Mp4Error("avcC requires at least one SPS and one PPS")
+    if len(sps) > 31 or len(pps) > 255:
+        raise Mp4Error("too many parameter sets for avcC")
+    out = bytearray([1, sps[0][1], sps[0][2], sps[0][3]])
+    out.append(0xFC | (nal_length_size - 1))  # reserved | lengthSizeMinus1
+    out.append(0xE0 | len(sps))  # reserved | numOfSequenceParameterSets
+    for nal in sps:
+        out += struct.pack(">H", len(nal)) + nal
+    out.append(len(pps))
+    for nal in pps:
+        out += struct.pack(">H", len(nal)) + nal
+    return bytes(out)
+
+
+def parse_avcc(payload: bytes) -> AvcConfig:
+    """Parse an avcC box payload; every malformed shape (bad version,
+    reserved length size, truncated set array) raises Mp4Error."""
+    if len(payload) < 7:
+        raise Mp4Error("avcC record truncated")
+    if payload[0] != 1:
+        raise Mp4Error(f"avcC configurationVersion {payload[0]} != 1")
+    profile, level = payload[1], payload[3]
+    nal_length_size = (payload[4] & 0x03) + 1
+    if nal_length_size == 3:
+        raise Mp4Error("avcC lengthSizeMinusOne=2 is spec-reserved")
+
+    pos = 5
+
+    def take_sets(count: int) -> tuple[bytes, ...]:
+        nonlocal pos
+        sets = []
+        for _ in range(count):
+            if pos + 2 > len(payload):
+                raise Mp4Error("avcC parameter-set array truncated")
+            (ln,) = struct.unpack_from(">H", payload, pos)
+            pos += 2
+            if ln == 0 or pos + ln > len(payload):
+                raise Mp4Error("avcC parameter-set length out of range")
+            sets.append(payload[pos : pos + ln])
+            pos += ln
+        return tuple(sets)
+
+    n_sps = payload[pos] & 0x1F
+    pos += 1
+    sps = take_sets(n_sps)
+    if pos >= len(payload):
+        raise Mp4Error("avcC record truncated before PPS count")
+    n_pps = payload[pos]
+    pos += 1
+    pps = take_sets(n_pps)
+    return AvcConfig(profile, level, nal_length_size, sps, pps)
+
+
+def annexb_to_avc_sample(au: bytes, nal_length_size: int = 4) -> bytes:
+    """One Annex-B access unit -> one avc1 sample (length-prefixed
+    NALs). Raises if a NAL exceeds the prefix's range."""
+    out = bytearray()
+    limit = 1 << (8 * nal_length_size)
+    for nal in _annexb_nals(au):
+        if len(nal) >= limit:
+            raise Mp4Error(
+                f"NAL of {len(nal)} bytes exceeds "
+                f"{nal_length_size}-byte length prefix"
+            )
+        out += len(nal).to_bytes(nal_length_size, "big") + nal
+    return bytes(out)
+
+
+def avc_sample_to_annexb(sample: bytes, nal_length_size: int) -> bytes:
+    """One avc1 sample -> Annex-B bytes for the elementary-stream
+    decoder. The length prefixes must tile the sample exactly: an
+    overrunning or zero length raises (a desynced walk would otherwise
+    hand the decoder garbage that may still parse)."""
+    out = bytearray()
+    pos, n = 0, len(sample)
+    while pos < n:
+        if pos + nal_length_size > n:
+            raise Mp4Error(f"truncated NAL length prefix at {pos}")
+        ln = int.from_bytes(sample[pos : pos + nal_length_size], "big")
+        pos += nal_length_size
+        if ln == 0 or pos + ln > n:
+            raise Mp4Error(f"NAL length {ln} at {pos} out of range")
+        out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+        pos += ln
+    if not out:
+        raise Mp4Error("empty avc1 sample")
+    return bytes(out)
+
+
+def avc_track_param_sets(avcc: AvcConfig) -> bytes:
+    """The track's out-of-band SPS/PPS as one Annex-B chunk — prepend
+    to the first converted sample before feeding an Annex-B decoder."""
+    return b"".join(
+        b"\x00\x00\x00\x01" + nal for nal in avcc.sps + avcc.pps
+    )
+
+
+def _avc_sample_entry(width: int, height: int, avcc_payload: bytes) -> bytes:
+    name = b"streams-spark avc"
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + bytes([len(name)])
+        + name.ljust(31, b"\x00")
+        + struct.pack(">Hh", 0x0018, -1)
+        + _box(b"avcC", avcc_payload)
+    )
+    return _box(b"avc1", body)
+
+
 def _chunk_plan(n_samples: int) -> list[int]:
     """Samples per chunk: 1 in the first chunk, then 2 per chunk with a
     final partial — makes the stsc table multi-run and forces the
@@ -163,6 +348,7 @@ def mp4_mux(
     timescale: int = MP4_TIMESCALE,
     durations: list[int] | None = None,
     sync_every: int | None = None,
+    avcc_payload: bytes | None = None,
 ) -> bytes:
     """Write a valid single-track Motion-JPEG MP4. `frames` are the
     encoded JPEG sample payloads (opaque here — the container does not
@@ -195,10 +381,12 @@ def mp4_mux(
         pos += sum(sizes[si : si + spc])
         si += spc
 
-    stsd = _full(
-        b"stsd", 0, 0,
-        struct.pack(">I", 1) + _visual_sample_entry(width, height),
+    entry = (
+        _avc_sample_entry(width, height, avcc_payload)
+        if avcc_payload is not None
+        else _visual_sample_entry(width, height)
     )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, _stts_payload(durations))
     stsc = _full(b"stsc", 0, 0, _stsc_payload(plan))
     stsz = _full(
@@ -259,6 +447,55 @@ def mp4_mux(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + free + mdat + moov
+
+
+def mp4_mux_avc(
+    aus: list[bytes],
+    width: int,
+    height: int,
+    nal_length_size: int = 4,
+    timescale: int = MP4_TIMESCALE,
+    durations: list[int] | None = None,
+    sync_every: int | None = None,
+) -> bytes:
+    """Package Annex-B H.264 access units the way real-world muxers
+    (ffmpeg, phones) do: SPS/PPS NALs move OUT-OF-BAND into the avc1
+    sample entry's avcC record and every sample becomes
+    length-prefixed NALs. Parameter sets are deduplicated in first-seen
+    order across all AUs; an AU left with no VCL/SEI NALs after the
+    move is invalid input (nothing to store as the sample)."""
+    sps: list[bytes] = []
+    pps: list[bytes] = []
+    samples: list[bytes] = []
+    for au in aus:
+        kept: list[bytes] = []
+        for nal in _annexb_nals(au):
+            ntype = nal[0] & 0x1F
+            if ntype == 7:
+                if nal not in sps:
+                    sps.append(nal)
+            elif ntype == 8:
+                if nal not in pps:
+                    pps.append(nal)
+            else:
+                kept.append(nal)
+        if not kept:
+            raise Mp4Error("access unit has only parameter-set NALs")
+        limit = 1 << (8 * nal_length_size)
+        sample = bytearray()
+        for nal in kept:
+            if len(nal) >= limit:
+                raise Mp4Error(
+                    f"NAL of {len(nal)} bytes exceeds "
+                    f"{nal_length_size}-byte length prefix"
+                )
+            sample += len(nal).to_bytes(nal_length_size, "big") + nal
+        samples.append(bytes(sample))
+    return mp4_mux(
+        samples, width, height,
+        timescale=timescale, durations=durations, sync_every=sync_every,
+        avcc_payload=build_avcc(sps, pps, nal_length_size),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +641,22 @@ def _extract_samples(buf: bytes) -> Mp4Track:
     # VisualSampleEntry geometry: 6 reserved + 2 dref + 16 pre_defined,
     # then width/height (ISO 14496-12 §12.1.3)
     width, height = struct.unpack_from(">HH", stsd, 12 + 24)
+    # avc1/avc3 (14496-15): the sample entry's fixed VisualSampleEntry
+    # part is 78 bytes, then child boxes — avcC is REQUIRED and carries
+    # the out-of-band SPS/PPS plus the sample NAL length-prefix size.
+    # Without parsing it, samples (length-prefixed NALs) are not
+    # decodable: an Annex-B decoder fed them raw sees no start codes.
+    avcc: AvcConfig | None = None
+    if codec in ("avc1", "avc3"):
+        (entry_size,) = struct.unpack_from(">I", stsd, 4)
+        if entry_size < 8 + 78 or 4 + entry_size > len(stsd):
+            raise Mp4Error(f"{codec} sample entry truncated")
+        for typ, p0, p1 in walk_boxes(stsd, 4 + 8 + 78, 4 + entry_size):
+            if typ == "avcC":
+                avcc = parse_avcc(stsd[p0:p1])
+                break
+        else:
+            raise Mp4Error(f"{codec} sample entry missing avcC")
 
     _, stsz = _full_payload(buf, *boxes["stsz"])
     uniform, count = struct.unpack_from(">II", stsz, 0)
@@ -480,7 +733,9 @@ def _extract_samples(buf: bytes) -> Mp4Track:
         raise Mp4Error(
             f"sample tables resolve {si} of {count} samples"
         )
-    return Mp4Track(codec, width, height, timescale, duration, samples)
+    return Mp4Track(
+        codec, width, height, timescale, duration, samples, avcc
+    )
 
 
 def mp4_demux(

@@ -1715,7 +1715,9 @@ def m_video_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _h264_gop_oracle() -> str:
+def _h264_gop_oracle(
+    doc_where: str = "doc_id % 3 = 2", codec: str | None = None
+) -> str:
     """Build the m_h264_gop closed form: a recursive CTE carries each
     video's luma as a LIST of per-pixel-row values (the fixtures are
     horizontally constant, which vertical motion + the 6-tap filter
@@ -1743,6 +1745,7 @@ def _h264_gop_oracle() -> str:
         f"ELSE ({hv} + {r('+1')} + 1) // 2 END)"
     )
     delta = "([0, 4, -4])[1 + (doc_id + 2*fno + y // 16) % 3]"
+    codec_col = f"'{codec}' AS codec,\n       " if codec else ""
     return f"""
 WITH RECURSIVE geo AS (
   SELECT doc_id,
@@ -1752,7 +1755,7 @@ WITH RECURSIVE geo AS (
          16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
          16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
   FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
-  WHERE doc_id % 3 = 2
+  WHERE {doc_where}
 ), steps AS (
   SELECT doc_id, mw, mh, nf, w, h, 0 AS frame_no,
          list_transform(range(0, 16*mh), y ->
@@ -1782,12 +1785,16 @@ SELECT doc_id,
        CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
          AS dts_ticks,
        (frame_no = 0) AS is_idr,
-       CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
+       {codec_col}CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
 FROM steps
 """
 
 
 _H264_GOP_ORACLE = _h264_gop_oracle()
+# avc1 row: same decoded pixels (the packaging must be transparent),
+# half the doc population (doc_id % 6 = 2 ⊂ % 3 = 2) to bound cost,
+# plus the codec fourcc column proving sample-entry selection.
+_H264_AVC1_ORACLE = _h264_gop_oracle("doc_id % 6 = 2", codec="avc1")
 
 
 def h264_gop_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,6 +1931,150 @@ def m_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, frame_no int, n_frames int, width int, "
             "height int, dts_ticks long, is_idr boolean, checksum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real H.264 in REAL-WORLD packaging: avc1 sample entry + avcC record
+# ---------------------------------------------------------------------------
+
+
+def h264_avc1_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m_h264_gop GOP streams for doc_id % 6 = 2, packaged the way
+    every real-world H.264 MP4 is (ffmpeg, phones): `avc1` sample
+    entry, SPS/PPS out-of-band in the avcC
+    AVCDecoderConfigurationRecord, samples as length-prefixed NAL
+    units instead of Annex-B. The encoded pictures are IDENTICAL to
+    the mp4v/Annex-B fixture's — the packaging must be transparent to
+    the decoded pixels, which is exactly what the shared closed-form
+    oracle checks. nal_length_size varies 2/4 per doc so both prefix
+    widths are driver-exercised."""
+    from streams_spark.functions.h264 import (
+        h264_encode_p_rows, h264_encode_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 6 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_spark.functions.mp4 import mp4_mux_avc
+
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                nf = 3 + (d // 27) % 3
+                crop_r, crop_b = 2 * (d % 4), 2 * ((d // 5) % 3)
+                aus = [
+                    h264_encode_rows(
+                        mw, mh, 40 + (7 * d) % 160,
+                        [(d + r) % 3 for r in range(1, mh)],
+                        crop_right=crop_r, crop_bottom=crop_b,
+                    )
+                ]
+                for f in range(1, nf):
+                    mvx = ((5 * d + 3 * f) % 13) - 6
+                    mvy = ((3 * d + 7 * f) % 23) - 11
+                    levels = [
+                        [0, 1, -1][(d + 2 * f + r) % 3] for r in range(mh)
+                    ]
+                    aus.append(
+                        h264_encode_p_rows(
+                            mw, mh, (mvx, mvy), levels, frame_num=f,
+                        )
+                    )
+                rows_out.append(
+                    (d, mp4_mux_avc(
+                        aus, 16 * mw - crop_r, 16 * mh - crop_b,
+                        nal_length_size=2 if d % 2 else 4,
+                        sync_every=len(aus),
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+    from streams_spark.functions import mp4 as _m
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264avc1",
+        (_h, _m),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_avc1", oracle=_H264_AVC1_ORACLE)
+def m_h264_avc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode avc1/avcC-packaged H.264 MP4s — the real-world packaging
+    (VERDICT r10 #2): demux resolves the avc1 sample entry, parses the
+    avcC record (out-of-band SPS/PPS, NAL length-prefix size), converts
+    each length-prefixed sample to Annex-B, feeds the parameter sets
+    once, and decodes every frame of the GOP. Checksums must equal the
+    same closed-form oracle the mp4v/Annex-B m_h264_gop row uses — the
+    packaging is transparent or the row goes red.
+
+    Scale: identical map-only Arrow shape to m_h264_gop; the
+    per-sample conversion is O(bytes) with no extra copy of the blob.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import (
+        Mp4Error, avc_sample_to_annexb, avc_track_param_sets,
+        extract_samples,
+    )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                if track.avcc is None:
+                    raise Mp4Error(
+                        f"doc {doc_id}: expected an avc1/avc3 track"
+                    )
+                dec = H264Decoder()
+                n_total = len(track.samples)
+                for s in track.samples:
+                    au = avc_sample_to_annexb(
+                        buf[s.offset : s.offset + s.size],
+                        track.avcc.nal_length_size,
+                    )
+                    if s.index == 0:
+                        au = avc_track_param_sets(track.avcc) + au
+                    fr = dec.decode(au)
+                    h, w = fr.y.shape
+                    rows.append(
+                        (
+                            int(doc_id), s.index, n_total,
+                            int(w), int(h), int(s.dts), bool(s.sync),
+                            track.codec,
+                            int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "width", "height",
+                    "dts_ticks", "is_idr", "codec", "checksum",
+                ],
+            )
+
+    return h264_avc1_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, width int, "
+            "height int, dts_ticks long, is_idr boolean, codec string, "
+            "checksum bigint"
         ),
     )
 

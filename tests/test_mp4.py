@@ -320,3 +320,174 @@ def test_truncated_table_raises_mp4error_not_struct_error():
     patched = blob[:at] + struct.pack(">I", 1 << 20) + blob[at + 4 :]
     with pytest.raises(Mp4Error, match="truncated/corrupt sample table"):
         extract_samples(patched)
+
+
+# ---------------------------------------------------------------------------
+# avc1/avcC packaging (14496-15)
+# ---------------------------------------------------------------------------
+
+
+def _gop_aus(mw=3, mh=2, nf=4):
+    from streams_spark.functions.h264 import (
+        h264_encode_p_rows, h264_encode_rows,
+    )
+
+    aus = [h264_encode_rows(mw, mh, 90, [1] * (mh - 1),
+                            crop_right=2, crop_bottom=2)]
+    for f in range(1, nf):
+        aus.append(h264_encode_p_rows(
+            mw, mh, (3, -5), [0] * (mh - 1) + [1], frame_num=f))
+    return aus
+
+
+def _decode_track(buf):
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import (
+        avc_sample_to_annexb, avc_track_param_sets,
+    )
+
+    track = extract_samples(buf)
+    dec = H264Decoder()
+    out = []
+    for i, s in enumerate(track.samples):
+        raw = buf[s.offset : s.offset + s.size]
+        if track.avcc is not None:
+            raw = avc_sample_to_annexb(raw, track.avcc.nal_length_size)
+            if i == 0:
+                raw = avc_track_param_sets(track.avcc) + raw
+        out.append(dec.decode(raw))
+    return track, out
+
+
+@pytest.mark.parametrize("nls", [2, 4])
+def test_avc1_decodes_pixel_identical_to_annexb(nls):
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    aus = _gop_aus()
+    plain = mp4_mux(aus, 46, 30, sync_every=len(aus))
+    avc = mp4_mux_avc(aus, 46, 30, nal_length_size=nls,
+                      sync_every=len(aus))
+    t0, ref = _decode_track(plain)
+    t1, got = _decode_track(avc)
+    assert t0.codec == "mp4v" and t0.avcc is None
+    assert t1.codec == "avc1" and t1.avcc.nal_length_size == nls
+    assert t1.avcc.profile == 66  # baseline, lifted from the SPS
+    assert len(t1.avcc.sps) == 1 and len(t1.avcc.pps) == 1
+    assert [s.sync for s in t1.samples] == [s.sync for s in t0.samples]
+    for a, b in zip(ref, got):
+        assert (a.y == b.y).all()
+        assert (a.cb == b.cb).all() and (a.cr == b.cr).all()
+
+
+def test_avc1_samples_are_length_prefixed_not_annexb():
+    # the point of the packaging: the first 4 bytes are the first
+    # NAL's length (which exactly tiles the single-slice sample), and
+    # the NAL that follows is the slice itself — no start codes, no
+    # in-band parameter sets
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    aus = _gop_aus(nf=1)
+    buf = mp4_mux_avc(aus, 46, 30)
+    track = extract_samples(buf)
+    s = track.samples[0]
+    raw = buf[s.offset : s.offset + s.size]
+    (ln,) = struct.unpack_from(">I", raw, 0)
+    assert ln == len(raw) - 4  # single slice NAL tiles the sample
+    assert raw[4] & 0x1F == 5  # IDR slice, not SPS(7)/PPS(8)
+
+
+def test_avcc_roundtrip_and_ps_dedup():
+    from streams_spark.functions.mp4 import (
+        build_avcc, mp4_mux_avc, parse_avcc,
+    )
+
+    aus = _gop_aus()
+    # every AU repeats SPS/PPS in-band: dedup must keep exactly one
+    sps_pps = aus[0][: aus[0].index(b"\x00\x00\x00\x01", 8)]
+    buf = mp4_mux_avc([aus[0]] + [sps_pps + au for au in aus[1:]], 46, 30)
+    track = extract_samples(buf)
+    assert len(track.avcc.sps) == 1 and len(track.avcc.pps) == 1
+    rec = build_avcc(list(track.avcc.sps), list(track.avcc.pps), 2)
+    back = parse_avcc(rec)
+    assert back.sps == track.avcc.sps and back.pps == track.avcc.pps
+    assert back.nal_length_size == 2
+
+
+def test_avc3_fourcc_also_selected():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    buf = bytearray(mp4_mux_avc(_gop_aus(nf=2), 46, 30))
+    i = buf.index(b"avc1", 200)  # the stsd entry, past ftyp
+    buf[i : i + 4] = b"avc3"
+    track, got = _decode_track(bytes(buf))
+    assert track.codec == "avc3" and track.avcc is not None
+    assert len(got) == 2
+
+
+def test_corrupt_avcc_version_rejected():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    buf = bytearray(mp4_mux_avc(_gop_aus(nf=1), 46, 30))
+    i = buf.index(b"avcC") + 4
+    buf[i] = 2  # configurationVersion
+    with pytest.raises(Mp4Error, match="configurationVersion"):
+        extract_samples(bytes(buf))
+
+
+def test_corrupt_avcc_reserved_length_size_rejected():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    buf = bytearray(mp4_mux_avc(_gop_aus(nf=1), 46, 30))
+    i = buf.index(b"avcC") + 4
+    buf[i + 4] = (buf[i + 4] & 0xFC) | 2  # lengthSizeMinusOne=2
+    with pytest.raises(Mp4Error, match="reserved"):
+        extract_samples(bytes(buf))
+
+
+def test_corrupt_avcc_truncated_sps_rejected():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    buf = bytearray(mp4_mux_avc(_gop_aus(nf=1), 46, 30))
+    i = buf.index(b"avcC") + 4
+    # SPS length field lives at offset 6..8 of the record; blow it up
+    buf[i + 6] = 0xFF
+    with pytest.raises(Mp4Error, match="length out of range"):
+        extract_samples(bytes(buf))
+
+
+def test_avc1_missing_avcc_rejected():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    buf = bytearray(mp4_mux_avc(_gop_aus(nf=1), 46, 30))
+    i = buf.index(b"avcC")
+    buf[i : i + 4] = b"avcX"
+    with pytest.raises(Mp4Error, match="missing avcC"):
+        extract_samples(bytes(buf))
+
+
+def test_avc_sample_length_walk_desync_rejected():
+    from streams_spark.functions.mp4 import avc_sample_to_annexb
+
+    nal = b"\x65" + b"\xab" * 10
+    good = len(nal).to_bytes(4, "big") + nal
+    assert avc_sample_to_annexb(good, 4).endswith(nal)
+    with pytest.raises(Mp4Error, match="out of range"):
+        avc_sample_to_annexb(len(nal).to_bytes(4, "big")[:-1] + b"\xff" + nal, 4)
+    with pytest.raises(Mp4Error, match="out of range"):
+        avc_sample_to_annexb((0).to_bytes(4, "big") + nal, 4)
+    with pytest.raises(Mp4Error, match="truncated NAL length"):
+        avc_sample_to_annexb(good + b"\x00\x00", 4)
+    with pytest.raises(Mp4Error, match="empty"):
+        avc_sample_to_annexb(b"", 4)
+
+
+def test_mux_avc_rejects_ps_only_au_and_oversize_nal():
+    from streams_spark.functions.mp4 import mp4_mux_avc
+
+    aus = _gop_aus(nf=1)
+    sps_pps = aus[0][: aus[0].index(b"\x00\x00\x00\x01", 8)]
+    with pytest.raises(Mp4Error, match="only parameter-set"):
+        mp4_mux_avc([aus[0], sps_pps], 46, 30)
+    big = b"\x00\x00\x00\x01\x65" + b"\x55" * 300
+    with pytest.raises(Mp4Error, match="exceeds"):
+        mp4_mux_avc([aus[0], big], 46, 30, nal_length_size=1)
