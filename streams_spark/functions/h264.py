@@ -34,9 +34,12 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
   prediction (median, copy-A, exactly-one-refIdx, and the 16x8/8x16
   directional preferences) over per-4x4 motion state, quarter-pel
   luma / eighth-pel chroma motion compensation per partition, and the
-  Table 9-4 inter CBP mapping; sub-8x8 partitions and B slices raise
-  — a real scope note, not a silent wrong answer (B slices are
-  outside the baseline profile entirely, A.2.1).
+  Table 9-4 inter CBP mapping. r11 completes the baseline partition
+  tree: P_8x8 sub_mb_types 8x4/4x8/4x4 (Table 7-18, the 7.3.5.2
+  mvd nesting, plain A/B/C(D) MVP at sub-8x8 grain with same-MB
+  decode-order availability per 6.4.11.7). B slices raise — a real
+  scope note, not a silent wrong answer (they are outside the
+  baseline profile entirely, A.2.1).
 - CAVLC residual decode (9.2): coeff_token Table 9-5 incl. the
   chroma-DC nC==-1 column and the nC>=8 FLC, trailing-one signs,
   level_prefix/suffix with the suffixLength ladder and >=15/>=16
@@ -2236,14 +2239,24 @@ def _reconstruct_inter_mb(
     _mark_mb_decoded(st, mbx, mby)
 
 
+# P sub-macroblock geometry (Table 7-18): sub_mb_type -> list of
+# (sx, sy, w4, h4) sub-partitions in 4x4-block units, decode order.
+_SUB_MB_GEOM = {
+    0: ((0, 0, 2, 2),),  # P_L0_8x8
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),  # P_L0_8x4
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),  # P_L0_4x8
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),  # 4x4
+}
+
+
 def _decode_p_mb(
     br: BitReader, st: "_PicState",
     ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
     mbx: int, mby: int,
 ) -> None:
-    """One coded P-slice macroblock (7.3.5 / Table 7-13): P_L0_16x16
-    or an intra type at mb_type >= 5; the sub-16x16 partition modes
-    raise (documented scope)."""
+    """One coded P-slice macroblock (7.3.5 / Table 7-13): any L0
+    partitioning down to 4x4 sub-partitions, or an intra type at
+    mb_type >= 5."""
     mb_type = br.ue()
     if mb_type >= 5:
         _decode_intra_mb(br, mb_type - 5, st, mbx, mby)
@@ -2278,23 +2291,32 @@ def _decode_p_mb(
             _set_part_mv(st, bx0 + 2 * idx, by0, 2, 4, mv)
             parts.append((8 * idx, 0, 8, 16, mv[0], mv[1]))
     elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (same with 1 ref)
+        # sub_mb_pred (7.3.5.2): all four sub_mb_types first, then the
+        # mvd_l0 elements nested (mbPartIdx outer, subMbPartIdx inner).
+        # Sub-partition geometry per Table 7-18; offsets/sizes below in
+        # 4x4-block units relative to the 8x8 quadrant. MV prediction
+        # (8.4.1.3) has no directional rules at sub-8x8 grain — the
+        # plain A/B/C(D) derivation applies per sub-partition, with
+        # same-MB not-yet-decoded blocks unavailable (6.4.11.7), which
+        # the sequential _set_part_mv bookkeeping provides.
         subs = [br.ue() for _ in range(4)]
         for sub in subs:
-            if sub != 0:  # 8x4 / 4x8 / 4x4 sub-partitions
-                raise H264Error(
-                    f"sub_mb_type {sub} (below-8x8 partitions) "
-                    "unsupported (documented scope)"
-                )
+            if sub > 3:
+                raise H264Error(f"invalid P sub_mb_type {sub}")
         for idx in range(4):
             bx = bx0 + 2 * (idx % 2)
             by = by0 + 2 * (idx // 2)
-            mvd_x, mvd_y = br.se(), br.se()
-            px, py = _mvp_partition(st, bx, by, 2)
-            mv = (px + mvd_x, py + mvd_y)
-            _set_part_mv(st, bx, by, 2, 2, mv)
-            parts.append(
-                (8 * (idx % 2), 8 * (idx // 2), 8, 8, mv[0], mv[1])
-            )
+            for sx, sy, w4, h4 in _SUB_MB_GEOM[subs[idx]]:
+                mvd_x, mvd_y = br.se(), br.se()
+                px, py = _mvp_partition(st, bx + sx, by + sy, w4)
+                mv = (px + mvd_x, py + mvd_y)
+                _set_part_mv(st, bx + sx, by + sy, w4, h4, mv)
+                parts.append(
+                    (
+                        8 * (idx % 2) + 4 * sx, 8 * (idx // 2) + 4 * sy,
+                        4 * w4, 4 * h4, mv[0], mv[1],
+                    )
+                )
     else:
         raise H264Error(f"invalid P-slice mb_type {mb_type}")
     cbp_code = br.ue()
@@ -2694,7 +2716,16 @@ def h264_encode_p_partitions(
     h264_encode_p_rows. The encoder runs the decoder's own
     _mvp_partition derivations, so every partition's mvd is genuinely
     coded against the 8.4.1.3 rules (directional preferences included).
-    """
+
+    r11 sub-partition modes (fixture codes, both emit mb_type 3 with
+    Table 7-18 sub_mb_types): 4 = P_8x8 all-8x4 (sub_mb_type 1) with
+    4-row MV bands (mv_top, mv_bot, mv_bot, mv_top) — the swapped
+    middle bands are distinguishable from 16x8/8x8 splits, catching
+    band-order bugs; 5 = top quadrants 4x8 (sub_mb_type 2, both
+    1-block-wide parts share mv_top for horizontal constancy), bottom
+    quadrants 4x4 (sub_mb_type 3, bands mv_bot then mv_top). Both run
+    the A/B/C(D) MVP at sub-8x8 grain, including the same-MB
+    above-right-undecoded -> D fallback."""
     bw = BitWriter()
     bw.ue(0)
     bw.ue(5)  # P
@@ -2720,7 +2751,7 @@ def h264_encode_p_partitions(
             raise ValueError("8x16 rows need one MV (column constancy)")
         for mbx in range(mb_w):
             bw.ue(0)  # mb_skip_run
-            bw.ue(mb_type)
+            bw.ue(mb_type if mb_type <= 3 else 3)
             bx0, by0 = 4 * mbx, 4 * mby
             if mb_type == 1:  # 16x8
                 for idx, mv in ((0, mv_top), (1, mv_bot)):
@@ -2749,6 +2780,24 @@ def h264_encode_p_partitions(
                     bw.se(mv[0] - px)
                     bw.se(mv[1] - py)
                     _set_part_mv(st, bx, by, 2, 2, mv)
+            elif mb_type in (4, 5):  # P_8x8 with sub-partitions
+                subs = (1, 1, 1, 1) if mb_type == 4 else (2, 2, 3, 3)
+                band_mv = (
+                    (mv_top, mv_bot, mv_bot, mv_top)
+                    if mb_type == 4
+                    else (mv_top, mv_top, mv_bot, mv_top)
+                )
+                for s in subs:
+                    bw.ue(s)
+                for idx in range(4):
+                    bx = bx0 + 2 * (idx % 2)
+                    by = by0 + 2 * (idx // 2)
+                    for sx, sy, w4, h4 in _SUB_MB_GEOM[subs[idx]]:
+                        mv = band_mv[2 * (idx // 2) + sy]
+                        px, py = _mvp_partition(st, bx + sx, by + sy, w4)
+                        bw.se(mv[0] - px)
+                        bw.se(mv[1] - py)
+                        _set_part_mv(st, bx + sx, by + sy, w4, h4, mv)
             else:
                 raise ValueError(f"row mb_type {mb_type} not a partition mode")
             cbp = 15 if level else 0

@@ -2407,20 +2407,29 @@ def m_h264_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _h264_part_oracle() -> str:
     """Closed form for m_h264_partitions: every P picture applies, per
-    MB row, a partition mode (16x8 / 8x16 / P_8x8) whose top and
-    bottom 8-pixel bands carry independent integer-pel vertical MVs
-    (8x16 shares one MV across the row — its left/right partitions
-    still code separate mvd against the 8.4.1.3 directional
-    predictors), plus the per-row DC residual. The rows list advances
-    by edge-clamped shifts at 8-pixel-band granularity, so a decoder
-    wrong in partition geometry, mvd order, the directional MVP rules,
-    or per-partition MC placement diverges."""
+    MB row, a partition mode — 16x8 / 8x16 / P_8x8 (modes 1-3, 8-row
+    bands) or the r11 sub-partitioned P_8x8 modes (4: all-8x4 with
+    swapped middle bands t,b,b,t; 5: 4x8 top quadrants + 4x4 bottom
+    quadrants, bands t,t,b,t) — whose 4-row bands carry independent
+    integer-pel vertical MVs (8x16 shares one MV across the row — its
+    left/right partitions still code separate mvd against the 8.4.1.3
+    directional predictors), plus the per-row DC residual. The rows
+    list advances by edge-clamped shifts at band granularity, so a
+    decoder wrong in partition geometry, sub_mb_type fan-out, mvd
+    order, the MVP rules at any grain, or per-partition MC placement
+    diverges."""
     clamp = "LEAST(GREATEST({}, 0), 16*mh - 1)"
     dyT = "(((3 * doc_id + 5 * fno + 7 * (y // 16)) % 9) - 4)"
     dyB = "(((doc_id + 7 * fno + 3 * (y // 16)) % 9) - 4)"
-    mode = "(1 + (doc_id + fno + y // 16) % 3)"
+    mode = "(1 + (doc_id + fno + y // 16) % 5)"
+    band = "((y % 16) // 4)"
     dy = (
-        f"(CASE WHEN {mode} = 2 OR y % 16 < 8 THEN {dyT} ELSE {dyB} END)"
+        f"(CASE WHEN {mode} = 2 THEN {dyT} "
+        f"WHEN {mode} = 4 THEN "
+        f"(CASE WHEN {band} IN (1, 2) THEN {dyB} ELSE {dyT} END) "
+        f"WHEN {mode} = 5 THEN "
+        f"(CASE WHEN {band} = 2 THEN {dyB} ELSE {dyT} END) "
+        f"WHEN y % 16 < 8 THEN {dyT} ELSE {dyB} END)"
     )
     delta = "([0, 4, -4])[1 + (doc_id + 2 * fno + y // 16) % 3]"
     nxt = (
@@ -2470,10 +2479,12 @@ _H264_PART_ORACLE = _h264_part_oracle()
 def h264_part_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One REAL H.264 GOP per video doc whose P pictures are built
     ENTIRELY from sub-16x16 partitions: each MB row cycles 16x8 /
-    8x16 / P_8x8, top and bottom bands move with independent
-    integer-pel vertical MVs plus per-partition fractional horizontal
-    components, and each row carries a DC residual — so mvd parse
-    order, the directional MVP preferences, per-partition MC, and the
+    8x16 / P_8x8 / all-8x4 sub-partitions / mixed 4x8+4x4
+    sub-partitions (the full Table 7-13 + Table 7-18 P tree), bands
+    move with independent integer-pel vertical MVs plus per-partition
+    fractional horizontal components, and each row carries a DC
+    residual — so mvd parse order (including the 7.3.5.2 sub_mb_pred
+    nesting), the MVP rules at every grain, per-partition MC, and the
     per-4x4 motion bookkeeping all land in oracle-checked pixels."""
     from streams_spark.functions.h264 import (
         h264_encode_p_partitions, h264_encode_rows,
@@ -2506,7 +2517,7 @@ def h264_part_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in range(1, nf):
                     row_modes = []
                     for R in range(mh):
-                        m = 1 + (d + f + R) % 3
+                        m = 1 + (d + f + R) % 5
                         dy_t = ((3 * d + 5 * f + 7 * R) % 9) - 4
                         dy_b = ((d + 7 * f + 3 * R) % 9) - 4
                         mvx_t = ((5 * d + 3 * f + 11 * R) % 13) - 6
@@ -2542,16 +2553,20 @@ def h264_part_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("m_h264_partitions", oracle=_H264_PART_ORACLE)
 def m_h264_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL H.264 sub-16x16 inter decode: P_L0_L0_16x8, P_L0_L0_8x16,
-    and P_8x8 macroblocks (Table 7-13) with per-partition mvd against
-    the 8.4.1.3 MV prediction INCLUDING the two-partition directional
-    preferences (16x8: B-then-A, 8x16: A-then-C), per-4x4 motion
-    bookkeeping (a later partition's predictor sees the earlier ones),
+    and P_8x8 macroblocks (Table 7-13) — including the r11 sub-8x8
+    partition tree (Table 7-18 sub_mb_types 8x4/4x8/4x4 with the
+    7.3.5.2 mvd nesting) — with per-partition mvd against the 8.4.1.3
+    MV prediction INCLUDING the two-partition directional preferences
+    (16x8: B-then-A, 8x16: A-then-C; none at sub-8x8 grain), per-4x4
+    motion bookkeeping (a later partition's predictor sees the earlier
+    ones, same-MB undecoded blocks unavailable per 6.4.11.7),
     per-partition quarter-pel MC composited into the macroblock, and
-    the usual inter CAVLC residual path. Sub-8x8 partitions raise
-    (documented scope). The oracle replays the band-granular motion in
-    a recursive CTE; what horizontal constancy hides (per-partition
-    horizontal fracs, 8x16 left/right mvd asymmetry) is pytest-pinned
-    in tests/test_h264_inter.py's partition round-trips.
+    the usual inter CAVLC residual path. The oracle replays the
+    band-granular motion in a recursive CTE; what horizontal constancy
+    hides (per-partition horizontal fracs, 8x16 left/right mvd
+    asymmetry, per-sub-partition MV variation) is pytest-pinned in
+    tests/test_h264_inter.py against a literal spec transcription of
+    the MVP rules.
 
     Scale: identical map-only Arrow shape to m_h264_gop.
 

@@ -540,19 +540,19 @@ def test_p_slice_without_reference_raises():
         dec3.decode(h264_encode_p_rows(2, 2, (0, 0), [0, 0]))
 
 
-def test_sub_8x8_partitions_rejected():
-    # 16x8/8x16/8x8 are supported since the partition extension; the
-    # below-8x8 sub_mb_types remain documented scope
+def test_invalid_sub_mb_type_and_mb_type_rejected():
+    # sub_mb_types 0..3 all decode since the r11 sub-partition
+    # extension; Table 7-18 has nothing past 3, and the mb_type gap
+    # between the partition modes and intra stays invalid
     dec = _primed_decoder()
-    for sub in (1, 2, 3):
-        au = _p_au(
-            lambda bw, s=sub: (
-                bw.ue(0), bw.ue(3),  # P_8x8
-                bw.ue(s), bw.ue(0), bw.ue(0), bw.ue(0),
-            )
+    au = _p_au(
+        lambda bw: (
+            bw.ue(0), bw.ue(3),  # P_8x8
+            bw.ue(4), bw.ue(0), bw.ue(0), bw.ue(0),
         )
-        with pytest.raises(H264Error, match="below-8x8"):
-            dec.decode(au)
+    )
+    with pytest.raises(H264Error, match="sub_mb_type"):
+        dec.decode(au)
     au = _p_au(lambda bw: (bw.ue(0), bw.ue(9)))  # invalid mb_type gap
     with pytest.raises(H264Error):
         dec.decode(au)
@@ -964,3 +964,186 @@ def test_constrained_intra_pred_i_only_still_decodes():
     swapped = sps + encode_pps(cip=True) + rest[len(plain_pps):]
     got = h264_decode(swapped)
     assert (got.y == base.y).all()
+
+
+# ---------------------------------------------------------------------------
+# r11: sub-8x8 partitions (8x4 / 4x8 / 4x4, Table 7-18)
+# ---------------------------------------------------------------------------
+
+_SUB_GEOM = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+
+class _SpecMvGrid:
+    """Test-local literal 8.4.1.3 / 8.4.1.3.2 transcription,
+    INDEPENDENT of the module's _mvp_partition: its own 4x4 mv/ref
+    grids and decode-order mask. Any divergence between this and the
+    decoder's derivation shows up as wrong pixels in the test below."""
+
+    def __init__(self, mw, mh):
+        self.mw, self.mh = mw, mh
+        self.mv = {}  # (bx, by) -> (mvx, mvy)
+        self.ref = {}  # (bx, by) -> 0 inter / -1 intra
+        self.done = set()
+
+    def _nb(self, bx, by):
+        if not (0 <= bx < 4 * self.mw and 0 <= by < 4 * self.mh):
+            return (0, 0), -1, False
+        if (bx, by) not in self.done:
+            return (0, 0), -1, False
+        r = self.ref[(bx, by)]
+        if r == -1:
+            return (0, 0), -1, True
+        return self.mv[(bx, by)], 0, True
+
+    def mvp(self, bx, by, w4):
+        mvA, rA, aA = self._nb(bx - 1, by)
+        mvB, rB, aB = self._nb(bx, by - 1)
+        mvC, rC, aC = self._nb(bx + w4, by - 1)
+        if not aC:
+            mvC, rC, aC = self._nb(bx - 1, by - 1)
+        if not aB and not aC and aA:
+            mvB, rB = mvA, rA
+            mvC, rC = mvA, rA
+        hits = [rA == 0, rB == 0, rC == 0]
+        if sum(hits) == 1:
+            return (mvA, mvB, mvC)[hits.index(True)]
+        med = lambda a, b, c: a + b + c - min(a, b, c) - max(a, b, c)  # noqa: E731
+        return (
+            med(mvA[0], mvB[0], mvC[0]),
+            med(mvA[1], mvB[1], mvC[1]),
+        )
+
+    def set_part(self, bx, by, w4, h4, mv):
+        for dy in range(h4):
+            for dx in range(w4):
+                self.mv[(bx + dx, by + dy)] = mv
+                self.ref[(bx + dx, by + dy)] = 0
+                self.done.add((bx + dx, by + dy))
+
+
+def _encode_p_sub8x8_custom(mb_w, mb_h, mbs, frame_num=1):
+    """P AU where mbs[(mbx,mby)] is ('p8x8', subs[4], mvs-in-decode-
+    order) or ('inter16', mv). mvd is coded against the TEST-LOCAL
+    spec MVP transcription above — if the decoder's MVP differs, the
+    reconstructed MVs (mvp_dec + mvd) differ and pixels go wrong."""
+    bw = BitWriter()
+    bw.ue(0)
+    bw.ue(5)  # P
+    bw.ue(0)
+    bw.u(frame_num % 16, 4)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(-8)
+    bw.ue(1)  # deblocking off
+    grid = _SpecMvGrid(mb_w, mb_h)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            kind = mbs[(mbx, mby)]
+            bw.ue(0)  # mb_skip_run
+            bx0, by0 = 4 * mbx, 4 * mby
+            if kind[0] == "inter16":
+                bw.ue(0)
+                mv = kind[1]
+                px, py = grid.mvp(bx0, by0, 4)
+                bw.se(mv[0] - px)
+                bw.se(mv[1] - py)
+                grid.set_part(bx0, by0, 4, 4, mv)
+            else:
+                _, subs, mvs = kind
+                bw.ue(3)  # P_8x8
+                for s in subs:
+                    bw.ue(s)
+                mi = 0
+                for idx in range(4):
+                    bx = bx0 + 2 * (idx % 2)
+                    by = by0 + 2 * (idx // 2)
+                    for sx, sy, w4, h4 in _SUB_GEOM[subs[idx]]:
+                        mv = mvs[mi]
+                        mi += 1
+                        px, py = grid.mvp(bx + sx, by + sy, w4)
+                        bw.se(mv[0] - px)
+                        bw.se(mv[1] - py)
+                        grid.set_part(bx + sx, by + sy, w4, h4, mv)
+                assert mi == len(mvs)
+            bw.ue(_CBP_INTER_INV[0])  # cbp 0: pure MC, no residual
+    bw.rbsp_trailing()
+    return b"\x00\x00\x00\x01" + bytes([(2 << 5) | 1]) + rbsp_to_ebsp(
+        bw.to_bytes()
+    )
+
+
+def test_sub8x8_partitions_decode_to_spec_mc_with_spec_mvp():
+    # every sub_mb_type, distinct MV per sub-partition, mvd coded
+    # against an independent spec transcription of the MVP rules
+    rng = np.random.default_rng(31)
+    mb_w, mb_h = 3, 2
+    idr = _random_idr(rng, mb_w, mb_h)
+
+    def rmv():
+        return (int(rng.integers(-13, 14)), int(rng.integers(-13, 14)))
+
+    mbs = {
+        (0, 0): ("p8x8", (3, 2, 1, 0), [rmv() for _ in range(9)]),
+        (1, 0): ("p8x8", (1, 3, 0, 2), [rmv() for _ in range(9)]),
+        (2, 0): ("inter16", rmv()),
+        (0, 1): ("p8x8", (2, 0, 3, 1), [rmv() for _ in range(9)]),
+        (1, 1): ("inter16", rmv()),
+        (2, 1): ("p8x8", (3, 3, 3, 3), [rmv() for _ in range(16)]),
+    }
+    p = _encode_p_sub8x8_custom(mb_w, mb_h, mbs)
+    dec = H264Decoder()
+    f0 = dec.decode(idr)
+    f1 = dec.decode(p)
+    ref = f0.y.astype(np.int64)
+    for (mbx, mby), kind in mbs.items():
+        if kind[0] == "inter16":
+            regions = [(0, 0, 16, 16, kind[1])]
+        else:
+            _, subs, mvs = kind
+            regions, mi = [], 0
+            for idx in range(4):
+                for sx, sy, w4, h4 in _SUB_GEOM[subs[idx]]:
+                    regions.append(
+                        (
+                            8 * (idx % 2) + 4 * sx,
+                            8 * (idx // 2) + 4 * sy,
+                            4 * w4, 4 * h4, mvs[mi],
+                        )
+                    )
+                    mi += 1
+        for ox, oy, w, h, mv in regions:
+            x0, y0 = 16 * mbx + ox, 16 * mby + oy
+            want = np.clip(
+                _mc_luma_spec(ref, x0, y0, mv[0], mv[1])[:h, :w], 0, 255
+            )
+            got = f1.y[y0 : y0 + h, x0 : x0 + w]
+            assert (got == want).all(), (mbx, mby, ox, oy, w, h, mv)
+
+
+def test_sub8x8_fixture_rows_byte_flip_sweep():
+    # loud-failure contract over the sub-partitioned fixture shape
+    idr = h264_encode_rows(3, 2, 90, [1])
+    p = h264_encode_p_partitions(
+        3, 2,
+        [(4, (3, 8), (-2, -4), 1), (5, (0, 4), (0, -8), -1)],
+        frame_num=1,
+    )
+    ok = err = 0
+    for i in range(5, len(p)):
+        corrupt = bytearray(p)
+        corrupt[i] ^= 0x55
+        dec = H264Decoder()
+        dec.decode(idr)
+        try:
+            fr = dec.decode(bytes(corrupt))
+            assert fr.y.shape == (32, 48)
+            ok += 1
+        except H264Error:
+            err += 1
+    assert ok + err == len(p) - 5 and err > 0
