@@ -97,34 +97,9 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit greyscale/RGB PNG to an array —
-    (h, w) or (h, w, 3). Un-filters all five scanline filter types, so
-    the input need not come from png_encode."""
-    if data[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG")
-    pos, idat, w = 8, b"", None
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color_type not in (0, 2) or interlace:
-                raise ValueError(
-                    "supported: 8-bit grey/RGB, non-interlaced"
-                )
-            ch = 3 if color_type == 2 else 1
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if w is None:
-        raise ValueError("no IHDR")
-    raw = zlib.decompress(idat)
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Un-filter one filtered sub-image (the whole picture, or one
+    Adam7 pass): all five scanline filter types per PNG §4.5."""
     stride = w * ch
     out = np.zeros((h, w, ch), dtype=np.int32)
     prev = np.zeros((w, ch), dtype=np.int32)
@@ -175,7 +150,89 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter {ft}")
         out[y] = cur
         prev = cur
+    return out
+
+
+# Adam7 pass grid (PNG §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth PNG to an array: greyscale (0) -> (h, w),
+    RGB (2) / palette (3, expanded via PLTE, +tRNS -> RGBA) -> (h, w,
+    3|4), grey+alpha (4) -> (h, w, 2), RGBA (6) -> (h, w, 4); both
+    non-interlaced and Adam7-interlaced layouts (each interlace pass is
+    an independently filtered sub-image scattered onto the output
+    grid). Un-filters all five scanline filter types, so the input
+    need not come from png_encode — the real-world shapes (palette
+    logos, RGBA icons, interlaced libpng output) are pytest-proven
+    against externally-produced files."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, b"", None
+    plte = trns = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (0, 2, 3, 4, 6):
+                raise ValueError(
+                    "supported: 8-bit grey/RGB/palette/grey-alpha/RGBA"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(idat)
+    if not interlace:
+        out = _png_unfilter(raw, w, h, ch)
+    else:  # Adam7: 7 independently-filtered passes
+        out = np.zeros((h, w, ch), dtype=np.int32)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+            ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            size = ph * (pw * ch + 1)
+            out[y0::ys, x0::xs] = _png_unfilter(
+                raw[off : off + size], pw, ph, ch
+            )
+            off += size
+        if off != len(raw):
+            raise ValueError("Adam7 data size mismatch")
     arr = out.astype(np.uint8)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.dstack([rgb, alpha[idx]])
     return arr[:, :, 0] if ch == 1 else arr
 
 
@@ -194,15 +251,35 @@ def wav_encode(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode a PCM-int16 WAV to (samples (n, ch) int16, rate, ch)."""
+    """Decode a PCM WAV to (samples (n, ch), rate, ch). All four real-
+    world integer PCM widths: 8-bit (unsigned per RIFF, recentred to
+    signed), 16-bit (int16), 24-bit (sign-extended to int32), 32-bit
+    (int32) — proven against externally-produced CPython test-suite
+    files in tests/test_codecs.py."""
     with wave.open(io.BytesIO(data), "rb") as wv:
         ch = wv.getnchannels()
-        if wv.getsampwidth() != 2:
-            raise ValueError("supported: 16-bit PCM")
+        width = wv.getsampwidth()
         rate = wv.getframerate()
         frames = wv.readframes(wv.getnframes())
-    samples = np.frombuffer(frames, dtype=np.int16).reshape(-1, ch)
-    return samples, rate, ch
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    elif width == 1:
+        # RIFF stores 8-bit PCM unsigned with a 128 bias
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+        )
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4")
+    elif width == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        samples = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+    else:
+        raise ValueError(f"supported PCM widths: 8/16/24/32, got {width}")
+    return samples.reshape(-1, ch), rate, ch
 
 
 _FRAMES_MAGIC = b"PSMF\x01"

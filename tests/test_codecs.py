@@ -121,3 +121,147 @@ def test_media_probe_rejects_mixed_shape_frame_container():
     )
     with pytest.raises(ValueError):
         media_probe(mixed)
+
+
+# ---------------------------------------------------------------------------
+# r11 PNG extensions: palette / alpha / Adam7 (synthetic self-checks;
+# real-world files are pinned in tests/test_interop.py)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag, body):
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _ihdr(w, h, ctype, interlace=0):
+    import struct
+
+    return _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    )
+
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def test_png_palette_with_trns_decodes_to_rgba():
+    import zlib as _z
+
+    from streams_spark.functions.codecs import png_decode
+
+    # 2x2 palette image: indices [[0,1],[2,1]]; palette has 3 colors,
+    # tRNS covers only the first two (third defaults to opaque 255)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 1])
+    png = (
+        _MAGIC + _ihdr(2, 2, 3) + _chunk(b"PLTE", plte)
+        + _chunk(b"tRNS", bytes([10, 200]))
+        + _chunk(b"IDAT", _z.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    arr = png_decode(png)
+    assert arr.shape == (2, 2, 4)
+    assert arr[0, 0].tolist() == [255, 0, 0, 10]
+    assert arr[0, 1].tolist() == [0, 255, 0, 200]
+    assert arr[1, 0].tolist() == [0, 0, 255, 255]  # beyond tRNS: opaque
+
+
+def test_png_palette_index_out_of_range_rejected():
+    import zlib as _z
+
+    import pytest
+
+    from streams_spark.functions.codecs import png_decode
+
+    png = (
+        _MAGIC + _ihdr(1, 1, 3)
+        + _chunk(b"PLTE", bytes([1, 2, 3]))
+        + _chunk(b"IDAT", _z.compress(b"\x00\x05"))  # index 5, 1 entry
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(png)
+
+
+def test_png_adam7_scatter_reconstructs_known_array():
+    import zlib as _z
+
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_decode
+
+    # 9x10 greyscale with value = 10*y + x: build the 7 Adam7 passes by
+    # the spec's pass grid (filter 0 rows) and confirm the decoder
+    # scatters every pass back to its exact (y, x) home
+    h, w = 9, 10
+    img = np.add.outer(np.arange(h) * 10, np.arange(w)).astype(np.uint8)
+    passes = []
+    for x0, y0, xs, ys in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            passes.append(b"\x00" + row.tobytes())
+    png = (
+        _MAGIC + _ihdr(w, h, 0, interlace=1)
+        + _chunk(b"IDAT", _z.compress(b"".join(passes)))
+        + _chunk(b"IEND", b"")
+    )
+    arr = png_decode(png)
+    assert arr.shape == (h, w)
+    assert (arr == img).all()
+
+
+def test_png_grey_alpha_and_rgba_roundtrip_shapes():
+    import zlib as _z
+
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_decode
+
+    ga = np.arange(2 * 3 * 2, dtype=np.uint8).reshape(2, 3, 2)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(2))
+    png = (
+        _MAGIC + _ihdr(3, 2, 4)
+        + _chunk(b"IDAT", _z.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    arr = png_decode(png)
+    assert arr.shape == (2, 3, 2) and (arr == ga).all()
+
+
+def test_wav_8_24_32_bit_synthetic_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from streams_spark.functions.codecs import wav_decode
+
+    def wav(width, data, rate=8000, ch=1):
+        byterate = rate * ch * width
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, rate, byterate, ch * width, 8 * width
+        )
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body) - 4) + body
+
+    s, r, c = wav_decode(wav(1, bytes([0, 128, 255, 64])))
+    assert s.ravel().tolist() == [-128, 0, 127, -64]
+    vals = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    s, r, c = wav_decode(wav(3, data))
+    assert s.ravel().tolist() == vals
+    vals32 = [-(1 << 31), -257, 0, 65536, (1 << 31) - 1]
+    data = b"".join(struct.pack("<i", v) for v in vals32)
+    s, r, c = wav_decode(wav(4, data))
+    assert s.ravel().tolist() == vals32
