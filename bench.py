@@ -74,6 +74,9 @@ HEADLINE = [
     # birth (same rule as every codec row since r8); half the GOP row's
     # doc population, so expect roughly half its cost
     "m_h264_avc1",
+    # r11 addition: cross-container pixel dedup (IDR-only decode over
+    # both staged corpora + one hash shuffle on the pixel key)
+    "m_cross_container_dedup",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",
@@ -178,6 +181,7 @@ SCAN_FLOORS = {
         "documents", ["doc_id", "lang", "source", "n_chars", "text"], None,
     ),
     "documents_bpe_count": ("documents", ["text"], "bpe_count"),
+    "documents_distinct_tokens": ("documents", ["text"], "distinct_tokens"),
     "events_json_parse": ("events", ["props"], "json_parse_k"),
     "events_user_ts": ("events", ["user_id", "ts"], None),
     "events_hourly_cols": (
@@ -193,7 +197,7 @@ SCAN_FLOORS = {
 FLOOR_OF = {
     "t_token_count": "documents_bpe_count",
     "t_contamination": "documents_id_text",
-    "t_text_stats": "documents_stats_cols",
+    "t_text_stats": "documents_distinct_tokens",
     "q_json_props": "events_json_parse",
     "w_sessionize": "events_user_ts",
     "w_tumbling_hourly": "events_hourly_cols",
@@ -230,6 +234,13 @@ def _measure_scan_floors(spark, sf_dir: str) -> dict[str, float]:
             from streams_spark.operators.text import _BPE_RE
 
             df = df.select(F.regexp_count("text", F.lit(_BPE_RE)))
+        elif filt == "distinct_tokens":
+            # t_text_stats's kernel: whitespace tokenization + the
+            # per-document distinct-token count (array_distinct is the
+            # dominant cost), no aggregation
+            df = df.select(
+                F.size(F.array_distinct(F.split("text", " ")))
+            )
         elif filt == "json_parse_k":
             # the Jackson parse kernel of q_json_props: from_json and
             # field extraction, no aggregation
@@ -272,11 +283,11 @@ BENCH_NOTES = {
         "solo and shared sessions agree (SCALING.md r10-r11)"
     ),
     "t_text_stats": (
-        "scan-floor-bound: the row's 5-column read set scans at "
-        "~0.035s and the row reads 0.27-0.29s adjusted in BOTH solo "
-        "and shared r11 sessions vs an r1 recording of 0.146s on a "
-        "cheaper vintage — 2.0x, cleared by the machine audit "
-        "(SCALING.md r11)"
+        "kernel-bound: the split+array_distinct kernel alone (no agg) "
+        "dominates this row; solo adj 0.292 and shared adj 0.267-0.314 "
+        "agree across r11 sessions vs an r1 recording of 0.146s on a "
+        "cheaper vintage — the machine audit bounds it by the kernel "
+        "floor (SCALING.md r11)"
     ),
     "w_asof_purchase_click": (
         "scan-floor-bound: the 4-column pushed-filter read set scans "

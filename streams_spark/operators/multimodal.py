@@ -2080,6 +2080,121 @@ def m_h264_avc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-container pixel dedup: the same video packaged as mp4v/Annex-B
+# and as avc1/avcC is byte-different but pixel-identical
+# ---------------------------------------------------------------------------
+
+
+def _cross_container_oracle() -> str:
+    gop = _h264_gop_oracle()
+    avc = _h264_gop_oracle("doc_id % 6 = 2", codec="avc1")
+    return f"""
+WITH gop_frames AS ({gop}), avc_frames AS ({avc}),
+u AS (
+  SELECT doc_id, width, height, checksum, 'mp4v' AS container
+  FROM gop_frames WHERE frame_no = 0
+  UNION ALL
+  SELECT doc_id, width, height, checksum, codec AS container
+  FROM avc_frames WHERE frame_no = 0
+)
+SELECT doc_id, container,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       checksum,
+       CAST(count(*) OVER k AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT container) OVER k AS BIGINT) AS n_containers,
+       (row_number() OVER (k ORDER BY container ASC NULLS LAST,
+                           doc_id ASC NULLS LAST) = 1) AS is_rep
+FROM u
+WINDOW k AS (PARTITION BY width, height, checksum)
+"""
+
+
+_CROSS_CONTAINER_ORACLE = _cross_container_oracle()
+
+
+@register("m_cross_container_dedup", oracle=_CROSS_CONTAINER_ORACLE)
+def m_cross_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-packaging-INVARIANT dedup: the avc1 fixture encodes
+    the SAME pictures as the mp4v/Annex-B GOP fixture for its doc
+    population (doc_id % 6 = 2), so the two staged corpora contain
+    byte-different files (different sample entries, out-of-band vs
+    in-band parameter sets, length-prefixed vs start-coded NALs) that
+    are pixel-identical. Byte-digest dedup (m_media_dedup) can never
+    pair them; this operator demuxes only each file's stss-marked IDR
+    (keyframes_only pruning BEFORE any byte decodes), decodes it, and
+    groups on the exact decoded-pixel key (width, height, checksum) —
+    every avc1 file collides with its mp4v twin (n_containers = 2),
+    and the representative election is deterministic. This is the
+    production shape for "did we already ingest this video, in any
+    packaging?".
+
+    Scale: two map-only decode stages (one per staged corpus, IDR-only
+    so one frame per file), a union, and ONE hash shuffle on the pixel
+    key — the key's cardinality grows with content diversity, so no
+    hot key. A perceptual hash drops into the same plan for near-dup.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import h264_decode
+    from streams_spark.functions.mp4 import (
+        avc_sample_to_annexb, avc_track_param_sets, mp4_demux,
+    )
+    from pyspark.sql import Window as W
+
+    def decode_idr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                track, frames = mp4_demux(bytes(payload), keyframes_only=True)
+                au = frames[0]
+                container = track.codec
+                if track.avcc is not None:
+                    au = avc_track_param_sets(track.avcc) + (
+                        avc_sample_to_annexb(au, track.avcc.nal_length_size)
+                    )
+                fr = h264_decode(au)
+                h, w = fr.y.shape
+                rows.append(
+                    (
+                        int(doc_id), container, int(w), int(h),
+                        int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "width", "height",
+                         "checksum"],
+            )
+
+    schema = (
+        "doc_id long, container string, width int, height int, "
+        "checksum bigint"
+    )
+    frames = h264_gop_table_real(spark, sf_dir).mapInPandas(
+        decode_idr, schema=schema
+    ).unionByName(
+        h264_avc1_table_real(spark, sf_dir).mapInPandas(
+            decode_idr, schema=schema
+        )
+    )
+    k = W.partitionBy("width", "height", "checksum")
+    ko = k.orderBy(
+        F.col("container").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
+    return frames.select(
+        "doc_id", "container", "width", "height", "checksum",
+        F.count(F.lit(1)).over(k).alias("n_copies"),
+        F.size(F.collect_set("container").over(k)).cast("long").alias(
+            "n_containers"
+        ),
+        (F.row_number().over(ko) == 1).alias("is_rep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real H.264 Intra_4x4 decode (mixed-macroblock-type pictures)
 # ---------------------------------------------------------------------------
 
