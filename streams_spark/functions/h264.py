@@ -771,25 +771,40 @@ def _v_at(m: int, i: int, j: int) -> int:
     return _V[m][2]
 
 
+# the full 4x4 v grid per qP%6, precomputed once (hot path: dequant is
+# called for every coded 4x4 block; the scalar _v_at lookup was ~20% of
+# whole-GOP decode in the r11 profile)
+_V44 = [
+    [[_v_at(m, i, j) for j in range(4)] for i in range(4)]
+    for m in range(6)
+]
+
+
 def inverse_transform_4x4(d: np.ndarray) -> np.ndarray:
     """Core inverse transform (8.5.12.2 butterflies), WITHOUT the final
-    (x + 32) >> 6 rounding."""
-    d = d.astype(np.int64)
-    tmp = np.empty_like(d)
+    (x + 32) >> 6 rounding. Plain-int Python butterflies: Python ints
+    and numpy int64 share arithmetic-shift semantics for >> on
+    negatives, and the per-element numpy scalar ops this replaces were
+    the top cost of whole-GOP decode in the r11 profile (~23% of
+    decode walltime, pinned exact by the existing transform tests)."""
+    r = d.tolist() if isinstance(d, np.ndarray) else d
+    tmp = []
     for i in range(4):
-        e0 = d[i, 0] + d[i, 2]
-        e1 = d[i, 0] - d[i, 2]
-        e2 = (d[i, 1] >> 1) - d[i, 3]
-        e3 = d[i, 1] + (d[i, 3] >> 1)
-        tmp[i] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
-    out = np.empty_like(d)
+        a, b, c, e = r[i]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - e, b + (e >> 1)
+        tmp.append((e0 + e3, e1 + e2, e1 - e2, e0 - e3))
+    t0, t1, t2, t3 = tmp
+    out = [[0] * 4 for _ in range(4)]
     for j in range(4):
-        e0 = tmp[0, j] + tmp[2, j]
-        e1 = tmp[0, j] - tmp[2, j]
-        e2 = (tmp[1, j] >> 1) - tmp[3, j]
-        e3 = tmp[1, j] + (tmp[3, j] >> 1)
-        out[:, j] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
-    return out
+        a, b, c, e = t0[j], t1[j], t2[j], t3[j]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - e, b + (e >> 1)
+        out[0][j] = e0 + e3
+        out[1][j] = e1 + e2
+        out[2][j] = e1 - e2
+        out[3][j] = e0 - e3
+    return np.array(out, dtype=np.int64)
 
 
 def hadamard_4x4(f: np.ndarray) -> np.ndarray:
@@ -819,15 +834,62 @@ def scale_chroma_dc(f: np.ndarray, qp: int) -> np.ndarray:
     return (f * _V[qp % 6][0] << (qp // 6)) >> 5
 
 
-def dequant_4x4(coeffs: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
-    """AC rescale (8.5.12.2): d(i,j) = c * v(qP%6,i,j) * 2^(qP/6)."""
-    out = np.empty((4, 4), dtype=np.int64)
+def residual_4x4(
+    levels: list[int] | None, qp: int, dc: int | None = None
+) -> np.ndarray:
+    """Fused zigzag -> AC rescale -> inverse transform -> (x+32)>>6 for
+    one 4x4 block, entirely in plain ints until the final np.array (one
+    array construction instead of three; this path runs for every
+    coded block of every frame). `levels` are the 16 zigzag-scan
+    levels (None = all-zero block, only meaningful with dc). `dc`
+    substitutes the DC-path value AFTER rescale, exactly like the old
+    dequant(skip_dc=True) + d[0,0]=dc sequence. Bit-exactness vs the
+    unfused primitives is pytest-pinned (test_h264.py)."""
+    v = _V44[qp % 6]
+    s = qp // 6
+    m = [[0] * 4 for _ in range(4)]
+    if levels is not None:
+        for scan_pos, raster in enumerate(ZIGZAG_4x4):
+            lv = levels[scan_pos]
+            if lv:
+                m[raster >> 2][raster & 3] = (
+                    lv * v[raster >> 2][raster & 3]
+                ) << s
+    if dc is not None:
+        m[0][0] = int(dc)
+    tmp = []
     for i in range(4):
-        for j in range(4):
-            out[i, j] = coeffs[i, j] * _v_at(qp % 6, i, j) << (qp // 6)
+        a, b, c, e = m[i]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - e, b + (e >> 1)
+        tmp.append((e0 + e3, e1 + e2, e1 - e2, e0 - e3))
+    t0, t1, t2, t3 = tmp
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a, b, c, e = t0[j], t1[j], t2[j], t3[j]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - e, b + (e >> 1)
+        out[0][j] = (e0 + e3 + 32) >> 6
+        out[1][j] = (e1 + e2 + 32) >> 6
+        out[2][j] = (e1 - e2 + 32) >> 6
+        out[3][j] = (e0 - e3 + 32) >> 6
+    return np.array(out, dtype=np.int64)
+
+
+def dequant_4x4(coeffs: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
+    """AC rescale (8.5.12.2): d(i,j) = c * v(qP%6,i,j) * 2^(qP/6).
+    Plain-int rows against the precomputed _V44 grid (see
+    inverse_transform_4x4's profile note)."""
+    v = _V44[qp % 6]
+    s = qp // 6
+    c = coeffs.tolist() if isinstance(coeffs, np.ndarray) else coeffs
+    out = [
+        [(c[i][j] * v[i][j]) << s for j in range(4)]
+        for i in range(4)
+    ]
     if skip_dc:
-        out[0, 0] = 0  # caller substitutes the DC-path value
-    return out
+        out[0][0] = 0  # caller substitutes the DC-path value
+    return np.array(out, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -1944,9 +2006,7 @@ def _decode_i4x4_mb(
         pred = predict_4x4(st.y, decoded, abx, aby, mode)
         blk = luma_blocks[k]
         if blk is not None:
-            d = dequant_4x4(_zigzag_to_4x4(blk), qp, skip_dc=False)
-            e = inverse_transform_4x4(d)
-            pred = pred + ((e + 32) >> 6)
+            pred = pred + residual_4x4(blk, qp)
         st.y[4 * aby : 4 * aby + 4, 4 * abx : 4 * abx + 4] = np.clip(
             pred, 0, 255
         )
@@ -2181,14 +2241,9 @@ def _chroma_resid_add(
     for k in range(4):
         brow, bcol = k // 2, k % 2
         ac = cac_c[k]
-        coeffs = (
-            _zigzag_to_4x4([0] + list(ac)) if ac
-            else np.zeros((4, 4), dtype=np.int64)
+        r = residual_4x4(
+            [0] + list(ac) if ac else None, qpc, dc=dc[brow, bcol]
         )
-        d = dequant_4x4(coeffs, qpc, skip_dc=True)
-        d[0, 0] = dc[brow, bcol]
-        e = inverse_transform_4x4(d)
-        r = (e + 32) >> 6
         sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
         rec[sl] = pred[sl] + r
     return np.clip(rec, 0, 255)
@@ -2215,9 +2270,7 @@ def _reconstruct_inter_mb(
             continue
         # inter 4x4 residual: all 16 coefficients in one zigzag block
         # (no separate DC transform — that is Intra_16x16 only)
-        d = dequant_4x4(_zigzag_to_4x4(blk), st.qp, skip_dc=False)
-        e = inverse_transform_4x4(d)
-        r = (e + 32) >> 6
+        r = residual_4x4(blk, st.qp)
         sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
         rec[sl] = pred[sl] + r
     st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
@@ -2369,11 +2422,9 @@ def _reconstruct_luma_16x16(
     rec = pred.copy()
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
         ac = ac_blocks[k]
-        coeffs = _zigzag_to_4x4([0] + list(ac)) if ac else np.zeros((4, 4), dtype=np.int64)
-        d = dequant_4x4(coeffs, qp, skip_dc=True)
-        d[0, 0] = dc[brow, bcol]
-        e = inverse_transform_4x4(d)
-        r = (e + 32) >> 6
+        r = residual_4x4(
+            [0] + list(ac) if ac else None, qp, dc=dc[brow, bcol]
+        )
         sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
         rec[sl] = pred[sl] + r
     y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(

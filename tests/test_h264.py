@@ -504,3 +504,42 @@ def test_run_before_overrun_raises_h264error():
     bw.rbsp_trailing()
     with pytest.raises(H264Error, match="run_before exceeds"):
         read_residual_block(BitReader(bw.to_bytes()), 16, 0)
+
+
+def test_residual_4x4_matches_unfused_primitives():
+    # the fused hot path (zigzag -> rescale -> inverse transform ->
+    # rounding, plain ints) must be bit-exact vs the reference-shaped
+    # primitives it replaced, across qps, random levels, and the
+    # DC-substitution mode
+    import numpy as np
+
+    from streams_spark.functions.h264 import (
+        _zigzag_to_4x4,
+        dequant_4x4,
+        inverse_transform_4x4,
+        residual_4x4,
+    )
+
+    rng = np.random.default_rng(77)
+    for qp in (0, 5, 11, 12, 28, 36, 51):
+        for _ in range(20):
+            levels = [int(rng.integers(-40, 41)) for _ in range(16)]
+            want = (
+                inverse_transform_4x4(
+                    dequant_4x4(_zigzag_to_4x4(levels), qp, skip_dc=False)
+                )
+                + 32
+            ) >> 6
+            assert (residual_4x4(levels, qp) == want).all(), qp
+            # DC-substitution mode (chroma + Intra_16x16 paths)
+            dc = int(rng.integers(-5000, 5001))
+            d = dequant_4x4(_zigzag_to_4x4([0] + levels[:15]), qp, True)
+            d[0, 0] = dc
+            want = (inverse_transform_4x4(d) + 32) >> 6
+            got = residual_4x4([0] + levels[:15], qp, dc=dc)
+            assert (got == want).all(), qp
+            # all-zero AC with DC only
+            d = dequant_4x4(np.zeros((4, 4), dtype=np.int64), qp, True)
+            d[0, 0] = dc
+            want = (inverse_transform_4x4(d) + 32) >> 6
+            assert (residual_4x4(None, qp, dc=dc) == want).all(), qp
