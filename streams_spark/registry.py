@@ -59,10 +59,16 @@ ROUND_PRIORITY = [
     # REGISTRY` guard skips it until it lands): avc1/avcC-packaged
     # H.264 decode — VERDICT r10 #2.
     "m_h264_avc1",
-    # then the r11 rotation target (VERDICT r10 #1 balance): all 43
-    # rows whose latest driver evidence is round 6 (reproduced from
-    # the CORRECTNESS_r0* union), so after this window no
-    # oracle-paired row's driver evidence is older than r7.
+    # r11 new operator: cross-container pixel dedup over mp4v+avc1
+    # packagings — never driver-checked, so it outranks freshness
+    # rotation.
+    "m_cross_container_dedup",
+    # then the r11 rotation target (VERDICT r10 #1 balance): the rows
+    # whose latest driver evidence is round 6 (reproduced from the
+    # CORRECTNESS_r0* union). Inserting m_cross_container_dedup above
+    # pushes the last of them (p_ingest_guard) to slot 51: it keeps
+    # its r6 evidence one more round — a never-checked row beats one
+    # round of staleness — and must lead the r12 rotation.
     "q9_profit_by_nation_year",
     "q10_returned_items",
     "q11_important_stock",
