@@ -260,6 +260,16 @@ class PPS(NamedTuple):
     # would desync the bit reader (silently wrong pixels) instead of
     # the documented loud scope failure.
     num_ref_idx_l0_default: int = 0
+    # FMO (7.4.2.2 slice-group syntax; baseline profile, A.2.1 allows
+    # up to 8 slice groups). map derivation is slice_group_map below.
+    num_slice_groups: int = 1
+    slice_group_map_type: int = 0
+    run_length: tuple[int, ...] = ()  # type 0: run_length_minus1 + 1
+    top_left: tuple[int, ...] = ()  # type 2
+    bottom_right: tuple[int, ...] = ()  # type 2
+    change_direction: int = 0  # types 3-5
+    change_rate: int = 1  # types 3-5: slice_group_change_rate_minus1 + 1
+    slice_group_id: tuple[int, ...] = ()  # type 6
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -310,8 +320,39 @@ def parse_pps(rbsp: bytes) -> PPS:
     br.ue()  # sps_id
     entropy = br.u(1)
     br.u(1)  # bottom_field_pic_order_in_frame_present
-    if br.ue() != 0:  # num_slice_groups_minus1
-        raise H264Error("slice groups (FMO) unsupported")
+    n_groups = br.ue() + 1  # num_slice_groups_minus1
+    if n_groups > 8:
+        # A.2.1: baseline caps num_slice_groups_minus1 at 7
+        raise H264Error(f"num_slice_groups {n_groups} exceeds 8 (A.2.1)")
+    map_type = 0
+    run_length: tuple[int, ...] = ()
+    top_left: tuple[int, ...] = ()
+    bottom_right: tuple[int, ...] = ()
+    change_dir, change_rate = 0, 1
+    slice_group_id: tuple[int, ...] = ()
+    if n_groups > 1:  # FMO map syntax (7.3.2.2)
+        map_type = br.ue()
+        if map_type > 6:
+            raise H264Error(f"slice_group_map_type {map_type} out of range")
+        if map_type == 0:
+            run_length = tuple(br.ue() + 1 for _ in range(n_groups))
+        elif map_type == 2:
+            # the last group is the background: only groups 0..n-2
+            # carry rectangles
+            tl, brr = [], []
+            for _ in range(n_groups - 1):
+                tl.append(br.ue())
+                brr.append(br.ue())
+            top_left, bottom_right = tuple(tl), tuple(brr)
+        elif map_type in (3, 4, 5):
+            change_dir = br.u(1)
+            change_rate = br.ue() + 1
+        elif map_type == 6:
+            n_units = br.ue() + 1  # pic_size_in_map_units_minus1
+            bits = max(1, (n_groups - 1).bit_length())
+            slice_group_id = tuple(br.u(bits) for _ in range(n_units))
+            if any(g >= n_groups for g in slice_group_id):
+                raise H264Error("slice_group_id out of range")
     ref_l0_default = br.ue()  # num_ref_idx_l0_default_active_minus1
     br.ue()  # num_ref_idx_l1_default_active_minus1
     br.u(1)  # weighted_pred_flag
@@ -323,8 +364,107 @@ def parse_pps(rbsp: bytes) -> PPS:
     cip = br.u(1)
     br.u(1)  # redundant_pic_cnt_present
     return PPS(
-        entropy, pic_init_qp, chroma_qp_offset, deblock, cip, ref_l0_default
+        entropy, pic_init_qp, chroma_qp_offset, deblock, cip,
+        ref_l0_default, n_groups, map_type, run_length, top_left,
+        bottom_right, change_dir, change_rate, slice_group_id,
     )
+
+
+def slice_group_map(pps: PPS, sps: SPS, change_cycle: int = 0) -> np.ndarray:
+    """MbToSliceGroupMap (8.2.2) for frame pictures, where map units
+    ARE macroblocks (frame_mbs_only_flag=1, 8.2.2.8): one slice-group
+    id per MB address. `change_cycle` is the slice header's
+    slice_group_change_cycle, used only by the dynamic types 3-5
+    (MapUnitsInSliceGroup0 = Min(change_cycle * SliceGroupChangeRate,
+    PicSizeInMapUnits), 7-25)."""
+    w, h = sps.pic_width_in_mbs, sps.pic_height_in_mbs
+    size = w * h
+    n = pps.num_slice_groups
+    if n == 1:
+        return np.zeros(size, dtype=np.int64)
+    t = pps.slice_group_map_type
+    m = np.zeros(size, dtype=np.int64)
+    if t == 0:  # interleaved (8.2.2.1)
+        if len(pps.run_length) != n:
+            raise H264Error("type-0 FMO: run_length count mismatch")
+        i = 0
+        while i < size:
+            for g in range(n):
+                for _ in range(pps.run_length[g]):
+                    if i >= size:
+                        break
+                    m[i] = g
+                    i += 1
+    elif t == 1:  # dispersed (8.2.2.2)
+        for i in range(size):
+            m[i] = ((i % w) + (((i // w) * n) // 2)) % n
+    elif t == 2:  # foreground rectangles + background (8.2.2.3)
+        m[:] = n - 1
+        # downward loop: lower group ids overwrite, so group 0 wins
+        # overlaps, exactly as the spec's iGroup-- ordering requires
+        for g in range(n - 2, -1, -1):
+            tl, brr = pps.top_left[g], pps.bottom_right[g]
+            if not (tl <= brr < size):
+                raise H264Error("type-2 FMO rectangle out of bounds")
+            ytl, xtl = tl // w, tl % w
+            ybr, xbr = brr // w, brr % w
+            if xtl > xbr:
+                raise H264Error("type-2 FMO rectangle corners inverted")
+            for y in range(ytl, ybr + 1):
+                m[y * w + xtl : y * w + xbr + 1] = g
+    elif t in (3, 4, 5):  # dynamic 2-group types
+        units0 = min(change_cycle * pps.change_rate, size)
+        d = pps.change_direction
+        if t == 3:  # box-out (8.2.2.4)
+            m[:] = 1
+            x = (w - d) // 2
+            y = (h - d) // 2
+            xmin = xmax = x
+            ymin = ymax = y
+            xdir, ydir = d - 1, d
+            placed = 0
+            while placed < units0:
+                if m[y * w + x] == 1:
+                    m[y * w + x] = 0
+                    placed += 1
+                if xdir == -1 and x == xmin:
+                    xmin = max(xmin - 1, 0)
+                    x = xmin
+                    xdir, ydir = 0, 2 * d - 1
+                elif xdir == 1 and x == xmax:
+                    xmax = min(xmax + 1, w - 1)
+                    x = xmax
+                    xdir, ydir = 0, 1 - 2 * d
+                elif ydir == -1 and y == ymin:
+                    ymin = max(ymin - 1, 0)
+                    y = ymin
+                    xdir, ydir = 1 - 2 * d, 0
+                elif ydir == 1 and y == ymax:
+                    ymax = min(ymax + 1, h - 1)
+                    y = ymax
+                    xdir, ydir = 2 * d - 1, 0
+                else:
+                    x += xdir
+                    y += ydir
+        elif t == 4:  # raster scan (8.2.2.5)
+            upper_left = size - units0 if d else units0
+            for i in range(size):
+                m[i] = d if i < upper_left else 1 - d
+        else:  # t == 5: wipe (8.2.2.6), column-major traversal
+            upper_left = size - units0 if d else units0
+            k = 0
+            for x in range(w):
+                for y in range(h):
+                    m[y * w + x] = d if k < upper_left else 1 - d
+                    k += 1
+    else:  # t == 6: explicit (8.2.2.7)
+        if len(pps.slice_group_id) != size:
+            raise H264Error(
+                "type-6 FMO: slice_group_id covers "
+                f"{len(pps.slice_group_id)} of {size} map units"
+            )
+        m[:] = pps.slice_group_id
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -1065,8 +1205,10 @@ class H264Decoder:
 
     def decode(self, buf: bytes) -> H264Frame:
         """Decode the coded picture of one access unit — possibly
-        split across several slice NALs (first_mb_in_slice tiling the
-        raster in order; FMO/ASO raise)."""
+        split across several slice NALs in any order (ASO), each
+        walking its FMO slice group (8.2.2) in NextMbAddress order;
+        together the slices must cover every macroblock exactly
+        once."""
         slices: list[tuple[bytes, bool, int]] = []
         max_ref_idc = 0
         for nal in annexb_split(buf):
@@ -1102,9 +1244,9 @@ class H264Decoder:
 def h264_decode(buf: bytes) -> H264Frame:
     """Decode a single self-contained IDR access unit. SEI/AUD NALs
     are skipped; anything requiring unimplemented tools (CABAC and B
-    slices — both outside the baseline profile, A.2.1 — sub-8x8
-    partitions, interlace, high-profile SPS) raises H264Error rather
-    than producing silently-wrong pixels. Non-IDR slices need decode-order state —
+    slices — both outside the baseline profile, A.2.1 — interlace,
+    high-profile SPS) raises H264Error rather than producing
+    silently-wrong pixels. Non-IDR slices need decode-order state —
     use H264Decoder / h264_decode_gop for those."""
     return H264Decoder().decode(buf)
 
@@ -1125,11 +1267,11 @@ def _parse_slice_header(
     idr: bool,
     nal_ref_idc: int,
     have_ref: bool,
-) -> tuple[int, bool, int, int, int, int]:
+) -> tuple[int, bool, int, int, int, int, int]:
     """Parse one slice header (7.3.3); returns (first_mb_in_slice,
-    is_p, slice_qp, dbf_idc_mode, alpha_off, beta_off) where
-    dbf_idc_mode is 1=filter on, 2=on but not across slice
-    boundaries, 0=off."""
+    is_p, slice_qp, dbf_idc_mode, alpha_off, beta_off,
+    slice_group_change_cycle) where dbf_idc_mode is 1=filter on,
+    2=on but not across slice boundaries, 0=off."""
     first_mb = br.ue()
     slice_type = br.ue()
     if slice_type % 5 == 2:
@@ -1204,7 +1346,15 @@ def _parse_slice_header(
             dbf = 2 if idc == 2 else 1
             alpha_off = 2 * br.se()
             beta_off = 2 * br.se()
-    return first_mb, is_p, qp, dbf, alpha_off, beta_off
+    change_cycle = 0
+    if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
+        # slice_group_change_cycle: u(v) with
+        # v = Ceil(Log2(PicSizeInMapUnits / SliceGroupChangeRate + 1))
+        # (7.4.3); frame pictures, so map units are macroblocks
+        size = sps.pic_width_in_mbs * sps.pic_height_in_mbs
+        bits = (size // pps.change_rate).bit_length()
+        change_cycle = br.u(bits) if bits else 0
+    return first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle
 
 
 def _decode_picture(
@@ -1213,11 +1363,14 @@ def _decode_picture(
     pps: PPS,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
 ) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Decode one coded picture from its slice NALs in order. Slices
-    must tile the macroblock raster (no FMO/ASO); prediction — intra
-    samples, MVs, CAVLC nC contexts — never crosses a slice boundary,
-    while the deblocking filter crosses it unless that slice's idc
-    is 2."""
+    """Decode one coded picture from its slice NALs. Slices may
+    arrive in any order (ASO) and the PPS may partition the picture
+    into slice groups (FMO, 8.2.2): each slice walks its group's
+    macroblocks in NextMbAddress order (8.2.2.8) and together the
+    slices must cover every MB exactly once. Prediction — intra
+    samples, MVs, CAVLC nC contexts — never crosses a slice boundary
+    (with FMO that includes every slice-group interleave edge), while
+    the deblocking filter crosses it unless that slice's idc is 2."""
     if pps.entropy_coding_mode:
         raise H264Error("CABAC entropy coding unsupported (CAVLC only)")
     mw, mh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
@@ -1244,17 +1397,31 @@ def _decode_picture(
     )
     st.multi = len(slices) > 1
     n_mbs = mw * mh
-    mb = 0
+    n_decoded = 0
+    maps: dict[int, np.ndarray] = {}  # keyed by slice_group_change_cycle
     for si, (rbsp, idr, ref_idc) in enumerate(slices):
         br = BitReader(rbsp)
-        first_mb, is_p, qp, dbf, aoff, boff = _parse_slice_header(
+        first_mb, is_p, qp, dbf, aoff, boff, cycle = _parse_slice_header(
             br, sps, pps, idr, ref_idc, have_ref=ref is not None
         )
-        if first_mb != mb:
+        if first_mb >= n_mbs:
             raise H264Error(
-                f"slice starts at MB {first_mb}, expected {mb} "
-                "(FMO/ASO unsupported)"
+                f"first_mb_in_slice {first_mb} past pic_size_in_mbs"
             )
+        if cycle not in maps:
+            maps[cycle] = slice_group_map(pps, sps, cycle)
+        sgmap = maps[cycle]
+        group = int(sgmap[first_mb])
+
+        def _next_mb(addr: int) -> int:
+            # NextMbAddress (8.2.2.8): the next MB of this slice's
+            # group; n_mbs when the group is exhausted
+            addr += 1
+            while addr < n_mbs and sgmap[addr] != group:
+                addr += 1
+            return addr
+
+        mb = first_mb
         st.cur_slice = si
         st.qp = qp
         if is_p:
@@ -1271,18 +1438,25 @@ def _decode_picture(
             st.mb_aoff[mby, mbx] = aoff
             st.mb_boff[mby, mbx] = boff
 
+        def _claim_mb(addr: int) -> tuple[int, int]:
+            if addr >= n_mbs:
+                raise H264Error(
+                    "trailing macroblock data past the slice group"
+                )
+            mbx, mby = addr % mw, addr // mw
+            if st.avail[mby, mbx]:
+                raise H264Error(f"overlapping slices at MB {addr}")
+            _enter_mb(mbx, mby)
+            return mbx, mby
+
         if not is_p:
             # I slice_data: macroblocks until the RBSP runs out
             while True:
-                if mb >= n_mbs:
-                    raise H264Error(
-                        "trailing macroblock data past pic_size_in_mbs"
-                    )
-                mbx, mby = mb % mw, mb // mw
-                _enter_mb(mbx, mby)
+                mbx, mby = _claim_mb(mb)
                 _decode_intra_mb(br, br.ue(), st, mbx, mby)
                 st.avail[mby, mbx] = True
-                mb += 1
+                n_decoded += 1
+                mb = _next_mb(mb)
                 if not br.more_rbsp_data():
                     break
         else:
@@ -1292,12 +1466,7 @@ def _decode_picture(
             while more:
                 skip_run = br.ue()
                 for _ in range(skip_run):
-                    if mb >= n_mbs:
-                        raise H264Error(
-                            "mb_skip_run past pic_size_in_mbs"
-                        )
-                    mbx, mby = mb % mw, mb // mw
-                    _enter_mb(mbx, mby)
+                    mbx, mby = _claim_mb(mb)
                     mvx, mvy = _skip_mv(st, mbx, mby)
                     st.mb_qp[mby, mbx] = st.qp
                     _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
@@ -1310,22 +1479,19 @@ def _decode_picture(
                     )
                     st.inter[mby, mbx] = True
                     st.avail[mby, mbx] = True
-                    mb += 1
+                    n_decoded += 1
+                    mb = _next_mb(mb)
                 more = br.more_rbsp_data()
                 if more:
-                    if mb >= n_mbs:
-                        raise H264Error(
-                            "trailing macroblock data past pic_size_in_mbs"
-                        )
-                    mbx, mby = mb % mw, mb // mw
-                    _enter_mb(mbx, mby)
+                    mbx, mby = _claim_mb(mb)
                     _decode_p_mb(br, st, ref_y, ref_cb, ref_cr, mbx, mby)
                     st.avail[mby, mbx] = True
-                    mb += 1
+                    n_decoded += 1
+                    mb = _next_mb(mb)
                     more = br.more_rbsp_data()
-    if mb != n_mbs:
+    if n_decoded != n_mbs:
         raise H264Error(
-            f"picture slices cover {mb} of {n_mbs} macroblocks"
+            f"picture slices cover {n_decoded} of {n_mbs} macroblocks"
         )
 
     if (st.mb_dbf > 0).any():
@@ -2504,17 +2670,44 @@ def encode_sps(
 
 
 def encode_pps(
-    qp: int = 36, ref_l0_default: int = 0, cip: bool = False
+    qp: int = 36,
+    ref_l0_default: int = 0,
+    cip: bool = False,
+    fmo: dict | None = None,
 ) -> bytes:
     """Fixture PPS. `ref_l0_default` / `cip` exist only to build
     conforming-but-out-of-scope streams the decoder must REJECT loudly
-    (multi-reference L0 defaults, constrained intra prediction)."""
+    (multi-reference L0 defaults, constrained intra prediction).
+    `fmo` adds the 7.3.2.2 slice-group syntax: keys n_groups,
+    map_type, and the per-type parameters (run_length, top_left /
+    bottom_right, change_direction / change_rate, slice_group_id)."""
     bw = BitWriter()
     bw.ue(0)  # pps_id
     bw.ue(0)  # sps_id
     bw.u(0, 1)  # CAVLC
     bw.u(0, 1)  # bottom_field_pic_order
-    bw.ue(0)  # num_slice_groups_minus1
+    if fmo is None:
+        bw.ue(0)  # num_slice_groups_minus1
+    else:
+        n, t = fmo["n_groups"], fmo["map_type"]
+        bw.ue(n - 1)  # num_slice_groups_minus1
+        bw.ue(t)  # slice_group_map_type
+        if t == 0:
+            for r in fmo["run_length"]:
+                bw.ue(r - 1)  # run_length_minus1
+        elif t == 2:
+            for tl, brr in zip(fmo["top_left"], fmo["bottom_right"]):
+                bw.ue(tl)
+                bw.ue(brr)
+        elif t in (3, 4, 5):
+            bw.u(fmo.get("change_direction", 0), 1)
+            bw.ue(fmo.get("change_rate", 1) - 1)
+        elif t == 6:
+            ids = fmo["slice_group_id"]
+            bw.ue(len(ids) - 1)  # pic_size_in_map_units_minus1
+            bits = max(1, (n - 1).bit_length())
+            for g in ids:
+                bw.u(g, bits)
     bw.ue(ref_l0_default)  # num_ref_idx_l0_default_active_minus1
     bw.ue(0)  # num_ref_idx_l1
     bw.u(0, 1)  # weighted_pred
@@ -2913,6 +3106,79 @@ def h264_encode_sliced_rows(
         bw.rbsp_trailing()
         out += _nal(5, bw.to_bytes())
     return out
+
+
+def h264_encode_fmo(
+    mb_h: int,
+    levels: list[int],
+    deltas: list[list[int]],
+    fmo: dict,
+    change_cycle: int = 0,
+    qp: int = 30,
+    slice_order: list[int] | None = None,
+) -> bytes:
+    """One Annex-B IDR access unit over a 1-MB-wide picture whose PPS
+    partitions the MB column into FMO slice groups (`fmo` as for
+    encode_pps) and codes ONE SLICE PER GROUP, macroblocks in
+    NextMbAddress order. Each MB is Intra_16x16 DC carrying one
+    DC-level coefficient (levels[row]) and a per-position mb_qp_delta
+    (deltas[group][pos]), so the decoded pixels expose BOTH halves of
+    the FMO contract: the map decides which rows chain their DC
+    prediction (same-group adjacency) and the QP a given row decodes
+    under (its position in the group's slice), while ASO arrives via
+    `slice_order` (groups emitted in any order). Deblocking is off
+    (idc 1) to keep the closed form linear. An empty group simply
+    emits no slice."""
+    sgmap = _fmo_fixture_map(mb_h, fmo, change_cycle)
+    n_groups = fmo["n_groups"]
+    if len(levels) != mb_h:
+        raise ValueError("need one DC level per MB row")
+    order = list(range(n_groups)) if slice_order is None else slice_order
+    out = encode_sps(1, mb_h) + encode_pps(qp, fmo=fmo)
+    dyn = fmo["map_type"] in (3, 4, 5)
+    cycle_bits = mb_h // fmo.get("change_rate", 1)
+    for g in order:
+        addrs = [i for i in range(mb_h) if sgmap[i] == g]
+        if not addrs:
+            continue
+        if len(deltas[g]) != len(addrs):
+            raise ValueError("need one mb_qp_delta per in-group MB")
+        bw = BitWriter()
+        bw.ue(addrs[0])  # first_mb_in_slice
+        bw.ue(7)  # I slice
+        bw.ue(0)  # pps_id
+        bw.u(0, 4)  # frame_num
+        bw.ue(0)  # idr_pic_id
+        bw.u(0, 1)  # no_output_of_prior_pics
+        bw.u(0, 1)  # long_term_reference
+        bw.se(0)  # slice_qp_delta
+        bw.ue(1)  # disable_deblocking_filter_idc: off
+        if dyn:
+            bw.u(change_cycle, cycle_bits.bit_length())
+        cur_qp = qp
+        for pos, addr in enumerate(addrs):
+            cur_qp += deltas[g][pos]
+            if not 12 <= cur_qp <= 51:
+                raise ValueError("fixture QP chain out of [12, 51]")
+            bw.ue(1 + 2)  # mb_type: I16x16, DC prediction, cbp 0
+            bw.ue(0)  # intra_chroma_pred_mode: DC
+            bw.se(deltas[g][pos])  # mb_qp_delta
+            # nC: every luma nnz in these pictures is 0 (no AC, no PCM)
+            write_residual_block(bw, [levels[addr]] + [0] * 15, 0)
+        bw.rbsp_trailing()
+        out += _nal(5, bw.to_bytes())
+    return out
+
+
+def _fmo_fixture_map(mb_h: int, fmo: dict, change_cycle: int) -> list[int]:
+    """The fixture muxer's slice-group map for a 1-MB-wide picture —
+    built through the decoder's own parse so the PPS syntax writer and
+    the map derivation stay consistent end-to-end (the DuckDB oracle
+    recomputes the map independently per type, which is what catches a
+    shared derivation bug)."""
+    pps = parse_pps(ebsp_to_rbsp(encode_pps(fmo=fmo)[5:]))
+    sps = parse_sps(ebsp_to_rbsp(encode_sps(1, mb_h)[5:]))
+    return [int(v) for v in slice_group_map(pps, sps, change_cycle)]
 
 
 def inter_dc_offset(level: int, qp: int = 28) -> int:

@@ -611,7 +611,7 @@ def test_adaptive_ref_marking_rejected():
 def test_skip_run_past_picture_raises():
     dec = _primed_decoder()
     au = _p_au(lambda bw: bw.ue(40))  # 40 skips in a 4-MB picture
-    with pytest.raises(H264Error, match="mb_skip_run past"):
+    with pytest.raises(H264Error, match="past the slice group"):
         dec.decode(au)
 
 
