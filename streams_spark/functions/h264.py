@@ -1348,13 +1348,23 @@ def _parse_slice_header(
             beta_off = 2 * br.se()
     change_cycle = 0
     if pps.num_slice_groups > 1 and pps.slice_group_map_type in (3, 4, 5):
-        # slice_group_change_cycle: u(v) with
-        # v = Ceil(Log2(PicSizeInMapUnits / SliceGroupChangeRate + 1))
-        # (7.4.3); frame pictures, so map units are macroblocks
         size = sps.pic_width_in_mbs * sps.pic_height_in_mbs
-        bits = (size // pps.change_rate).bit_length()
+        bits = _cycle_bits(size, pps.change_rate)
         change_cycle = br.u(bits) if bits else 0
     return first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle
+
+
+def _cycle_bits(size: int, rate: int) -> int:
+    """Field width of slice_group_change_cycle (7.4.3):
+    Ceil(Log2(PicSizeInMapUnits / SliceGroupChangeRate + 1)) with REAL
+    division — the smallest b with 2^b >= size/rate + 1. The
+    truncating-division reading would under-size the field whenever
+    rate does not divide size (e.g. size 7, rate 2 needs 3 bits to
+    reach the allowed maximum Ceil(7/2) = 4)."""
+    b = 0
+    while (1 << b) * rate < size + rate:
+        b += 1
+    return b
 
 
 def _decode_picture(
@@ -3136,7 +3146,11 @@ def h264_encode_fmo(
     order = list(range(n_groups)) if slice_order is None else slice_order
     out = encode_sps(1, mb_h) + encode_pps(qp, fmo=fmo)
     dyn = fmo["map_type"] in (3, 4, 5)
-    cycle_bits = mb_h // fmo.get("change_rate", 1)
+    rate = fmo.get("change_rate", 1)
+    cycle_bits = _cycle_bits(mb_h, rate)
+    if dyn and change_cycle > (mb_h + rate - 1) // rate:
+        # 7.4.3: 0 <= cycle <= Ceil(PicSizeInMapUnits / rate)
+        raise ValueError("slice_group_change_cycle out of range")
     for g in order:
         addrs = [i for i in range(mb_h) if sgmap[i] == g]
         if not addrs:
@@ -3154,7 +3168,7 @@ def h264_encode_fmo(
         bw.se(0)  # slice_qp_delta
         bw.ue(1)  # disable_deblocking_filter_idc: off
         if dyn:
-            bw.u(change_cycle, cycle_bits.bit_length())
+            bw.u(change_cycle, cycle_bits)
         cur_qp = qp
         for pos, addr in enumerate(addrs):
             cur_qp += deltas[g][pos]
@@ -3168,6 +3182,37 @@ def h264_encode_fmo(
         bw.rbsp_trailing()
         out += _nal(5, bw.to_bytes())
     return out
+
+
+def h264_slice_group_sizes(buf: bytes) -> list[int]:
+    """Per-slice-group macroblock counts for the coded picture of one
+    Annex-B access unit, derived from the SPS/PPS FMO syntax and the
+    first slice header's slice_group_change_cycle (8.2.2) — i.e. the
+    decoder's OWN map derivation, so an oracle checking these counts
+    checks slice_group_map independently of the fixture muxer."""
+    sps = pps = None
+    cycle = 0
+    for nal in annexb_split(buf):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        rbsp = ebsp_to_rbsp(nal[1:])
+        if ntype == 7:
+            sps = parse_sps(rbsp)
+        elif ntype == 8:
+            pps = parse_pps(rbsp)
+        elif ntype in (1, 5):
+            if sps is None or pps is None:
+                raise H264Error("slice before SPS/PPS")
+            _, _, _, _, _, _, cycle = _parse_slice_header(
+                BitReader(rbsp), sps, pps, ntype == 5,
+                (nal[0] >> 5) & 3, have_ref=True,
+            )
+            break
+    if sps is None or pps is None:
+        raise H264Error("no SPS/PPS in access unit")
+    m = slice_group_map(pps, sps, cycle)
+    return [int((m == g).sum()) for g in range(pps.num_slice_groups)]
 
 
 def _fmo_fixture_map(mb_h: int, fmo: dict, change_cycle: int) -> list[int]:

@@ -2909,6 +2909,255 @@ def m_h264_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h264_fmo_oracle() -> str:
+    """Closed form for m_h264_fmo over 1-MB-wide pictures: the SQL
+    recomputes the slice-group map PER TYPE from first principles
+    (8.2.2.1/2/3/5/6/7 degenerate cleanly at PicWidthInMbs=1), then
+    models the two FMO-visible effects independently of the decoder:
+    DC prediction chains exactly along same-group row adjacency, and
+    each row's QP is the slice's mb_qp_delta prefix sum at that row's
+    IN-GROUP position — so a wrong map, wrong NextMbAddress walk, or
+    wrong QP sequencing all move the checksum. dc_offset's integer
+    form (8.5.10 for qP>=12) is floor((lvl * v[qP%6] * 2^(qP/6-2)
+    + 32) / 64)."""
+    # in-group position of row u (count of earlier same-group rows)
+    pos_u = "len(list_filter(range(0, u), w -> sg[w + 1] = sg[u + 1]))"
+    qp_u = (
+        f"CAST(30 + list_sum(list_transform(range(0, {pos_u} + 1), "
+        "p -> ((doc_id // (p + 1) + sg[u + 1]) % 3) - 1)) AS BIGINT)"
+    )
+    lvl_u = (
+        "(([0, 1, 2, 5, 9, 20, 26])[1 + (doc_id + 3 * u) % 7]"
+        " * (CASE WHEN (doc_id + u) % 2 = 0 THEN 1 ELSE -1 END))"
+    )
+    off_u = (
+        f"CAST(floor(({lvl_u}"
+        f" * ([10, 11, 13, 14, 16, 18])[1 + {qp_u} % 6]"
+        f" * ([2, 4, 8, 16])[{qp_u} // 6 - 2] + 32) / 64.0) AS BIGINT)"
+    )
+    # row u contributes to row y iff every row in [u, y] shares y's group
+    in_chain = (
+        "list_min(list_transform(range(u, y + 1), w -> "
+        "CASE WHEN sg[w + 1] = sg[y + 1] THEN 1 ELSE 0 END)) = 1"
+    )
+    # per-type map value for row i (type 4 and 5 share the band form:
+    # at W=1 the wipe's column-major traversal IS the raster)
+    t0_runs = "(1 + (doc_id // 5) % 2)"
+    t0_cyc = f"({t0_runs} + 1 + (doc_id // 7) % 2)"
+    t2_u0 = "((doc_id // 5) % mh)"
+    t4_cyc = "(1 + (doc_id // 5) % (mh - 1))"
+    t4_d = "((doc_id // 11) % 2)"
+    t5_rate = "(1 + (doc_id // 7) % 2)"
+    t5_cyc = f"(1 + (doc_id // 5) % ((mh + {t5_rate} - 1) // {t5_rate}))"
+    t5_units = f"LEAST({t5_cyc} * {t5_rate}, mh)"
+    t5_d = "((doc_id // 13) % 2)"
+    sg_i = f"""CASE
+        WHEN t = 0 THEN
+          CASE WHEN i % {t0_cyc} < {t0_runs} THEN 0 ELSE 1 END
+        WHEN t = 1 THEN i % 2
+        WHEN t = 2 THEN
+          CASE WHEN i >= {t2_u0}
+                AND i <= {t2_u0} + (doc_id // 7) % (mh - {t2_u0})
+               THEN 0 ELSE 1 END
+        WHEN t = 4 THEN
+          CASE WHEN i < (CASE WHEN {t4_d} = 1
+                              THEN mh - {t4_cyc} ELSE {t4_cyc} END)
+               THEN {t4_d} ELSE 1 - {t4_d} END
+        WHEN t = 5 THEN
+          CASE WHEN i < (CASE WHEN {t5_d} = 1
+                              THEN mh - {t5_units} ELSE {t5_units} END)
+               THEN {t5_d} ELSE 1 - {t5_d} END
+        ELSE (doc_id // (i + 1)) % 2
+      END"""
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         4 + (doc_id // 9) % 4 AS mh,
+         ([0, 1, 2, 4, 5, 6])[1 + (doc_id // 3) % 6] AS t
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 3 = 1
+), mp AS (
+  SELECT doc_id, mh, t,
+         list_transform(range(0, mh), i -> {sg_i}) AS sg
+  FROM geo
+)
+SELECT doc_id,
+       16 AS width,
+       CAST(16 * mh AS INTEGER) AS height,
+       CAST(t AS INTEGER) AS map_type,
+       CAST((CASE WHEN list_contains(sg, 0) THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(sg, 1) THEN 1 ELSE 0 END)
+          AS INTEGER) AS n_slices,
+       CAST(len(list_filter(sg, v -> v = 0)) AS INTEGER) AS group0_size,
+       CAST((256 * list_sum(list_transform(range(0, mh), y ->
+           128 + list_sum(list_transform(range(0, y + 1), u ->
+               CASE WHEN {in_chain} THEN {off_u} ELSE 0 END)))))
+           % 1000000007 AS BIGINT) AS checksum
+FROM mp
+"""
+
+
+_H264_FMO_ORACLE = _h264_fmo_oracle()
+
+
+def _fmo_doc_config(d: int) -> tuple[int, int, dict, int]:
+    """(mb_h, map_type, encode_pps fmo params, change_cycle) for doc
+    d — the Python mirror of the oracle's geo/map CTEs."""
+    mh = 4 + (d // 9) % 4
+    t = [0, 1, 2, 4, 5, 6][(d // 3) % 6]
+    cycle = 0
+    if t == 0:
+        fmo = {
+            "n_groups": 2, "map_type": 0,
+            "run_length": (1 + (d // 5) % 2, 1 + (d // 7) % 2),
+        }
+    elif t == 1:
+        fmo = {"n_groups": 2, "map_type": 1}
+    elif t == 2:
+        u0 = (d // 5) % mh
+        fmo = {
+            "n_groups": 2, "map_type": 2,
+            "top_left": (u0,),
+            "bottom_right": (u0 + (d // 7) % (mh - u0),),
+        }
+    elif t == 4:
+        fmo = {
+            "n_groups": 2, "map_type": 4,
+            "change_direction": (d // 11) % 2, "change_rate": 1,
+        }
+        cycle = 1 + (d // 5) % (mh - 1)
+    elif t == 5:
+        rate = 1 + (d // 7) % 2
+        fmo = {
+            "n_groups": 2, "map_type": 5,
+            "change_direction": (d // 13) % 2,
+            "change_rate": rate,
+        }
+        # slice_group_change_cycle must fit 0..Ceil(size/rate) (7.4.3)
+        cycle = 1 + (d // 5) % ((mh + rate - 1) // rate)
+    else:
+        fmo = {
+            "n_groups": 2, "map_type": 6,
+            "slice_group_id": tuple((d // (i + 1)) % 2 for i in range(mh)),
+        }
+    return mh, t, fmo, cycle
+
+
+def h264_fmo_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One raw Annex-B IDR per video doc whose PPS splits the 1-MB-wide
+    picture into FMO slice groups — the map type cycles all six
+    W=1-expressible derivations (0/1/2/4/5/6; box-out needs 2-D and is
+    pytest-pinned instead), one slice per group with per-MB
+    mb_qp_delta, odd docs emitting their slices in reversed order
+    (ASO)."""
+    from streams_spark.functions.h264 import h264_encode_fmo
+    from streams_spark.functions.h264 import _fmo_fixture_map
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 3 == 1))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mags = [0, 1, 2, 5, 9, 20, 26]
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mh, _, fmo, cycle = _fmo_doc_config(d)
+                m = _fmo_fixture_map(mh, fmo, cycle)
+                levels = [
+                    mags[(d + 3 * r) % 7] * (1 if (d + r) % 2 == 0 else -1)
+                    for r in range(mh)
+                ]
+                deltas = [
+                    [
+                        ((d // (p + 1) + g) % 3) - 1
+                        for p in range(sum(1 for v in m if v == g))
+                    ]
+                    for g in range(2)
+                ]
+                rows_out.append(
+                    (d, h264_encode_fmo(
+                        mh, levels, deltas, fmo, cycle,
+                        slice_order=[1, 0] if d % 2 else None,
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264fmo",
+        (_h,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_fmo", oracle=_H264_FMO_ORACLE)
+def m_h264_fmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 FMO decode: pictures whose PPS partitions the MB
+    raster into slice groups, one slice per group walking NextMbAddress
+    order (8.2.2.8), slices arriving out of order on odd docs (ASO).
+    The reported group0_size comes from the DECODER's own
+    slice_group_map derivation (h264_slice_group_sizes) and the
+    checksum from the decoded pixels, while the oracle recomputes both
+    from first principles per map type — so the map derivation, the
+    NextMbAddress walk, slice-bounded prediction across interleaved
+    groups, and per-slice QP sequencing are all value-checked.
+
+    Scale: map-only Arrow decode over a staged blob table, like every
+    real-codec row.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import annexb_split
+    from streams_spark.functions.h264 import h264_decode
+    from streams_spark.functions.h264 import h264_slice_group_sizes
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_slices = sum(
+                    1 for nal in annexb_split(buf)
+                    if nal and (nal[0] & 0x1F) in (1, 5)
+                )
+                fr = h264_decode(buf)
+                d = int(doc_id)
+                _, map_type, _, _ = _fmo_doc_config(d)
+                sizes = h264_slice_group_sizes(buf)
+                h, w = fr.y.shape
+                rows.append(
+                    (
+                        d, int(w), int(h), int(map_type), n_slices,
+                        int(sizes[0]),
+                        int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "map_type",
+                    "n_slices", "group0_size", "checksum",
+                ],
+            )
+
+    return h264_fmo_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, map_type int, "
+            "n_slices int, group0_size int, checksum bigint"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real AAC ADTS frame census (the audio sibling of m_mp3_census)
 # ---------------------------------------------------------------------------

@@ -63,12 +63,16 @@ ROUND_PRIORITY = [
     # packagings — never driver-checked, so it outranks freshness
     # rotation.
     "m_cross_container_dedup",
+    # r11 new operator: FMO/ASO decode (slice groups, 8.2.2) —
+    # never driver-checked.
+    "m_h264_fmo",
     # then the r11 rotation target (VERDICT r10 #1 balance): the rows
     # whose latest driver evidence is round 6 (reproduced from the
-    # CORRECTNESS_r0* union). Inserting m_cross_container_dedup above
-    # pushes the last of them (p_ingest_guard) to slot 51: it keeps
-    # its r6 evidence one more round — a never-checked row beats one
-    # round of staleness — and must lead the r12 rotation.
+    # CORRECTNESS_r0* union). The two never-checked inserts above push
+    # the last two of them (v_metadata_filter, p_ingest_guard) past
+    # slot 50: they keep their r6 evidence one more round — a
+    # never-checked row beats one round of staleness — and must lead
+    # the r12 rotation.
     "q9_profit_by_nation_year",
     "q10_returned_items",
     "q11_important_stock",
