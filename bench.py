@@ -77,6 +77,12 @@ HEADLINE = [
     # r11 addition: cross-container pixel dedup (IDR-only decode over
     # both staged corpora + one hash shuffle on the pixel key)
     "m_cross_container_dedup",
+    # r11 additions: the FMO/ASO decode and the multi-reference P
+    # decode join at birth (same rule as every codec row since r8) —
+    # slice-group walking and the 2-deep-DPB inter path each have
+    # their own plan to regression-gate
+    "m_h264_fmo",
+    "m_h264_multiref",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

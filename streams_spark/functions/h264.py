@@ -30,16 +30,22 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
   predictor, decode-order sample availability, above-right
   substitution) — each with CAVLC residuals.
 - P slices (r10): P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8
-  macroblocks + P_Skip with a one-picture DPB, the 8.4.1.3 MV
-  prediction (median, copy-A, exactly-one-refIdx, and the 16x8/8x16
-  directional preferences) over per-4x4 motion state, quarter-pel
-  luma / eighth-pel chroma motion compensation per partition, and the
-  Table 9-4 inter CBP mapping. r11 completes the baseline partition
-  tree: P_8x8 sub_mb_types 8x4/4x8/4x4 (Table 7-18, the 7.3.5.2
-  mvd nesting, plain A/B/C(D) MVP at sub-8x8 grain with same-MB
-  decode-order availability per 6.4.11.7). B slices raise — a real
-  scope note, not a silent wrong answer (they are outside the
-  baseline profile entirely, A.2.1).
+  macroblocks + P_Skip, the 8.4.1.3 MV prediction (median, copy-A,
+  exactly-one-refIdx, and the 16x8/8x16 directional preferences) over
+  per-4x4 motion state, quarter-pel luma / eighth-pel chroma motion
+  compensation per partition, and the Table 9-4 inter CBP mapping.
+  r11 completes the baseline partition tree: P_8x8 sub_mb_types
+  8x4/4x8/4x4 (Table 7-18, the 7.3.5.2 mvd nesting, plain A/B/C(D)
+  MVP at sub-8x8 grain with same-MB decode-order availability per
+  6.4.11.7) — and MULTI-REFERENCE L0 prediction: a sliding-window DPB
+  of max_num_ref_frames decoded pictures (8.2.5.3), recency-ordered
+  RefPicList0 (8.2.4.2.1), per-partition ref_idx_l0 as te(v) — the
+  single INVERTED bit at cMax 1, ue(v) above (9.1.1) — cur-ref
+  matching in every MVP rule (8.4.1.3.1), the P_8x8ref0 implicit-zero
+  refs, and the 8.7.2.1 different-reference bS rule. B slices raise —
+  a real scope note, not a silent wrong answer (they are outside the
+  baseline profile entirely, A.2.1); so do ref_pic_list_modification
+  and adaptive (MMCO) reference marking.
 - CAVLC residual decode (9.2): coeff_token Table 9-5 incl. the
   chroma-DC nC==-1 column and the nC>=8 FLC, trailing-one signs,
   level_prefix/suffix with the suffixLength ladder and >=15/>=16
@@ -245,6 +251,9 @@ class SPS(NamedTuple):
     crop_right: int
     crop_top: int
     crop_bottom: int
+    # max_num_ref_frames (7.4.2.1): sliding-window DPB capacity — the
+    # decoder keeps this many short-term reference pictures (8.2.5.3)
+    max_num_ref_frames: int = 1
 
 
 class PPS(NamedTuple):
@@ -253,12 +262,9 @@ class PPS(NamedTuple):
     chroma_qp_offset: int
     deblocking_control_present: int
     constrained_intra_pred: int
-    # num_ref_idx_l0_default_active_minus1 (7.4.2.2): kept so the slice
-    # header can detect a PPS whose L0 default exceeds the one reference
-    # this decoder supports — such a stream codes ref_idx_l0 te(v)
-    # elements in mb_pred that _decode_p_mb never reads, so proceeding
-    # would desync the bit reader (silently wrong pixels) instead of
-    # the documented loud scope failure.
+    # num_ref_idx_l0_default_active_minus1 (7.4.2.2): the P-slice
+    # num_ref_idx_l0_active when the slice header does not override it
+    # (7.4.3) — drives whether mb_pred codes ref_idx_l0 te(v) elements.
     num_ref_idx_l0_default: int = 0
     # FMO (7.4.2.2 slice-group syntax; baseline profile, A.2.1 allows
     # up to 8 slice groups). map derivation is slice_group_map below.
@@ -293,7 +299,7 @@ def parse_sps(rbsp: bytes) -> SPS:
         br.se()
         for _ in range(br.ue()):
             br.se()
-    br.ue()  # max_num_ref_frames
+    max_num_ref_frames = br.ue()
     br.u(1)  # gaps_in_frame_num_value_allowed
     w_mbs = br.ue() + 1
     h_units = br.ue() + 1
@@ -311,6 +317,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     return SPS(
         profile_idc, level_idc, log2_max_frame_num, poc_type,
         w_mbs, h_units, frame_mbs_only, cl, cr, ct, cb,
+        max(1, max_num_ref_frames),
     )
 
 
@@ -1192,16 +1199,20 @@ def _zigzag_to_4x4(coeffs: list[int]) -> np.ndarray:
 
 class H264Decoder:
     """Stateful Annex-B decoder: feeds access units in decode order,
-    keeping SPS/PPS and the last decoded picture (UNCROPPED, as the
-    spec's DPB does — cropping is output conformance only, 7.4.2.1.1)
-    as the single L0 reference for P slices (max_num_ref_frames=1).
-    One instance per elementary stream; `h264_decode` below keeps the
+    keeping SPS/PPS and a sliding-window DPB (8.2.5.3) of up to
+    max_num_ref_frames decoded reference pictures (UNCROPPED, as the
+    spec's DPB does — cropping is output conformance only, 7.4.2.1.1),
+    most recent first. For P slices that recency order IS the initial
+    RefPicList0 (8.2.4.2.1: descending PicNum), so ref_idx_l0 k
+    selects the picture decoded k+1 reference pictures ago. One
+    instance per elementary stream; `h264_decode` below keeps the
     stateless IDR-only API for intra use."""
 
     def __init__(self) -> None:
         self.sps: SPS | None = None
         self.pps: PPS | None = None
-        self._ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        # short-term reference pictures, most recent first
+        self._dpb: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
     def decode(self, buf: bytes) -> H264Frame:
         """Decode the coded picture of one access unit — possibly
@@ -1233,11 +1244,16 @@ class H264Decoder:
                 max_ref_idc = max(max_ref_idc, ref_idc)
         if not slices:
             raise H264Error("no coded slice in access unit")
+        if any(idr for _, idr, _ in slices):
+            # IDR: all prior reference pictures are marked unused
+            # (8.2.5.1); the new picture starts a fresh DPB
+            self._dpb = []
         frame, planes = _decode_picture(
-            slices, self.sps, self.pps, ref=self._ref
+            slices, self.sps, self.pps, refs=self._dpb
         )
         if max_ref_idc:  # nal_ref_idc=0 pictures are non-reference
-            self._ref = planes
+            # sliding window (8.2.5.3): newest first, oldest dropped
+            self._dpb = [planes, *self._dpb][: self.sps.max_num_ref_frames]
         return frame
 
 
@@ -1266,12 +1282,14 @@ def _parse_slice_header(
     pps: PPS,
     idr: bool,
     nal_ref_idc: int,
-    have_ref: bool,
-) -> tuple[int, bool, int, int, int, int, int]:
+    n_refs: int,
+) -> tuple[int, bool, int, int, int, int, int, int]:
     """Parse one slice header (7.3.3); returns (first_mb_in_slice,
     is_p, slice_qp, dbf_idc_mode, alpha_off, beta_off,
-    slice_group_change_cycle) where dbf_idc_mode is 1=filter on,
-    2=on but not across slice boundaries, 0=off."""
+    slice_group_change_cycle, num_ref) where dbf_idc_mode is 1=filter
+    on, 2=on but not across slice boundaries, 0=off and num_ref is
+    the effective num_ref_idx_l0_active for P slices (1 otherwise).
+    `n_refs` is the DPB's current short-term reference count."""
     first_mb = br.ue()
     slice_type = br.ue()
     if slice_type % 5 == 2:
@@ -1280,7 +1298,7 @@ def _parse_slice_header(
         is_p = True
         if idr:
             raise H264Error("P slice inside an IDR NAL")
-        if not have_ref:
+        if not n_refs:
             raise H264Error("P slice with no decoded reference picture")
     else:
         raise H264Error(
@@ -1303,31 +1321,35 @@ def _parse_slice_header(
             raise H264Error(
                 "constrained_intra_pred_flag=1 with P slices unsupported"
             )
+        num_ref = pps.num_ref_idx_l0_default + 1
         if br.u(1):  # num_ref_idx_active_override_flag
-            if br.ue() != 0:  # num_ref_idx_l0_active_minus1
-                raise H264Error(
-                    "multiple L0 reference pictures unsupported "
-                    "(single-reference P decoder)"
-                )
-        elif pps.num_ref_idx_l0_default:
-            # No override and the PPS default exceeds one L0 reference:
-            # mb_pred would code ref_idx_l0 te(v) elements this decoder
-            # never reads — the bit reader would desync into garbage.
+            num_ref = br.ue() + 1  # num_ref_idx_l0_active_minus1
+        if num_ref > 16:
             raise H264Error(
-                "PPS num_ref_idx_l0_default_active > 1 without a slice "
-                "override (single-reference P decoder)"
+                f"num_ref_idx_l0_active {num_ref} out of range (A.2.1)"
+            )
+        if num_ref > n_refs:
+            # 8.2.4.2.1: the initial RefPicList0 holds every decoded
+            # short-term reference picture; a conforming stream never
+            # declares more active entries than exist, and proceeding
+            # would leave ref_idx values with no picture to resolve.
+            raise H264Error(
+                f"num_ref_idx_l0_active {num_ref} exceeds the "
+                f"{n_refs} decoded reference picture(s) in the DPB"
             )
         # ref_pic_list_modification (7.3.3.1)
         if br.u(1):
             raise H264Error("ref_pic_list_modification unsupported")
+    else:
+        num_ref = 1
     if nal_ref_idc:  # dec_ref_pic_marking (7.3.3.3)
         if idr:
             br.u(1)  # no_output_of_prior_pics_flag
             br.u(1)  # long_term_reference_flag
         elif br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise H264Error(
-                "adaptive reference marking unsupported (sliding window "
-                "with max_num_ref_frames=1 only)"
+                "adaptive reference marking unsupported (sliding-window "
+                "marking only)"
             )
     qp = pps.pic_init_qp + br.se()
     if not 0 <= qp <= 51:
@@ -1351,7 +1373,7 @@ def _parse_slice_header(
         size = sps.pic_width_in_mbs * sps.pic_height_in_mbs
         bits = _cycle_bits(size, pps.change_rate)
         change_cycle = br.u(bits) if bits else 0
-    return first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle
+    return first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle, num_ref
 
 
 def _cycle_bits(size: int, rate: int) -> int:
@@ -1371,7 +1393,7 @@ def _decode_picture(
     slices: list[tuple[bytes, bool, int]],
     sps: SPS,
     pps: PPS,
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
 ) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Decode one coded picture from its slice NALs. Slices may
     arrive in any order (ASO) and the PPS may partition the picture
@@ -1411,8 +1433,10 @@ def _decode_picture(
     maps: dict[int, np.ndarray] = {}  # keyed by slice_group_change_cycle
     for si, (rbsp, idr, ref_idc) in enumerate(slices):
         br = BitReader(rbsp)
-        first_mb, is_p, qp, dbf, aoff, boff, cycle = _parse_slice_header(
-            br, sps, pps, idr, ref_idc, have_ref=ref is not None
+        (
+            first_mb, is_p, qp, dbf, aoff, boff, cycle, num_ref,
+        ) = _parse_slice_header(
+            br, sps, pps, idr, ref_idc, n_refs=len(refs)
         )
         if first_mb >= n_mbs:
             raise H264Error(
@@ -1435,9 +1459,12 @@ def _decode_picture(
         st.cur_slice = si
         st.qp = qp
         if is_p:
-            ref_y, ref_cb, ref_cr = ref
-            if ref_y.shape != st.y.shape:
-                raise H264Error("reference picture geometry mismatch")
+            # RefPicList0 = the DPB's recency order (8.2.4.2.1),
+            # truncated to this slice's num_ref_idx_l0_active
+            ref_list = refs[:num_ref]
+            for ry, _, _ in ref_list:
+                if ry.shape != st.y.shape:
+                    raise H264Error("reference picture geometry mismatch")
 
         def _enter_mb(mbx: int, mby: int) -> None:
             st.mb_slice[mby, mbx] = si
@@ -1479,10 +1506,11 @@ def _decode_picture(
                     mbx, mby = _claim_mb(mb)
                     mvx, mvy = _skip_mv(st, mbx, mby)
                     st.mb_qp[mby, mbx] = st.qp
+                    # P_Skip always references refIdxL0 0 (8.4.1.1)
                     _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
                     _reconstruct_inter_mb(
-                        st, ref_y, ref_cb, ref_cr, mbx, mby,
-                        [(0, 0, 16, 16, mvx, mvy)],
+                        st, ref_list, mbx, mby,
+                        [(0, 0, 16, 16, mvx, mvy, 0)],
                         cbp=0, luma_blocks=[None] * 16,
                         cdc=[[0] * 4, [0] * 4],
                         cac=[[None] * 4, [None] * 4],
@@ -1494,7 +1522,7 @@ def _decode_picture(
                 more = br.more_rbsp_data()
                 if more:
                     mbx, mby = _claim_mb(mb)
-                    _decode_p_mb(br, st, ref_y, ref_cb, ref_cr, mbx, mby)
+                    _decode_p_mb(br, st, ref_list, mbx, mby, num_ref)
                     st.avail[mby, mbx] = True
                     n_decoded += 1
                     mb = _next_mb(mb)
@@ -1706,7 +1734,7 @@ def _bs_luma_pair(
     st: "_PicState", pbx: int, pby: int, qbx: int, qby: int, mb_edge: bool
 ) -> int:
     """Boundary strength for one 4x4 block pair (8.7.2.1, frame
-    pictures, single L0 reference)."""
+    pictures, P-slice L0 prediction)."""
     p_mb, q_mb = (pby // 4, pbx // 4), (qby // 4, qbx // 4)
     p_intra = not st.inter[p_mb]
     q_intra = not st.inter[q_mb]
@@ -1714,6 +1742,12 @@ def _bs_luma_pair(
         return 4 if mb_edge else 3
     if st.nnz[pby, pbx] or st.nnz[qby, qbx]:
         return 2
+    # 8.7.2.1: bS 1 when the blocks use different reference PICTURES.
+    # Within one decoded picture every slice's RefPicList0 is the same
+    # DPB recency order (8.2.4.2.1, no list modification), so unequal
+    # ref_idx IS unequal reference picture.
+    if int(st.ref4[pby, pbx]) != int(st.ref4[qby, qbx]):
+        return 1
     mvp, mvq = st.mv[pby, pbx], st.mv[qby, qbx]
     if (
         abs(int(mvp[0]) - int(mvq[0])) >= 4
@@ -2235,45 +2269,47 @@ def _neighbor_mv(
         return (0, 0), -1, False
     if r == -1:
         return (0, 0), -1, True
-    return (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])), 0, True
+    return (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])), r, True
 
 
 def _set_part_mv(
     st: "_PicState", bx: int, by: int, w4: int, h4: int,
-    mv: tuple[int, int],
+    mv: tuple[int, int], ref: int = 0,
 ) -> None:
     st.mv[by : by + h4, bx : bx + w4] = mv
-    st.ref4[by : by + h4, bx : bx + w4] = 0
+    st.ref4[by : by + h4, bx : bx + w4] = ref
 
 
 def _mvp_partition(
     st: "_PicState", bx: int, by: int, w4: int,
-    part: tuple[str, int] | None = None,
+    part: tuple[str, int] | None = None, cur_ref: int = 0,
 ) -> tuple[int, int]:
     """Luma MV prediction (8.4.1.3) for a partition whose top-left 4x4
-    block is (bx, by) and whose width is w4 blocks: neighbors A=left,
-    B=above, C=above-right of the partition (D=above-left when C is
-    unavailable or not yet decoded); the 16x8/8x16 directional
-    preferences short-circuit first, then the copy-A rule, the
-    exactly-one-refIdx rule, and the component-wise median."""
+    block is (bx, by), whose width is w4 blocks, and whose reference
+    index is cur_ref: neighbors A=left, B=above, C=above-right of the
+    partition (D=above-left when C is unavailable or not yet decoded);
+    the 16x8/8x16 directional preferences short-circuit first, then
+    the copy-A rule, the exactly-one-matching-refIdx rule, and the
+    component-wise median — every refIdx comparison is against the
+    CURRENT partition's cur_ref (8.4.1.3.1)."""
     mvA, rA, aA = _neighbor_mv(st, bx - 1, by)
     mvB, rB, aB = _neighbor_mv(st, bx, by - 1)
     mvC, rC, aC = _neighbor_mv(st, bx + w4, by - 1)
     if not aC:
         mvC, rC, aC = _neighbor_mv(st, bx - 1, by - 1)
     # 8.4.1.3 directional rules for the two-partition modes
-    if part == ("16x8", 0) and rB == 0:
+    if part == ("16x8", 0) and rB == cur_ref:
         return mvB
-    if part == ("16x8", 1) and rA == 0:
+    if part == ("16x8", 1) and rA == cur_ref:
         return mvA
-    if part == ("8x16", 0) and rA == 0:
+    if part == ("8x16", 0) and rA == cur_ref:
         return mvA
-    if part == ("8x16", 1) and rC == 0:
+    if part == ("8x16", 1) and rC == cur_ref:
         return mvC
     if not aB and not aC and aA:
         mvB, rB = mvA, rA
         mvC, rC = mvA, rA
-    matches = [rA == 0, rB == 0, rC == 0]
+    matches = [rA == cur_ref, rB == cur_ref, rC == cur_ref]
     if sum(matches) == 1:
         return (mvA, mvB, mvC)[matches.index(True)]
     return (
@@ -2282,8 +2318,10 @@ def _mvp_partition(
     )
 
 
-def _mvp_16x16(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
-    return _mvp_partition(st, 4 * mbx, 4 * mby, 4)
+def _mvp_16x16(
+    st: "_PicState", mbx: int, mby: int, cur_ref: int = 0
+) -> tuple[int, int]:
+    return _mvp_partition(st, 4 * mbx, 4 * mby, 4, cur_ref=cur_ref)
 
 
 def _skip_mv(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
@@ -2427,17 +2465,19 @@ def _chroma_resid_add(
 
 def _reconstruct_inter_mb(
     st: "_PicState",
-    ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
+    ref_list: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     mbx: int, mby: int,
-    parts: list[tuple[int, int, int, int, int, int]],
+    parts: list[tuple[int, int, int, int, int, int, int]],
     cbp: int, luma_blocks: list, cdc: list, cac: list,
 ) -> None:
-    """`parts`: (ox, oy, w, h, mvx, mvy) per partition, offsets in luma
-    samples relative to the MB origin — (0,0,16,16,...) for 16x16."""
+    """`parts`: (ox, oy, w, h, mvx, mvy, ref_idx) per partition,
+    offsets in luma samples relative to the MB origin —
+    (0,0,16,16,...) for 16x16; ref_idx indexes ref_list
+    (RefPicList0)."""
     pred = np.empty((16, 16), dtype=np.int64)
-    for ox, oy, w, h_, mvx, mvy in parts:
+    for ox, oy, w, h_, mvx, mvy, ri in parts:
         pred[oy : oy + h_, ox : ox + w] = mc_luma(
-            ref_y, 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
+            ref_list[ri][0], 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
         )
     rec = pred.copy()
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
@@ -2453,13 +2493,13 @@ def _reconstruct_inter_mb(
         rec, 0, 255
     )
     qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
-    for c, (plane, refp) in enumerate(((st.cb, ref_cb), (st.cr, ref_cr))):
+    for c, plane in enumerate((st.cb, st.cr)):
         predc = np.empty((8, 8), dtype=np.int64)
-        for ox, oy, w, h_, mvx, mvy in parts:
+        for ox, oy, w, h_, mvx, mvy, ri in parts:
             predc[oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
                 mc_chroma(
-                    refp, 8 * mbx + ox // 2, 8 * mby + oy // 2,
-                    w // 2, h_ // 2, mvx, mvy,
+                    ref_list[ri][1 + c], 8 * mbx + ox // 2,
+                    8 * mby + oy // 2, w // 2, h_ // 2, mvx, mvy,
                 )
             )
         plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
@@ -2478,72 +2518,107 @@ _SUB_MB_GEOM = {
 }
 
 
+def _read_te_ref(br: BitReader, num_ref: int, ref_list_len: int) -> int:
+    """One ref_idx_l0 as te(v) (9.1.1): with cMax = num_ref - 1 == 1
+    it is a single INVERTED bit; with cMax > 1 it is plain ue(v).
+    Callers only invoke this when num_ref > 1."""
+    ref = (1 - br.u(1)) if num_ref == 2 else br.ue()
+    if ref >= num_ref or ref >= ref_list_len:
+        raise H264Error(
+            f"ref_idx_l0 {ref} out of range for num_ref_idx_l0_active "
+            f"{num_ref}"
+        )
+    return ref
+
+
 def _decode_p_mb(
     br: BitReader, st: "_PicState",
-    ref_y: np.ndarray, ref_cb: np.ndarray, ref_cr: np.ndarray,
-    mbx: int, mby: int,
+    ref_list: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    mbx: int, mby: int, num_ref: int,
 ) -> None:
     """One coded P-slice macroblock (7.3.5 / Table 7-13): any L0
-    partitioning down to 4x4 sub-partitions, or an intra type at
-    mb_type >= 5."""
+    partitioning down to 4x4 sub-partitions over up to num_ref L0
+    reference pictures, or an intra type at mb_type >= 5."""
     mb_type = br.ue()
     if mb_type >= 5:
         _decode_intra_mb(br, mb_type - 5, st, mbx, mby)
         return  # st.inter stays False: intra MBs predict as refIdx -1
-    # single L0 reference throughout: ref_idx_l0 fields not present.
-    # Partition geometry per Table 7-13; MVs derive sequentially so a
+    # mb_pred (7.3.5.1) codes ALL partitions' ref_idx_l0 te(v)
+    # elements first, then all partitions' mvd_l0 pairs — so refs are
+    # read up front, and the MV loop below derives sequentially so a
     # later partition's predictor sees the earlier ones (_set_part_mv
-    # before the next derivation).
+    # before the next derivation). Partition geometry per Table 7-13.
     bx0, by0 = 4 * mbx, 4 * mby
-    parts: list[tuple[int, int, int, int, int, int]] = []
+    multi = num_ref > 1
+    parts: list[tuple[int, int, int, int, int, int, int]] = []
     if mb_type == 0:  # P_L0_16x16
-        px, py = _mvp_partition(st, bx0, by0, 4)
+        ref = _read_te_ref(br, num_ref, len(ref_list)) if multi else 0
+        px, py = _mvp_partition(st, bx0, by0, 4, cur_ref=ref)
         mvx, mvy = px + br.se(), py + br.se()
-        _set_part_mv(st, bx0, by0, 4, 4, (mvx, mvy))
-        parts.append((0, 0, 16, 16, mvx, mvy))
+        _set_part_mv(st, bx0, by0, 4, 4, (mvx, mvy), ref)
+        parts.append((0, 0, 16, 16, mvx, mvy, ref))
     elif mb_type == 1:  # P_L0_L0_16x8
+        rr = [
+            _read_te_ref(br, num_ref, len(ref_list)) if multi else 0
+            for _ in (0, 1)
+        ]
         for idx in (0, 1):
             mvd_x, mvd_y = br.se(), br.se()
             px, py = _mvp_partition(
-                st, bx0, by0 + 2 * idx, 4, ("16x8", idx)
+                st, bx0, by0 + 2 * idx, 4, ("16x8", idx),
+                cur_ref=rr[idx],
             )
             mv = (px + mvd_x, py + mvd_y)
-            _set_part_mv(st, bx0, by0 + 2 * idx, 4, 2, mv)
-            parts.append((0, 8 * idx, 16, 8, mv[0], mv[1]))
+            _set_part_mv(st, bx0, by0 + 2 * idx, 4, 2, mv, rr[idx])
+            parts.append((0, 8 * idx, 16, 8, mv[0], mv[1], rr[idx]))
     elif mb_type == 2:  # P_L0_L0_8x16
+        rr = [
+            _read_te_ref(br, num_ref, len(ref_list)) if multi else 0
+            for _ in (0, 1)
+        ]
         for idx in (0, 1):
             mvd_x, mvd_y = br.se(), br.se()
             px, py = _mvp_partition(
-                st, bx0 + 2 * idx, by0, 2, ("8x16", idx)
+                st, bx0 + 2 * idx, by0, 2, ("8x16", idx),
+                cur_ref=rr[idx],
             )
             mv = (px + mvd_x, py + mvd_y)
-            _set_part_mv(st, bx0 + 2 * idx, by0, 2, 4, mv)
-            parts.append((8 * idx, 0, 8, 16, mv[0], mv[1]))
-    elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (same with 1 ref)
-        # sub_mb_pred (7.3.5.2): all four sub_mb_types first, then the
-        # mvd_l0 elements nested (mbPartIdx outer, subMbPartIdx inner).
-        # Sub-partition geometry per Table 7-18; offsets/sizes below in
-        # 4x4-block units relative to the 8x8 quadrant. MV prediction
-        # (8.4.1.3) has no directional rules at sub-8x8 grain — the
-        # plain A/B/C(D) derivation applies per sub-partition, with
-        # same-MB not-yet-decoded blocks unavailable (6.4.11.7), which
-        # the sequential _set_part_mv bookkeeping provides.
+            _set_part_mv(st, bx0 + 2 * idx, by0, 2, 4, mv, rr[idx])
+            parts.append((8 * idx, 0, 8, 16, mv[0], mv[1], rr[idx]))
+    elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
+        # sub_mb_pred (7.3.5.2): all four sub_mb_types first, then all
+        # four ref_idx_l0 (absent for P_8x8ref0, whose refs are all 0,
+        # Table 7-13 note), then the mvd_l0 elements nested (mbPartIdx
+        # outer, subMbPartIdx inner). Sub-partition geometry per
+        # Table 7-18; offsets/sizes below in 4x4-block units relative
+        # to the 8x8 quadrant. MV prediction (8.4.1.3) has no
+        # directional rules at sub-8x8 grain — the plain A/B/C(D)
+        # derivation applies per sub-partition, with same-MB
+        # not-yet-decoded blocks unavailable (6.4.11.7), which the
+        # sequential _set_part_mv bookkeeping provides.
         subs = [br.ue() for _ in range(4)]
         for sub in subs:
             if sub > 3:
                 raise H264Error(f"invalid P sub_mb_type {sub}")
+        refs8 = [
+            _read_te_ref(br, num_ref, len(ref_list))
+            if (multi and mb_type == 3) else 0
+            for _ in range(4)
+        ]
         for idx in range(4):
             bx = bx0 + 2 * (idx % 2)
             by = by0 + 2 * (idx // 2)
             for sx, sy, w4, h4 in _SUB_MB_GEOM[subs[idx]]:
                 mvd_x, mvd_y = br.se(), br.se()
-                px, py = _mvp_partition(st, bx + sx, by + sy, w4)
+                px, py = _mvp_partition(
+                    st, bx + sx, by + sy, w4, cur_ref=refs8[idx]
+                )
                 mv = (px + mvd_x, py + mvd_y)
-                _set_part_mv(st, bx + sx, by + sy, w4, h4, mv)
+                _set_part_mv(st, bx + sx, by + sy, w4, h4, mv, refs8[idx])
                 parts.append(
                     (
                         8 * (idx % 2) + 4 * sx, 8 * (idx // 2) + 4 * sy,
-                        4 * w4, 4 * h4, mv[0], mv[1],
+                        4 * w4, 4 * h4, mv[0], mv[1], refs8[idx],
                     )
                 )
     else:
@@ -2570,7 +2645,7 @@ def _decode_p_mb(
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
     st.mb_qp[mby, mbx] = st.qp
     _reconstruct_inter_mb(
-        st, ref_y, ref_cb, ref_cr, mbx, mby, parts,
+        st, ref_list, mbx, mby, parts,
         cbp, luma_blocks, cdc, cac,
     )
     st.inter[mby, mbx] = True
@@ -2647,10 +2722,12 @@ def _nal(ntype: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 
 
 def encode_sps(
-    mb_w: int, mb_h: int, crop_right: int = 0, crop_bottom: int = 0
+    mb_w: int, mb_h: int, crop_right: int = 0, crop_bottom: int = 0,
+    max_ref: int = 1,
 ) -> bytes:
     """Baseline-profile SPS (7.3.2.1): poc_type 2 (no POC syntax),
-    frame_mbs_only, crop offsets in CropUnit=2 luma samples."""
+    frame_mbs_only, crop offsets in CropUnit=2 luma samples,
+    `max_ref` = max_num_ref_frames (sliding-window DPB capacity)."""
     if crop_right % 2 or crop_bottom % 2:
         raise ValueError("crop offsets must be even (CropUnit 2)")
     bw = BitWriter()
@@ -2660,7 +2737,7 @@ def encode_sps(
     bw.ue(0)  # sps_id
     bw.ue(0)  # log2_max_frame_num_minus4
     bw.ue(2)  # pic_order_cnt_type
-    bw.ue(1)  # max_num_ref_frames
+    bw.ue(max_ref)  # max_num_ref_frames
     bw.u(0, 1)  # gaps_in_frame_num
     bw.ue(mb_w - 1)
     bw.ue(mb_h - 1)
@@ -2742,6 +2819,7 @@ def h264_encode_rows(
     qp: int = 36,
     deblock: bool = False,
     anchor_level: int | None = None,
+    max_ref: int = 1,
 ) -> bytes:
     """One Annex-B IDR access unit (SPS+PPS+slice) whose decoded luma
     is constant per MB row: row 0 = v0 (anchored by an I_PCM MB then
@@ -2818,7 +2896,7 @@ def h264_encode_rows(
             # AC counts stay 0 (cbp_luma 0): nnz already zero
     bw.rbsp_trailing()
     return (
-        encode_sps(mb_w, mb_h, crop_right, crop_bottom)
+        encode_sps(mb_w, mb_h, crop_right, crop_bottom, max_ref=max_ref)
         + encode_pps(qp)
         + _nal(5, bw.to_bytes())
     )
@@ -3204,9 +3282,9 @@ def h264_slice_group_sizes(buf: bytes) -> list[int]:
         elif ntype in (1, 5):
             if sps is None or pps is None:
                 raise H264Error("slice before SPS/PPS")
-            _, _, _, _, _, _, cycle = _parse_slice_header(
+            _, _, _, _, _, _, cycle, _ = _parse_slice_header(
                 BitReader(rbsp), sps, pps, ntype == 5,
-                (nal[0] >> 5) & 3, have_ref=True,
+                (nal[0] >> 5) & 3, n_refs=16,
             )
             break
     if sps is None or pps is None:
@@ -3250,6 +3328,8 @@ def h264_encode_p_rows(
     qp_delta: int = -8,
     ref_idc: int = 2,
     deblock: bool = False,
+    row_refs: list[int] | None = None,
+    num_ref_active: int = 1,
 ) -> bytes:
     """One non-IDR P access unit (single slice NAL, nal_ref_idc 2)
     whose decoded luma is the reference picture motion-compensated by
@@ -3262,16 +3342,32 @@ def h264_encode_p_rows(
     explicit mvd against the median predictor, and the copy-A rule
     all genuinely appear in the fixture streams). Chroma rides along
     with zero residual (cbp chroma 0). Pairs with the IDR from
-    h264_encode_rows under the same SPS/PPS (pic_init_qp 36)."""
+    h264_encode_rows under the same SPS/PPS (pic_init_qp 36).
+
+    `row_refs` (multi-reference fixtures): one RefPicList0 index per
+    MB row — the whole row predicts from that DPB picture, coded as
+    the 7.3.5.1 ref_idx_l0 te(v) element when `num_ref_active` > 1
+    (cMax 1 → single inverted bit, else ue(v)). Rows with a nonzero
+    ref never skip (P_Skip is refIdx-0 by definition, 8.4.1.1); the
+    IDR pairing then needs encode_sps(max_ref >= 2)."""
     if len(levels) != mb_h:
         raise ValueError("need one inter DC level per MB row")
+    if row_refs is not None and (
+        len(row_refs) != mb_h
+        or any(r < 0 or r >= num_ref_active for r in row_refs)
+    ):
+        raise ValueError("row_refs must give a valid ref index per row")
     mvx, mvy = mv_qpel
     bw = BitWriter()
     bw.ue(0)  # first_mb_in_slice
     bw.ue(5)  # slice_type: P (all slices of picture)
     bw.ue(0)  # pps_id
     bw.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
-    bw.u(0, 1)  # num_ref_idx_active_override (PPS default: 1 ref)
+    if num_ref_active > 1:
+        bw.u(1, 1)  # num_ref_idx_active_override_flag
+        bw.ue(num_ref_active - 1)  # num_ref_idx_l0_active_minus1
+    else:
+        bw.u(0, 1)  # num_ref_idx_active_override (PPS default: 1 ref)
     bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     if ref_idc:  # dec_ref_pic_marking only for reference pictures
         bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
@@ -3295,13 +3391,22 @@ def h264_encode_p_rows(
     for mby in range(mb_h):
         for mbx in range(mb_w):
             level = levels[mby]
-            if level == 0 and _skip_mv(st, mbx, mby) == (mvx, mvy):
+            ref = row_refs[mby] if row_refs is not None else 0
+            if (
+                level == 0 and ref == 0
+                and _skip_mv(st, mbx, mby) == (mvx, mvy)
+            ):
                 pending_skips += 1
             else:
                 bw.ue(pending_skips)  # mb_skip_run before every coded MB
                 pending_skips = 0
                 bw.ue(0)  # mb_type: P_L0_16x16
-                px, py = _mvp_16x16(st, mbx, mby)
+                if num_ref_active > 1:  # ref_idx_l0 te(v)
+                    if num_ref_active == 2:
+                        bw.u(1 - ref, 1)  # cMax 1: single inverted bit
+                    else:
+                        bw.ue(ref)
+                px, py = _mvp_16x16(st, mbx, mby, cur_ref=ref)
                 bw.se(mvx - px)
                 bw.se(mvy - py)
                 cbp = 15 if level else 0
@@ -3315,7 +3420,7 @@ def h264_encode_p_rows(
                             bw, [level] + [0] * 15, nc
                         )
                         st.nnz[aby, abx] = tc
-            _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy))
+            _set_part_mv(st, 4 * mbx, 4 * mby, 4, 4, (mvx, mvy), ref)
             st.inter[mby, mbx] = True
             st.avail[mby, mbx] = True
     if pending_skips:

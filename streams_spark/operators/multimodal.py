@@ -2080,6 +2080,241 @@ def m_h264_avc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real H.264 multi-reference P decode: 2-picture sliding-window DPB,
+# per-row ref_idx_l0, te(v) coding (8.2.4.2.1 / 8.2.5.3 / 9.1.1)
+# ---------------------------------------------------------------------------
+
+
+def _h264_multiref_oracle() -> str:
+    """Closed form for m_h264_multiref: like _h264_gop_oracle, but the
+    recursive CTE carries TWO decoded pictures — `rows` (the previous
+    picture) and `prows` (the one before it) — mirroring the decoder's
+    2-deep sliding-window DPB. Each MB row of every P picture at
+    frame_no >= 2 selects its reference per the fixture rule
+    ref = (doc_id + frame_no + mb_row) % 2, exactly the ref_idx_l0 the
+    encoder codes, so a decoder that resolves ref_idx to the wrong DPB
+    picture (wrong list order, wrong window, wrong te(v) read — the
+    1-bit INVERTED form at cMax 1 is the classic trap) diverges from
+    this SQL on every multi-ref row. Frame 1 (DPB depth 1) is coded
+    with num_ref_idx_l0_active = 1 and always references frame 0."""
+    clamp = "LEAST(GREATEST({}, 0), 16*mh - 1)"
+    # the per-y reference picture: rows (refIdx 0) or prows (refIdx 1)
+    src = (
+        "(CASE WHEN fno >= 2 AND (doc_id + fno + y // 16) % 2 = 1 "
+        "THEN prows ELSE rows END)"
+    )
+    r = lambda off: f"{src}[1 + {clamp.format(f'y + yi{off}')}]"  # noqa: E731
+    h1 = (
+        f"({r('-2')} - 5*{r('-1')} + 20*{r('')} + 20*{r('+1')}"
+        f" - 5*{r('+2')} + {r('+3')})"
+    )
+    hv = f"(CASE WHEN {h1} + 16 < 0 THEN 0 ELSE LEAST(({h1} + 16) // 32, 255) END)"
+    pred = (
+        f"(CASE yf WHEN 0 THEN {r('')} "
+        f"WHEN 1 THEN ({r('')} + {hv} + 1) // 2 "
+        f"WHEN 2 THEN {hv} "
+        f"ELSE ({hv} + {r('+1')} + 1) // 2 END)"
+    )
+    delta = "([0, 4, -4])[1 + (doc_id + 2*fno + y // 16) % 3]"
+    return f"""
+WITH RECURSIVE geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 3) % 3 AS mw,
+         2 + (doc_id // 9) % 3 AS mh,
+         4 + (doc_id // 27) % 2 AS nf,
+         16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 6 = 1
+), steps AS (
+  SELECT doc_id, mw, mh, nf, w, h, 0 AS frame_no,
+         list_transform(range(0, 16*mh), y ->
+             40 + (7 * doc_id) % 160
+             + COALESCE(list_sum(list_transform(range(1, y // 16 + 1),
+                 r -> ([0, 3, 5])[1 + (doc_id + r) % 3])), 0)) AS rows,
+         CAST(NULL AS BIGINT[]) AS prows
+  FROM geo
+  UNION ALL
+  SELECT doc_id, mw, mh, nf, w, h, fno,
+         list_transform(range(0, 16*mh), y ->
+             LEAST(GREATEST({pred} + {delta}, 0), 255)),
+         rows
+  FROM (
+    SELECT *, ((mvy % 4) + 4) % 4 AS yf,
+           (mvy - (((mvy % 4) + 4) % 4)) // 4 AS yi
+    FROM (
+      SELECT *, frame_no + 1 AS fno,
+             ((3 * doc_id + 7 * (frame_no + 1)) % 23) - 11 AS mvy
+      FROM steps WHERE frame_no + 1 < nf
+    )
+  )
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
+         AS dts_ticks,
+       (frame_no = 0) AS is_idr,
+       CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
+FROM steps
+"""
+
+
+_H264_MULTIREF_ORACLE = _h264_multiref_oracle()
+
+
+def h264_multiref_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL multi-reference H.264 GOP-in-MP4 per video doc
+    (doc_id % 6 = 1): an IDR (SPS max_num_ref_frames=2) followed by
+    3..4 P pictures. Frame 1 codes num_ref_idx_l0_active=1; every
+    later frame overrides to 2 active L0 references and gives each MB
+    row its own ref_idx_l0 — (doc_id + frame + row) % 2 — so te(v)'s
+    inverted single-bit form, the recency-ordered RefPicList0, the
+    2-deep sliding window, AND the 8.4.1.3.1 cur-ref MVP matching all
+    appear in every stream. Rows with a nonzero ref never collapse to
+    P_Skip (8.4.1.1 pins skip to refIdx 0), so multi-ref MBs are
+    always explicitly coded. Only the IDR is stss-marked sync."""
+    from streams_spark.functions.h264 import (
+        h264_encode_p_rows, h264_encode_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 6 == 1))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_spark.functions.mp4 import mp4_mux
+
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                nf = 4 + (d // 27) % 2
+                crop_r, crop_b = 2 * (d % 4), 2 * ((d // 5) % 3)
+                aus = [
+                    h264_encode_rows(
+                        mw, mh, 40 + (7 * d) % 160,
+                        [(d + r) % 3 for r in range(1, mh)],
+                        crop_right=crop_r, crop_bottom=crop_b,
+                        max_ref=2,
+                    )
+                ]
+                for f in range(1, nf):
+                    mvx = ((5 * d + 3 * f) % 13) - 6
+                    mvy = ((3 * d + 7 * f) % 23) - 11
+                    levels = [
+                        [0, 1, -1][(d + 2 * f + r) % 3] for r in range(mh)
+                    ]
+                    if f == 1:
+                        aus.append(
+                            h264_encode_p_rows(
+                                mw, mh, (mvx, mvy), levels, frame_num=f,
+                            )
+                        )
+                    else:
+                        aus.append(
+                            h264_encode_p_rows(
+                                mw, mh, (mvx, mvy), levels, frame_num=f,
+                                row_refs=[
+                                    (d + f + r) % 2 for r in range(mh)
+                                ],
+                                num_ref_active=2,
+                            )
+                        )
+                rows_out.append(
+                    (d, mp4_mux(
+                        aus, 16 * mw - crop_r, 16 * mh - crop_b,
+                        sync_every=len(aus),  # only the IDR is sync
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+    from streams_spark.functions import mp4 as _m
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264mref",
+        (_h, _m),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_multiref", oracle=_H264_MULTIREF_ORACLE)
+def m_h264_multiref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 MULTI-REFERENCE inter decode — the last baseline-
+    profile P tool (A.2.1 allows up to 16 L0 references; real encoders
+    default to 2-4): every sample runs the full pipeline with a 2-deep
+    sliding-window DPB (8.2.5.3), recency-ordered RefPicList0
+    (8.2.4.2.1: descending PicNum == most recent first), per-MB-row
+    ref_idx_l0 coded as te(v) — the single INVERTED bit at cMax 1
+    (9.1.1) — cur-ref-matched MV prediction (8.4.1.3.1), and motion
+    compensation from whichever DPB picture each row names.
+
+    The oracle replays the same arithmetic in a recursive SQL CTE
+    carrying BOTH DPB pictures (see _h264_multiref_oracle), so a green
+    row proves reference SELECTION end-to-end: resolving any ref_idx
+    to the wrong picture — wrong list order, wrong window eviction,
+    non-inverted te(v) — shifts whole MB rows and breaks the checksum.
+    What the row-constant fixture cannot see (per-MB ref mixing inside
+    a row, 16x8/8x16/8x8 ref_idx fan-out, the bS different-ref rule)
+    is pytest-pinned in tests/test_h264_multiref.py.
+
+    Scale: identical shape to m_h264_gop — one staged-blob scan, one
+    map-only Arrow decode stage, no shuffle; decode is sequential
+    within a video (the codec's data dependency), embarrassingly
+    parallel across videos. The DPB holds 2 uncropped frames per
+    in-flight video — bounded, small, per-task memory.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import extract_samples
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                dec = H264Decoder()
+                n_total = len(track.samples)
+                for s in track.samples:
+                    fr = dec.decode(buf[s.offset : s.offset + s.size])
+                    h, w = fr.y.shape
+                    rows.append(
+                        (
+                            int(doc_id), s.index, n_total,
+                            int(w), int(h), int(s.dts), bool(s.sync),
+                            int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "width", "height",
+                    "dts_ticks", "is_idr", "checksum",
+                ],
+            )
+
+    return h264_multiref_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, width int, "
+            "height int, dts_ticks long, is_idr boolean, checksum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-container pixel dedup: the same video packaged as mp4v/Annex-B
 # and as avc1/avcC is byte-different but pixel-identical
 # ---------------------------------------------------------------------------

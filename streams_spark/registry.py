@@ -66,6 +66,12 @@ ROUND_PRIORITY = [
     # r11 new operator: FMO/ASO decode (slice groups, 8.2.2) —
     # never driver-checked.
     "m_h264_fmo",
+    # r11 new operator: multi-reference L0 P decode (2-deep sliding-
+    # window DPB, per-row ref_idx_l0 te(v)) — never driver-checked, so
+    # it outranks freshness rotation; pushes v_cluster_status past
+    # slot 50 (it keeps its r6 evidence one more round and must lead
+    # the r12 rotation with v_metadata_filter and p_ingest_guard).
+    "m_h264_multiref",
     # then the r11 rotation target (VERDICT r10 #1 balance): the rows
     # whose latest driver evidence is round 6 (reproduced from the
     # CORRECTNESS_r0* union). The two never-checked inserts above push

@@ -558,12 +558,13 @@ def test_invalid_sub_mb_type_and_mb_type_rejected():
         dec.decode(au)
 
 
-def test_multiple_reference_frames_rejected():
+def test_num_ref_beyond_dpb_rejected():
+    # multi-reference P decode landed in r11; what must STILL fail
+    # loudly is declaring more active L0 references than the DPB
+    # holds (here: 2 active after a single IDR) — a conforming stream
+    # cannot do that (8.2.4.2.1) and proceeding would leave ref_idx
+    # values with no picture to resolve.
     dec = _primed_decoder()
-
-    def body(bw):
-        pass
-
     bw = BitWriter()
     bw.ue(0)
     bw.ue(5)
@@ -573,7 +574,7 @@ def test_multiple_reference_frames_rejected():
     bw.ue(1)    # num_ref_idx_l0_active_minus1 = 1 (two refs)
     bw.rbsp_trailing()
     au = b"\x00\x00\x00\x01\x41" + rbsp_to_ebsp(bw.to_bytes())
-    with pytest.raises(H264Error, match="multiple L0 reference"):
+    with pytest.raises(H264Error, match="exceeds the 1 decoded"):
         dec.decode(au)
 
 
@@ -884,11 +885,12 @@ def test_partition_byte_flip_sweep():
     assert ok + err == len(p) - 5 and err > 0
 
 
-def test_pps_multi_ref_l0_default_without_override_raises():
+def test_pps_multi_ref_l0_default_beyond_dpb_raises():
     # A conforming PPS may default num_ref_idx_l0_active to >1; a P
-    # slice that does not override it back to 1 codes ref_idx_l0 te(v)
-    # elements this single-reference decoder never reads — proceeding
-    # would desync the bit reader. The slice header must fail loudly.
+    # slice that does not override it inherits that default (7.4.3),
+    # and with only one picture in the DPB the 2-entry RefPicList0
+    # cannot be built — the slice header must fail loudly BEFORE the
+    # macroblock layer would misparse the absent ref_idx elements.
     rng = np.random.default_rng(7)
     idr = _random_idr(rng, 2, 2)
     p = _encode_p_custom(2, 2, {(x, y): ("skip",) for x in range(2)
@@ -896,7 +898,7 @@ def test_pps_multi_ref_l0_default_without_override_raises():
     dec = H264Decoder()
     dec.decode(idr)
     bad_pps = encode_pps(qp=36, ref_l0_default=1)
-    with pytest.raises(H264Error, match="num_ref_idx_l0_default"):
+    with pytest.raises(H264Error, match="exceeds the 1 decoded"):
         dec.decode(bad_pps + p)
 
 
