@@ -3725,3 +3725,581 @@ def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").alias("stored_bytes"),
         (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("dedup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real animated-GIF per-frame census (functions/gif.py)
+# ---------------------------------------------------------------------------
+
+_GIF_ORACLE = """
+WITH geo AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 10 AS nc,
+         16 + (doc_id % 3) * 8 AS w,
+         16 + ((doc_id // 3) % 3) * 8 AS h,
+         2 + (doc_id // 2) % 3 AS nf
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 4 = 1
+), fr AS (
+  SELECT doc_id, nc, w, h, nf, unnest(range(0, nf)) AS k
+  FROM geo
+), shaped AS (
+  SELECT doc_id, nc, nf, k,
+         CASE WHEN k = 0 THEN 0
+              ELSE (5 * k + doc_id) % (w - 8) END AS x,
+         CASE WHEN k = 0 THEN 0
+              ELSE (3 * k + doc_id) % (h - 8) END AS y,
+         CASE WHEN k = 0 THEN w ELSE 5 + (doc_id + k) % 4 END AS fw,
+         CASE WHEN k = 0 THEN h ELSE 4 + (doc_id + 2 * k) % 5 END AS fh,
+         (k = 0 AND doc_id % 2 = 1) AS interlaced,
+         (k > 0 AND k % 2 = 1) AS has_transp,
+         (k = 1 AND doc_id % 3 = 0) AS local_pal
+  FROM fr
+), px AS (
+  SELECT *,
+         -- decoded palette index at flat position i inside the frame
+         list_transform(range(0, fw * fh), i ->
+             CASE WHEN k = 0
+                  THEN ((i % fw) + 2 * (i // fw) + doc_id) % (nc - 1)
+                  ELSE (3 * (i % fw) + (i // fw) + doc_id + k) % nc
+             END) AS idxs
+  FROM shaped
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(x AS INTEGER) AS x,
+       CAST(y AS INTEGER) AS y,
+       CAST(fw AS INTEGER) AS width,
+       CAST(fh AS INTEGER) AS height,
+       -- the wire color table is padded to a power of two; nc stays
+       -- the synthesis-rule size for the index/pixel formulas
+       CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 32 WHEN 2 THEN 32
+            WHEN 3 THEN 64 ELSE 64 END AS INTEGER) AS palette_size,
+       CAST(interlaced AS INTEGER) AS interlaced,
+       CAST(has_transp AS INTEGER) AS has_transparency,
+       CAST(local_pal AS INTEGER) AS local_palette,
+       CAST(CASE WHEN has_transp THEN
+                len(list_filter(idxs, v -> v = nc - 1)) ELSE 0 END
+            AS INTEGER) AS n_transparent,
+       CAST(list_sum(idxs) AS BIGINT) AS idx_sum,
+       CAST(list_sum(list_transform(
+                CASE WHEN has_transp
+                     THEN list_filter(idxs, v -> v != nc - 1)
+                     ELSE idxs END,
+                j -> CASE WHEN local_pal
+                     THEN (19*j + 5*doc_id) % 256 + (29*j + 7*doc_id) % 256
+                          + (37*j + 11*doc_id) % 256
+                     ELSE (17*j + doc_id) % 256 + (23*j + 2*doc_id) % 256
+                          + (31*j + 3*doc_id) % 256 END))
+            AS BIGINT) AS rgb_sum
+FROM px
+"""
+
+
+def _gif_doc_config(d: int):
+    nc = 8 + (d % 5) * 10
+    w = 16 + (d % 3) * 8
+    h = 16 + ((d // 3) % 3) * 8
+    nf = 2 + (d // 2) % 3
+    return nc, w, h, nf
+
+
+def _gif_palette(d: int, nc: int, local: bool):
+    import numpy as np
+
+    j = np.arange(nc, dtype=np.int64)
+    if local:
+        cols = ((19 * j + 5 * d) % 256, (29 * j + 7 * d) % 256,
+                (37 * j + 11 * d) % 256)
+    else:
+        cols = ((17 * j + d) % 256, (23 * j + 2 * d) % 256,
+                (31 * j + 3 * d) % 256)
+    return np.stack(cols, axis=1).astype(np.uint8)
+
+
+def gif_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL animated GIF89a per image doc (doc_id % 4 = 1): a full
+    interlaced-or-not base frame plus 1..3 sub-rectangle patch frames
+    sweeping transparency (odd frames), disposal 1, per-frame delays,
+    a local color table on frame 1 of every third doc, and palette
+    sizes 8..48 (so the LZW stream exercises code widths 3..6 plus
+    growth). Every structural feature the census reports is synthesized
+    from a closed-form doc_id rule the oracle reproduces."""
+    import numpy as np
+
+    from streams_spark.functions.gif import GifFrameSpec, gif_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 4 == 1))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nc, w, h, nf = _gif_doc_config(d)
+                gpal = _gif_palette(d, nc, local=False)
+                yy, xx = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                base = ((xx + 2 * yy + d) % (nc - 1)).astype(np.uint8)
+                frames = [
+                    GifFrameSpec(base, interlaced=(d % 2 == 1))
+                ]
+                for k in range(1, nf):
+                    x0 = (5 * k + d) % (w - 8)
+                    y0 = (3 * k + d) % (h - 8)
+                    fw = 5 + (d + k) % 4
+                    fh = 4 + (d + 2 * k) % 5
+                    fy, fx = np.meshgrid(
+                        np.arange(fh), np.arange(fw), indexing="ij"
+                    )
+                    patch = ((3 * fx + fy + d + k) % nc).astype(np.uint8)
+                    frames.append(
+                        GifFrameSpec(
+                            patch, x=x0, y=y0,
+                            palette=(
+                                _gif_palette(d, nc, local=True)
+                                if k == 1 and d % 3 == 0 else None
+                            ),
+                            transparent=(nc - 1) if k % 2 == 1 else None,
+                            disposal=1, delay_cs=k,
+                        )
+                    )
+                rows.append(
+                    (d, gif_encode(w, h, frames, gpal, loop_count=0))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from streams_spark.functions import gif as _g
+
+    return _staged_blob_feed(
+        spark, sf_dir, "docgif",
+        (_g,),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_gif_frames", oracle=_GIF_ORACLE)
+def m_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame census over REAL animated GIFs (GIF89a spec): LZW at
+    code widths 3..6 with mid-stream growth, 4-pass row interlace,
+    graphic-control transparency, local color tables, and
+    sub-rectangle frame placement. Every reported number — geometry,
+    flags, transparent-pixel count, raw index sum, and the
+    palette-resolved RGB sum over opaque pixels — is computed from the
+    DECODED structures (indices + palette arrays), never from the
+    synthesis rule, and the oracle predicts each in closed form; a
+    decoder wrong in LZW growth, de-interlacing, GCE scoping, or
+    palette selection diverges on the first affected frame row.
+    External-file validation (CPython/IDLE icons, including two real
+    interlaced GIFs and an 87a banner) lives in tests/test_interop.py.
+
+    Scale: one staged-blob scan -> repartition -> one map-only Arrow
+    decode stage fanning frames out without a shuffle (same posture as
+    m_mp4_frames). Per-payload decode is the codec's own sequential
+    data dependency; parallelism is across blobs.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.gif import gif_decode
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                g = gif_decode(bytes(payload))
+                for k, fr in enumerate(g.frames):
+                    idx = fr.indices.astype(np.int64)
+                    if fr.transparent is None:
+                        opaque = np.ones(idx.shape, dtype=bool)
+                        n_transp = 0
+                    else:
+                        opaque = idx != fr.transparent
+                        n_transp = int((~opaque).sum())
+                    pal = fr.palette.astype(np.int64)
+                    rgb_sum = int(pal[idx[opaque]].sum())
+                    rows.append(
+                        (
+                            d, k, len(g.frames), fr.x, fr.y,
+                            idx.shape[1], idx.shape[0],
+                            len(fr.palette), int(fr.interlaced),
+                            int(fr.transparent is not None),
+                            int(fr.local_palette), n_transp,
+                            int(idx.sum()), rgb_sum,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "x", "y",
+                    "width", "height", "palette_size", "interlaced",
+                    "has_transparency", "local_palette",
+                    "n_transparent", "idx_sum", "rgb_sum",
+                ],
+            )
+
+    return gif_table_real(spark, sf_dir).mapInPandas(
+        census,
+        schema=(
+            "doc_id long, frame_idx int, n_frames int, x int, y int, "
+            "width int, height int, palette_size int, interlaced int, "
+            "has_transparency int, local_palette int, n_transparent int, "
+            "idx_sum bigint, rgb_sum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-invariant image dedup across FIVE container formats
+# ---------------------------------------------------------------------------
+
+_IMAGE_FORMAT_DEDUP_ORACLE = """
+SELECT doc_id,
+       CAST(5 AS INTEGER) AS n_blobs,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_clusters,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 4 ELSE 5 END AS INTEGER)
+         AS max_cluster,
+       CASE WHEN doc_id % 10 = 7 THEN 'bmp' ELSE '' END AS odd_format
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+WHERE doc_id % 5 = 2
+"""
+
+
+def image_format_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 16-color palette image packaged FIVE ways per doc
+    (doc_id % 5 = 2): PNG (zlib/filters), GIF (LZW, interlaced on odd
+    docs), BMP (bottom-up BGR + row padding), PPM (raw), and baseline
+    TIFF (strips) — all byte-lossless containers of identical RGB
+    content. Every tenth doc's BMP flips one pixel so the operator has
+    genuine near-miss negatives, not just positives."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_encode
+    from streams_spark.functions.gif import GifFrameSpec, gif_encode
+    from streams_spark.functions.rasters import (
+        bmp_encode, pnm_encode, tiff_encode,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 5 == 2))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nc = 16
+                w = 12 + d % 9
+                h = 10 + (2 * d) % 7
+                pal = _gif_palette(d, nc, local=False)
+                yy, xx = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                idx = ((2 * xx + 3 * yy + d) % nc).astype(np.uint8)
+                rgb = pal[idx]
+                rows.append((d, "png", png_encode(rgb)))
+                rows.append((d, "gif", gif_encode(
+                    w, h, [GifFrameSpec(idx, interlaced=(d % 2 == 1))], pal
+                )))
+                rows.append((d, "ppm", pnm_encode(rgb)))
+                rows.append((d, "tiff", tiff_encode(rgb)))
+                if d % 10 == 7:
+                    flipped = rgb.copy()
+                    flipped[0, 0] = pal[(int(idx[0, 0]) + 1) % nc]
+                    rows.append((d, "bmp", bmp_encode(flipped)))
+                else:
+                    rows.append((d, "bmp", bmp_encode(rgb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "payload"]
+            )
+
+    from streams_spark.functions import codecs as _c
+    from streams_spark.functions import gif as _g
+    from streams_spark.functions import rasters as _r
+
+    return _staged_blob_feed(
+        spark, sf_dir, "docimgfmt",
+        (_c, _g, _r),
+        docs.mapInPandas(
+            synth, schema="doc_id long, format string, payload binary"
+        ),
+    )
+
+
+def _sniff_rgb(payload: bytes):
+    """Magic-dispatch an image payload to its decoder; returns (h,w,3)
+    uint8 RGB (alpha dropped, palettes resolved)."""
+    import numpy as np
+
+    from streams_spark.functions.codecs import png_decode
+    from streams_spark.functions.gif import gif_composite, gif_decode
+    from streams_spark.functions.rasters import (
+        RasterError, bmp_decode, pnm_decode, tiff_decode,
+    )
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = png_decode(payload)
+    elif payload[:3] == b"GIF":
+        arr = gif_composite(gif_decode(payload))
+    elif payload[:2] == b"BM":
+        arr = bmp_decode(payload)
+    elif payload[:2] in (b"P5", b"P6"):
+        arr = pnm_decode(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        arr = tiff_decode(payload)
+    else:
+        raise RasterError("unrecognized image magic")
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    return arr[:, :, :3]
+
+
+@register("m_image_format_dedup", oracle=_IMAGE_FORMAT_DEDUP_ORACLE)
+def m_image_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-invariant dedup across five REAL image containers: the
+    pixel-level sibling of m_cross_container_dedup (mp4v/avc1) and
+    m_video_pixel_dedup. Each payload is decoded by magic sniff
+    through a DIFFERENT codec path (zlib+filters, LZW+interlace,
+    BGR+stride, raw, TIFF strips); a position-weighted checksum over
+    the decoded RGB is the dedup key, so all five decoders must agree
+    on every byte of every pixel for the clusters to close — one wrong
+    stride, flip, or channel order anywhere and n_clusters diverges
+    from the oracle. Every tenth doc's BMP differs by ONE pixel and
+    must land in its own cluster (the near-miss negative), and the
+    operator reports which format broke away.
+
+    Scale: staged-blob scan -> map-only decode+checksum (no pixel
+    leaves the task) -> ONE hash shuffle on (doc_id) for the
+    cluster-size aggregation — the bucketed-dedup shape, never
+    all-pairs. At 100 TB the checksum doubles as the blocking key for
+    cross-DOC exact dedup, same plan.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                arr = _sniff_rgb(bytes(payload)).astype(np.int64).ravel()
+                weights = np.arange(1, arr.size + 1, dtype=np.int64)
+                checksum = int((arr * weights).sum() % 1_000_000_007)
+                rows.append((int(doc_id), str(fmt), checksum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "checksum"]
+            )
+
+    decoded = image_format_table_real(spark, sf_dir).mapInPandas(
+        decode, schema="doc_id long, format string, checksum bigint"
+    )
+    clusters = decoded.groupBy("doc_id", "checksum").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(F.collect_list("format")).alias("formats"),
+    )
+    return clusters.groupBy("doc_id").agg(
+        F.sum("sz").cast("int").alias("n_blobs"),
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.max("sz").cast("int").alias("max_cluster"),
+        # the formats of any singleton clusters, comma-joined ('' when
+        # all five agree) — pins WHICH decoder broke away
+        F.array_join(
+            F.sort_array(F.flatten(F.collect_list(
+                F.when(F.col("sz") == 1, F.col("formats"))
+                .otherwise(F.array())
+            ))), ","
+        ).alias("odd_format"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-invariant audio dedup across WAV / AU / AIFF / G.711
+# ---------------------------------------------------------------------------
+
+_AUDIO_CONTAINER_DEDUP_ORACLE = """
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS n_blobs,
+       CAST(CASE WHEN doc_id % 12 = 10 THEN 3 ELSE 2 END AS INTEGER)
+         AS n_clusters,
+       CAST(CASE WHEN doc_id % 12 = 10 THEN 2 ELSE 3 END AS INTEGER)
+         AS max_cluster,
+       CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS rate,
+       CAST(120 + doc_id % 80 AS INTEGER) AS n_samples,
+       CASE WHEN doc_id % 12 = 10 THEN 'aiff,ulaw' ELSE 'ulaw' END
+         AS odd_format
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+WHERE doc_id % 6 = 4
+"""
+
+
+def _audio_doc_samples(d: int):
+    import numpy as np
+
+    n = 120 + d % 80
+    i = np.arange(n, dtype=np.int64)
+    s = ((i * (i + 3) * 7 + 31 * d) % 4001) - 2000
+    # sample 0 is pinned to 1..7: never a G.711 reconstruction level
+    # (segment-0 mu-law levels are multiples of 8), so the companded
+    # variant ALWAYS differs from every PCM packaging
+    s[0] = d % 7 + 1
+    return s.astype(np.int32)
+
+
+def audio_container_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same int16 PCM recording packaged FOUR ways per audio doc
+    (doc_id % 6 = 4): WAV (RIFF little-endian), AU (big-endian), AIFF
+    (big-endian + 80-bit extended rate), and a G.711 mu-law AU — the
+    lossy near-duplicate that must NOT join the exact cluster. Every
+    twelfth doc's AIFF is one sample off (an independent remaster),
+    giving the operator genuine negatives in the lossless tier too."""
+    import numpy as np
+
+    from streams_spark.functions.au_aiff import aiff_encode, au_encode
+    from streams_spark.functions.codecs import wav_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 6 == 4))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 * (1 + d % 3)
+                s = _audio_doc_samples(d)
+                rows.append((d, "wav", wav_encode(s.astype(np.int16), rate)))
+                rows.append((d, "au", au_encode(s, rate, 1, encoding=3)))
+                if d % 12 == 10:
+                    remaster = s.copy()
+                    remaster[1] += 2
+                    rows.append((d, "aiff", aiff_encode(remaster, rate)))
+                else:
+                    rows.append((d, "aiff", aiff_encode(s, rate)))
+                rows.append((d, "ulaw", au_encode(s, rate, 1, encoding=1)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "payload"]
+            )
+
+    from streams_spark.functions import au_aiff as _aa
+    from streams_spark.functions import codecs as _c
+
+    return _staged_blob_feed(
+        spark, sf_dir, "docaudiofmt",
+        (_aa, _c),
+        docs.mapInPandas(
+            synth, schema="doc_id long, format string, payload binary"
+        ),
+    )
+
+
+@register("m_audio_container_dedup", oracle=_AUDIO_CONTAINER_DEDUP_ORACLE)
+def m_audio_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-invariant audio dedup across REAL containers: WAV, AU,
+    and AIFF packagings of identical PCM must collapse into one exact
+    cluster (three decoders, three byte orders, three header layouts),
+    the G.711 mu-law companding of the same recording must break away
+    (lossy near-dup), and the every-twelfth-doc one-sample AIFF
+    remaster must form its own cluster. The dedup key is a
+    position-weighted checksum over DECODED samples, so sign
+    extension, endianness, or rate parsing wrong in ANY decoder
+    diverges from the oracle; the reported rate is COALESCE-checked
+    equal across all four headers (80-bit extended float included).
+    External cross-container ground truth (CPython's pluck corpus in
+    all three containers + companded variants) is pinned in
+    tests/test_interop.py.
+
+    Scale: staged-blob scan -> map-only decode+checksum -> ONE hash
+    shuffle on doc_id for cluster aggregation (bucketed dedup, never
+    all-pairs) — the audio sibling of m_image_format_dedup.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.au_aiff import aiff_decode, au_decode
+    from streams_spark.functions.codecs import wav_decode
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                buf = bytes(payload)
+                if buf[:4] == b"RIFF":
+                    s, rate, _ch = wav_decode(buf)
+                elif buf[:4] == b".snd":
+                    s, rate, _ch = au_decode(buf)
+                elif buf[:4] == b"FORM":
+                    s, rate, _ch, _bits = aiff_decode(buf)
+                else:
+                    raise ValueError("unrecognized audio magic")
+                s = np.asarray(s, dtype=np.int64).ravel()
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                checksum = int(
+                    ((s * weights).sum() % 1_000_000_007 + 1_000_000_007)
+                    % 1_000_000_007
+                )
+                rows.append(
+                    (int(doc_id), str(fmt), checksum, int(rate), s.size)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "checksum", "rate", "n"],
+            )
+
+    decoded = audio_container_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, format string, checksum bigint, "
+            "rate int, n int"
+        ),
+    )
+    clusters = decoded.groupBy("doc_id", "checksum").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(F.collect_list("format")).alias("formats"),
+        F.min("rate").alias("rate_min"),
+        F.max("rate").alias("rate_max"),
+        F.min("n").alias("n_min"),
+        F.max("n").alias("n_max"),
+    )
+    return clusters.groupBy("doc_id").agg(
+        F.sum("sz").cast("int").alias("n_blobs"),
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.max("sz").cast("int").alias("max_cluster"),
+        # all four containers must declare the SAME rate and length;
+        # min==max collapses to the oracle's closed-form value (a
+        # header-parse bug yields a row the oracle rejects)
+        F.when(
+            (F.min("rate_min") == F.max("rate_max")), F.min("rate_min")
+        ).otherwise(F.lit(-1)).cast("int").alias("rate"),
+        F.when(
+            (F.min("n_min") == F.max("n_max")), F.min("n_min")
+        ).otherwise(F.lit(-1)).cast("int").alias("n_samples"),
+        F.array_join(
+            F.sort_array(F.flatten(F.collect_list(
+                F.when(F.col("sz") == 1, F.col("formats"))
+                .otherwise(F.array())
+            ))), ","
+        ).alias("odd_format"),
+    )

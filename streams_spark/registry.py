@@ -123,12 +123,15 @@ ROUND_PRIORITY = [
     "v_metadata_filter",
     "p_ingest_guard",
     # ---- 50-query window boundary (r11) ----
-    # r11 late addition (position 51): the cross-container pixel dedup
-    # landed after the 50 slots above were committed to the six
-    # never-checked rows + the r6-evidence rotation — it rides the
-    # builder's two-scale gate + judge this round and MUST front the
-    # r12 window.
+    # r11 late additions (positions 51+): landed after the 50 slots
+    # above were committed to the six never-checked rows + the
+    # r6-evidence rotation — they ride the builder's two-scale gate +
+    # judge this round and MUST front the r12 window (never-checked
+    # beats staleness).
     "m_cross_container_dedup",
+    "m_gif_frames",           # NEW r11: animated-GIF per-frame census
+    "m_image_format_dedup",   # NEW r11: 5-container pixel dedup
+    "m_audio_container_dedup",  # NEW r11: WAV/AU/AIFF/G.711 dedup
     # --- round 10 window (history; all 50 green in CORRECTNESS_r10) ---
     # head: the round's new operators (registered later this round; the
     # `if n in REGISTRY` guard skips any name that doesn't land) plus

@@ -139,3 +139,183 @@ def test_external_wav_sndhdr_header():
 
     s, rate, ch = wav_decode(_need(_PY_TEST + "/sndhdrdata/sndhdr.wav"))
     assert (rate, ch) == (44100, 2) and s.shape == (5, 2)
+
+
+# ---------------------------------------------------------------------------
+# Raster matrix: CPython ships the SAME python-logo image as PPM, PGM,
+# BMP, TIFF, GIF, XBM (test_email/data) and PNG (imghdrdata) — all
+# externally produced. The uncompressed PPM is the raw-RGB ground
+# truth; every other decoder is checked against it, which catches any
+# wrong-but-self-consistent decode the per-format unit tests cannot.
+# ---------------------------------------------------------------------------
+
+_PY313 = "/root/.pyenv/versions/3.13.0/lib/python3.13"
+_EMAIL = _PY313 + "/test/test_email/data"
+_ICONS = _PY313 + "/idlelib/Icons"
+
+
+def test_external_raster_matrix_cross_checks():
+    from streams_spark.functions.codecs import png_decode
+    from streams_spark.functions.gif import gif_decode
+    from streams_spark.functions.rasters import (
+        bmp_decode, pnm_decode, tiff_decode, xbm_decode,
+    )
+
+    ppm = pnm_decode(_need(_EMAIL + "/python.ppm"))
+    assert ppm.shape == (16, 16, 3)
+    assert int(ppm.astype(np.int64).sum()) == 68718  # raw-RGB ground truth
+
+    # BMP (32bpp BI_BITFIELDS, V5 header) and TIFF (RGBA, ExtraSamples)
+    # must reproduce the PPM bytes EXACTLY, and agree on alpha
+    bmp = bmp_decode(_need(_EMAIL + "/python.bmp"))
+    tif = tiff_decode(_need(_EMAIL + "/python.tiff"))
+    assert bmp.shape == tif.shape == (16, 16, 4)
+    assert (bmp[:, :, :3] == ppm).all()
+    assert (tif == bmp).all()
+
+    # ... and PNG of the same logo decodes to the SAME RGBA (third
+    # independent codec agreeing byte-for-byte)
+    png = png_decode(_need(_PY_TEST + "/imghdrdata/python.png"))
+    assert (png == bmp).all()
+
+    # GIF: 64-color externally-quantized palette — opaque pixels match
+    # the truecolor ground truth within the producer's quantization
+    gif = gif_decode(_need(_EMAIL + "/python.gif"))
+    fr = gif.frames[0]
+    assert (gif.width, gif.height) == (16, 16) and fr.transparent == 63
+    opaque = fr.indices != fr.transparent
+    assert int(opaque.sum()) == 149
+    diff = np.abs(
+        fr.palette[fr.indices].astype(int) - ppm.astype(int)
+    )[opaque]
+    assert diff.max() <= 3
+
+    # XBM: the 1-bit mask has exactly the GIF's 149 opaque pixels
+    xbm = xbm_decode(_need(_EMAIL + "/python.xbm"))
+    assert xbm.shape == (16, 16) and int(xbm.sum()) == 149
+
+    # PGM: externally-produced greyscale of the same logo
+    pgm = pnm_decode(_need(_EMAIL + "/python.pgm"))
+    assert pgm.shape == (16, 16)
+    assert int(pgm.astype(np.int64).sum()) == 25193
+
+
+@pytest.mark.parametrize(
+    "name,size,interlaced,checksum",
+    [
+        # two REAL interlaced GIFs (the only offline interlaced corpus)
+        ("folder.gif", (15, 13), True, 87177),
+        ("openfolder.gif", (16, 13), True, 76800),
+        ("idle_48.gif", (48, 48), False, 1009702),
+        ("tk.gif", (14, 11), False, 15810),
+    ],
+)
+def test_external_gif_decodes(name, size, interlaced, checksum):
+    from streams_spark.functions.gif import gif_composite, gif_decode
+
+    gif = gif_decode(_need(_ICONS + "/" + name))
+    assert (gif.width, gif.height) == size
+    assert gif.frames[0].interlaced is interlaced
+    canvas = gif_composite(gif)
+    assert int(canvas.astype(np.int64).sum()) == checksum
+
+
+def test_external_gif87a_banner():
+    from streams_spark.functions.gif import gif_composite, gif_decode
+
+    path = (
+        "/root/.pyenv/versions/3.7.16/lib/python3.7/test/test_email/"
+        "data/PyBanner048.gif"
+    )
+    gif = gif_decode(_need(path))
+    assert gif.version == b"87a" and (gif.width, gif.height) == (150, 35)
+    assert int(gif_composite(gif).astype(np.int64).sum()) == 2635070
+
+
+# ---------------------------------------------------------------------------
+# Audio container matrix: pluck-pcm{8,16,24,32} exist as WAV, AU, and
+# AIFF — the same recording, independently packaged (and for some
+# widths independently requantized). pluck-ulaw/-alaw are its G.711
+# companded variants. Exact equalities and tight bounds below are
+# empirically pinned external ground truth.
+# ---------------------------------------------------------------------------
+
+
+def test_external_au_aiff_wav_pcm_matrix():
+    from streams_spark.functions.au_aiff import aiff_decode, au_decode
+    from streams_spark.functions.codecs import wav_decode
+
+    A = _PY_TEST + "/audiodata"
+    w16 = np.asarray(
+        wav_decode(_need(A + "/pluck-pcm16.wav"))[0], dtype=np.int64
+    ).ravel()
+
+    au = {}
+    af = {}
+    for bits in (8, 16, 24, 32):
+        s, rate, ch = au_decode(_need(f"{A}/pluck-pcm{bits}.au"))
+        assert (rate, ch) == (11025, 2) and len(s) == 6614
+        au[bits] = s.astype(np.int64)
+        s2, rate2, ch2, b2 = aiff_decode(_need(f"{A}/pluck-pcm{bits}.aiff"))
+        assert (rate2, ch2, b2) == (11025, 2, bits) and len(s2) == 6614
+        af[bits] = s2.astype(np.int64)
+
+    # exact cross-container equality at 24 bits (byte order / sign
+    # extension cannot be wrong in either decoder); the 8-bit files
+    # were independently dithered, so they agree only to +-1 LSB
+    assert (au[24] == af[24]).all()
+    w8 = np.asarray(
+        wav_decode(_need(A + "/pluck-pcm8.wav"))[0], dtype=np.int64
+    ).ravel()
+    assert np.abs(au[8] - af[8]).max() <= 1
+    assert np.abs(au[8] - w8).max() <= 1
+
+    # independently requantized variants of the same master: tight bounds
+    assert np.abs(au[16] - w16).max() <= 16
+    assert np.abs(af[16] - w16).max() <= 16
+    assert np.abs((au[24] >> 8) - w16).max() <= 8
+    assert np.abs((au[32] >> 16) - (au[24] >> 8)).max() <= 1
+    assert int(au[16].sum()) == -463537  # pinned external ground truth
+
+
+def test_external_g711_companded_family():
+    from streams_spark.functions.au_aiff import aiff_decode, au_decode
+    from streams_spark.functions.codecs import wav_decode
+
+    A = _PY_TEST + "/audiodata"
+    w16 = np.asarray(
+        wav_decode(_need(A + "/pluck-pcm16.wav"))[0], dtype=np.int64
+    ).ravel()
+    u_au, rate, ch = au_decode(_need(A + "/pluck-ulaw.au"))
+    assert (rate, ch) == (11025, 2)
+    u_af = aiff_decode(_need(A + "/pluck-ulaw.aifc"))[0]
+    a_af = aiff_decode(_need(A + "/pluck-alaw.aifc"))[0]
+
+    # mu-law decoded against the uncompanded master: error bounded by
+    # one top-segment quantization step (the files were companded from
+    # slightly different masters, hence not half-step)
+    assert np.abs(u_au.astype(np.int64) - w16).max() <= 1024
+    assert np.abs(u_af.astype(np.int64) - w16).max() <= 1024
+    assert np.abs(a_af.astype(np.int64) - w16).max() <= 1024
+    # the two independently companded mu-law packagings agree within
+    # one reconstruction level of each other
+    assert np.abs(u_au.astype(np.int64) - u_af.astype(np.int64)).max() <= 512
+
+
+def test_external_sndhdr_au_is_full_scale_ulaw_speech():
+    from streams_spark.functions.au_aiff import au_decode
+
+    s, rate, ch = au_decode(_need(_EMAIL + "/sndhdr.au"))
+    assert (rate, ch) == (8012, 1) and len(s) == 28110
+    # full-scale mu-law hit: the recording engages the top segment
+    assert int(np.abs(s).max()) == 32124
+    assert int(s.astype(np.int64).sum()) == 14778128
+
+
+def test_external_sndhdr_aiff_aifc_headers():
+    from streams_spark.functions.au_aiff import aiff_decode
+
+    for name in ("sndhdr.aiff", "sndhdr.aifc"):
+        s, rate, ch, bits = aiff_decode(_need(_EMAIL + "/" + name))
+        assert (rate, ch, bits) == (44100, 2, 16)
+        assert len(s) == 10 and (s == 0).all()
