@@ -83,6 +83,16 @@ HEADLINE = [
     # their own plan to regression-gate
     "m_h264_fmo",
     "m_h264_multiref",
+    # r11 additions: the animated-GIF census (LZW/interlace/GCE decode)
+    # and the two cross-format dedup rows (5 image containers, 4 audio
+    # containers) join at birth — each is a staged-blob scan -> map-only
+    # decode, the dedup rows adding one hash shuffle for clustering
+    "m_gif_frames",
+    "m_image_format_dedup",
+    "m_audio_container_dedup",
+    # r11 addition: reference-list modification + adaptive marking —
+    # the non-contiguous-DPB inter path has its own plan to gate
+    "m_h264_rplm",
     "st_tumbling_stream",
     "st_cdc_apply",
     "p_e2e_pipeline",

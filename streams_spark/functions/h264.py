@@ -42,10 +42,17 @@ Compression Standard", ch. 7, equivalent to spec 8.5.10-8.5.12):
   RefPicList0 (8.2.4.2.1), per-partition ref_idx_l0 as te(v) — the
   single INVERTED bit at cMax 1, ue(v) above (9.1.1) — cur-ref
   matching in every MVP rule (8.4.1.3.1), the P_8x8ref0 implicit-zero
-  refs, and the 8.7.2.1 different-reference bS rule. B slices raise —
-  a real scope note, not a silent wrong answer (they are outside the
-  baseline profile entirely, A.2.1); so do ref_pic_list_modification
-  and adaptive (MMCO) reference marking.
+  refs, and the 8.7.2.1 different-reference bS rule. The late-r11
+  additions complete short-term reference MANAGEMENT:
+  ref_pic_list_modification (7.3.3.1 syntax, the 8.2.4.3.1
+  picNumLXPred chain with PicNum/FrameNumWrap arithmetic, per-slice
+  lists) and adaptive dec_ref_pic_marking with MMCO 1 (7.3.3.3 /
+  8.2.5.4.1: short-term forgetting applied after the current picture
+  stores, sliding window suppressed on MMCO pictures). B slices
+  raise — a real scope note, not a silent wrong answer (they are
+  outside the baseline profile entirely, A.2.1); so does everything
+  long-term: RPLM idc 2, MMCO 2/3/4/6, long_term_reference_flag, and
+  MMCO 5 reset.
 - CAVLC residual decode (9.2): coeff_token Table 9-5 incl. the
   chroma-DC nC==-1 column and the nC>=8 FLC, trailing-one signs,
   level_prefix/suffix with the suffixLength ladder and >=15/>=16
@@ -1211,8 +1218,15 @@ class H264Decoder:
     def __init__(self) -> None:
         self.sps: SPS | None = None
         self.pps: PPS | None = None
-        # short-term reference pictures, most recent first
-        self._dpb: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # short-term reference pictures, most recent first: each entry
+        # is ((y, cb, cr), frame_num) — frame_num is the picture's
+        # identity for PicNum derivation (8.2.4.1: PicNum =
+        # FrameNumWrap for short-term frames), which RefPicList0
+        # initialization, ref_pic_list_modification, and MMCO
+        # forgetting all key on
+        self._dpb: list[
+            tuple[tuple[np.ndarray, np.ndarray, np.ndarray], int]
+        ] = []
 
     def decode(self, buf: bytes) -> H264Frame:
         """Decode the coded picture of one access unit — possibly
@@ -1248,12 +1262,48 @@ class H264Decoder:
             # IDR: all prior reference pictures are marked unused
             # (8.2.5.1); the new picture starts a fresh DPB
             self._dpb = []
-        frame, planes = _decode_picture(
+        frame, planes, frame_num, mmco = _decode_picture(
             slices, self.sps, self.pps, refs=self._dpb
         )
         if max_ref_idc:  # nal_ref_idc=0 pictures are non-reference
-            # sliding window (8.2.5.3): newest first, oldest dropped
-            self._dpb = [planes, *self._dpb][: self.sps.max_num_ref_frames]
+            max_fn = 1 << self.sps.log2_max_frame_num
+            if mmco is not None:
+                # adaptive marking (8.2.5.4): op 1 marks the short-term
+                # picture with PicNum = CurrPicNum - (diff+1) unused.
+                # Marking runs AFTER the current picture decodes
+                # (8.2.5: the process is invoked when the picture is
+                # stored), so the current prediction never sees it.
+                for op, val in mmco:
+                    if op != 1:
+                        raise H264Error(
+                            f"memory_management_control_operation {op} "
+                            "unsupported (short-term forgetting only)"
+                        )
+                    pic_num_x = frame_num - (val + 1)
+                    for i, (_, fn) in enumerate(self._dpb):
+                        pn = fn - max_fn if fn > frame_num else fn
+                        if pn == pic_num_x:
+                            del self._dpb[i]
+                            break
+                    else:
+                        raise H264Error(
+                            f"MMCO 1 names PicNum {pic_num_x} but no "
+                            "such short-term picture is in the DPB"
+                        )
+                self._dpb = [(planes, frame_num), *self._dpb]
+                if len(self._dpb) > self.sps.max_num_ref_frames:
+                    # with adaptive marking the stream itself must keep
+                    # the DPB within max_num_ref_frames (8.2.5.4.1 note:
+                    # sliding window does NOT run on MMCO pictures)
+                    raise H264Error(
+                        "DPB exceeds max_num_ref_frames after adaptive "
+                        "marking"
+                    )
+            else:
+                # sliding window (8.2.5.3): newest first, oldest dropped
+                self._dpb = [
+                    (planes, frame_num), *self._dpb
+                ][: self.sps.max_num_ref_frames]
         return frame
 
 
@@ -1283,13 +1333,16 @@ def _parse_slice_header(
     idr: bool,
     nal_ref_idc: int,
     n_refs: int,
-) -> tuple[int, bool, int, int, int, int, int, int]:
+) -> tuple[int, bool, int, int, int, int, int, int, int, list, list]:
     """Parse one slice header (7.3.3); returns (first_mb_in_slice,
     is_p, slice_qp, dbf_idc_mode, alpha_off, beta_off,
-    slice_group_change_cycle, num_ref) where dbf_idc_mode is 1=filter
-    on, 2=on but not across slice boundaries, 0=off and num_ref is
-    the effective num_ref_idx_l0_active for P slices (1 otherwise).
-    `n_refs` is the DPB's current short-term reference count."""
+    slice_group_change_cycle, num_ref, frame_num, rplm, mmco) where
+    dbf_idc_mode is 1=filter on, 2=on but not across slice boundaries,
+    0=off; num_ref is the effective num_ref_idx_l0_active for P slices
+    (1 otherwise); rplm is the list of (idc, value) short-term
+    ref_pic_list_modification ops (7.3.3.1) and mmco the list of
+    (op, value) adaptive-marking ops (7.3.3.3). `n_refs` is the DPB's
+    current short-term reference count."""
     first_mb = br.ue()
     slice_type = br.ue()
     if slice_type % 5 == 2:
@@ -1305,11 +1358,15 @@ def _parse_slice_header(
             f"slice_type {slice_type}: only I and P slices supported"
         )
     br.ue()  # pps_id
-    br.u(sps.log2_max_frame_num)  # frame_num
+    frame_num = br.u(sps.log2_max_frame_num)
     if sps.pic_order_cnt_type == 0:
         raise H264Error("pic_order_cnt_type 0 unsupported (use 2)")
     if idr:
         br.ue()  # idr_pic_id
+    rplm: list[tuple[int, int]] = []
+    # None = sliding-window marking; a LIST (possibly empty) = adaptive
+    # marking, which disables the sliding window even with zero ops
+    mmco: list[tuple[int, int]] | None = None
     if is_p:
         if pps.constrained_intra_pred:
             # 8.3.1.1/8.3.1.2: cip=1 requires intra MBs in P pictures
@@ -1337,20 +1394,57 @@ def _parse_slice_header(
                 f"num_ref_idx_l0_active {num_ref} exceeds the "
                 f"{n_refs} decoded reference picture(s) in the DPB"
             )
-        # ref_pic_list_modification (7.3.3.1)
-        if br.u(1):
-            raise H264Error("ref_pic_list_modification unsupported")
+        # ref_pic_list_modification (7.3.3.1): short-term reordering
+        # ops only; long-term (idc 2) is outside this decoder's scope
+        if br.u(1):  # ref_pic_list_modification_flag_l0
+            while True:
+                idc = br.ue()
+                if idc == 3:
+                    break
+                if idc in (0, 1):
+                    rplm.append((idc, br.ue()))  # abs_diff_pic_num_minus1
+                elif idc == 2:
+                    raise H264Error(
+                        "ref_pic_list_modification with long_term_pic_num "
+                        "unsupported (no long-term reference support)"
+                    )
+                else:
+                    raise H264Error(
+                        f"modification_of_pic_nums_idc {idc} out of range"
+                    )
+                if len(rplm) > 32:
+                    raise H264Error("runaway ref_pic_list_modification")
     else:
         num_ref = 1
     if nal_ref_idc:  # dec_ref_pic_marking (7.3.3.3)
         if idr:
             br.u(1)  # no_output_of_prior_pics_flag
-            br.u(1)  # long_term_reference_flag
+            if br.u(1):  # long_term_reference_flag
+                raise H264Error(
+                    "long_term_reference_flag unsupported (no long-term "
+                    "reference support)"
+                )
         elif br.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise H264Error(
-                "adaptive reference marking unsupported (sliding-window "
-                "marking only)"
-            )
+            mmco = []
+            while True:
+                op = br.ue()
+                if op == 0:
+                    break
+                if op == 1:
+                    mmco.append((1, br.ue()))  # difference_of_pic_nums_m1
+                elif op in (2, 3, 4, 6):
+                    raise H264Error(
+                        f"MMCO {op} unsupported (no long-term reference "
+                        "support)"
+                    )
+                elif op == 5:
+                    raise H264Error(
+                        "MMCO 5 (reset all references) unsupported"
+                    )
+                else:
+                    raise H264Error(f"MMCO {op} out of range")
+                if len(mmco) > 32:
+                    raise H264Error("runaway dec_ref_pic_marking")
     qp = pps.pic_init_qp + br.se()
     if not 0 <= qp <= 51:
         raise H264Error(f"slice QP {qp} out of range")
@@ -1373,7 +1467,10 @@ def _parse_slice_header(
         size = sps.pic_width_in_mbs * sps.pic_height_in_mbs
         bits = _cycle_bits(size, pps.change_rate)
         change_cycle = br.u(bits) if bits else 0
-    return first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle, num_ref
+    return (
+        first_mb, is_p, qp, dbf, alpha_off, beta_off, change_cycle,
+        num_ref, frame_num, rplm, mmco,
+    )
 
 
 def _cycle_bits(size: int, rate: int) -> int:
@@ -1389,20 +1486,99 @@ def _cycle_bits(size: int, rate: int) -> int:
     return b
 
 
+def _ref_pic_list0(
+    refs: list[tuple[tuple[np.ndarray, np.ndarray, np.ndarray], int]],
+    cur_frame_num: int,
+    log2_max_frame_num: int,
+    num_ref: int,
+    rplm: list[tuple[int, int]],
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Build one P slice's RefPicList0 from the DPB.
+
+    Initialization (8.2.4.2.1): short-term pictures by DESCENDING
+    PicNum, where PicNum = FrameNumWrap (8.2.4.1): frame_num values
+    above the current picture's wrap below it by MaxFrameNum.
+
+    Modification (8.2.4.3.1): each (idc, abs_diff_pic_num_minus1) op
+    derives picNumLX from the running predictor picNumLXPred (initial
+    value CurrPicNum; idc 0 subtracts, idc 1 adds, both modulo
+    MaxPicNum), moves the short-term picture with that PicNum to the
+    current index, and shifts the rest down — the standard
+    insert-then-drop-duplicate formulation. A picNumLX naming no DPB
+    picture is a non-conforming stream and raises."""
+    max_fn = 1 << log2_max_frame_num
+
+    def pic_num(fn: int) -> int:
+        return fn - max_fn if fn > cur_frame_num else fn
+
+    ordered = sorted(refs, key=lambda e: -pic_num(e[1]))
+    lst = [e for e in ordered[:num_ref]]
+    if rplm:
+        by_pic_num = {pic_num(fn): (planes, fn) for planes, fn in refs}
+        pred = cur_frame_num  # CurrPicNum (frames: == frame_num)
+        idx = 0
+        for idc, abs_diff_m1 in rplm:
+            if idc == 0:
+                no_wrap = pred - (abs_diff_m1 + 1)
+                if no_wrap < 0:
+                    no_wrap += max_fn
+            else:
+                no_wrap = pred + (abs_diff_m1 + 1)
+                if no_wrap >= max_fn:
+                    no_wrap -= max_fn
+            pred = no_wrap
+            target = no_wrap - max_fn if no_wrap > cur_frame_num else no_wrap
+            if target not in by_pic_num:
+                raise H264Error(
+                    f"ref_pic_list_modification names PicNum {target} "
+                    "but no such short-term picture is in the DPB"
+                )
+            entry = by_pic_num[target]
+            lst.insert(idx, entry)
+            idx += 1
+            for j in range(idx, len(lst)):
+                if lst[j][1] == entry[1]:
+                    del lst[j]
+                    break
+            lst = lst[:num_ref]
+    if len(lst) < num_ref:
+        raise H264Error(
+            f"RefPicList0 has {len(lst)} entries but "
+            f"num_ref_idx_l0_active is {num_ref}"
+        )
+    return [planes for planes, _ in lst]
+
+
 def _decode_picture(
     slices: list[tuple[bytes, bool, int]],
     sps: SPS,
     pps: PPS,
-    refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
-) -> tuple[H264Frame, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Decode one coded picture from its slice NALs. Slices may
-    arrive in any order (ASO) and the PPS may partition the picture
-    into slice groups (FMO, 8.2.2): each slice walks its group's
-    macroblocks in NextMbAddress order (8.2.2.8) and together the
-    slices must cover every MB exactly once. Prediction — intra
-    samples, MVs, CAVLC nC contexts — never crosses a slice boundary
-    (with FMO that includes every slice-group interleave edge), while
-    the deblocking filter crosses it unless that slice's idc is 2."""
+    refs: list[tuple[tuple[np.ndarray, np.ndarray, np.ndarray], int]],
+) -> tuple[
+    H264Frame,
+    tuple[np.ndarray, np.ndarray, np.ndarray],
+    int,
+    list[tuple[int, int]],
+]:
+    """Decode one coded picture from its slice NALs; returns (frame,
+    planes, frame_num, mmco_ops). Slices may arrive in any order (ASO)
+    and the PPS may partition the picture into slice groups (FMO,
+    8.2.2): each slice walks its group's macroblocks in NextMbAddress
+    order (8.2.2.8) and together the slices must cover every MB
+    exactly once. Prediction — intra samples, MVs, CAVLC nC contexts —
+    never crosses a slice boundary (with FMO that includes every
+    slice-group interleave edge), while the deblocking filter crosses
+    it unless that slice's idc is 2.
+
+    `refs` is the DPB — ((y, cb, cr), frame_num) most recent first;
+    each P slice builds its OWN RefPicList0 from it: initialization by
+    descending PicNum (8.2.4.2.1, with FrameNumWrap relative to this
+    picture's frame_num, 8.2.4.1) then that slice's
+    ref_pic_list_modification ops (8.2.4.3.1) — so two slices of one
+    picture may legally resolve the same ref_idx to different
+    pictures. frame_num and dec_ref_pic_marking must agree across
+    slices (7.4.3 / 7.4.3.3) and marking is applied by the CALLER
+    after the picture decodes."""
     if pps.entropy_coding_mode:
         raise H264Error("CABAC entropy coding unsupported (CAVLC only)")
     mw, mh = sps.pic_width_in_mbs, sps.pic_height_in_mbs
@@ -1431,13 +1607,27 @@ def _decode_picture(
     n_mbs = mw * mh
     n_decoded = 0
     maps: dict[int, np.ndarray] = {}  # keyed by slice_group_change_cycle
+    pic_frame_num: int | None = None
+    pic_mmco: list[tuple[int, int]] | None = None
     for si, (rbsp, idr, ref_idc) in enumerate(slices):
         br = BitReader(rbsp)
         (
             first_mb, is_p, qp, dbf, aoff, boff, cycle, num_ref,
+            frame_num, rplm, mmco,
         ) = _parse_slice_header(
             br, sps, pps, idr, ref_idc, n_refs=len(refs)
         )
+        if pic_frame_num is None:
+            pic_frame_num, pic_mmco = frame_num, mmco
+        elif frame_num != pic_frame_num:
+            raise H264Error(
+                "slices of one picture disagree on frame_num (7.4.3)"
+            )
+        elif mmco != pic_mmco:
+            raise H264Error(
+                "slices of one picture disagree on dec_ref_pic_marking "
+                "(7.4.3.3)"
+            )
         if first_mb >= n_mbs:
             raise H264Error(
                 f"first_mb_in_slice {first_mb} past pic_size_in_mbs"
@@ -1459,9 +1649,9 @@ def _decode_picture(
         st.cur_slice = si
         st.qp = qp
         if is_p:
-            # RefPicList0 = the DPB's recency order (8.2.4.2.1),
-            # truncated to this slice's num_ref_idx_l0_active
-            ref_list = refs[:num_ref]
+            ref_list = _ref_pic_list0(
+                refs, frame_num, sps.log2_max_frame_num, num_ref, rplm
+            )
             for ry, _, _ in ref_list:
                 if ry.shape != st.y.shape:
                     raise H264Error("reference picture geometry mismatch")
@@ -1547,7 +1737,7 @@ def _decode_picture(
         cr[ct // 2 : (ct + h) // 2, cl // 2 : (cl + w) // 2].astype(np.uint8),
         sps,
     )
-    return frame, (y, cb, cr)
+    return frame, (y, cb, cr), pic_frame_num, pic_mmco
 
 
 class _PicState:
@@ -3282,7 +3472,7 @@ def h264_slice_group_sizes(buf: bytes) -> list[int]:
         elif ntype in (1, 5):
             if sps is None or pps is None:
                 raise H264Error("slice before SPS/PPS")
-            _, _, _, _, _, _, cycle, _ = _parse_slice_header(
+            _, _, _, _, _, _, cycle, _, _, _, _ = _parse_slice_header(
                 BitReader(rbsp), sps, pps, ntype == 5,
                 (nal[0] >> 5) & 3, n_refs=16,
             )
@@ -3330,6 +3520,8 @@ def h264_encode_p_rows(
     deblock: bool = False,
     row_refs: list[int] | None = None,
     num_ref_active: int = 1,
+    rplm: list[tuple[int, int]] | None = None,
+    mmco_forget: list[int] | None = None,
 ) -> bytes:
     """One non-IDR P access unit (single slice NAL, nal_ref_idc 2)
     whose decoded luma is the reference picture motion-compensated by
@@ -3349,7 +3541,15 @@ def h264_encode_p_rows(
     the 7.3.5.1 ref_idx_l0 te(v) element when `num_ref_active` > 1
     (cMax 1 → single inverted bit, else ue(v)). Rows with a nonzero
     ref never skip (P_Skip is refIdx-0 by definition, 8.4.1.1); the
-    IDR pairing then needs encode_sps(max_ref >= 2)."""
+    IDR pairing then needs encode_sps(max_ref >= 2).
+
+    `rplm`: (modification_of_pic_nums_idc, abs_diff_pic_num_minus1)
+    ops written as the 7.3.3.1 ref_pic_list_modification syntax
+    (terminated with idc 3) — `row_refs` then index the MODIFIED
+    list. `mmco_forget`: difference_of_pic_nums_minus1 values written
+    as adaptive dec_ref_pic_marking (7.3.3.3) op-1 entries — each
+    marks the short-term picture with PicNum = frame_num - (v+1)
+    unused AFTER this picture decodes; requires ref_idc != 0."""
     if len(levels) != mb_h:
         raise ValueError("need one inter DC level per MB row")
     if row_refs is not None and (
@@ -3368,9 +3568,25 @@ def h264_encode_p_rows(
         bw.ue(num_ref_active - 1)  # num_ref_idx_l0_active_minus1
     else:
         bw.u(0, 1)  # num_ref_idx_active_override (PPS default: 1 ref)
-    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if rplm:
+        bw.u(1, 1)  # ref_pic_list_modification_flag_l0
+        for idc, abs_diff_m1 in rplm:
+            bw.ue(idc)
+            bw.ue(abs_diff_m1)
+        bw.ue(3)  # end of modification ops
+    else:
+        bw.u(0, 1)  # ref_pic_list_modification_flag_l0
     if ref_idc:  # dec_ref_pic_marking only for reference pictures
-        bw.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+        if mmco_forget is not None:  # [] = adaptive mode, zero ops
+            bw.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+            for diff_m1 in mmco_forget:
+                bw.ue(1)  # MMCO 1: mark short-term unused
+                bw.ue(diff_m1)
+            bw.ue(0)  # end of marking ops
+        else:
+            bw.u(0, 1)  # adaptive marking off (sliding window)
+    elif mmco_forget is not None:
+        raise ValueError("mmco_forget requires a reference picture")
     bw.se(qp_delta)  # slice_qp_delta
     if deblock:
         bw.ue(0)

@@ -4303,3 +4303,233 @@ def m_audio_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))), ","
         ).alias("odd_format"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real H.264 reference-list modification + adaptive marking decode
+# ---------------------------------------------------------------------------
+
+
+def _h264_rplm_oracle() -> str:
+    """Closed form for m_h264_rplm: the multiref recursive CTE carrying
+    THREE decoded pictures — rows (F[n-1]), prows (F[n-2]), pprows
+    (F[n-3]) — because adaptive marking makes the DPB non-contiguous.
+    The fixture GOP is F0 IDR; F1 single-ref; F2 two-ref initial
+    order; F3 RPLM-swapped (8.2.4.3.1 op idc 0, abs_diff 2 -> the
+    OLDER picture to index 0) and carrying MMCO 1 that forgets F2
+    AFTER F3 decodes; F4 therefore resolves {ref0, ref1} = {F3, F1};
+    F5 (every other doc) is back to plain sliding-window order. A
+    decoder that ignores the modification, applies marking before the
+    current picture's prediction, forgets the wrong picture, or lets
+    the sliding window run on the MMCO picture diverges from this SQL
+    on whole MB rows of F3/F4."""
+    clamp = "LEAST(GREATEST({}, 0), 16*mh - 1)"
+    ref = "((doc_id + fno + y // 16) % 2)"
+    src = (
+        f"(CASE WHEN fno = 1 THEN rows "
+        f"WHEN fno = 3 THEN (CASE WHEN {ref} = 1 THEN rows ELSE prows END) "
+        f"WHEN fno = 4 THEN (CASE WHEN {ref} = 1 THEN pprows ELSE rows END) "
+        f"ELSE (CASE WHEN {ref} = 1 THEN prows ELSE rows END) END)"
+    )
+    r = lambda off: f"{src}[1 + {clamp.format(f'y + yi{off}')}]"  # noqa: E731
+    h1 = (
+        f"({r('-2')} - 5*{r('-1')} + 20*{r('')} + 20*{r('+1')}"
+        f" - 5*{r('+2')} + {r('+3')})"
+    )
+    hv = f"(CASE WHEN {h1} + 16 < 0 THEN 0 ELSE LEAST(({h1} + 16) // 32, 255) END)"
+    pred = (
+        f"(CASE yf WHEN 0 THEN {r('')} "
+        f"WHEN 1 THEN ({r('')} + {hv} + 1) // 2 "
+        f"WHEN 2 THEN {hv} "
+        f"ELSE ({hv} + {r('+1')} + 1) // 2 END)"
+    )
+    delta = "([0, 4, -4])[1 + (doc_id + 2*fno + y // 16) % 3]"
+    return f"""
+WITH RECURSIVE geo AS (
+  SELECT doc_id,
+         2 + (doc_id // 3) % 3 AS mw,
+         2 + (doc_id // 9) % 3 AS mh,
+         5 + (doc_id // 27) % 2 AS nf,
+         16 * (2 + (doc_id // 3) % 3) - 2 * (doc_id % 4) AS w,
+         16 * (2 + (doc_id // 9) % 3) - 2 * ((doc_id // 5) % 3) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+  WHERE doc_id % 6 = 5
+), steps AS (
+  SELECT doc_id, mw, mh, nf, w, h, 0 AS frame_no,
+         list_transform(range(0, 16*mh), y ->
+             40 + (7 * doc_id) % 160
+             + COALESCE(list_sum(list_transform(range(1, y // 16 + 1),
+                 r -> ([0, 3, 5])[1 + (doc_id + r) % 3])), 0)) AS rows,
+         CAST(NULL AS BIGINT[]) AS prows,
+         CAST(NULL AS BIGINT[]) AS pprows
+  FROM geo
+  UNION ALL
+  SELECT doc_id, mw, mh, nf, w, h, fno,
+         list_transform(range(0, 16*mh), y ->
+             LEAST(GREATEST({pred} + {delta}, 0), 255)),
+         rows,
+         prows
+  FROM (
+    SELECT *, ((mvy % 4) + 4) % 4 AS yf,
+           (mvy - (((mvy % 4) + 4) % 4)) // 4 AS yi
+    FROM (
+      SELECT *, frame_no + 1 AS fno,
+             ((3 * doc_id + 7 * (frame_no + 1)) % 23) - 11 AS mvy
+      FROM steps WHERE frame_no + 1 < nf
+    )
+  )
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((frame_no // 2) * 1536 + (frame_no % 2) * 512 AS BIGINT)
+         AS dts_ticks,
+       (frame_no = 0) AS is_idr,
+       CAST((w * list_sum(rows[1:h])) % 1000000007 AS BIGINT) AS checksum
+FROM steps
+"""
+
+
+_H264_RPLM_ORACLE = _h264_rplm_oracle()
+
+
+def h264_rplm_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL H.264 GOP-in-MP4 per video doc (doc_id % 6 = 5)
+    exercising reference-list modification and adaptive marking: F2
+    codes two active references in initial order; F3 carries a
+    7.3.3.1 ref_pic_list_modification that SWAPS the list (op idc 0,
+    abs_diff_pic_num_minus1 1) AND a 7.3.3.3 adaptive
+    dec_ref_pic_marking whose MMCO 1 forgets F2 once F3 is stored; F4
+    then resolves its two references to the non-contiguous DPB
+    {F3, F1}; F5 (every other doc) returns to plain sliding-window
+    order. Per-MB-row ref_idx (doc_id + frame + row) % 2 as in the
+    multiref family."""
+    from streams_spark.functions.h264 import (
+        h264_encode_p_rows, h264_encode_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") % 6 == 5))
+        .distinct()
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_spark.functions.mp4 import mp4_mux
+
+        rows_out = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + (d // 3) % 3, 2 + (d // 9) % 3
+                nf = 5 + (d // 27) % 2
+                crop_r, crop_b = 2 * (d % 4), 2 * ((d // 5) % 3)
+                aus = [
+                    h264_encode_rows(
+                        mw, mh, 40 + (7 * d) % 160,
+                        [(d + r) % 3 for r in range(1, mh)],
+                        crop_right=crop_r, crop_bottom=crop_b,
+                        max_ref=2,
+                    )
+                ]
+                for f in range(1, nf):
+                    mvx = ((5 * d + 3 * f) % 13) - 6
+                    mvy = ((3 * d + 7 * f) % 23) - 11
+                    levels = [
+                        [0, 1, -1][(d + 2 * f + r) % 3] for r in range(mh)
+                    ]
+                    if f == 1:
+                        aus.append(h264_encode_p_rows(
+                            mw, mh, (mvx, mvy), levels, frame_num=f,
+                        ))
+                        continue
+                    aus.append(h264_encode_p_rows(
+                        mw, mh, (mvx, mvy), levels, frame_num=f,
+                        row_refs=[(d + f + r) % 2 for r in range(mh)],
+                        num_ref_active=2,
+                        rplm=[(0, 1)] if f == 3 else None,
+                        mmco_forget=[0] if f == 3 else None,
+                    ))
+                rows_out.append(
+                    (d, mp4_mux(
+                        aus, 16 * mw - crop_r, 16 * mh - crop_b,
+                        sync_every=len(aus),
+                    ))
+                )
+            yield pd.DataFrame(rows_out, columns=["doc_id", "payload"])
+            rows_out = []
+
+    from streams_spark.functions import h264 as _h
+    from streams_spark.functions import mp4 as _m
+
+    return _staged_blob_feed(
+        spark, sf_dir, "doch264rplm",
+        (_h, _m),
+        docs.mapInPandas(synth, schema="doc_id long, payload binary"),
+    )
+
+
+@register("m_h264_rplm", oracle=_H264_RPLM_ORACLE)
+def m_h264_rplm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 reference-picture-list modification + adaptive
+    marking decode: every stream carries a 7.3.3.1 RPLM that reorders
+    RefPicList0 away from the 8.2.4.2.1 initial order (picNumLXPred
+    arithmetic, 8.2.4.3.1) and an MMCO-1 adaptive marking (8.2.5.4.1)
+    that forgets a mid-GOP picture, leaving a NON-CONTIGUOUS DPB the
+    next frame must resolve references against. The oracle replays
+    the whole GOP in a recursive CTE carrying three decoded pictures
+    (see _h264_rplm_oracle): ignoring the modification, mistiming the
+    marking, or letting the sliding window run on the MMCO picture
+    shifts whole MB rows of F3/F4 and breaks the checksum. What the
+    row-constant fixture cannot see (predictor chaining across
+    multiple ops, PicNum wraparound, per-SLICE modification, the
+    non-conforming raises) is pytest-pinned in
+    tests/test_h264_rplm.py.
+
+    Scale: identical to m_h264_multiref — one staged-blob scan, one
+    map-only Arrow decode stage, no shuffle; the DPB keeps at most 2
+    uncropped frames of per-task state.
+
+    Reference contract: consumer-side decode of opaque payloads
+    (/root/reference/server/messages.go:65)."""
+    import numpy as np
+
+    from streams_spark.functions.h264 import H264Decoder
+    from streams_spark.functions.mp4 import extract_samples
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                track = extract_samples(buf)
+                dec = H264Decoder()
+                n_total = len(track.samples)
+                for s in track.samples:
+                    fr = dec.decode(buf[s.offset : s.offset + s.size])
+                    h, w = fr.y.shape
+                    rows.append(
+                        (
+                            int(doc_id), s.index, n_total,
+                            int(w), int(h), int(s.dts), bool(s.sync),
+                            int(fr.y.astype(np.int64).sum()) % 1_000_000_007,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "width", "height",
+                    "dts_ticks", "is_idr", "checksum",
+                ],
+            )
+
+    return h264_rplm_table_real(spark, sf_dir).mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no int, n_frames int, width int, "
+            "height int, dts_ticks long, is_idr boolean, checksum bigint"
+        ),
+    )

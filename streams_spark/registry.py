@@ -132,6 +132,7 @@ ROUND_PRIORITY = [
     "m_gif_frames",           # NEW r11: animated-GIF per-frame census
     "m_image_format_dedup",   # NEW r11: 5-container pixel dedup
     "m_audio_container_dedup",  # NEW r11: WAV/AU/AIFF/G.711 dedup
+    "m_h264_rplm",            # NEW r11: RPLM + MMCO-1 decode
     # --- round 10 window (history; all 50 green in CORRECTNESS_r10) ---
     # head: the round's new operators (registered later this round; the
     # `if n in REGISTRY` guard skips any name that doesn't land) plus

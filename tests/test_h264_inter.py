@@ -578,7 +578,9 @@ def test_num_ref_beyond_dpb_rejected():
         dec.decode(au)
 
 
-def test_ref_list_modification_rejected():
+def test_ref_list_modification_long_term_rejected():
+    # short-term RPLM is implemented (tests/test_h264_rplm.py); the
+    # boundary is now LONG-TERM modification: idc 2 must still raise
     dec = _primed_decoder()
     bw = BitWriter()
     bw.ue(0)
@@ -587,26 +589,32 @@ def test_ref_list_modification_rejected():
     bw.u(1, 4)
     bw.u(0, 1)
     bw.u(1, 1)  # ref_pic_list_modification_flag_l0
+    bw.ue(2)  # modification_of_pic_nums_idc 2: long_term_pic_num
+    bw.ue(0)
     bw.rbsp_trailing()
     au = b"\x00\x00\x00\x01\x41" + rbsp_to_ebsp(bw.to_bytes())
-    with pytest.raises(H264Error, match="modification"):
+    with pytest.raises(H264Error, match="long_term"):
         dec.decode(au)
 
 
-def test_adaptive_ref_marking_rejected():
-    dec = _primed_decoder()
-    bw = BitWriter()
-    bw.ue(0)
-    bw.ue(5)
-    bw.ue(0)
-    bw.u(1, 4)
-    bw.u(0, 1)
-    bw.u(0, 1)
-    bw.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
-    bw.rbsp_trailing()
-    au = b"\x00\x00\x00\x01\x41" + rbsp_to_ebsp(bw.to_bytes())
-    with pytest.raises(H264Error, match="adaptive reference marking"):
-        dec.decode(au)
+def test_adaptive_ref_marking_long_term_rejected():
+    # MMCO 1 (short-term forgetting) is implemented; ops 2/3/4/6
+    # (long-term machinery) and 5 (reset) must still raise
+    for op, pat in ((2, "MMCO 2"), (6, "MMCO 6"), (5, "MMCO 5")):
+        dec = _primed_decoder()
+        bw = BitWriter()
+        bw.ue(0)
+        bw.ue(5)
+        bw.ue(0)
+        bw.u(1, 4)
+        bw.u(0, 1)
+        bw.u(0, 1)
+        bw.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+        bw.ue(op)
+        bw.rbsp_trailing()
+        au = b"\x00\x00\x00\x01\x41" + rbsp_to_ebsp(bw.to_bytes())
+        with pytest.raises(H264Error, match=pat):
+            dec.decode(au)
 
 
 def test_skip_run_past_picture_raises():
