@@ -95,53 +95,90 @@ class BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+        self._stop = -2  # lazily located rbsp stop bit (more_rbsp_data)
 
     def u(self, n: int) -> int:
-        end = self.pos + n
-        if end > len(self.data) * 8:
+        """MSB-first fixed-width read. Bulk int.from_bytes over the
+        covering byte slice instead of the old per-bit loop (the loop
+        was ~7% of whole-GOP decode in the r11 opt profile); n == 1 is
+        special-cased as the single most common call."""
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
             raise H264Error("bitstream truncated")
-        val = 0
-        p = self.pos
-        for _ in range(n):
-            val = (val << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
-            p += 1
         self.pos = end
-        return val
+        if n == 1:
+            return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        hi = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[pos >> 3 : hi], "big")
+        return (chunk >> ((hi << 3) - end)) & ((1 << n) - 1)
 
     def ue(self) -> int:
-        zeros = 0
+        """Exp-Golomb: locate the prefix's terminating 1-bit bytewise
+        (bit_length on the masked lead byte) instead of bit-at-a-time."""
+        data = self.data
+        pos = self.pos
+        nbits = self.nbits
+        start = pos
         while True:
-            if self.pos >= len(self.data) * 8:
+            if pos >= nbits:
                 raise H264Error("bitstream truncated in exp-golomb")
-            if (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1:
+            byte = data[pos >> 3] & (0xFF >> (pos & 7))
+            if byte:
+                pos = ((pos >> 3) << 3) + (8 - byte.bit_length())
                 break
-            zeros += 1
-            self.pos += 1
-            if zeros > 31:
+            pos = ((pos >> 3) + 1) << 3
+            if pos - start > 32:
                 raise H264Error("exp-golomb prefix too long")
-        self.pos += 1
+        zeros = pos - start
+        if zeros > 31:
+            raise H264Error("exp-golomb prefix too long")
+        self.pos = pos + 1
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
         k = self.ue()
         return (k + 1) >> 1 if k & 1 else -(k >> 1)
 
+    def peek16(self) -> int:
+        """The next 16 bits MSB-first WITHOUT advancing, zero-padded
+        past the end of the stream (table-driven VLC decode: padding
+        can only fabricate matches LONGER than the remaining bits,
+        which the callers reject as truncation)."""
+        pos = self.pos
+        b0 = pos >> 3
+        sl = self.data[b0 : b0 + 3]  # 16 bits span at most 3 bytes
+        chunk = int.from_bytes(sl, "big")
+        avail = len(sl) * 8 - (pos & 7)
+        chunk &= (1 << avail) - 1 if avail else 0  # strip bits before pos
+        if avail >= 16:
+            return chunk >> (avail - 16)
+        return chunk << (16 - avail)
+
     def byte_aligned(self) -> bool:
         return self.pos % 8 == 0
 
     def more_rbsp_data(self) -> bool:
         """True while bits other than the rbsp_stop_one_bit + padding
-        remain (7.2)."""
-        total = len(self.data) * 8
-        if self.pos >= total:
+        remain (7.2). The stop bit is located ONCE per reader (the data
+        is immutable) — the old scan-from-the-end-per-call was
+        quadratic over long slices."""
+        if self.pos >= self.nbits:
             return False
-        # find last set bit in the stream (the stop bit)
-        last = total - 1
-        while last >= 0 and not (
-            (self.data[last >> 3] >> (7 - (last & 7))) & 1
-        ):
-            last -= 1
-        return self.pos < last
+        stop = self._stop
+        if stop == -2:
+            data = self.data
+            i = len(data) - 1
+            while i >= 0 and data[i] == 0:
+                i -= 1
+            if i < 0:
+                stop = -1
+            else:
+                b = data[i]
+                stop = 8 * i + 8 - (b & -b).bit_length()
+            self._stop = stop
+        return self.pos < stop
 
 
 class BitWriter:
@@ -618,18 +655,24 @@ def _coeff_token_table(nC: int) -> dict:
     return None  # nC >= 8: 6-bit FLC
 
 
-_DECODE_CACHE: dict[int, dict] = {}
+_CT_PEEK_CACHE: dict[int, list] = {}
 
 
-def _decode_map(nC: int) -> dict:
-    """(length, code) -> (TotalCoeff, TrailingOnes) prefix map."""
+def _ct_peek_table(nC: int) -> list:
+    """65536-entry (tc, t1, length) lookup over the next 16 bits for
+    one coeff_token class — prefix-free, so every 16-bit word with a
+    valid prefix maps to exactly one entry; words with none stay None."""
     cls = -1 if nC == -1 else (0 if nC < 2 else (2 if nC < 4 else 4))
-    if cls not in _DECODE_CACHE:
-        table = _coeff_token_table(cls)
-        _DECODE_CACHE[cls] = {
-            (ln, code): tc_t1 for tc_t1, (ln, code) in table.items()
-        }
-    return _DECODE_CACHE[cls]
+    table = _CT_PEEK_CACHE.get(cls)
+    if table is None:
+        table = [None] * 65536
+        for (tc, t1), (ln, code) in _coeff_token_table(cls).items():
+            base = code << (16 - ln)
+            entry = (tc, t1, ln)
+            for i in range(1 << (16 - ln)):
+                table[base + i] = entry
+        _CT_PEEK_CACHE[cls] = table
+    return table
 
 
 def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
@@ -638,14 +681,16 @@ def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
         if v == 0b000011:
             return 0, 0
         return (v >> 2) + 1, v & 3
-    dmap = _decode_map(nC)
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.u(1)
-        hit = dmap.get((length, code))
-        if hit is not None:
-            return hit
-    raise H264Error(f"invalid coeff_token (nC={nC})")
+    hit = _ct_peek_table(nC)[br.peek16()]
+    if hit is None:
+        if br.nbits - br.pos < 16:
+            raise H264Error("bitstream truncated")
+        raise H264Error(f"invalid coeff_token (nC={nC})")
+    tc, t1, ln = hit
+    if br.pos + ln > br.nbits:
+        raise H264Error("bitstream truncated")
+    br.pos += ln
+    return tc, t1
 
 
 def _write_coeff_token(bw: BitWriter, nC: int, tc: int, t1: int) -> None:
@@ -726,18 +771,41 @@ _RUN_BEFORE = {
 }
 
 
+_VLC_MAP_CACHE: dict[int, tuple[int, dict]] = {}
+
+
 def _read_vlc(br: BitReader, entries: list[tuple[int, int]]) -> int:
-    """Read one code from a (length, code) list; returns its index."""
-    code = 0
-    length = 0
-    maxlen = max(ln for ln, _ in entries)
-    while length < maxlen:
-        code = (code << 1) | br.u(1)
-        length += 1
+    """Read one code from a (length, code) list; returns its index.
+    The per-table (length, code) -> index map is cached by table
+    identity (the tables are module-level constants) — the old inner
+    linear scan per consumed bit was O(len * maxlen) per call."""
+    cached = _VLC_MAP_CACHE.get(id(entries))
+    if cached is None:
+        maxlen = max(ln for ln, _ in entries)
+        # maxlen-bit peek table: every word whose prefix is a code maps
+        # to (index, length); first entry wins on duplicates, as the
+        # old linear scan did
+        table: list = [None] * (1 << maxlen)
         for idx, (ln, c) in enumerate(entries):
-            if ln == length and c == code:
-                return idx
-    raise H264Error("invalid VLC code")
+            base = c << (maxlen - ln)
+            for i in range(1 << (maxlen - ln)):
+                if table[base + i] is None:
+                    table[base + i] = (idx, ln)
+        # the entries reference in the value pins the list alive so its
+        # id() can never be recycled by a different table
+        cached = (maxlen, table, entries)
+        _VLC_MAP_CACHE[id(entries)] = cached
+    maxlen, table = cached[0], cached[1]
+    hit = table[br.peek16() >> (16 - maxlen)]
+    if hit is None:
+        if br.nbits - br.pos < maxlen:
+            raise H264Error("bitstream truncated")
+        raise H264Error("invalid VLC code")
+    idx, ln = hit
+    if br.pos + ln > br.nbits:
+        raise H264Error("bitstream truncated")
+    br.pos += ln
+    return idx
 
 
 def _write_vlc(bw: BitWriter, entries: list[tuple[int, int]], idx: int) -> None:
@@ -1028,6 +1096,50 @@ def residual_4x4(
         out[2][j] = (e1 - e2 + 32) >> 6
         out[3][j] = (e0 - e3 + 32) >> 6
     return np.array(out, dtype=np.int64)
+
+
+_V44_NP = [np.array(v, dtype=np.int64) for v in _V44]
+_ZZ_ROWS = np.array([r >> 2 for r in ZIGZAG_4x4], dtype=np.intp)
+_ZZ_COLS = np.array([r & 3 for r in ZIGZAG_4x4], dtype=np.intp)
+
+
+def residual_4x4_batch(
+    levels: np.ndarray, qp: int, dcs: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized residual_4x4 over a whole macroblock's coded blocks:
+    `levels` is (n, 16) int64 zigzag-scan levels, `dcs` (when given) is
+    (n,) already-rescaled DC values substituted after the AC rescale —
+    exactly residual_4x4's dc= contract. Returns (n, 4, 4) int64
+    residuals (the (x+32)>>6-rounded inverse transform). One zigzag
+    scatter + ~20 whole-batch numpy ops replace n Python-loop
+    transforms (residual_4x4 was the top cost of whole-GOP decode in
+    the r11 opt profile); bit-exactness vs residual_4x4 is pinned in
+    tests/test_h264.py (numpy int64 >> is the same arithmetic shift)."""
+    n = levels.shape[0]
+    m = np.zeros((n, 4, 4), dtype=np.int64)
+    m[:, _ZZ_ROWS, _ZZ_COLS] = levels
+    m *= _V44_NP[qp % 6]
+    m <<= qp // 6
+    if dcs is not None:
+        m[:, 0, 0] = dcs
+    # horizontal pass (within each row), then vertical
+    a, b, c, e = m[:, :, 0], m[:, :, 1], m[:, :, 2], m[:, :, 3]
+    e0, e1 = a + c, a - c
+    e2, e3 = (b >> 1) - e, b + (e >> 1)
+    t = np.empty_like(m)
+    t[:, :, 0] = e0 + e3
+    t[:, :, 1] = e1 + e2
+    t[:, :, 2] = e1 - e2
+    t[:, :, 3] = e0 - e3
+    a, b, c, e = t[:, 0, :], t[:, 1, :], t[:, 2, :], t[:, 3, :]
+    e0, e1 = a + c, a - c
+    e2, e3 = (b >> 1) - e, b + (e >> 1)
+    out = np.empty_like(m)
+    out[:, 0, :] = (e0 + e3 + 32) >> 6
+    out[:, 1, :] = (e1 + e2 + 32) >> 6
+    out[:, 2, :] = (e1 - e2 + 32) >> 6
+    out[:, 3, :] = (e0 - e3 + 32) >> 6
+    return out
 
 
 def dequant_4x4(coeffs: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
@@ -2562,24 +2674,40 @@ def mc_luma(
     H, W = ref.shape
     xI, xF = mvx >> 2, mvx & 3
     yI, yF = mvy >> 2, mvy & 3
-    ys = np.clip(np.arange(y0 + yI - 2, y0 + yI + h_ + 3), 0, H - 1)
-    xs = np.clip(np.arange(x0 + xI - 2, x0 + xI + w + 3), 0, W - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (h_+5, w+5)
+    ya, xa = y0 + yI - 2, x0 + xI - 2
+    if ya >= 0 and xa >= 0 and ya + h_ + 5 <= H and xa + w + 5 <= W:
+        # in-bounds fast path: a plain slice view (no index arrays, no
+        # copy — every consumer below only reads)
+        win = ref[ya : ya + h_ + 5, xa : xa + w + 5]
+    else:
+        ys = np.clip(np.arange(ya, ya + h_ + 5), 0, H - 1)
+        xs = np.clip(np.arange(xa, xa + w + 5), 0, W - 1)
+        win = ref[np.ix_(ys, xs)]  # (h_+5, w+5)
     G = win[2 : h_ + 3, 2 : w + 3]  # (h_+1, w+1) full-pel grid
     if xF == 0 and yF == 0:
         return G[:h_, :w].copy()
-    # b: half-x right of G[i,j] ((h_+1) x w, row h_ is 's')
-    b1 = _six_tap(win[2 : h_ + 3, :], 1)
-    b = np.clip((b1 + 16) >> 5, 0, 255)
-    # h: half-y below G[i,j] (h_ x (w+1), col w is 'm')
-    h1 = _six_tap(win[:, 2 : w + 3], 0)
-    h = np.clip((h1 + 16) >> 5, 0, 255)[:h_, :]
-    # j: center half-pel from un-rounded row intermediates
-    j1 = _six_tap(_six_tap(win, 1), 0)
-    jj = np.clip((j1 + 512) >> 10, 0, 255)
+    # only the intermediates the (xF, yF) case reads are computed (the
+    # unconditional b+h+j build made _six_tap the top cost of the
+    # partitions row in the r11 opt profile): b feeds every xF != 0
+    # case except the pure-h/j column (yF == 2 with xF != 2... see the
+    # table), h the yF != 0 cases except the pure-b/j column, j only
+    # the five half-center cases
+    bb = bs = hh = hm = jj = None
+    if xF != 0 and yF != 2:
+        # b: half-x right of G[i,j] ((h_+1) x w, row h_ is 's')
+        b1 = _six_tap(win[2 : h_ + 3, :], 1)
+        b = np.clip((b1 + 16) >> 5, 0, 255)
+        bb, bs = b[:h_, :], b[1 : h_ + 1, :]
+    if yF != 0 and xF != 2:
+        # h: half-y below G[i,j] (h_ x (w+1), col w is 'm')
+        h1 = _six_tap(win[:, 2 : w + 3], 0)
+        h = np.clip((h1 + 16) >> 5, 0, 255)[:h_, :]
+        hh, hm = h[:, :w], h[:, 1 : w + 1]
+    if (xF == 2 and yF != 0) or (yF == 2 and xF != 0):
+        # j: center half-pel from un-rounded row intermediates
+        j1 = _six_tap(_six_tap(win, 1), 0)
+        jj = np.clip((j1 + 512) >> 10, 0, 255)
     G16, Gx, Gy = G[:h_, :w], G[:h_, 1 : w + 1], G[1 : h_ + 1, :w]
-    bb, bs = b[:h_, :], b[1 : h_ + 1, :]
-    hh, hm = h[:, :w], h[:, 1 : w + 1]
 
     def avg(u, v):
         return (u + v + 1) >> 1
@@ -2614,9 +2742,16 @@ def mc_chroma(
     H, W = ref.shape
     xI, xF = mvx >> 3, mvx & 7
     yI, yF = mvy >> 3, mvy & 7
-    ys = np.clip(np.arange(y0 + yI, y0 + yI + h_ + 1), 0, H - 1)
-    xs = np.clip(np.arange(x0 + xI, x0 + xI + w + 1), 0, W - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    ya, xa = y0 + yI, x0 + xI
+    if ya >= 0 and xa >= 0 and ya + h_ + 1 <= H and xa + w + 1 <= W:
+        # in-bounds fast path: plain slice view (read-only below)
+        win = ref[ya : ya + h_ + 1, xa : xa + w + 1]
+    else:
+        ys = np.clip(np.arange(ya, ya + h_ + 1), 0, H - 1)
+        xs = np.clip(np.arange(xa, xa + w + 1), 0, W - 1)
+        win = ref[np.ix_(ys, xs)]
+    if xF == 0 and yF == 0:
+        return win[:h_, :w].copy()
     A, B = win[:h_, :w], win[:h_, 1:]
     C, D = win[1:, :w], win[1:, 1:]
     return (
@@ -2631,26 +2766,42 @@ def mc_chroma_8x8(
     return mc_chroma(ref, x0, y0, 8, 8, mvx, mvy)
 
 
-def _chroma_resid_add(
-    pred: np.ndarray, qpc: int, cdc_c: list, cac_c: list
-) -> np.ndarray:
-    """Add one chroma component's DC+AC residual to an 8x8 prediction
-    (shared by the intra and inter reconstruction paths)."""
-    f = np.array(
-        [[cdc_c[0], cdc_c[1]], [cdc_c[2], cdc_c[3]]], dtype=np.int64
-    )
-    h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
-    dc = scale_chroma_dc(h2 @ f @ h2, qpc)
-    rec = pred.copy()
-    for k in range(4):
-        brow, bcol = k // 2, k % 2
-        ac = cac_c[k]
-        r = residual_4x4(
-            [0] + list(ac) if ac else None, qpc, dc=dc[brow, bcol]
+def _chroma_resid_add_pair(
+    pred_cb: np.ndarray, pred_cr: np.ndarray, qpc: int,
+    cdc: list, cac: list,
+) -> list[np.ndarray]:
+    """Both chroma components' DC+AC residuals added to their 8x8
+    predictions in ONE residual_4x4_batch call (8 blocks) — halving
+    the per-MB batch-call count vs the old per-plane helper. The 2x2
+    inverse Hadamard + rescale stays in plain ints (h2 @ f @ h2
+    spelled out)."""
+    preds = [pred_cb, pred_cr]
+    n_pl = 2
+    v0 = _V[qpc % 6][0]
+    s = qpc // 6
+    lv = np.zeros((4 * n_pl, 16), dtype=np.int64)
+    dcs = np.empty(4 * n_pl, dtype=np.int64)
+    for c in range(n_pl):
+        a, b, cc, d = (int(v) for v in cdc[c])
+        dcs_raw = (
+            a + b + cc + d, a - b + cc - d, a + b - cc - d, a - b - cc + d
         )
-        sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
-        rec[sl] = pred[sl] + r
-    return np.clip(rec, 0, 255)
+        for k in range(4):
+            dcs[4 * c + k] = (dcs_raw[k] * v0 << s) >> 5
+            ac = cac[c][k]
+            if ac:
+                lv[4 * c + k, 1:] = ac
+    rs = residual_4x4_batch(lv, qpc, dcs=dcs)
+    out = []
+    for c, pred in enumerate(preds):
+        rec = pred.copy()
+        for k in range(4):
+            brow, bcol = k // 2, k % 2
+            rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[
+                4 * c + k
+            ]
+        out.append(np.clip(rec, 0, 255))
+    return out
 
 
 def _reconstruct_inter_mb(
@@ -2670,20 +2821,22 @@ def _reconstruct_inter_mb(
             ref_list[ri][0], 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
         )
     rec = pred.copy()
-    for k, (brow, bcol) in enumerate(_BLK_ORDER):
-        blk = luma_blocks[k]
-        if blk is None:
-            continue
-        # inter 4x4 residual: all 16 coefficients in one zigzag block
-        # (no separate DC transform — that is Intra_16x16 only)
-        r = residual_4x4(blk, st.qp)
-        sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
-        rec[sl] = pred[sl] + r
+    # inter 4x4 residuals: all 16 coefficients in one zigzag block (no
+    # separate DC transform — that is Intra_16x16 only), batched across
+    # the MB's coded blocks (residual_4x4_batch)
+    coded = [k for k in range(16) if luma_blocks[k] is not None]
+    if coded:
+        lv = np.array([luma_blocks[k] for k in coded], dtype=np.int64)
+        rs = residual_4x4_batch(lv, st.qp)
+        for t, k in enumerate(coded):
+            brow, bcol = _BLK_ORDER[k]
+            rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[t]
     st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
         rec, 0, 255
     )
     qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
-    for c, plane in enumerate((st.cb, st.cr)):
+    predcs = []
+    for c in range(2):
         predc = np.empty((8, 8), dtype=np.int64)
         for ox, oy, w, h_, mvx, mvy, ri in parts:
             predc[oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
@@ -2692,9 +2845,10 @@ def _reconstruct_inter_mb(
                     8 * mby + oy // 2, w // 2, h_ // 2, mvx, mvy,
                 )
             )
-        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
-            _chroma_resid_add(predc, qpc, cdc[c], cac[c])
-        )
+        predcs.append(predc)
+    recs = _chroma_resid_add_pair(predcs[0], predcs[1], qpc, cdc, cac)
+    for c, plane in enumerate((st.cb, st.cr)):
+        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = recs[c]
     _mark_mb_decoded(st, mbx, mby)
 
 
@@ -2845,13 +2999,22 @@ def _decode_ipcm(br, y, cb, cr, mbx, mby) -> None:
     while not br.byte_aligned():
         if br.u(1):
             raise H264Error("pcm_alignment_zero_bit must be zero")
-    for i in range(16):
-        for j in range(16):
-            y[16 * mby + i, 16 * mbx + j] = br.u(8)
-    for plane in (cb, cr):
-        for i in range(8):
-            for j in range(8):
-                plane[8 * mby + i, 8 * mbx + j] = br.u(8)
+    # byte-aligned by construction: bulk-copy the 256+64+64 sample
+    # bytes via frombuffer instead of 384 single-byte bit reads
+    base = br.pos >> 3
+    if br.pos + 384 * 8 > br.nbits:
+        raise H264Error("bitstream truncated")
+    raw = np.frombuffer(br.data, dtype=np.uint8, count=384, offset=base)
+    br.pos += 384 * 8
+    y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = raw[
+        :256
+    ].reshape(16, 16)
+    cb[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = raw[
+        256:320
+    ].reshape(8, 8)
+    cr[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = raw[
+        320:384
+    ].reshape(8, 8)
 
 
 def _reconstruct_luma_16x16(
@@ -2860,14 +3023,21 @@ def _reconstruct_luma_16x16(
     pred = predict_16x16(y, mbx, mby, pred_mode, avail)
     # DC path: zigzag levels -> 4x4 -> inverse Hadamard -> rescale
     dc = scale_luma_dc(hadamard_4x4(_zigzag_to_4x4(dc_levels)), qp)
-    rec = pred.copy()
+    # all 16 blocks in one batched transform: row k's levels are
+    # [0] + AC (scan position 0 is the DC path's), its rescaled DC
+    # substituted via dcs= — identical to the old per-block
+    # residual_4x4(..., dc=) sequence
+    lv = np.zeros((16, 16), dtype=np.int64)
+    dcs = np.empty(16, dtype=np.int64)
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
         ac = ac_blocks[k]
-        r = residual_4x4(
-            [0] + list(ac) if ac else None, qp, dc=dc[brow, bcol]
-        )
-        sl = np.s_[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4]
-        rec[sl] = pred[sl] + r
+        if ac:
+            lv[k, 1:] = ac
+        dcs[k] = dc[brow, bcol]
+    rs = residual_4x4_batch(lv, qp, dcs=dcs)
+    rec = pred.copy()
+    for k, (brow, bcol) in enumerate(_BLK_ORDER):
+        rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[k]
     y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
         rec, 0, 255
     )
@@ -2877,7 +3047,8 @@ def _reconstruct_chroma(
     cb, cr, mbx, mby, chroma_mode, qpc, cdc, cac, avail=None
 ) -> None:
     has_left, has_top = (mbx > 0, mby > 0) if avail is None else avail
-    for c, plane in enumerate((cb, cr)):
+    preds = []
+    for plane in (cb, cr):
         if chroma_mode == 0:
             pred = predict_chroma_dc(plane, mbx, mby, (has_left, has_top))
         elif chroma_mode == 1:
@@ -2894,10 +3065,11 @@ def _reconstruct_chroma(
             ).astype(np.int64)
         else:
             raise H264Error("chroma Plane prediction unsupported")
-        # chroma DC 2x2: coeffs in raster order c00 c01 c10 c11 (8.5.11)
-        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = (
-            _chroma_resid_add(pred, qpc, cdc[c], cac[c])
-        )
+        preds.append(pred)
+    # chroma DC 2x2: coeffs in raster order c00 c01 c10 c11 (8.5.11)
+    recs = _chroma_resid_add_pair(preds[0], preds[1], qpc, cdc, cac)
+    for c, plane in enumerate((cb, cr)):
+        plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = recs[c]
 
 
 # ---------------------------------------------------------------------------
