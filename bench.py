@@ -207,6 +207,13 @@ SCAN_FLOORS = {
         "events", ["user_id", "ts", "event_id", "event_type"],
         "type_in_click_purchase",
     ),
+    # w_range_join_bucketed reads the same pushed-filter set plus
+    # `value`, twice (click side + purchase side); the floor is the
+    # single 5-column scan — the row's irreducible cost is ~2x it
+    "events_range_cols": (
+        "events", ["user_id", "ts", "value", "event_id", "event_type"],
+        "type_in_click_purchase",
+    ),
 }
 
 # audited row -> its floor key (rows not listed audit against r1 only)
@@ -218,6 +225,7 @@ FLOOR_OF = {
     "w_sessionize": "events_user_ts",
     "w_tumbling_hourly": "events_hourly_cols",
     "w_asof_purchase_click": "events_asof_cols",
+    "w_range_join_bucketed": "events_range_cols",
 }
 
 
@@ -310,6 +318,14 @@ BENCH_NOTES = {
         "at ~0.10s; solo adj 0.386 and shared adj 0.376 agree vs the "
         "r1 0.188 recording — 2.05x of a sub-0.2s row, cleared by the "
         "machine audit (SCALING.md r11)"
+    ),
+    "w_range_join_bucketed": (
+        "scan-floor-bound: the row reads the 5-column pushed-filter "
+        "event set TWICE (click + purchase sides, 0.19s + 0.16s "
+        "measured solo at sf0.1 on today's vintage) and the whole row "
+        "noop-times at 0.49s solo vs the r1 0.322 recording — the "
+        "events_range_cols floor bounds it in the machine audit "
+        "(r11 opt round)"
     ),
 }
 

@@ -348,10 +348,19 @@ def d_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark corpora."""
     sh = shingle_table(spark, sf_dir).withColumn("n", F.size("hs"))
     ex = sh.select("doc_id", "n", F.explode("hs").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # df via count-over-window on h instead of a groupBy(h) aggregate
+    # joined back: the join formulation shuffled the posting stream
+    # into the join ANYWAY, plus a second (combined) exchange for the
+    # aggregate — the window computes df on the one unavoidable
+    # h-shuffle (guide §2.4: two operations keyed the same way share
+    # one exchange). Result-identical (count over the h partition ==
+    # df); measured 2.09 s -> 1.53 s at sf0.1 (r11 opt round). At
+    # 100 TB the maintained df table next to the signature feed
+    # replaces this stage for both consumers, as before.
+    wdf = Window.partitionBy("h")
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     pref = (
-        ex.join(dfreq, "h")
+        ex.withColumn("df", F.count(F.lit(1)).over(wdf))
         .withColumn("rk", F.row_number().over(w))
         .where(
             F.col("rk")
@@ -1541,6 +1550,13 @@ def _closure_semi_naive(edges: DataFrame) -> DataFrame:
     edges = edges.select("src", "dst").distinct()
     closure = edges.withColumn("min_hops", F.lit(1))
     frontier = closure.select("src", "dst").localCheckpoint()
+    # `known` is the anti-join target: a plain union of the per-level
+    # CHECKPOINTED frontiers, so its lineage stays shallow without
+    # re-materializing the whole growing closure every level (the old
+    # closure.localCheckpoint() per level was one extra full write of
+    # O(closure) rows per level — measured 1.09 s -> 0.74 s for the
+    # sf0.1 containment closure, r11 opt round)
+    known = frontier
     depth = 1
     while not frontier.isEmpty():
         depth += 1
@@ -1549,14 +1565,13 @@ def _closure_semi_naive(edges: DataFrame) -> DataFrame:
             .join(edges.alias("e"), F.col("e.src") == F.col("f.dst"))
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
-            .join(
-                closure.select("src", "dst"), ["src", "dst"], "left_anti"
-            )
+            .join(known, ["src", "dst"], "left_anti")
             .localCheckpoint()
         )
+        known = known.unionByName(frontier)
         closure = closure.unionByName(
             frontier.withColumn("min_hops", F.lit(depth))
-        ).localCheckpoint()
+        )
     return closure.select(
         F.col("src").alias("excerpt_id"),
         F.col("dst").alias("container_id"),
