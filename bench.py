@@ -327,6 +327,14 @@ BENCH_NOTES = {
         "events_range_cols floor bounds it in the machine audit "
         "(r11 opt round)"
     ),
+    "d_dup_clusters": (
+        "driver-loop row (min-label CC: ~4 tiny jobs per round at "
+        "width 1) — the most host-jitter-sensitive headline shape; "
+        "solo-loop reads 1.449s at sf0.1 (r11 opt round) vs the 2x "
+        "bound of 2.066, while shared-session readings swing 1.2-2.2s "
+        "with the canary. Per-round plan is one join + one aggregate; "
+        "no plan change since r7."
+    ),
 }
 
 ROTATED_OUT_R5 = {
