@@ -1099,6 +1099,9 @@ def residual_4x4(
 
 
 _V44_NP = [np.array(v, dtype=np.int64) for v in _V44]
+# fused rescale table per qp 0..51: v(qP%6) << (qP/6) — one multiply
+# instead of multiply + shift in the batch hot path
+_V44_SHIFTED = [_V44_NP[qp % 6] << (qp // 6) for qp in range(52)]
 _ZZ_ROWS = np.array([r >> 2 for r in ZIGZAG_4x4], dtype=np.intp)
 _ZZ_COLS = np.array([r & 3 for r in ZIGZAG_4x4], dtype=np.intp)
 
@@ -1118,8 +1121,7 @@ def residual_4x4_batch(
     n = levels.shape[0]
     m = np.zeros((n, 4, 4), dtype=np.int64)
     m[:, _ZZ_ROWS, _ZZ_COLS] = levels
-    m *= _V44_NP[qp % 6]
-    m <<= qp // 6
+    m *= _V44_SHIFTED[qp]
     if dcs is not None:
         m[:, 0, 0] = dcs
     # horizontal pass (within each row), then vertical
@@ -1307,6 +1309,14 @@ _BLK_ORDER = [
     (0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
     (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3), (3, 2), (3, 3),
 ]  # (block row, block col)
+# index-array form for one-shot scatter-adds of batched residuals into
+# a (4,4,4,4)-reshaped 16x16 MB (rec4[_BLK_BR[k], :, _BLK_BC[k], :]
+# is decode-order block k)
+_BLK_BR = np.array([br for br, _ in _BLK_ORDER], dtype=np.intp)
+_BLK_BC = np.array([bc for _, bc in _BLK_ORDER], dtype=np.intp)
+# raster order for the 2x2 chroma block grid
+_CHROMA_BR = np.array([0, 0, 1, 1], dtype=np.intp)
+_CHROMA_BC = np.array([0, 1, 0, 1], dtype=np.intp)
 
 
 def _zigzag_to_4x4(coeffs: list[int]) -> np.ndarray:
@@ -2031,6 +2041,12 @@ _DB_TC0 = [
                 16, 18, 20, 23, 25],
 ]
 
+# numpy views of the 8.7.2.2 tables, built once — the per-edge filters
+# were reconstructing these arrays on EVERY edge call
+_DB_ALPHA_NP = np.array(_DB_ALPHA, dtype=np.int64)
+_DB_BETA_NP = np.array(_DB_BETA, dtype=np.int64)
+_DB_TC0_NP = np.array(_DB_TC0, dtype=np.int64)  # (3, 52): [bS-1][idx_a]
+
 
 def _bs_luma_pair(
     st: "_PicState", pbx: int, pby: int, qbx: int, qby: int, mb_edge: bool
@@ -2067,12 +2083,14 @@ def _filter_edge_luma(
     p3 p2 p1 p0 q0 q1 q2 q3 as VIEWS into the plane (the caller
     orients rows/columns); bs4/qpav are per-line bS and average-QP.
     Implements 8.7.2.3/8.7.2.4 with per-line decisions."""
+    if not bs4.any():
+        return
     p3, p2, p1, p0 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
     q0, q1, q2, q3 = win[:, 4], win[:, 5], win[:, 6], win[:, 7]
     idx_a = np.clip(qpav + alpha_off, 0, 51)
     idx_b = np.clip(qpav + beta_off, 0, 51)
-    alpha = np.array(_DB_ALPHA, dtype=np.int64)[idx_a]
-    beta = np.array(_DB_BETA, dtype=np.int64)[idx_b]
+    alpha = _DB_ALPHA_NP[idx_a]
+    beta = _DB_BETA_NP[idx_b]
     filt = (
         (bs4 > 0)
         & (np.abs(p0 - q0) < alpha)
@@ -2105,10 +2123,9 @@ def _filter_edge_luma(
 
     weak = filt & (bs4 < 4)
     if weak.any():
-        tc0 = np.zeros(len(win), dtype=np.int64)
-        for b in (1, 2, 3):
-            sel = weak & (bs4 == b)
-            tc0[sel] = np.array(_DB_TC0[b - 1], dtype=np.int64)[idx_a[sel]]
+        tc0 = np.where(
+            weak, _DB_TC0_NP[np.minimum(bs4, 3) - 1, idx_a], 0
+        )
         tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
         delta = np.clip(
             ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
@@ -2130,11 +2147,13 @@ def _filter_edge_chroma(
 ) -> None:
     """Chroma edge filter (8.7.2.3/8.7.2.4): only p0/q0 change; `win`
     is (n_lines, 4): p1 p0 q0 q1."""
+    if not bs4.any():
+        return
     p1, p0, q0, q1 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
     idx_a = np.clip(qpav + alpha_off, 0, 51)
     idx_b = np.clip(qpav + beta_off, 0, 51)
-    alpha = np.array(_DB_ALPHA, dtype=np.int64)[idx_a]
-    beta = np.array(_DB_BETA, dtype=np.int64)[idx_b]
+    alpha = _DB_ALPHA_NP[idx_a]
+    beta = _DB_BETA_NP[idx_b]
     filt = (
         (bs4 > 0)
         & (np.abs(p0 - q0) < alpha)
@@ -2150,10 +2169,9 @@ def _filter_edge_chroma(
     q0[strong] = (2 * sq1 + sq0 + sp1 + 2)[strong] >> 2
     weak = filt & (bs4 < 4)
     if weak.any():
-        tc0 = np.zeros(len(win), dtype=np.int64)
-        for b in (1, 2, 3):
-            sel = weak & (bs4 == b)
-            tc0[sel] = np.array(_DB_TC0[b - 1], dtype=np.int64)[idx_a[sel]]
+        tc0 = np.where(
+            weak, _DB_TC0_NP[np.minimum(bs4, 3) - 1, idx_a], 0
+        )
         tc = tc0 + 1
         delta = np.clip(
             ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
@@ -2794,12 +2812,12 @@ def _chroma_resid_add_pair(
     rs = residual_4x4_batch(lv, qpc, dcs=dcs)
     out = []
     for c, pred in enumerate(preds):
+        # .copy() is C-contiguous by construction, so the reshape below
+        # is a view and the scatter-add lands in rec
         rec = pred.copy()
-        for k in range(4):
-            brow, bcol = k // 2, k % 2
-            rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[
-                4 * c + k
-            ]
+        rec.reshape(2, 4, 2, 4)[_CHROMA_BR, :, _CHROMA_BC, :] += rs[
+            4 * c : 4 * c + 4
+        ]
         out.append(np.clip(rec, 0, 255))
     return out
 
@@ -2828,9 +2846,7 @@ def _reconstruct_inter_mb(
     if coded:
         lv = np.array([luma_blocks[k] for k in coded], dtype=np.int64)
         rs = residual_4x4_batch(lv, st.qp)
-        for t, k in enumerate(coded):
-            brow, bcol = _BLK_ORDER[k]
-            rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[t]
+        rec.reshape(4, 4, 4, 4)[_BLK_BR[coded], :, _BLK_BC[coded], :] += rs
     st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
         rec, 0, 255
     )
@@ -3028,16 +3044,13 @@ def _reconstruct_luma_16x16(
     # substituted via dcs= — identical to the old per-block
     # residual_4x4(..., dc=) sequence
     lv = np.zeros((16, 16), dtype=np.int64)
-    dcs = np.empty(16, dtype=np.int64)
-    for k, (brow, bcol) in enumerate(_BLK_ORDER):
+    for k in range(16):
         ac = ac_blocks[k]
         if ac:
             lv[k, 1:] = ac
-        dcs[k] = dc[brow, bcol]
-    rs = residual_4x4_batch(lv, qp, dcs=dcs)
+    rs = residual_4x4_batch(lv, qp, dcs=dc[_BLK_BR, _BLK_BC])
     rec = pred.copy()
-    for k, (brow, bcol) in enumerate(_BLK_ORDER):
-        rec[4 * brow : 4 * brow + 4, 4 * bcol : 4 * bcol + 4] += rs[k]
+    rec.reshape(4, 4, 4, 4)[_BLK_BR, :, _BLK_BC, :] += rs
     y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
         rec, 0, 255
     )
