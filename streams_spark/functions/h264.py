@@ -1774,8 +1774,8 @@ def _decode_picture(
             ref_list = _ref_pic_list0(
                 refs, frame_num, sps.log2_max_frame_num, num_ref, rplm
             )
-            for ry, _, _ in ref_list:
-                if ry.shape != st.y.shape:
+            for entry in ref_list:
+                if entry[0].shape != st.y.shape:
                     raise H264Error("reference picture geometry mismatch")
 
         def _enter_mb(mbx: int, mby: int) -> None:
@@ -1859,7 +1859,11 @@ def _decode_picture(
         cr[ct // 2 : (ct + h) // 2, cl // 2 : (cl + w) // 2].astype(np.uint8),
         sps,
     )
-    return frame, (y, cb, cr), pic_frame_num, pic_mmco
+    # DPB planes carry a pre-stacked (2, H, W) chroma array so inter MC
+    # can compensate both chroma components in ONE call per partition
+    # (mc_chroma_pair) — stacked once per decoded picture, after the
+    # in-loop filter has finished mutating cb/cr
+    return frame, (y, cb, cr, np.stack((cb, cr))), pic_frame_num, pic_mmco
 
 
 class _PicState:
@@ -2784,6 +2788,34 @@ def mc_chroma_8x8(
     return mc_chroma(ref, x0, y0, 8, 8, mvx, mvy)
 
 
+def mc_chroma_pair(
+    ref2: np.ndarray, x0: int, y0: int, w: int, h_: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """mc_chroma over BOTH chroma components at once: `ref2` is the
+    DPB's pre-stacked (2, H, W) cb/cr array, the return is (2, h_, w).
+    Same arithmetic as mc_chroma (pinned by tests against it); one
+    call per partition instead of two."""
+    _, H, W = ref2.shape
+    xI, xF = mvx >> 3, mvx & 7
+    yI, yF = mvy >> 3, mvy & 7
+    ya, xa = y0 + yI, x0 + xI
+    if ya >= 0 and xa >= 0 and ya + h_ + 1 <= H and xa + w + 1 <= W:
+        win = ref2[:, ya : ya + h_ + 1, xa : xa + w + 1]
+    else:
+        ys = np.clip(np.arange(ya, ya + h_ + 1), 0, H - 1)
+        xs = np.clip(np.arange(xa, xa + w + 1), 0, W - 1)
+        win = ref2[:, ys[:, None], xs[None, :]]
+    if xF == 0 and yF == 0:
+        return win[:, :h_, :w].copy()
+    A, B = win[:, :h_, :w], win[:, :h_, 1:]
+    C, D = win[:, 1:, :w], win[:, 1:, 1:]
+    return (
+        (8 - xF) * (8 - yF) * A + xF * (8 - yF) * B
+        + (8 - xF) * yF * C + xF * yF * D + 32
+    ) >> 6
+
+
 def _chroma_resid_add_pair(
     pred_cb: np.ndarray, pred_cr: np.ndarray, qpc: int,
     cdc: list, cac: list,
@@ -2851,18 +2883,15 @@ def _reconstruct_inter_mb(
         rec, 0, 255
     )
     qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
-    predcs = []
-    for c in range(2):
-        predc = np.empty((8, 8), dtype=np.int64)
-        for ox, oy, w, h_, mvx, mvy, ri in parts:
-            predc[oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
-                mc_chroma(
-                    ref_list[ri][1 + c], 8 * mbx + ox // 2,
-                    8 * mby + oy // 2, w // 2, h_ // 2, mvx, mvy,
-                )
+    predc2 = np.empty((2, 8, 8), dtype=np.int64)
+    for ox, oy, w, h_, mvx, mvy, ri in parts:
+        predc2[:, oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
+            mc_chroma_pair(
+                ref_list[ri][3], 8 * mbx + ox // 2,
+                8 * mby + oy // 2, w // 2, h_ // 2, mvx, mvy,
             )
-        predcs.append(predc)
-    recs = _chroma_resid_add_pair(predcs[0], predcs[1], qpc, cdc, cac)
+        )
+    recs = _chroma_resid_add_pair(predc2[0], predc2[1], qpc, cdc, cac)
     for c, plane in enumerate((st.cb, st.cr)):
         plane[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = recs[c]
     _mark_mb_decoded(st, mbx, mby)
