@@ -1861,9 +1861,21 @@ def _decode_picture(
     )
     # DPB planes carry a pre-stacked (2, H, W) chroma array so inter MC
     # can compensate both chroma components in ONE call per partition
-    # (mc_chroma_pair) — stacked once per decoded picture, after the
-    # in-loop filter has finished mutating cb/cr
-    return frame, (y, cb, cr, np.stack((cb, cr))), pic_frame_num, pic_mmco
+    # (mc_chroma_pair), plus edge-replicated PADDED copies (margin
+    # _MC_PAD) so the unrestricted-MV clamp of 8-227/8-228 becomes a
+    # plain slice for every in-margin window (43% of luma MC windows on
+    # the partitions corpus took the clipped-gather fallback) — all
+    # built once per decoded picture, after the in-loop filter has
+    # finished mutating the planes. P[k] = plane[clip(k, 0, n-1)] for
+    # every index within the margin, so the padded slice is exactly the
+    # per-index clamped gather it replaces.
+    cbcr = np.stack((cb, cr))
+    ypad = np.pad(y, _MC_PAD, mode="edge")
+    cpad = np.pad(cbcr, ((0, 0), (_MC_PAD, _MC_PAD), (_MC_PAD, _MC_PAD)),
+                  mode="edge")
+    return (
+        frame, (y, cb, cr, cbcr, ypad, cpad), pic_frame_num, pic_mmco
+    )
 
 
 class _PicState:
@@ -2705,6 +2717,45 @@ def mc_luma(
         ys = np.clip(np.arange(ya, ya + h_ + 5), 0, H - 1)
         xs = np.clip(np.arange(xa, xa + w + 5), 0, W - 1)
         win = ref[np.ix_(ys, xs)]  # (h_+5, w+5)
+    return _mc_luma_win(win, xF, yF, w, h_)
+
+
+# MC reference padding margin: windows whose clamped reads stay within
+# this many samples of the picture edge use the pre-padded DPB plane
+# (plain slice) instead of a per-index clipped gather; wilder MVs fall
+# back to mc_luma/mc_chroma's gather path
+_MC_PAD = 16
+
+
+def mc_luma_ref(
+    entry: tuple, x0: int, y0: int, w: int, h_: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """mc_luma against a DPB entry, reading the entry's edge-padded
+    plane when the window fits inside the padding margin — identical
+    values by the padding construction (P[k] = ref[clip(k)])."""
+    ref = entry[0]
+    H, W = ref.shape
+    xI, xF = mvx >> 2, mvx & 3
+    yI, yF = mvy >> 2, mvy & 3
+    ya, xa = y0 + yI - 2, x0 + xI - 2
+    if (
+        ya >= -_MC_PAD and xa >= -_MC_PAD
+        and ya + h_ + 5 <= H + _MC_PAD and xa + w + 5 <= W + _MC_PAD
+    ):
+        win = entry[4][
+            ya + _MC_PAD : ya + _MC_PAD + h_ + 5,
+            xa + _MC_PAD : xa + _MC_PAD + w + 5,
+        ]
+        return _mc_luma_win(win, xF, yF, w, h_)
+    return mc_luma(ref, x0, y0, w, h_, mvx, mvy)
+
+
+def _mc_luma_win(
+    win: np.ndarray, xF: int, yF: int, w: int, h_: int
+) -> np.ndarray:
+    """Quarter-pel interpolation over an extracted (h_+5, w+5) window
+    (the shared body of mc_luma / mc_luma_ref)."""
     G = win[2 : h_ + 3, 2 : w + 3]  # (h_+1, w+1) full-pel grid
     if xF == 0 and yF == 0:
         return G[:h_, :w].copy()
@@ -2806,6 +2857,39 @@ def mc_chroma_pair(
         ys = np.clip(np.arange(ya, ya + h_ + 1), 0, H - 1)
         xs = np.clip(np.arange(xa, xa + w + 1), 0, W - 1)
         win = ref2[:, ys[:, None], xs[None, :]]
+    return _mc_chroma_win(win, xF, yF, w, h_)
+
+
+def mc_chroma_pair_ref(
+    entry: tuple, x0: int, y0: int, w: int, h_: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """mc_chroma_pair against a DPB entry, reading the entry's
+    edge-padded stacked chroma when the window fits inside the padding
+    margin (identical values by the padding construction)."""
+    ref2 = entry[3]
+    _, H, W = ref2.shape
+    xI, xF = mvx >> 3, mvx & 7
+    yI, yF = mvy >> 3, mvy & 7
+    ya, xa = y0 + yI, x0 + xI
+    if (
+        ya >= -_MC_PAD and xa >= -_MC_PAD
+        and ya + h_ + 1 <= H + _MC_PAD and xa + w + 1 <= W + _MC_PAD
+    ):
+        win = entry[5][
+            :,
+            ya + _MC_PAD : ya + _MC_PAD + h_ + 1,
+            xa + _MC_PAD : xa + _MC_PAD + w + 1,
+        ]
+        return _mc_chroma_win(win, xF, yF, w, h_)
+    return mc_chroma_pair(ref2, x0, y0, w, h_, mvx, mvy)
+
+
+def _mc_chroma_win(
+    win: np.ndarray, xF: int, yF: int, w: int, h_: int
+) -> np.ndarray:
+    """Eighth-pel bilinear over an extracted (2, h_+1, w+1) window
+    (the shared body of mc_chroma_pair / mc_chroma_pair_ref)."""
     if xF == 0 and yF == 0:
         return win[:, :h_, :w].copy()
     A, B = win[:, :h_, :w], win[:, :h_, 1:]
@@ -2867,8 +2951,8 @@ def _reconstruct_inter_mb(
     (RefPicList0)."""
     pred = np.empty((16, 16), dtype=np.int64)
     for ox, oy, w, h_, mvx, mvy, ri in parts:
-        pred[oy : oy + h_, ox : ox + w] = mc_luma(
-            ref_list[ri][0], 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
+        pred[oy : oy + h_, ox : ox + w] = mc_luma_ref(
+            ref_list[ri], 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
         )
     rec = pred.copy()
     # inter 4x4 residuals: all 16 coefficients in one zigzag block (no
@@ -2886,8 +2970,8 @@ def _reconstruct_inter_mb(
     predc2 = np.empty((2, 8, 8), dtype=np.int64)
     for ox, oy, w, h_, mvx, mvy, ri in parts:
         predc2[:, oy // 2 : (oy + h_) // 2, ox // 2 : (ox + w) // 2] = (
-            mc_chroma_pair(
-                ref_list[ri][3], 8 * mbx + ox // 2,
+            mc_chroma_pair_ref(
+                ref_list[ri], 8 * mbx + ox // 2,
                 8 * mby + oy // 2, w // 2, h_ // 2, mvx, mvy,
             )
         )
