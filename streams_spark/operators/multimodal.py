@@ -2427,12 +2427,14 @@ def m_cross_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, container string, width int, height int, "
         "checksum bigint"
     )
-    frames = h264_gop_table_real(spark, sf_dir).mapInPandas(
-        decode_idr, schema=schema
-    ).unionByName(
-        h264_avc1_table_real(spark, sf_dir).mapInPandas(
-            decode_idr, schema=schema
-        )
+    # union the two staged corpora BEFORE the decode stage: decode_idr
+    # already distinguishes packaging per blob (track.avcc), so one
+    # Arrow stage over the unioned feed replaces two — same rows, one
+    # python stage in the plan instead of two (r11 opt round)
+    frames = (
+        h264_gop_table_real(spark, sf_dir)
+        .unionByName(h264_avc1_table_real(spark, sf_dir))
+        .mapInPandas(decode_idr, schema=schema)
     )
     k = W.partitionBy("width", "height", "checksum")
     ko = k.orderBy(
