@@ -2062,51 +2062,77 @@ _DB_TC0 = [
 _DB_ALPHA_NP = np.array(_DB_ALPHA, dtype=np.int64)
 _DB_BETA_NP = np.array(_DB_BETA, dtype=np.int64)
 _DB_TC0_NP = np.array(_DB_TC0, dtype=np.int64)  # (3, 52): [bS-1][idx_a]
+# tc0 indexed the way the filters consume it: [idx_a][bS] for bS 1..3
+# (the bS-0 column mirrors the old min(bS,3)-1 == -1 wraparound — those
+# lanes are always masked out by filt; bS-4 lanes only take the strong
+# path, which never reads tc0)
+_TC0_BY_IDX = _DB_TC0_NP[
+    np.minimum(np.arange(5), 3)[None, :] - 1, np.arange(52)[:, None]
+]
 
 
-def _bs_luma_pair(
-    st: "_PicState", pbx: int, pby: int, qbx: int, qby: int, mb_edge: bool
-) -> int:
-    """Boundary strength for one 4x4 block pair (8.7.2.1, frame
-    pictures, P-slice L0 prediction)."""
-    p_mb, q_mb = (pby // 4, pbx // 4), (qby // 4, qbx // 4)
-    p_intra = not st.inter[p_mb]
-    q_intra = not st.inter[q_mb]
-    if p_intra or q_intra:
-        return 4 if mb_edge else 3
-    if st.nnz[pby, pbx] or st.nnz[qby, qbx]:
-        return 2
-    # 8.7.2.1: bS 1 when the blocks use different reference PICTURES.
-    # Within one decoded picture every slice's RefPicList0 is the same
-    # DPB recency order (8.2.4.2.1, no list modification), so unequal
-    # ref_idx IS unequal reference picture.
-    if int(st.ref4[pby, pbx]) != int(st.ref4[qby, qbx]):
-        return 1
-    mvp, mvq = st.mv[pby, pbx], st.mv[qby, qbx]
-    if (
-        abs(int(mvp[0]) - int(mvq[0])) >= 4
-        or abs(int(mvp[1]) - int(mvq[1])) >= 4
-    ):
-        return 1
-    return 0
+def _deblock_bs_grids(st: "_PicState") -> tuple[np.ndarray, np.ndarray]:
+    """Picture-wide boundary-strength grids (8.7.2.1, frame pictures,
+    P-slice L0 prediction). bS is a pure function of PRE-deblock state
+    (intra/inter, nnz, ref_idx, mv — none of which the filter mutates),
+    so both grids batch in one numpy pass instead of 32 per-block-pair
+    Python calls per macroblock. bs_v[by, bx] = bS of the vertical edge
+    between block columns bx-1 and bx (bx >= 1, column 0 unused);
+    bs_h[by, bx] = bS of the horizontal edge between block rows by-1
+    and by (by >= 1, row 0 unused).
+
+    8.7.2.1 note on the bS-1 reference test: within one decoded picture
+    every slice's RefPicList0 is the same DPB recency order (8.2.4.2.1,
+    no list modification), so unequal ref_idx IS unequal reference
+    picture."""
+    intra_b = ~np.repeat(np.repeat(st.inter, 4, 0), 4, 1)
+    nz = st.nnz != 0
+    ref, mv = st.ref4, st.mv
+    mw4, mh4 = 4 * st.mw, 4 * st.mh
+
+    def grid(pi, qi, pn, qn, pr, qr, pm, qm, mb_edge):
+        return np.where(
+            pi | qi,
+            np.where(mb_edge, 4, 3),
+            np.where(
+                pn | qn,
+                2,
+                (
+                    (pr != qr)
+                    | (np.abs(pm[..., 0] - qm[..., 0]) >= 4)
+                    | (np.abs(pm[..., 1] - qm[..., 1]) >= 4)
+                ).astype(np.int64),
+            ),
+        )
+
+    bs_v = np.zeros((mh4, mw4), dtype=np.int64)
+    if mw4 > 1:
+        bs_v[:, 1:] = grid(
+            intra_b[:, :-1], intra_b[:, 1:], nz[:, :-1], nz[:, 1:],
+            ref[:, :-1], ref[:, 1:], mv[:, :-1], mv[:, 1:],
+            ((np.arange(1, mw4) % 4) == 0)[None, :],
+        )
+    bs_h = np.zeros((mh4, mw4), dtype=np.int64)
+    if mh4 > 1:
+        bs_h[1:, :] = grid(
+            intra_b[:-1], intra_b[1:], nz[:-1], nz[1:],
+            ref[:-1], ref[1:], mv[:-1], mv[1:],
+            ((np.arange(1, mh4) % 4) == 0)[:, None],
+        )
+    return bs_v, bs_h
 
 
 def _filter_edge_luma(
-    win: np.ndarray, bs4: np.ndarray, qpav: np.ndarray,
-    alpha_off: int, beta_off: int,
+    win: np.ndarray, bs4: np.ndarray, alpha, beta, tc0: np.ndarray,
 ) -> None:
     """Filter one luma edge in place. `win` is (n_lines, 8): columns
     p3 p2 p1 p0 q0 q1 q2 q3 as VIEWS into the plane (the caller
-    orients rows/columns); bs4/qpav are per-line bS and average-QP.
-    Implements 8.7.2.3/8.7.2.4 with per-line decisions."""
-    if not bs4.any():
-        return
-    p3, p2, p1, p0 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
-    q0, q1, q2, q3 = win[:, 4], win[:, 5], win[:, 6], win[:, 7]
-    idx_a = np.clip(qpav + alpha_off, 0, 51)
-    idx_b = np.clip(qpav + beta_off, 0, 51)
-    alpha = _DB_ALPHA_NP[idx_a]
-    beta = _DB_BETA_NP[idx_b]
+    orients rows/columns); bs4 is per-line bS; alpha/beta are the
+    Table 8-16 thresholds (scalars or per-line arrays, offset-adjusted
+    by the caller); tc0 the per-line Table 8-17 base, read only under
+    the weak mask. Implements 8.7.2.3/8.7.2.4 with per-line decisions."""
+    p2, p1, p0 = win[:, 1], win[:, 2], win[:, 3]
+    q0, q1, q2 = win[:, 4], win[:, 5], win[:, 6]
     filt = (
         (bs4 > 0)
         & (np.abs(p0 - q0) < alpha)
@@ -2139,37 +2165,32 @@ def _filter_edge_luma(
 
     weak = filt & (bs4 < 4)
     if weak.any():
-        tc0 = np.where(
-            weak, _DB_TC0_NP[np.minimum(bs4, 3) - 1, idx_a], 0
+        tc = tc0 + ap + aq
+        delta = np.minimum(
+            np.maximum(((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc), tc
         )
-        tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
-        delta = np.clip(
-            ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
-        )
-        p0[weak] = np.clip(sp0 + delta, 0, 255)[weak]
-        q0[weak] = np.clip(sq0 - delta, 0, 255)[weak]
+        p0[weak] = np.minimum(np.maximum(sp0 + delta, 0), 255)[weak]
+        q0[weak] = np.minimum(np.maximum(sq0 - delta, 0), 255)[weak]
         half = (sp0 + sq0 + 1) >> 1
-        dp1 = np.clip((sp2 + half - 2 * sp1) >> 1, -tc0, tc0)
+        dp1 = np.minimum(
+            np.maximum((sp2 + half - 2 * sp1) >> 1, -tc0), tc0
+        )
         sel = weak & ap
         p1[sel] = (sp1 + dp1)[sel]
-        dq1 = np.clip((sq2 + half - 2 * sq1) >> 1, -tc0, tc0)
+        dq1 = np.minimum(
+            np.maximum((sq2 + half - 2 * sq1) >> 1, -tc0), tc0
+        )
         sel = weak & aq
         q1[sel] = (sq1 + dq1)[sel]
 
 
 def _filter_edge_chroma(
-    win: np.ndarray, bs4: np.ndarray, qpav: np.ndarray,
-    alpha_off: int, beta_off: int,
+    win: np.ndarray, bs4: np.ndarray, alpha, beta, tc0: np.ndarray,
 ) -> None:
     """Chroma edge filter (8.7.2.3/8.7.2.4): only p0/q0 change; `win`
-    is (n_lines, 4): p1 p0 q0 q1."""
-    if not bs4.any():
-        return
+    is (n_lines, 4): p1 p0 q0 q1. alpha/beta/tc0 as in
+    _filter_edge_luma (chroma-QP-indexed by the caller)."""
     p1, p0, q0, q1 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
-    idx_a = np.clip(qpav + alpha_off, 0, 51)
-    idx_b = np.clip(qpav + beta_off, 0, 51)
-    alpha = _DB_ALPHA_NP[idx_a]
-    beta = _DB_BETA_NP[idx_b]
     filt = (
         (bs4 > 0)
         & (np.abs(p0 - q0) < alpha)
@@ -2185,15 +2206,193 @@ def _filter_edge_chroma(
     q0[strong] = (2 * sq1 + sq0 + sp1 + 2)[strong] >> 2
     weak = filt & (bs4 < 4)
     if weak.any():
-        tc0 = np.where(
-            weak, _DB_TC0_NP[np.minimum(bs4, 3) - 1, idx_a], 0
-        )
         tc = tc0 + 1
-        delta = np.clip(
-            ((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc, tc
+        delta = np.minimum(
+            np.maximum(((sq0 - sp0) * 4 + (sp1 - sq1) + 4) >> 3, -tc), tc
         )
-        p0[weak] = np.clip(sp0 + delta, 0, 255)[weak]
-        q0[weak] = np.clip(sq0 - delta, 0, 255)[weak]
+        p0[weak] = np.minimum(np.maximum(sp0 + delta, 0), 255)[weak]
+        q0[weak] = np.minimum(np.maximum(sq0 - delta, 0), 255)[weak]
+
+
+_QPC_T52 = None  # built lazily below _QPC's definition site via init
+
+
+def _qpc_t52() -> np.ndarray:
+    """52-entry chroma-QP map: _chroma_qp(qp, off) == T[clip(qp+off)]."""
+    global _QPC_T52
+    if _QPC_T52 is None:
+        _QPC_T52 = np.array(
+            [_chroma_qp(i, 0) for i in range(52)], dtype=np.int64
+        )
+    return _QPC_T52
+
+
+def _deblock_picture_1col(st: "_PicState") -> None:
+    """Whole-picture vectorized 8.7 for single-MB-column pictures
+    (mw == 1) — bit-exact with the per-MB spec order because with no
+    MB to the left the interleave factors into phases:
+
+    - A vertical edge of MB row r touches (reads AND writes) luma rows
+      16r..16r+15 only; every horizontal edge of MB rows <= r touches
+      rows <= 16r+15 and of rows < r touches rows <= 16r-1. The only
+      pairs the phase order [all V, then all H in spec order] swaps
+      relative to the spec (V of row r' AFTER H of row r < r') touch
+      disjoint rows, so no conflicting pair is reordered.
+    - Within the V phase, edges of different MB rows are row-disjoint,
+      so each internal e batches across all rows in one filter call
+      (e ascending, as adjacent e windows share columns).
+    - Chroma analog: V(r) touches chroma rows 8r..8r+7, H edges of
+      rows < r touch rows <= 8r-3+... <= 8r-1; same factorization.
+    - ALL chroma horizontal edges are mutually independent: the chroma
+      filter writes only p0/q0 (rows cy-1, cy), reads rows cy-2..cy+1,
+      and consecutive edges sit >= 4 chroma rows apart — one edge's
+      writes never reach another's reads. They batch into one
+      gather/filter/scatter.
+    - Luma horizontal edges keep the spec chain (write reach 3, read
+      reach 4, spacing 4: genuinely ordered) in the per-edge loop.
+
+    Per-MB dbf gating folds into the batched calls by zeroing those
+    lines' bS (bS 0 lines are untouched by construction); mw == 1 has
+    no vertical slice boundaries, so the idc-2 rule only gates the
+    horizontal e == 0 edges, which stay in the loop."""
+    mh = st.mh
+    y_pl, cb_pl, cr_pl = st.y, st.cb, st.cr
+    coff = st.pps.chroma_qp_offset
+    bs_v, bs_h = _deblock_bs_grids(st)
+    qpc_t = _qpc_t52()
+
+    qp_mb = st.mb_qp[:, 0]
+    aoff_mb = st.mb_aoff[:, 0]
+    boff_mb = st.mb_boff[:, 0]
+    on_mb = st.mb_dbf[:, 0] != 0
+    ia_mb = np.minimum(np.maximum(qp_mb + aoff_mb, 0), 51)
+    ib_mb = np.minimum(np.maximum(qp_mb + boff_mb, 0), 51)
+    cq_mb = qpc_t[np.minimum(np.maximum(qp_mb + coff, 0), 51)]
+
+    # ---- luma vertical edges (internal e = 1..3), batched over rows
+    bsv_l = np.repeat(bs_v, 4, axis=0)  # (16mh, 4)
+    onl16 = np.repeat(on_mb, 16)
+    ia_l = np.repeat(ia_mb, 16)
+    al_l = _DB_ALPHA_NP[ia_l]
+    be_l = _DB_BETA_NP[np.repeat(ib_mb, 16)]
+    for e in (1, 2, 3):
+        bs = np.where(onl16, bsv_l[:, e], 0)
+        if bs.any():
+            x = 4 * e
+            _filter_edge_luma(
+                y_pl[:, x - 4 : x + 4], bs, al_l, be_l,
+                _TC0_BY_IDX[ia_l, bs],
+            )
+
+    # ---- chroma vertical edge (e = 2 only at mbx 0), batched + fused
+    cbs = np.where(np.repeat(on_mb, 8), np.repeat(bs_v[:, 2], 2), 0)
+    if cbs.any():
+        ia_c = np.minimum(np.maximum(cq_mb + aoff_mb, 0), 51)
+        ib_c = np.minimum(np.maximum(cq_mb + boff_mb, 0), 51)
+        ia_cl = np.tile(np.repeat(ia_c, 8), 2)
+        cbs2 = np.concatenate((cbs, cbs))
+        n8 = 8 * mh
+        cwin = np.empty((2 * n8, 4), dtype=np.int64)
+        cwin[:n8] = cb_pl[:, 2:6]
+        cwin[n8:] = cr_pl[:, 2:6]
+        _filter_edge_chroma(
+            cwin, cbs2, _DB_ALPHA_NP[ia_cl],
+            _DB_BETA_NP[np.tile(np.repeat(ib_c, 8), 2)],
+            _TC0_BY_IDX[ia_cl, cbs2],
+        )
+        cb_pl[:, 3:5] = cwin[:n8, 1:3]
+        cr_pl[:, 3:5] = cwin[n8:, 1:3]
+
+    # ---- luma horizontal edges: the ordered chain
+    bsh_l = np.repeat(bs_h, 4, axis=1)  # (4mh, 16)
+    eh = bs_h.reshape(4 * mh, 1, 4).any(axis=2)[:, 0].tolist()
+    qptab = qp_mb.tolist()
+    dbftab = st.mb_dbf[:, 0].tolist()
+    aofftab = aoff_mb.tolist()
+    bofftab = boff_mb.tolist()
+    slicetab = st.mb_slice[:, 0].tolist()
+    alpha_t, beta_t = _DB_ALPHA, _DB_BETA
+    for mby in range(mh):
+        dbf = dbftab[mby]
+        if dbf == 0:
+            continue
+        alpha_off = aofftab[mby]
+        beta_off = bofftab[mby]
+        qp_q = qptab[mby]
+        ia_i = int(ia_mb[mby])
+        a_int, b_int = alpha_t[ia_i], beta_t[ib_mb[mby]]
+        tct_int = _TC0_BY_IDX[ia_i]
+        for e in range(4):
+            if e == 0:
+                if mby == 0:
+                    continue
+                if dbf == 2 and slicetab[mby - 1] != slicetab[mby]:
+                    continue  # idc 2: no filtering across slices
+                qpav = (qptab[mby - 1] + qp_q + 1) >> 1
+                ia = qpav + alpha_off
+                ia = 0 if ia < 0 else (51 if ia > 51 else ia)
+                ib = qpav + beta_off
+                ib = 0 if ib < 0 else (51 if ib > 51 else ib)
+                al, be, tct = alpha_t[ia], beta_t[ib], _TC0_BY_IDX[ia]
+            else:
+                al, be, tct = a_int, b_int, tct_int
+            byq = 4 * mby + e
+            if eh[byq]:
+                y = 16 * mby + 4 * e
+                bs16 = bsh_l[byq]
+                _filter_edge_luma(
+                    y_pl[y - 4 : y + 4, :].T, bs16, al, be, tct[bs16],
+                )
+
+    # ---- chroma horizontal edges: all mutually independent, batched
+    cys, ias, ibs = [], [], []
+    for mby in range(mh):
+        dbf = dbftab[mby]
+        if dbf == 0:
+            continue
+        cq_q = int(cq_mb[mby])
+        alpha_off = aofftab[mby]
+        beta_off = bofftab[mby]
+        if mby > 0 and not (
+            dbf == 2 and slicetab[mby - 1] != slicetab[mby]
+        ):
+            qpav_c = (int(cq_mb[mby - 1]) + cq_q + 1) >> 1
+            ia = qpav_c + alpha_off
+            ias.append(0 if ia < 0 else (51 if ia > 51 else ia))
+            ib = qpav_c + beta_off
+            ibs.append(0 if ib < 0 else (51 if ib > 51 else ib))
+            cys.append(8 * mby)
+        ia = cq_q + alpha_off
+        ias.append(0 if ia < 0 else (51 if ia > 51 else ia))
+        ib = cq_q + beta_off
+        ibs.append(0 if ib < 0 else (51 if ib > 51 else ib))
+        cys.append(8 * mby + 4)
+    if cys:
+        idx = np.array(cys, dtype=np.int64)
+        # per-line bS: lines are the 8 chroma columns of each edge;
+        # block col of chroma col cx is cx//2, block row is cy//2
+        cbs = bs_h[idx // 2][:, _CH_COLS]  # (n, 8)
+        if cbs.any():
+            n = len(cys)
+            rows = (idx[:, None] + np.arange(-2, 2)[None, :])  # (n, 4)
+            cwin = np.empty((2 * n * 8, 4), dtype=np.int64)
+            cwin[: n * 8] = cb_pl[rows].transpose(0, 2, 1).reshape(-1, 4)
+            cwin[n * 8 :] = cr_pl[rows].transpose(0, 2, 1).reshape(-1, 4)
+            ia_cl = np.tile(np.repeat(np.array(ias), 8), 2)
+            cbs2 = np.tile(cbs.reshape(-1), 2)
+            _filter_edge_chroma(
+                cwin, cbs2, _DB_ALPHA_NP[ia_cl],
+                _DB_BETA_NP[np.tile(np.repeat(np.array(ibs), 8), 2)],
+                _TC0_BY_IDX[ia_cl, cbs2],
+            )
+            res = cwin.reshape(2, n, 8, 4)
+            cb_pl[idx - 1, :] = res[0, :, :, 1]
+            cb_pl[idx, :] = res[0, :, :, 2]
+            cr_pl[idx - 1, :] = res[1, :, :, 1]
+            cr_pl[idx, :] = res[1, :, :, 2]
+
+
+_CH_COLS = np.array([0, 0, 1, 1, 2, 2, 3, 3])
 
 
 def _deblock_picture(st: "_PicState") -> None:
@@ -2203,103 +2402,148 @@ def _deblock_picture(st: "_PicState") -> None:
     I_PCM macroblock counts as 0 (8.7.2); chroma uses the mapped QPc
     with the PPS offset. Filter parameters (on/off/offsets, and the
     idc-2 do-not-cross-slice-boundaries mode) come from the slice
-    containing the CURRENT macroblock, recorded per MB."""
+    containing the CURRENT macroblock, recorded per MB.
+
+    Everything that does NOT depend on filtered sample values — bS
+    grids, QP averages, the Table 8-16/8-17 threshold lookups, the
+    per-edge any-bS activity test — is precomputed picture-wide from
+    the pre-deblock state; only the sample-dependent filter itself
+    runs inside the ordered per-edge loop. Single-MB-column pictures
+    take the fully phase-batched path (_deblock_picture_1col)."""
     mw, mh = st.mw, st.mh
+    if mw == 1:
+        _deblock_picture_1col(st)
+        return
     y_pl, cb_pl, cr_pl = st.y, st.cb, st.cr
     coff = st.pps.chroma_qp_offset
 
-    def mb_qp(mbx: int, mby: int) -> int:
-        return int(st.mb_qp[mby, mbx])
+    bs_v, bs_h = _deblock_bs_grids(st)
+    # per-LINE bS views: luma line r of a vertical edge takes the bS of
+    # block row r//4, so repeating each grid row/column 4x lets every
+    # edge slice its 16-line bS vector without per-edge assembly
+    bsv_l = np.repeat(bs_v, 4, axis=0)  # (16mh, 4mw)
+    bsh_l = np.repeat(bs_h, 4, axis=1)  # (4mh, 16mw)
+    # any-bS per edge (4-block span), as plain lists for cheap lookups
+    ev = bs_v.reshape(mh, 4, 4 * mw).any(axis=1).tolist()
+    eh = bs_h.reshape(4 * mh, mw, 4).any(axis=2).tolist()
+    qptab = st.mb_qp.tolist()
+    dbftab = st.mb_dbf.tolist()
+    aofftab = st.mb_aoff.tolist()
+    bofftab = st.mb_boff.tolist()
+    slicetab = st.mb_slice.tolist()
+    alpha_t, beta_t = _DB_ALPHA, _DB_BETA
+    cwin_buf = np.empty((16, 4), dtype=np.int64)
+
+    def chroma_edge(cwin_cb: np.ndarray, cwin_cr: np.ndarray,
+                    cbs: np.ndarray, qpav_c: int,
+                    alpha_off: int, beta_off: int) -> None:
+        # both chroma planes share bS/thresholds; one stacked filter
+        # call halves the per-edge call count (the per-line masks stay
+        # per-plane). Only p0/q0 (cols 1:3) are ever modified.
+        ia = qpav_c + alpha_off
+        ia = 0 if ia < 0 else (51 if ia > 51 else ia)
+        ib = qpav_c + beta_off
+        ib = 0 if ib < 0 else (51 if ib > 51 else ib)
+        cwin = cwin_buf
+        cwin[:8] = cwin_cb
+        cwin[8:] = cwin_cr
+        cbs2 = np.concatenate((cbs, cbs))
+        _filter_edge_chroma(
+            cwin, cbs2, alpha_t[ia], beta_t[ib], _TC0_BY_IDX[ia][cbs2]
+        )
+        cwin_cb[:, 1:3] = cwin[:8, 1:3]
+        cwin_cr[:, 1:3] = cwin[8:, 1:3]
 
     for mby in range(mh):
+        qrow = qptab[mby]
+        srow = slicetab[mby]
+        row16 = 16 * mby
+        row8 = 8 * mby
         for mbx in range(mw):
-            dbf = int(st.mb_dbf[mby, mbx])
+            dbf = dbftab[mby][mbx]
             if dbf == 0:
                 continue
-            alpha_off = int(st.mb_aoff[mby, mbx])
-            beta_off = int(st.mb_boff[mby, mbx])
-            slice_id = int(st.mb_slice[mby, mbx])
+            alpha_off = aofftab[mby][mbx]
+            beta_off = bofftab[mby][mbx]
+            slice_id = srow[mbx]
+            qp_q = qrow[mbx]
+            cq_q = _chroma_qp(qp_q, coff)
+            # internal edges (e >= 1) average the SAME MB's QP
+            ia_i = qp_q + alpha_off
+            ia_i = 0 if ia_i < 0 else (51 if ia_i > 51 else ia_i)
+            ib_i = qp_q + beta_off
+            ib_i = 0 if ib_i < 0 else (51 if ib_i > 51 else ib_i)
+            a_int, b_int = alpha_t[ia_i], beta_t[ib_i]
+            tct_int = _TC0_BY_IDX[ia_i]
             # ---- vertical edges (filter across columns) ----
             for e in range(4):
-                if e == 0 and mbx == 0:
-                    continue
-                if (
-                    e == 0 and dbf == 2
-                    and int(st.mb_slice[mby, mbx - 1]) != slice_id
-                ):
-                    continue  # idc 2: no filtering across slice edges
-                x = 16 * mbx + 4 * e
-                qp_p = mb_qp(mbx - 1, mby) if e == 0 else mb_qp(mbx, mby)
-                qp_q = mb_qp(mbx, mby)
-                qpav_v = (qp_p + qp_q + 1) >> 1
-                bs_lines = np.empty(16, dtype=np.int64)
-                for blk in range(4):
-                    bs = _bs_luma_pair(
-                        st,
-                        (x - 1) // 4, 4 * mby + blk,
-                        x // 4, 4 * mby + blk,
-                        mb_edge=(e == 0),
+                if e == 0:
+                    if mbx == 0:
+                        continue
+                    if dbf == 2 and srow[mbx - 1] != slice_id:
+                        continue  # idc 2: no filtering across slices
+                    qp_p = qrow[mbx - 1]
+                    qpav = (qp_p + qp_q + 1) >> 1
+                    ia = qpav + alpha_off
+                    ia = 0 if ia < 0 else (51 if ia > 51 else ia)
+                    ib = qpav + beta_off
+                    ib = 0 if ib < 0 else (51 if ib > 51 else ib)
+                    al, be, tct = alpha_t[ia], beta_t[ib], _TC0_BY_IDX[ia]
+                else:
+                    qp_p = qp_q
+                    al, be, tct = a_int, b_int, tct_int
+                bxq = 4 * mbx + e
+                if ev[mby][bxq]:
+                    x = 16 * mbx + 4 * e
+                    bs16 = bsv_l[row16 : row16 + 16, bxq]
+                    _filter_edge_luma(
+                        y_pl[row16 : row16 + 16, x - 4 : x + 4],
+                        bs16, al, be, tct[bs16],
                     )
-                    bs_lines[4 * blk : 4 * blk + 4] = bs
-                win = y_pl[16 * mby : 16 * mby + 16, x - 4 : x + 4]
-                _filter_edge_luma(
-                    win, bs_lines,
-                    np.full(16, qpav_v, dtype=np.int64),
-                    alpha_off, beta_off,
-                )
-                if e in (0, 2):  # chroma vertical edges at cx = 0, 4
-                    cx = 8 * mbx + 2 * e
-                    qpav_c = (
-                        _chroma_qp(qp_p, coff) + _chroma_qp(qp_q, coff) + 1
-                    ) >> 1
-                    cbs = bs_lines[::2]
-                    for pl in (cb_pl, cr_pl):
-                        cwin = pl[8 * mby : 8 * mby + 8, cx - 2 : cx + 2]
-                        _filter_edge_chroma(
-                            cwin, cbs,
-                            np.full(8, qpav_c, dtype=np.int64),
-                            alpha_off, beta_off,
+                    if e in (0, 2):  # chroma vertical edges at cx 0, 4
+                        cx = 8 * mbx + 2 * e
+                        qpav_c = (
+                            _chroma_qp(qp_p, coff) + cq_q + 1
+                        ) >> 1
+                        chroma_edge(
+                            cb_pl[row8 : row8 + 8, cx - 2 : cx + 2],
+                            cr_pl[row8 : row8 + 8, cx - 2 : cx + 2],
+                            bs16[::2], qpav_c, alpha_off, beta_off,
                         )
             # ---- horizontal edges (filter across rows) ----
             for e in range(4):
-                if e == 0 and mby == 0:
-                    continue
-                if (
-                    e == 0 and dbf == 2
-                    and int(st.mb_slice[mby - 1, mbx]) != slice_id
-                ):
-                    continue  # idc 2: no filtering across slice edges
-                y = 16 * mby + 4 * e
-                qp_p = mb_qp(mbx, mby - 1) if e == 0 else mb_qp(mbx, mby)
-                qp_q = mb_qp(mbx, mby)
-                qpav_h = (qp_p + qp_q + 1) >> 1
-                bs_lines = np.empty(16, dtype=np.int64)
-                for blk in range(4):
-                    bs = _bs_luma_pair(
-                        st,
-                        4 * mbx + blk, (y - 1) // 4,
-                        4 * mbx + blk, y // 4,
-                        mb_edge=(e == 0),
+                if e == 0:
+                    if mby == 0:
+                        continue
+                    if dbf == 2 and slicetab[mby - 1][mbx] != slice_id:
+                        continue  # idc 2: no filtering across slices
+                    qp_p = qptab[mby - 1][mbx]
+                    qpav = (qp_p + qp_q + 1) >> 1
+                    ia = qpav + alpha_off
+                    ia = 0 if ia < 0 else (51 if ia > 51 else ia)
+                    ib = qpav + beta_off
+                    ib = 0 if ib < 0 else (51 if ib > 51 else ib)
+                    al, be, tct = alpha_t[ia], beta_t[ib], _TC0_BY_IDX[ia]
+                else:
+                    qp_p = qp_q
+                    al, be, tct = a_int, b_int, tct_int
+                byq = 4 * mby + e
+                if eh[byq][mbx]:
+                    y = 16 * mby + 4 * e
+                    bs16 = bsh_l[byq, 16 * mbx : 16 * mbx + 16]
+                    _filter_edge_luma(
+                        y_pl[y - 4 : y + 4, 16 * mbx : 16 * mbx + 16].T,
+                        bs16, al, be, tct[bs16],
                     )
-                    bs_lines[4 * blk : 4 * blk + 4] = bs
-                win = y_pl[y - 4 : y + 4, 16 * mbx : 16 * mbx + 16].T
-                _filter_edge_luma(
-                    win, bs_lines,
-                    np.full(16, qpav_h, dtype=np.int64),
-                    alpha_off, beta_off,
-                )
-                if e in (0, 2):
-                    cy = 8 * mby + 2 * e
-                    qpav_c = (
-                        _chroma_qp(qp_p, coff) + _chroma_qp(qp_q, coff) + 1
-                    ) >> 1
-                    cbs = bs_lines[::2]
-                    for pl in (cb_pl, cr_pl):
-                        cwin = pl[cy - 2 : cy + 2, 8 * mbx : 8 * mbx + 8].T
-                        _filter_edge_chroma(
-                            cwin, cbs,
-                            np.full(8, qpav_c, dtype=np.int64),
-                            alpha_off, beta_off,
+                    if e in (0, 2):
+                        cy = 8 * mby + 2 * e
+                        qpav_c = (
+                            _chroma_qp(qp_p, coff) + cq_q + 1
+                        ) >> 1
+                        chroma_edge(
+                            cb_pl[cy - 2 : cy + 2, 8 * mbx : 8 * mbx + 8].T,
+                            cr_pl[cy - 2 : cy + 2, 8 * mbx : 8 * mbx + 8].T,
+                            bs16[::2], qpav_c, alpha_off, beta_off,
                         )
 
 

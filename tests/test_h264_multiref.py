@@ -16,7 +16,7 @@ import pytest
 from streams_spark.functions.h264 import (
     _BLK_ORDER,
     _CBP_INTER_INV,
-    _bs_luma_pair,
+    _deblock_bs_grids,
     _mvp_16x16,
     _nc_luma,
     _PicState,
@@ -308,20 +308,23 @@ def test_p8x8ref0_reads_no_ref_idx_under_multi_ref():
 
 
 def test_bs_different_ref_pictures_is_one():
+    # bs_v[by, bx] is the vertical edge between block cols bx-1 and bx
     st = _state(2, 1)
     st.inter[:, :] = True
     st.nnz[:, :] = 0
     st.mv[:, :] = (0, 0)
     st.ref4[:, :4] = 0
     st.ref4[:, 4:] = 1
+    bs_v, _ = _deblock_bs_grids(st)
     # internal edge of same ref on the left MB: identical mv, no coefs
-    assert _bs_luma_pair(st, 0, 0, 1, 0, mb_edge=False) == 0
+    assert bs_v[0, 1] == 0
     # MB edge between unlike-ref blocks: bS 1 despite identical mv
-    assert _bs_luma_pair(st, 3, 0, 4, 0, mb_edge=True) == 1
+    assert bs_v[0, 4] == 1
     # same refs, large mv difference still bS 1
     st.ref4[:, 4:] = 0
     st.mv[:, 4:] = (8, 0)
-    assert _bs_luma_pair(st, 3, 0, 4, 0, mb_edge=True) == 1
+    bs_v, _ = _deblock_bs_grids(st)
+    assert bs_v[0, 4] == 1
 
 
 # ---------------------------------------------------------------------------
