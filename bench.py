@@ -277,6 +277,15 @@ def _measure_scan_floors(spark, sf_dir: str) -> dict[str, float]:
 # (VERDICT r9 #2): facts about WHAT the warm number includes, not
 # excuses. Emitted verbatim in the bench JSON.
 BENCH_NOTES = {
+    "canary_basket": (
+        "r12: non-canary rows reuse one parquet-source resolution per "
+        "session (tables._READ_MEMO — plan-side only, every action "
+        "still scans the files); the five canary rows run with that "
+        "memo cleared so canary_factor keeps measuring host drift "
+        "against the identical r1 work, not the r12 code change. "
+        "Canary raw readings are therefore comparable to all prior "
+        "rounds; non-canary readings include the memo win."
+    ),
     "t_contamination": (
         "warm row includes the one-time .cache() build of the "
         "contamination index; steady-state is well under (SCALING.md r7)"
@@ -361,11 +370,13 @@ def _clear_session_caches(spark) -> None:
     spark.catalog.clearCache()
     from streams_spark.functions import text_funcs
     from streams_spark.operators import dedup, similarity
+    from streams_spark.sources import tables
 
     dedup._SHINGLE_CACHE.clear()
     dedup._EDGE_CACHE.clear()
     similarity._PQ_ELEMENT_CACHE.clear()
     text_funcs._IDENTITY_CACHE.clear()
+    tables._READ_MEMO.clear()
 
 
 def main() -> None:
@@ -387,6 +398,8 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in registry]
 
+    from streams_spark.sources import tables as _tables
+
     def run_query(name: str) -> float:
         # The noop sink executes the FULL plan with zero driver-side
         # materialization. count() (used through r2) is not honest here:
@@ -394,6 +407,14 @@ def main() -> None:
         # under a count, so map-only queries measured scan cost only
         # (t_text_stats 0.57s counted vs 0.97s real; d_semdedup 0.22s vs
         # 2.32s — the dup join was optimized away entirely).
+        # Canary-basket rows run with the parquet-source plan memo
+        # cleared (r12): the basket is the host-drift INSTRUMENT, frozen
+        # behaviorally since r1 — letting the r12 table-resolution memo
+        # speed the canaries would recalibrate canary_factor by a code
+        # change instead of host drift and skew every cross-round
+        # adjusted comparison. All non-canary rows keep the memo.
+        if name in CANARIES:
+            _tables._READ_MEMO.clear()
         t0 = time.time()
         df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -1213,7 +1213,9 @@ def _staged_blob_feed(
     # fan the CPU-bound decode across all cores: the staged blobs are a
     # few MB, so the scan would otherwise pack them into one partition
     # and the demux stage would run single-task (the m_jpeg lesson)
-    return spark.read.parquet(feed).repartition(
+    from streams_spark.sources.tables import read_parquet_memo
+
+    return read_parquet_memo(spark, feed).repartition(
         spark.sparkContext.defaultParallelism
     )
 

@@ -73,7 +73,9 @@ def _events_schema(spark: SparkSession, sf_dir: str):
     raw read (the round-1 lesson from sources/tables.py — do not rely
     on an earlier load_table call having set it session-wide)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from streams_spark.sources.tables import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/events.parquet").schema
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:

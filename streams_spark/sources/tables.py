@@ -46,6 +46,37 @@ def _normalize_event_ts(dtype):
     return F.col("ts")
 
 
+# Analyzed-plan memo for parquet sources: one driver-side schema
+# inference + source resolution per (session, path, file identity).
+# Nothing row-side is cached — the memoized DataFrame is a plain lazy
+# scan recomputed from the parquet file on every action; the memo only
+# removes the repeated DRIVER-side footer read + DataSource resolution
+# (measured ~0.11 s per spark.read.parquet call on this harness, paid
+# 6x per query per bench run before this) — the same planning-time
+# cost class as Spark's own file-listing cache (guide: repeated
+# multi-minute listings at scale). Keyed on file mtime+size so an
+# in-place testdata rewrite invalidates; cleared by bench.py's
+# _clear_session_caches alongside the other module-level memos so the
+# cold pass stays attributable.
+_READ_MEMO: dict = {}
+
+
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId, path,
+            st.st_mtime_ns, st.st_size,
+        )
+    except OSError:
+        return spark.read.parquet(path)
+    df = _READ_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _READ_MEMO[key] = df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Generated events files have shipped with ts as TIMESTAMP(NANOS)
@@ -62,7 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # BIGINT instead of erroring — route such reads through
         # _normalize_event_ts (or a fresh session) if that matters.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = read_parquet_memo(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", _normalize_event_ts(df.schema["ts"].dataType))
     # NOTE on partitioning: each testdata file is one unsplittable row
