@@ -226,16 +226,23 @@ class BitWriter:
 
 
 def ebsp_to_rbsp(data: bytes) -> bytes:
-    """Strip emulation_prevention_three_byte: 00 00 03 -> 00 00."""
+    """Strip emulation_prevention_three_byte: 00 00 03 -> 00 00.
+
+    C-speed substring search instead of the old per-byte Python loop
+    (escape-free payloads — the overwhelmingly common case — return the
+    input untouched). Equivalent to the byte loop: each leftmost
+    00 00 03 match emits the two zeros and resumes AFTER the 03, so
+    overlapping patterns resolve identically."""
+    i = data.find(b"\x00\x00\x03")
+    if i < 0:
+        return data
     out = bytearray()
-    i, n = 0, len(data)
-    while i < n:
-        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
-            out += data[i : i + 2]
-            i += 3
-        else:
-            out.append(data[i])
-            i += 1
+    start = 0
+    while i >= 0:
+        out += data[start : i + 2]
+        start = i + 3
+        i = data.find(b"\x00\x00\x03", start)
+    out += data[start:]
     return bytes(out)
 
 
@@ -2919,20 +2926,26 @@ def _skip_mv(st: "_PicState", mbx: int, mby: int) -> tuple[int, int]:
     return _mvp_16x16(st, mbx, mby)
 
 
-_TAPS = np.array([1, -5, 20, 20, -5, 1], dtype=np.int64)
 
 
 def _six_tap(a: np.ndarray, axis: int) -> np.ndarray:
     """Un-normalized 6-tap [1,-5,20,20,-5,1] along `axis`; output is 5
     shorter (value k sits at the half-sample between inputs k+2 and
-    k+3)."""
-    sl: list = [slice(None)] * a.ndim
-    acc = None
-    for t in range(6):
-        sl[axis] = slice(t, a.shape[axis] - 5 + t)
-        term = _TAPS[t] * a[tuple(sl)]
-        acc = term if acc is None else acc + term
-    return acc
+    k+3). The symmetric taps are factored — (a+f) - 5*(b+e) + 20*(c+d)
+    — which is exact in int64 and almost halves the ufunc count of the
+    old per-tap multiply-accumulate loop."""
+    n = a.shape[axis] - 5
+    if axis == 1:
+        return (
+            (a[:, 0:n] + a[:, 5 : n + 5])
+            - 5 * (a[:, 1 : n + 1] + a[:, 4 : n + 4])
+            + 20 * (a[:, 2 : n + 2] + a[:, 3 : n + 3])
+        )
+    return (
+        (a[0:n] + a[5 : n + 5])
+        - 5 * (a[1 : n + 1] + a[4 : n + 4])
+        + 20 * (a[2 : n + 2] + a[3 : n + 3])
+    )
 
 
 def mc_luma(
@@ -3013,33 +3026,36 @@ def _mc_luma_win(
     if xF != 0 and yF != 2:
         # b: half-x right of G[i,j] ((h_+1) x w, row h_ is 's')
         b1 = _six_tap(win[2 : h_ + 3, :], 1)
-        b = np.clip((b1 + 16) >> 5, 0, 255)
+        b = np.minimum(np.maximum((b1 + 16) >> 5, 0), 255)
         bb, bs = b[:h_, :], b[1 : h_ + 1, :]
     if yF != 0 and xF != 2:
         # h: half-y below G[i,j] (h_ x (w+1), col w is 'm')
         h1 = _six_tap(win[:, 2 : w + 3], 0)
-        h = np.clip((h1 + 16) >> 5, 0, 255)[:h_, :]
+        h = np.minimum(np.maximum((h1 + 16) >> 5, 0), 255)[:h_, :]
         hh, hm = h[:, :w], h[:, 1 : w + 1]
     if (xF == 2 and yF != 0) or (yF == 2 and xF != 0):
         # j: center half-pel from un-rounded row intermediates
         j1 = _six_tap(_six_tap(win, 1), 0)
-        jj = np.clip((j1 + 512) >> 10, 0, 255)
-    G16, Gx, Gy = G[:h_, :w], G[:h_, 1 : w + 1], G[1 : h_ + 1, :w]
-
-    def avg(u, v):
-        return (u + v + 1) >> 1
-
-    table = {
-        (1, 0): lambda: avg(G16, bb), (2, 0): lambda: bb,
-        (3, 0): lambda: avg(Gx, bb),
-        (0, 1): lambda: avg(G16, hh), (1, 1): lambda: avg(bb, hh),
-        (2, 1): lambda: avg(bb, jj), (3, 1): lambda: avg(bb, hm),
-        (0, 2): lambda: hh, (1, 2): lambda: avg(hh, jj),
-        (2, 2): lambda: jj, (3, 2): lambda: avg(jj, hm),
-        (0, 3): lambda: avg(Gy, hh), (1, 3): lambda: avg(hh, bs),
-        (2, 3): lambda: avg(jj, bs), (3, 3): lambda: avg(hm, bs),
-    }
-    return table[(xF, yF)]()
+        jj = np.minimum(np.maximum((j1 + 512) >> 10, 0), 255)
+    # quarter positions: +1-rounded average of the two nearest
+    # integer/half samples (Table 8-12), one branch per (xF, yF)
+    if yF == 0:
+        u, v = (G[:h_, :w], bb) if xF == 1 else (
+            (bb, None) if xF == 2 else (G[:h_, 1 : w + 1], bb)
+        )
+    elif yF == 1:
+        u, v = (
+            (G[:h_, :w], hh), (bb, hh), (bb, jj), (bb, hm)
+        )[xF]
+    elif yF == 2:
+        u, v = ((hh, None), (hh, jj), (jj, None), (jj, hm))[xF]
+    else:
+        u, v = (
+            (G[1 : h_ + 1, :w], hh), (hh, bs), (jj, bs), (hm, bs)
+        )[xF]
+    if v is None:
+        return u
+    return (u + v + 1) >> 1
 
 
 def mc_luma_16x16(
@@ -3133,9 +3149,19 @@ def _mc_chroma_win(
     win: np.ndarray, xF: int, yF: int, w: int, h_: int
 ) -> np.ndarray:
     """Eighth-pel bilinear over an extracted (2, h_+1, w+1) window
-    (the shared body of mc_chroma_pair / mc_chroma_pair_ref)."""
-    if xF == 0 and yF == 0:
-        return win[:, :h_, :w].copy()
+    (the shared body of mc_chroma_pair / mc_chroma_pair_ref). The
+    separable xF == 0 / yF == 0 cases halve the multiply count — exact:
+    with yF == 0 the C/D weights are zero and the 8-8.4.2.2.2 formula
+    reduces to ((8-xF)*8*A + xF*8*B + 32) >> 6 == ((8-xF)*A + xF*B + 4)
+    >> 3 (all weights are multiples of 8, so the shift folds)."""
+    if yF == 0:
+        if xF == 0:
+            return win[:, :h_, :w].copy()
+        A, B = win[:, :h_, :w], win[:, :h_, 1:]
+        return ((8 - xF) * A + xF * B + 4) >> 3
+    if xF == 0:
+        A, C = win[:, :h_, :w], win[:, 1:, :w]
+        return ((8 - yF) * A + yF * C + 4) >> 3
     A, B = win[:, :h_, :w], win[:, :h_, 1:]
     C, D = win[:, 1:, :w], win[:, 1:, 1:]
     return (
@@ -3153,6 +3179,16 @@ def _chroma_resid_add_pair(
     the per-MB batch-call count vs the old per-plane helper. The 2x2
     inverse Hadamard + rescale stays in plain ints (h2 @ f @ h2
     spelled out)."""
+    # zero-residual fast path (P_Skip and cbp-chroma-0 macroblocks):
+    # all-zero DC + no AC means the batched transform is identically
+    # zero and the prediction IS the reconstruction (MC output is
+    # already in 0..255 — every mc_* case is a clipped value, an
+    # in-range plane sample, or a +1-rounded average of those)
+    if (
+        not any(cdc[0]) and not any(cdc[1])
+        and not any(cac[0]) and not any(cac[1])
+    ):
+        return [pred_cb, pred_cr]
     preds = [pred_cb, pred_cr]
     n_pl = 2
     v0 = _V[qpc % 6][0]
@@ -3178,7 +3214,7 @@ def _chroma_resid_add_pair(
         rec.reshape(2, 4, 2, 4)[_CHROMA_BR, :, _CHROMA_BC, :] += rs[
             4 * c : 4 * c + 4
         ]
-        out.append(np.clip(rec, 0, 255))
+        out.append(np.minimum(np.maximum(rec, 0), 255))
     return out
 
 
@@ -3198,18 +3234,18 @@ def _reconstruct_inter_mb(
         pred[oy : oy + h_, ox : ox + w] = mc_luma_ref(
             ref_list[ri], 16 * mbx + ox, 16 * mby + oy, w, h_, mvx, mvy
         )
-    rec = pred.copy()
     # inter 4x4 residuals: all 16 coefficients in one zigzag block (no
     # separate DC transform — that is Intra_16x16 only), batched across
-    # the MB's coded blocks (residual_4x4_batch)
+    # the MB's coded blocks (residual_4x4_batch). Zero-residual MBs
+    # (P_Skip, cbp-luma 0) write the prediction directly — MC output is
+    # already in 0..255, so the clip is only needed after a residual add.
     coded = [k for k in range(16) if luma_blocks[k] is not None]
     if coded:
         lv = np.array([luma_blocks[k] for k in coded], dtype=np.int64)
         rs = residual_4x4_batch(lv, st.qp)
-        rec.reshape(4, 4, 4, 4)[_BLK_BR[coded], :, _BLK_BC[coded], :] += rs
-    st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = np.clip(
-        rec, 0, 255
-    )
+        pred.reshape(4, 4, 4, 4)[_BLK_BR[coded], :, _BLK_BC[coded], :] += rs
+        np.minimum(np.maximum(pred, 0, out=pred), 255, out=pred)
+    st.y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = pred
     qpc = _chroma_qp(st.qp, st.pps.chroma_qp_offset)
     predc2 = np.empty((2, 8, 8), dtype=np.int64)
     for ox, oy, w, h_, mvx, mvy, ri in parts:
