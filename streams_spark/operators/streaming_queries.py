@@ -1129,15 +1129,17 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        last = (
-            bdf.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # ONE last-writer window over (state ∪ raw batch) — the r11
+        # shape pre-reduced the batch with its own window first, but
+        # (ts, event_id)-argmax per key is associative, so the fused
+        # window emits the identical merged rows with one fewer
+        # shuffle+stage per micro-batch (and shuffles the same batch
+        # bytes once instead of twice). Still commutative over batches
+        # and idempotent under foreachBatch redelivery.
         cur = state["df"]
-        merged = last if cur is None else (
-            cur.unionByName(last)
-            .withColumn("rn", F.row_number().over(w))
+        base = bdf if cur is None else cur.unionByName(bdf)
+        merged = (
+            base.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
         )
