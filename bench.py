@@ -214,10 +214,17 @@ SCAN_FLOORS = {
         "events", ["user_id", "ts", "value", "event_id", "event_type"],
         "type_in_click_purchase",
     ),
+    # d_minhash_lsh's signature kernel (VERDICT r11 #7): 64 seeded
+    # xxhash64 columns over the exploded shingle postings, partial-agg
+    # min per doc — pure codegen compute, measured 0.55s vs the
+    # operator's own signature stage at 0.53s (r12: the stage IS its
+    # floor; the row's remainder is banding + self-join + verify)
+    "minhash_projection": ("documents", ["doc_id"], "minhash64"),
 }
 
 # audited row -> its floor key (rows not listed audit against r1 only)
 FLOOR_OF = {
+    "d_minhash_lsh": "minhash_projection",
     "t_token_count": "documents_bpe_count",
     "t_contamination": "documents_id_text",
     "t_text_stats": "documents_distinct_tokens",
@@ -269,6 +276,25 @@ def _measure_scan_floors(spark, sf_dir: str) -> dict[str, float]:
             # the Jackson parse kernel of q_json_props: from_json and
             # field extraction, no aggregation
             df = df.select(F.from_json("props", "k INT")["k"])
+        elif filt == "minhash64":
+            # d_minhash_lsh's kernel: the 64-permutation projection
+            # spelled with built-ins over the same staged signature
+            # feed the operator reads (explode -> 64 seeded xxhash64
+            # -> map-side min per doc)
+            from streams_spark.operators.dedup import shingle_table
+
+            ex = shingle_table(spark, sf_dir).select(
+                "doc_id", F.explode("hs").alias("shingle")
+            )
+            df = ex.select(
+                "doc_id",
+                *[
+                    F.xxhash64(F.col("shingle"), F.lit(s)).alias(f"h{s}")
+                    for s in range(64)
+                ],
+            ).groupBy("doc_id").agg(
+                *[F.min(f"h{s}").alias(f"m{s}") for s in range(64)]
+            )
         floors[key] = best2(df)
     return floors
 
@@ -335,6 +361,15 @@ BENCH_NOTES = {
         "noop-times at 0.49s solo vs the r1 0.322 recording — the "
         "events_range_cols floor bounds it in the machine audit "
         "(r11 opt round)"
+    ),
+    "d_minhash_lsh": (
+        "kernel-bound: the 64-seed xxhash64 projection + map-side min "
+        "over the 260k exploded postings measures 0.55s solo at sf0.1 "
+        "while the operator's signature stage measures 0.53s — the "
+        "stage IS its codegen floor (machine-checked via the "
+        "minhash_projection scan floor since r12); the row's remainder "
+        "is banding + band self-join + exact-jaccard verify (~0.45s "
+        "solo)"
     ),
     "d_dup_clusters": (
         "driver-loop row (min-label CC: ~4 tiny jobs per round at "
