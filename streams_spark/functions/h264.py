@@ -682,13 +682,28 @@ def _ct_peek_table(nC: int) -> list:
     return table
 
 
+def _peek16(br: BitReader) -> int:
+    """BitReader.peek16's body as a free function — the two VLC hot
+    paths call it ~180k times per 300-doc GOP corpus; skipping the
+    bound-method dispatch is measurable there."""
+    pos = br.pos
+    b0 = pos >> 3
+    sl = br.data[b0 : b0 + 3]
+    chunk = int.from_bytes(sl, "big")
+    avail = len(sl) * 8 - (pos & 7)
+    chunk &= (1 << avail) - 1 if avail else 0
+    if avail >= 16:
+        return chunk >> (avail - 16)
+    return chunk << (16 - avail)
+
+
 def _read_coeff_token(br: BitReader, nC: int) -> tuple[int, int]:
     if nC >= 8:
         v = br.u(6)
         if v == 0b000011:
             return 0, 0
         return (v >> 2) + 1, v & 3
-    hit = _ct_peek_table(nC)[br.peek16()]
+    hit = _ct_peek_table(nC)[_peek16(br)]
     if hit is None:
         if br.nbits - br.pos < 16:
             raise H264Error("bitstream truncated")
@@ -803,7 +818,7 @@ def _read_vlc(br: BitReader, entries: list[tuple[int, int]]) -> int:
         cached = (maxlen, table, entries)
         _VLC_MAP_CACHE[id(entries)] = cached
     maxlen, table = cached[0], cached[1]
-    hit = table[br.peek16() >> (16 - maxlen)]
+    hit = table[_peek16(br) >> (16 - maxlen)]
     if hit is None:
         if br.nbits - br.pos < maxlen:
             raise H264Error("bitstream truncated")
@@ -830,12 +845,25 @@ def read_residual_block(
 ) -> list[int]:
     """Decode one residual block; returns coefficients in SCAN order
     (zigzag for 4x4, raster for the 2x2 chroma DC), length max_coeffs."""
+    coeffs, _tc = _read_residual_tc(br, max_coeffs, nC)
+    return coeffs if coeffs is not None else [0] * max_coeffs
+
+
+def _read_residual_tc(
+    br: BitReader, max_coeffs: int, nC: int
+) -> tuple[list[int] | None, int]:
+    """read_residual_block plus its TotalCoeff: (coeffs, tc), with
+    coeffs None for an all-zero block (tc 0). Levels are nonzero by
+    construction (9.2.2: level_code maps to ±((code+2)>>1) ≥ 1), so tc
+    IS the block's nonzero count — the hot callers store it into the
+    nC neighbor grid directly instead of re-counting the list, and a
+    None block skips the reconstruction residual work outright."""
     tc, t1 = _read_coeff_token(br, nC)
     if tc > max_coeffs:
         raise H264Error("coeff_token exceeds block size")
-    coeffs = [0] * max_coeffs
     if tc == 0:
-        return coeffs
+        return None, 0
+    coeffs = [0] * max_coeffs
     levels = []
     for _ in range(t1):
         levels.append(-1 if br.u(1) else 1)
@@ -901,7 +929,7 @@ def read_residual_block(
             raise H264Error("run_before overruns block")
         coeffs[pos] = levels[i]
         pos -= 1 + runs[i]
-    return coeffs
+    return coeffs, tc
 
 
 def write_residual_block(
@@ -1126,6 +1154,19 @@ def residual_4x4_batch(
     the r11 opt profile); bit-exactness vs residual_4x4 is pinned in
     tests/test_h264.py (numpy int64 >> is the same arithmetic shift)."""
     n = levels.shape[0]
+    # DC-only closed form: with every AC level zero, both butterfly
+    # passes propagate only the (0,0) coefficient uniformly — row pass
+    # gives t[0,:] = [v,v,v,v], column pass e0 = e1 = v, e2 = e3 = 0 —
+    # so the block is the constant (v + 32) >> 6. The common case for
+    # DC-residual inter rows and chroma, at ~4 ufunc ops instead of ~25.
+    if not levels[:, 1:].any():
+        v = (
+            levels[:, 0] * int(_V44_SHIFTED[qp][0, 0])
+            if dcs is None else dcs
+        )
+        return np.broadcast_to(
+            ((v + 32) >> 6)[:, None, None], (n, 4, 4)
+        )
     m = np.zeros((n, 4, 4), dtype=np.int64)
     m[:, _ZZ_ROWS, _ZZ_COLS] = levels
     m *= _V44_SHIFTED[qp]
@@ -1296,8 +1337,19 @@ def _nc_luma(
     average of available left/top neighbor TotalCoeffs. `slc` =
     (blk_slice_grid, current_slice) gates neighbors to the same slice
     (multi-slice pictures); None keeps the positional default."""
+    if slc is None:
+        # positional path, closure-free (this is the per-block hot
+        # lookup of the whole CAVLC layer)
+        if bx > 0:
+            if by > 0:
+                return (int(nnz[by, bx - 1]) + int(nnz[by - 1, bx]) + 1) >> 1
+            return int(nnz[by, bx - 1])
+        if by > 0:
+            return int(nnz[by - 1, bx])
+        return 0
+
     def ok(yy, xx):
-        return slc is None or int(slc[0][yy, xx]) == slc[1]
+        return int(slc[0][yy, xx]) == slc[1]
 
     nA = int(nnz[by, bx - 1]) if bx > 0 and ok(by, bx - 1) else None
     nB = int(nnz[by - 1, bx]) if by > 0 and ok(by - 1, bx) else None
@@ -1941,9 +1993,9 @@ def _decode_intra_mb(
         for k, (brow, bcol) in enumerate(_BLK_ORDER):
             aby, abx = 4 * mby + brow, 4 * mbx + bcol
             nc = _nc_luma(nnz, aby, abx, slc)
-            ac = read_residual_block(br, 15, nc)
+            ac, tc = _read_residual_tc(br, 15, nc)
             ac_blocks[k] = ac
-            nnz[aby, abx] = sum(1 for v in ac if v)
+            nnz[aby, abx] = tc
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
 
     _reconstruct_luma_16x16(
@@ -2026,9 +2078,9 @@ def _read_chroma_residuals(
                     else:
                         nc = nA if nA is not None else (
                             nB if nB is not None else 0)
-                    ac = read_residual_block(br, 15, nc)
+                    ac, tc = _read_residual_tc(br, 15, nc)
                     cac[c][k] = ac
-                    nnz_c[c][cby, cbx] = sum(1 for v in ac if v)
+                    nnz_c[c][cby, cbx] = tc
     return cdc, cac
 
 
@@ -2787,9 +2839,9 @@ def _decode_i4x4_mb(
             continue
         aby, abx = 4 * mby + brow, 4 * mbx + bcol
         nc = _nc_luma(st.nnz, aby, abx, slc)
-        blk = read_residual_block(br, 16, nc)
+        blk, tc = _read_residual_tc(br, 16, nc)
         luma_blocks[k] = blk
-        st.nnz[aby, abx] = sum(1 for v in blk if v)
+        st.nnz[aby, abx] = tc
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
 
     for k, (brow, bcol) in enumerate(_BLK_ORDER):
@@ -3392,9 +3444,9 @@ def _decode_p_mb(
                 continue
             aby, abx = 4 * mby + brow, 4 * mbx + bcol
             nc = _nc_luma(st.nnz, aby, abx, _slc(st))
-            blk = read_residual_block(br, 16, nc)
+            blk, tc = _read_residual_tc(br, 16, nc)
             luma_blocks[k] = blk
-            st.nnz[aby, abx] = sum(1 for v in blk if v)
+            st.nnz[aby, abx] = tc
     cdc, cac = _read_chroma_residuals(br, st, mbx, mby, cbp_chroma)
     st.mb_qp[mby, mbx] = st.qp
     _reconstruct_inter_mb(
