@@ -489,19 +489,24 @@ def minhash_signatures(
     if sh is None:
         sh = hashed_shingle_sets(docs)
     ex = sh.select("doc_id", F.explode("hs").alias("shingle"))
-    hashed = ex.select(
+    # the projection/aggregate/array trees are built as expression
+    # STRINGS, one py4j round trip per stage instead of ~5 per column:
+    # constructing the same plan via 128+ Column objects measured
+    # ~1.0 s of pure driver-side gateway chatter per fn() build (r12) —
+    # the analyzed plan (and therefore the result) is identical
+    hashed = ex.selectExpr(
         "doc_id",
-        *[
-            F.xxhash64(F.col("shingle"), F.lit(s)).alias(f"h{s}")
-            for s in range(n_perm)
-        ],
+        *[f"xxhash64(shingle, {s}) AS h{s}" for s in range(n_perm)],
     )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_perm)]
+    mins = hashed.sparkSession.sql(
+        "SELECT doc_id, "
+        + ", ".join(f"min(h{s}) AS m{s}" for s in range(n_perm))
+        + " FROM {h} GROUP BY doc_id",
+        h=hashed,
     )
-    return mins.select(
+    return mins.selectExpr(
         "doc_id",
-        F.array(*[F.col(f"m{s}") for s in range(n_perm)]).alias("sig"),
+        "array(" + ", ".join(f"m{s}" for s in range(n_perm)) + ") AS sig",
     )
 
 
