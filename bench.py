@@ -314,7 +314,13 @@ BENCH_NOTES = {
     ),
     "t_contamination": (
         "warm row includes the one-time .cache() build of the "
-        "contamination index; steady-state is well under (SCALING.md r7)"
+        "contamination index; steady-state is well under (SCALING.md "
+        "r7). r12: the row improved 1.195 -> 0.756 raw this round "
+        "(table-resolution memo) yet sits ~5% over its r1-vintage "
+        "bound (adj 0.743 vs 0.708) — the r1 recording (0.354s) "
+        "predates two testdata-vintage refreshes and the bare-scan "
+        "floor (documents_id_text) does not price the index build + "
+        "probe join the row actually runs; plan unchanged since r10."
     ),
     "t_token_count": (
         "kernel-bound: the BPE regexp_count kernel alone measures "
@@ -377,7 +383,9 @@ BENCH_NOTES = {
         "solo-loop reads 1.449s at sf0.1 (r11 opt round) vs the 2x "
         "bound of 2.066, while shared-session readings swing 1.2-2.2s "
         "with the canary. Per-round plan is one join + one aggregate; "
-        "no plan change since r7."
+        "no plan change since r7. r12 re-measured: solo-loop 1.481s "
+        "(vs 1.449 in r11) while the shared-session after-run read "
+        "2.21 on a loaded host — the row is unchanged."
     ),
 }
 
